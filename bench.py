@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark the headline query set.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes against the noop sink (full plan execution, no
+driver-side collect) — the same way a cluster job would be measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from starknet_indexer_spark.queries import REGISTRY
+from starknet_indexer_spark.session import get_spark
+
+# Headline set: one per operator family, scale-relevant (no O(n^2)
+# pairwise queries — those are correctness baselines, not throughput).
+HEADLINE = [
+    "pricing_summary",
+    "dim_join_revenue",
+    "top_customers_per_nation",
+    "latest_state_per_user",
+    "hourly_rollup",
+    "hourly_net_flow",
+    "bucket_ledger",
+    "sliding_24h_stats",
+    "realized_volatility",
+    "time_weighted_balance",
+    "two_stage_price",
+    "range_theta_join",
+    "median_value",
+    "dedup_exact",
+    "text_quality_score",
+    "lang_id",
+    "ann_topk_cosine",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    # JVM/codegen warmup outside the timed region
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = REGISTRY[name]
+        t0 = time.perf_counter()
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline_query_wall_time_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,65 @@
+"""Table registry over the driver-generated parquet directories.
+
+The synthetic corpus (TESTDATA.md) is a TPC-H-ish star schema plus an
+``events`` stream table and the LLM-pipeline tables ``documents`` /
+``embeddings``. All reads go through here so partitioning/bucketing
+policy has a single home.
+
+Scale notes: at 100 TB each logical table becomes a *directory* of
+parquet files partitioned on its natural pruning key (facts:
+date/block-range; events: event date). `spark.read.parquet(dir)`
+with a filter on the partition column prunes at the source. The
+sf* test dirs are single files, so the same code path works unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimensions that should always be broadcast when joined against
+# a fact table. (Reference analogue: `blocks` and `pool_keys` join to
+# every event table — SURVEY.md §1.4.)
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "customer", "part"})
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    # TIMESTAMP(NANOS) columns are read as epoch-nanos longs
+    # (spark.sql.legacy.parquet.nanosAsLong); convert to TimestampType by
+    # floor-division to micros — the same ns->us truncation DuckDB applies,
+    # so oracle comparisons on derived epochs agree exactly.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def register_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view; returns the DataFrames."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

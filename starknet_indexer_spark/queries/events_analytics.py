@@ -1,0 +1,469 @@
+"""Ekubo-analytics analogues over the synthetic ``events`` stream table.
+
+The reference computes all analytics over an event-sourced stream keyed
+by a monotone ``event_id`` (src/dao.ts:124). The driver corpus's
+``events`` table has the same shape (event_id BIGINT, ts, user_id,
+event_type, value), so every derived-view pattern from SURVEY.md §2.4
+(V1/V2/V7/V10/V12/V13/V15/V16) is exercised here with the same operator
+composition it needs on the Ekubo tables — argmax-per-key, mirrored
+unions, hourly rollups, sliding windows, lag-based volatility,
+time-weighted integrals.
+
+Sign convention (mirrors pool-perspective deltas, src/dao.ts FIXTURES
+note): 'purchase'/'signup' are inflows (+value), everything else an
+outflow (−value).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import load
+from .registry import register
+
+DEC = "decimal(18,4)"
+# For sums of derived doubles (ln, products): cast to a wide decimal so
+# the aggregate is order-insensitive (see registry.py policy).
+DEC_WIDE = "decimal(30,15)"
+
+INFLOW = ("purchase", "signup")
+
+# hour bucket as whole-second epoch BIGINT (both engines truncate
+# identically on whole hours; raw ns-vs-us timestamps do not compare
+# reliably — registry.py policy)
+def _hour_ts() -> F.Column:
+    return F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_ts")
+
+
+ORACLE_HOUR_TS = "CAST(epoch(date_trunc('hour', ts)) AS BIGINT)"
+
+
+def _signed_value() -> F.Column:
+    return F.when(F.col("event_type").isin(*INFLOW), F.col("value").cast(DEC)).otherwise(
+        -F.col("value").cast(DEC)
+    )
+
+
+_ORACLE_SIGNED = (
+    "CASE WHEN event_type IN ('purchase','signup') THEN CAST(value AS DECIMAL(18,4)) "
+    "ELSE -CAST(value AS DECIMAL(18,4)) END"
+)
+
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id,
+           arg_max(event_id, event_id) AS last_event_id,
+           arg_max(event_type, event_id) AS last_event_type,
+           arg_max(value, event_id) AS last_value
+    FROM events GROUP BY user_id
+    """,
+    doc="Argmax-per-key: latest event per user by monotone event_id "
+    "(SURVEY §2.3 A3/W5; reference last-swap-per-pool lateral, "
+    "src/dao.ts:392-405, rewritten as max_by).",
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    # max_by: single shuffle, no window sort — at scale this is one
+    # partial-aggregated pass instead of a full per-key sort.
+    return ev.groupBy("user_id").agg(
+        F.max("event_id").alias("last_event_id"),
+        F.max_by("event_type", "event_id").alias("last_event_type"),
+        F.max_by("value", "event_id").alias("last_value"),
+    )
+
+
+@register(
+    "latest_state_per_user",
+    oracle="""
+    WITH last_purchase AS (
+      SELECT user_id,
+             MAX(event_id) AS last_purchase_id,
+             arg_max(value, event_id) AS last_purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    later_clicks AS (
+      SELECT e.user_id,
+             SUM(CAST(e.value AS DECIMAL(18,4))) AS later_click_sum
+      FROM events e JOIN last_purchase lp
+        ON e.user_id = lp.user_id AND e.event_id > lp.last_purchase_id
+      WHERE e.event_type = 'click'
+      GROUP BY e.user_id
+    )
+    SELECT lp.user_id, lp.last_purchase_id, lp.last_purchase_value,
+           CAST(COALESCE(lc.later_click_sum, 0) AS DOUBLE) AS later_click_sum
+    FROM last_purchase lp LEFT JOIN later_clicks lc ON lp.user_id = lc.user_id
+    """,
+    doc="pool_states_view analogue (V1, src/dao.ts:384-427): latest "
+    "anchor event per key + sum of qualifying later events, left-joined "
+    "back with COALESCE 0.",
+)
+def latest_state_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    last_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("event_id").alias("last_purchase_id"),
+            F.max_by("value", "event_id").alias("last_purchase_value"),
+        )
+    )
+    # The anchor set is one row per key — broadcast it so the big event
+    # scan joins map-side (reference equivalent: pool_states joins the
+    # per-pool argmax back to position_updates, src/dao.ts:412-427).
+    later_clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(last_purchase.select("user_id", "last_purchase_id")), "user_id")
+        .filter(F.col("event_id") > F.col("last_purchase_id"))
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value").cast(DEC)).alias("later_click_sum"))
+    )
+    return (
+        last_purchase.join(later_clicks, "user_id", "left")
+        .select(
+            "user_id",
+            "last_purchase_id",
+            "last_purchase_value",
+            F.coalesce(F.col("later_click_sum"), F.lit(0)).cast("double").alias("later_click_sum"),
+        )
+    )
+
+
+@register(
+    "hourly_rollup",
+    oracle=f"""
+    SELECT user_id, event_type,
+           {ORACLE_HOUR_TS} AS hour_ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS volume,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id, event_type, hour_ts
+    """,
+    doc="Tumbling hourly rollup (V13 hourly_volume_by_token, "
+    "src/dao.ts:1544-1615): DATE_TRUNC bucket + grouped sums.",
+)
+def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select("user_id", "event_type", _hour_ts(), "value")
+        .groupBy("user_id", "event_type", "hour_ts")
+        .agg(
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("volume"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "sliding_24h_stats",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS max_ts FROM events)
+    SELECT e.user_id,
+           CAST(SUM(CASE WHEN e.event_type = 'purchase'
+                         THEN CAST(e.value AS DECIMAL(18,4)) ELSE 0 END) AS DOUBLE)
+             AS purchases_24h,
+           CAST(SUM(CASE WHEN e.event_type = 'view'
+                         THEN CAST(e.value AS DECIMAL(18,4)) ELSE 0 END) AS DOUBLE)
+             AS views_24h,
+           COUNT(*) AS events_24h
+    FROM events e, mx
+    WHERE e.ts >= mx.max_ts - INTERVAL 24 HOURS
+    GROUP BY e.user_id
+    """,
+    doc="24h sliding stats anchored at max event time (V7 "
+    "last_24h_pool_stats, src/dao.ts:882-936; NOW() parameterized as "
+    "max(ts) for determinism — SURVEY §4.2). Scalar subquery R4.",
+)
+def sliding_24h_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("max_ts"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .filter(F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 24 HOURS"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value").cast(DEC)).otherwise(F.lit(0)))
+            .cast("double")
+            .alias("purchases_24h"),
+            F.sum(F.when(F.col("event_type") == "view", F.col("value").cast(DEC)).otherwise(F.lit(0)))
+            .cast("double")
+            .alias("views_24h"),
+            F.count(F.lit(1)).alias("events_24h"),
+        )
+    )
+
+
+@register(
+    "value_routing",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type IN ('purchase','signup')
+                         THEN CAST(value AS DECIMAL(18,4)) ELSE 0 END) AS DOUBLE) AS inflow,
+           CAST(SUM(CASE WHEN event_type NOT IN ('purchase','signup')
+                         THEN CAST(value AS DECIMAL(18,4)) ELSE 0 END) AS DOUBLE) AS outflow,
+           CAST(SUM(CASE WHEN event_type IN ('purchase','signup')
+                         THEN CAST(value AS DECIMAL(18,4))
+                         ELSE -CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS net_flow
+    FROM events GROUP BY user_id
+    """,
+    doc="CASE-routed conditional aggregation (SURVEY §2.3 R3/A2; "
+    "reference token routing CASE WHEN delta0 >= 0 THEN token0 ELSE "
+    "token1, src/dao.ts:1550, and conditional sums 885-905).",
+)
+def value_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    val = F.col("value").cast(DEC)
+    is_in = F.col("event_type").isin(*INFLOW)
+    return ev.groupBy("user_id").agg(
+        F.sum(F.when(is_in, val).otherwise(F.lit(0))).cast("double").alias("inflow"),
+        F.sum(F.when(~is_in, val).otherwise(F.lit(0))).cast("double").alias("outflow"),
+        F.sum(_signed_value()).cast("double").alias("net_flow"),
+    )
+
+
+@register(
+    "bucket_ledger",
+    oracle=f"""
+    WITH deltas AS (
+      SELECT user_id, CAST(FLOOR(value / 25) AS INTEGER) AS bucket,
+             {_ORACLE_SIGNED} AS delta
+      FROM events
+      UNION ALL
+      SELECT user_id, CAST(FLOOR(value / 25) AS INTEGER) + 4 AS bucket,
+             -({_ORACLE_SIGNED}) AS delta
+      FROM events
+    )
+    SELECT user_id, bucket, CAST(SUM(delta) AS DOUBLE) AS net_delta
+    FROM deltas GROUP BY user_id, bucket
+    HAVING SUM(delta) <> 0
+    """,
+    doc="Mirrored-union boundary ledger (V2 per_pool_per_tick_liquidity, "
+    "src/dao.ts:475-499): +delta at lower bound, -delta at upper bound, "
+    "summed per (key, boundary), zero rows dropped (SURVEY §2.3 J7/A1/A10).",
+)
+def bucket_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 25).cast("int")
+    lower = ev.select("user_id", bucket.alias("bucket"), _signed_value().alias("delta"))
+    upper = ev.select(
+        "user_id", (bucket + 4).alias("bucket"), (-_signed_value()).alias("delta")
+    )
+    return (
+        lower.unionByName(upper)
+        .groupBy("user_id", "bucket")
+        .agg(F.sum("delta").alias("net_delta_dec"))
+        .filter(F.col("net_delta_dec") != 0)
+        .select("user_id", "bucket", F.col("net_delta_dec").cast("double").alias("net_delta"))
+    )
+
+
+@register(
+    "realized_volatility",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT user_id, {ORACLE_HOUR_TS} AS hour_ts,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS price
+      FROM events GROUP BY user_id, hour_ts
+      HAVING SUM(CAST(value AS DECIMAL(18,4))) > 0
+    ),
+    diffs AS (
+      SELECT user_id,
+             LN(price / LAG(price) OVER (PARTITION BY user_id ORDER BY hour_ts))
+               AS log_diff
+      FROM hourly
+    )
+    SELECT user_id,
+           ROUND(SQRT(CAST(SUM(CAST(log_diff * log_diff AS DECIMAL(30,15))) AS DOUBLE)), 6)
+             AS volatility,
+           COUNT(log_diff) AS n_obs
+    FROM diffs WHERE log_diff IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="Realized volatility sqrt(sum(ln-diff^2)) over hourly series "
+    "(V10 token_pair_realized_volatility, src/dao.ts:1038-1083; "
+    "SURVEY §2.3 W2/A6). Squared diffs pass through DECIMAL(30,15) so "
+    "the sum is order-insensitive.",
+)
+def realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.select("user_id", _hour_ts(), "value")
+        .groupBy("user_id", "hour_ts")
+        .agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("price"))
+        # zero-price hours would divide-by-zero the next row's ratio
+        # (ANSI mode); the reference's price series is strictly positive
+        .filter(F.col("price") > 0)
+    )
+    w = W.partitionBy("user_id").orderBy("hour_ts")
+    diffs = hourly.withColumn("log_diff", F.log(F.col("price") / F.lag("price").over(w)))
+    return (
+        diffs.filter(F.col("log_diff").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("log_diff") * F.col("log_diff")).cast(DEC_WIDE)).cast("double")),
+                6,
+            ).alias("volatility"),
+            F.count("log_diff").alias("n_obs"),
+        )
+    )
+
+
+@register(
+    "time_weighted_balance",
+    oracle="""
+    WITH bounds AS (SELECT MAX(epoch_us(ts)) AS end_us, MIN(epoch_us(ts)) AS start_us
+                    FROM events),
+    deltas AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t_us,
+             CASE WHEN event_type IN ('purchase','signup')
+                  THEN CAST(value AS DECIMAL(18,4))
+                  ELSE -CAST(value AS DECIMAL(18,4)) END AS delta
+      FROM events
+    ),
+    running AS (
+      SELECT user_id, t_us,
+             SUM(delta) OVER (PARTITION BY user_id ORDER BY event_id
+                              ROWS UNBOUNDED PRECEDING) AS balance,
+             LEAD(t_us, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_t_us
+      FROM deltas
+    )
+    SELECT r.user_id,
+           ROUND(CAST(SUM(r.balance * (COALESCE(r.next_t_us, b.end_us) - r.t_us)) AS DOUBLE)
+                 / (b.end_us - b.start_us), 6) AS twab
+    FROM running r, bounds b
+    GROUP BY r.user_id, b.end_us, b.start_us
+    """,
+    doc="Time-weighted average balance: running sum x interval-to-next "
+    "integral over the global window (V12 "
+    "proposal_delegate_voting_weights, src/dao.ts:1231-1352; SURVEY "
+    "§2.3 W3/W4/A7). Exact: decimal balance x integer microseconds.",
+)
+def time_weighted_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.max(F.unix_micros("ts")).alias("end_us"), F.min(F.unix_micros("ts")).alias("start_us")
+    )
+    deltas = ev.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t_us"), _signed_value().alias("delta")
+    )
+    w = W.partitionBy("user_id").orderBy("event_id")
+    running = deltas.select(
+        "user_id",
+        "t_us",
+        F.sum("delta").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("balance"),
+        F.lead("t_us", 1).over(w).alias("next_t_us"),
+    )
+    return (
+        running.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id", "end_us", "start_us")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("balance") * (F.coalesce(F.col("next_t_us"), F.col("end_us")) - F.col("t_us"))
+                ).cast("double")
+                / (F.col("end_us") - F.col("start_us")),
+                6,
+            ).alias("twab")
+        )
+        .select("user_id", "twab")
+    )
+
+
+@register(
+    "two_stage_price",
+    oracle=f"""
+    WITH stage1 AS (
+      SELECT user_id, {ORACLE_HOUR_TS} AS hour_ts,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_ts,
+             SUM(CAST(value AS DECIMAL(18,4))) AS hour_sum
+      FROM events GROUP BY user_id, hour_ts, day_ts
+    )
+    SELECT user_id, day_ts,
+           CAST(SUM(hour_sum * hour_sum) AS DOUBLE) AS total,
+           CAST(SUM(ABS(hour_sum)) AS DOUBLE) AS k_volume,
+           COUNT(*) AS n_hours
+    FROM stage1 GROUP BY user_id, day_ts
+    """,
+    doc="Two-stage partial aggregation: per-(key,hour) sums squared and "
+    "re-aggregated per day (V15 hourly_price_data per-block pair sums, "
+    "src/dao.ts:1656-1688; SURVEY §2.3 A8).",
+)
+def two_stage_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    stage1 = (
+        ev.select(
+            "user_id",
+            _hour_ts(),
+            F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day_ts"),
+            "value",
+        )
+        .groupBy("user_id", "hour_ts", "day_ts")
+        .agg(F.sum(F.col("value").cast(DEC)).alias("hour_sum"))
+    )
+    return stage1.groupBy("user_id", "day_ts").agg(
+        F.sum(F.col("hour_sum") * F.col("hour_sum")).cast("double").alias("total"),
+        F.sum(F.abs(F.col("hour_sum"))).cast("double").alias("k_volume"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+
+
+@register(
+    "median_value",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS median_value,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90_value,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact interpolated percentile (V11 market depth's "
+    "percentile_cont(0.5), src/dao.ts:1113-1129; SURVEY §2.3 A5 — "
+    "exact for oracle parity; percentile_approx is the 100TB path).",
+)
+def median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("median_value"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "global_top1",
+    oracle="""
+    SELECT arg_max(event_id, event_id) AS event_id,
+           arg_max(event_type, event_id) AS event_type,
+           arg_max(user_id, event_id) AS user_id
+    FROM events
+    """,
+    doc="Global ORDER BY DESC LIMIT 1 (latest block time, "
+    "src/dao.ts:1039-1043; SURVEY §2.3 W6/O2).",
+)
+def global_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.col("event_id").desc())
+        .limit(1)
+        .select("event_id", "event_type", "user_id")
+    )
+
+
+@register(
+    "active_users_union",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+    doc="UNION-distinct of two filtered key sets (delegate sentinel set, "
+    "src/dao.ts:1296-1299; SURVEY §2.3 O4).",
+)
+def active_users_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "error").select("user_id")
+    return a.union(b).distinct()

@@ -1,0 +1,208 @@
+"""Similarity search + near-dup detection over ``embeddings`` and
+``documents``.
+
+Brute-force cosine top-k is the correctness baseline (exact); the
+LSH-bucketed variants in ``operators.similarity`` / ``operators.dedup``
+are the 100 TB scale path (candidate generation via banding so the
+pairwise join only touches colliding buckets, not the full cross
+product).
+
+Float determinism: dot products fold over double-cast arrays in
+sequential element order on both engines, similarities are rounded
+before ranking, and ties break on vec_id — so the Spark and DuckDB
+top-k sets agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import load
+from .registry import register
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+NEAR_DUP_SIM = 0.40
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _with_norm(df: DataFrame, id_out: str, vec_out: str, norm_out: str) -> DataFrame:
+    return df.select(
+        F.col("vec_id").alias(id_out),
+        F.col("embedding").alias(vec_out),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias(norm_out),
+    )
+
+
+@register(
+    "ann_topk_cosine",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn
+      FROM embeddings
+    ),
+    sims AS (
+      SELECT q.query_id, c.neighbor_id,
+             ROUND(list_dot_product(q.qv, c.cv) / (q.qn * c.cn), 4) AS sim
+      FROM q, c WHERE q.query_id <> c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM sims
+    ) WHERE rank <= {TOP_K}
+    """,
+    doc="Brute-force exact cosine top-k over the embedding column: the "
+    "ANN correctness baseline. Query side broadcast; candidate scan "
+    "stays partitioned — at scale this is a map-side loop over a "
+    "broadcast query batch, then a per-query top-k (no global sort).",
+)
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = _with_norm(emb.filter(F.col("vec_id") < N_QUERIES), "query_id", "qv", "qn")
+    c = _with_norm(emb, "neighbor_id", "cv", "cn")
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+@register(
+    "embedding_near_dup",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS ev,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS en
+      FROM embeddings
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS a_label, b.label AS b_label,
+           ROUND(list_dot_product(a.ev, b.ev) / (a.en * b.en), 4) AS sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.ev, b.ev) / (a.en * b.en), 4) >= {NEAR_DUP_SIM}
+    """,
+    doc="Embedding-cosine near-duplicate pairs (a<b ordering; the corpus "
+    f"is near-random so the threshold {NEAR_DUP_SIM} marks the top tail). "
+    "Scale path: LSH-bucket candidates first "
+    "(operators.similarity) so the pairwise join is per-bucket.",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("av"),
+    ).withColumn("an", F.sqrt(_dot(F.col("av"), F.col("av"))))
+    b = emb.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("b_label"),
+        F.col("embedding").alias("bv"),
+    ).withColumn("bn", F.sqrt(_dot(F.col("bv"), F.col("bv"))))
+    sim = F.round(_dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 4)
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= NEAR_DUP_SIM)
+        .select("a_id", "b_id", "a_label", "b_label", "sim")
+    )
+
+
+@register(
+    "ngram_similar_pairs",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(regexp_replace(text, '[^a-z0-9]+', ' ', 'g')),
+                         ' '), x -> x <> '') AS tokens
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                            for i in range(1, len(tokens) - 1)]) AS shingles
+      FROM toks WHERE len(tokens) >= 3
+    ),
+    ex AS (SELECT doc_id, UNNEST(shingles) AS shingle, len(shingles) AS n_sh FROM sh),
+    pair_inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.n_sh AS a_n, b.n_sh AS b_n, COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+    )
+    SELECT a_id, b_id, inter,
+           ROUND(CAST(inter AS DOUBLE) / (a_n + b_n - inter), 6) AS jaccard
+    FROM pair_inter
+    WHERE CAST(inter AS DOUBLE) / (a_n + b_n - inter) >= 0.2
+    """,
+    doc="N-gram Jaccard near-dup: word 3-gram shingle sets, candidate "
+    "pairs via shared-shingle equi-join (inverted index — never a full "
+    "cross product), exact Jaccard from distinct-shingle counts. "
+    "This inverted-index join IS the scale path: shuffle on shingle, "
+    "skew-guarded by dropping ubiquitous shingles upstream if needed.",
+)
+def ngram_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tokens = F.filter(
+        F.split(F.lower(F.regexp_replace(F.col("text"), "[^a-z0-9]+", " ")), " "),
+        lambda x: x != "",
+    )
+    toks = docs.select("doc_id", tokens.alias("tokens"))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("tokens") - 2, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("tokens", i),
+                F.element_at("tokens", i + 1),
+                F.element_at("tokens", i + 2),
+            ),
+        )
+    )
+    # docs with <3 tokens have no 3-gram shingles on either side
+    sh = toks.filter(F.size("tokens") >= 3).select("doc_id", shingles.alias("shingles"))
+    ex = sh.select(
+        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
+    )
+    a = ex.select(
+        F.col("doc_id").alias("a_id"), F.col("n_sh").alias("a_n"), F.col("shingle")
+    )
+    b = ex.select(
+        F.col("doc_id").alias("b_id"), F.col("n_sh").alias("b_n"), F.col("shingle")
+    )
+    pair_inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id", "a_n", "b_n")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (F.col("a_n") + F.col("b_n") - F.col("inter"))
+    return (
+        pair_inter.filter(jac >= 0.2)
+        .select("a_id", "b_id", "inter", F.round(jac, 6).alias("jaccard"))
+    )

@@ -1,0 +1,226 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Training-data pipeline surface: exact dedup, token counting, quality
+scoring, language ID, document fingerprinting. All JVM-side column
+expressions (no Python UDFs) — at 100 TB these run inside whole-stage
+codegen with the parquet scan, and the only shuffle is the final
+aggregate where one exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from .registry import register
+
+# language stopword regexes (word-boundary alternations; identical
+# pattern semantics in Java regex and DuckDB's RE2)
+LANG_PATTERNS = {
+    "en": r"\b(the|and|of|to|in|is|that|it|for|was)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\b",
+    "fr": r"\b(le|les|est|une|des|que|dans|pour|avec|sur)\b",
+    "es": r"\b(el|los|las|es|y|una|como|por|para|con)\b",
+}
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id, source, md5(lower(trim(text))) AS h FROM documents
+    ),
+    canon AS (SELECT h, MIN(doc_id) AS canonical_id FROM hashed GROUP BY h)
+    SELECT hd.doc_id, hd.source, c.canonical_id,
+           CAST(hd.doc_id = c.canonical_id AS BOOLEAN) AS is_canonical
+    FROM hashed hd JOIN canon c ON hd.h = c.h
+    """,
+    doc="Exact deduplication via content hash: every doc mapped to the "
+    "canonical (min doc_id) member of its normalized-text hash group. "
+    "Scale path: hash group-by is a single shuffle on the digest; no "
+    "pairwise comparison.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", "source", F.md5(F.lower(F.trim(F.col("text")))).alias("h")
+    )
+    canon = hashed.groupBy("h").agg(F.min("doc_id").alias("canonical_id"))
+    return hashed.join(canon, "h").select(
+        "doc_id",
+        "source",
+        "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+    )
+
+
+@register(
+    "text_token_stats",
+    oracle=r"""
+    SELECT doc_id, lang,
+           len(list_filter(string_split_regex(trim(text), '[ \t\n\r]+'),
+                           x -> x <> '')) AS n_tokens,
+           length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+           CAST(CEIL(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens, punctuation count, and a "
+    "BPE-ish chars/4 estimate, per document. Pure projection — no "
+    "shuffle; runs inside the parquet scan stage.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tokens = F.filter(F.split(F.trim(F.col("text")), r"[ \t\n\r]+"), lambda x: x != "")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens).alias("n_tokens"),
+        F.length(F.regexp_replace(F.col("text"), r"[^.,!?;:]", "")).alias("n_punct"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("est_bpe_tokens"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=r"""
+    WITH feats AS (
+      SELECT doc_id, lang,
+             length(text) AS n_chars_m,
+             len(list_filter(string_split_regex(trim(text), '[ \t\n\r]+'),
+                             x -> x <> '')) AS n_tokens,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+             len(regexp_extract_all(lower(text),
+                 '\b(the|and|of|to|in|is|that|it|for|was)\b')) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           ROUND(CAST(n_alpha AS DOUBLE) / n_chars_m, 6) AS alpha_ratio,
+           ROUND(CAST(n_digit AS DOUBLE) / n_chars_m, 6) AS digit_ratio,
+           ROUND(CAST(n_stop AS DOUBLE) / GREATEST(n_tokens, 1), 6) AS stopword_ratio,
+           ROUND(0.5 * (CAST(n_alpha AS DOUBLE) / n_chars_m)
+                 + 0.3 * LEAST(CAST(n_tokens AS DOUBLE) / 100, 1.0)
+                 + 0.2 * LEAST(CAST(n_stop AS DOUBLE) / GREATEST(n_tokens, 1) * 5, 1.0), 6)
+             AS quality_score
+    FROM feats
+    """,
+    doc="Heuristic quality scoring: alpha/digit/stopword ratios blended "
+    "into a [0,1] score (the length/punct/stopword family of "
+    "pretraining-data filters). Projection-only, codegen'd.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    tokens = F.filter(F.split(F.trim(F.col("text")), r"[ \t\n\r]+"), lambda x: x != "")
+    n_tokens = F.size(tokens)
+    n_alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace(F.col("text"), r"[^0-9]", ""))
+    n_stop = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(LANG_PATTERNS["en"]), 0))
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        n_chars.alias("n_chars_m"),
+        n_tokens.alias("n_tokens"),
+        n_alpha.alias("n_alpha"),
+        n_digit.alias("n_digit"),
+        n_stop.alias("n_stop"),
+    )
+    alpha_ratio = F.col("n_alpha").cast("double") / F.col("n_chars_m")
+    digit_ratio = F.col("n_digit").cast("double") / F.col("n_chars_m")
+    stop_ratio = F.col("n_stop").cast("double") / F.greatest(F.col("n_tokens"), F.lit(1))
+    return feats.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(
+            0.5 * alpha_ratio
+            + 0.3 * F.least(F.col("n_tokens").cast("double") / 100, F.lit(1.0))
+            + 0.2 * F.least(stop_ratio * 5, F.lit(1.0)),
+            6,
+        ).alias("quality_score"),
+    )
+
+
+def _lang_id_oracle() -> str:
+    counts = ",\n             ".join(
+        f"len(regexp_extract_all(lower(text), '{pat}')) AS c_{lang}"
+        for lang, pat in LANG_PATTERNS.items()
+    )
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) AS c_cjk,
+             {counts}
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN c_cjk > 0 THEN 'zh'
+                WHEN c_en >= GREATEST(c_de, c_fr, c_es) THEN 'en'
+                WHEN c_de >= GREATEST(c_fr, c_es) THEN 'de'
+                WHEN c_fr >= c_es THEN 'fr'
+                ELSE 'es' END AS pred_lang,
+           CAST(lang = (CASE WHEN c_cjk > 0 THEN 'zh'
+                WHEN c_en >= GREATEST(c_de, c_fr, c_es) THEN 'en'
+                WHEN c_de >= GREATEST(c_fr, c_es) THEN 'de'
+                WHEN c_fr >= c_es THEN 'fr'
+                ELSE 'es' END) AS BOOLEAN) AS correct
+    FROM scored
+    """
+
+
+@register(
+    "lang_id",
+    oracle=_lang_id_oracle(),
+    doc="N-gram/stopword-heuristic language identification over "
+    "en/de/fr/es + CJK-codepoint detection for zh; deterministic "
+    "argmax with fixed tie order. Projection-only.",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[一-鿿]"), 0)).alias("c_cjk"),
+        *[
+            F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(pat), 0)).alias(f"c_{lang}")
+            for lang, pat in LANG_PATTERNS.items()
+        ],
+    )
+    pred = (
+        F.when(F.col("c_cjk") > 0, "zh")
+        .when(F.col("c_en") >= F.greatest("c_de", "c_fr", "c_es"), "en")
+        .when(F.col("c_de") >= F.greatest("c_fr", "c_es"), "de")
+        .when(F.col("c_fr") >= F.col("c_es"), "fr")
+        .otherwise("es")
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        (F.col("lang") == pred).alias("correct"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           substr(md5(lower(trim(text))), 1, 16) AS fingerprint,
+           length(text) AS fp_len
+    FROM documents
+    """,
+    doc="64-bit content fingerprint (md5 prefix of normalized text) — "
+    "the exact-dup key; the shingle/winnowing near-dup fingerprint "
+    "lives in operators.dedup (signature path).",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.substring(F.md5(F.lower(F.trim(F.col("text")))), 1, 16).alias("fingerprint"),
+        F.length("text").alias("fp_len"),
+    )
