@@ -86,6 +86,33 @@ def i129_value(mag: Column, sign: Column) -> Column:
     return F.when(s != 0, -m).otherwise(m)
 
 
+def decimal_floordiv(a: Column, b: Column) -> Column:
+    """Exact floor(a/b) on decimals via (a - pmod(a,b)) / b.
+
+    Spark's decimal division rounds the quotient to the result scale
+    (HALF_UP), so ``floor(a / b)`` can round 2.9999997 up to 3 before
+    the floor — off by one. Subtracting the positive remainder first
+    makes the division exact; works for negative ``a`` too since pmod
+    returns the non-negative remainder.
+    """
+    return ((a - F.pmod(a, b)) / b).cast("decimal(38,0)")
+
+
+def q128_fee_amount(volume: Column, fee: Column) -> Column:
+    """LP fee: floor(volume * fee / 2^128) (reference hourly volume
+    rollup, src/dao.ts:1552-1554).
+
+    Computed as floor(volume * floor(fee / 2^64) / 2^64) to stay inside
+    DECIMAL(38,0): exact when fee is a multiple of 2^64 (fixtures
+    guarantee this), otherwise within volume/2^64 < 1 unit for volumes
+    below 2^64 — documented width-policy bound. volume must be >= 0
+    (swap volume is the inflow side, always non-negative).
+    """
+    t64 = F.lit(TWO_64).cast("decimal(38,0)")
+    fee_hi = decimal_floordiv(fee.cast("decimal(38,0)"), t64)
+    return decimal_floordiv(volume.cast("decimal(38,0)") * fee_hi, t64)
+
+
 def to_hex(col: Column) -> Column:
     """DECIMAL/long -> canonical ``0x…`` lowercase hex (reference
     plpgsql numeric_to_hex, src/dao.ts:1209-1229). Exact for values

@@ -1,0 +1,85 @@
+"""V7 — last-24h pool stats over the hourly rollups.
+
+Reference: last_24h_pool_stats_view, src/dao.ts:882-936. Per pool:
+24h volume/fees routed to token0/token1 sides, lifetime TVL, and 24h
+TVL delta. The reference's NOW() is parameterized as ``as_of`` for
+determinism (SURVEY.md §4.2).
+
+Inputs are the V13/V16 *outputs* (hourly_volume_by_token,
+hourly_tvl_delta_by_token) — at scale these are small hour-partitioned
+result tables, so every join here is a broadcast off pool_keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEC = "decimal(38,0)"
+
+
+def last_24h_pool_stats(
+    tables: dict[str, DataFrame],
+    hourly_volume: DataFrame,
+    hourly_tvl_delta: DataFrame,
+    as_of,
+) -> DataFrame:
+    pool_keys = tables["pool_keys"].select("key_hash", "token0", "token1")
+    cutoff = F.lit(as_of).cast("timestamp") - F.expr("INTERVAL 24 HOURS")
+
+    def routed(df: DataFrame, value_cols: list[str], time_filtered: bool) -> DataFrame:
+        j = df.join(F.broadcast(pool_keys), "key_hash")
+        if time_filtered:
+            j = j.filter(F.col("hour") >= cutoff)
+        aggs = []
+        for vc in value_cols:
+            aggs.append(
+                F.sum(
+                    F.when(F.col("token") == F.col("token0"), F.col(vc)).otherwise(F.lit(0))
+                ).alias(f"{vc}0")
+            )
+            aggs.append(
+                F.sum(
+                    F.when(F.col("token") == F.col("token1"), F.col(vc)).otherwise(F.lit(0))
+                ).alias(f"{vc}1")
+            )
+        return j.groupBy("key_hash").agg(*aggs)
+
+    volume = routed(hourly_volume, ["volume", "fees"], time_filtered=True)
+    tvl_total = routed(hourly_tvl_delta, ["delta"], time_filtered=False)
+    tvl_24h = routed(hourly_tvl_delta, ["delta"], time_filtered=True)
+
+    z = F.lit(0).cast(DEC)
+    return (
+        pool_keys.select("key_hash")
+        .join(volume, "key_hash", "left")
+        .join(
+            tvl_total.select(
+                "key_hash",
+                F.col("delta0").alias("tvl0_t"),
+                F.col("delta1").alias("tvl1_t"),
+            ),
+            "key_hash",
+            "left",
+        )
+        .join(
+            tvl_24h.select(
+                "key_hash",
+                F.col("delta0").alias("tvl0_d"),
+                F.col("delta1").alias("tvl1_d"),
+            ),
+            "key_hash",
+            "left",
+        )
+        .select(
+            "key_hash",
+            F.coalesce("volume0", z).alias("volume0_24h"),
+            F.coalesce("volume1", z).alias("volume1_24h"),
+            F.coalesce("fees0", z).alias("fees0_24h"),
+            F.coalesce("fees1", z).alias("fees1_24h"),
+            F.coalesce("tvl0_t", z).alias("tvl0_total"),
+            F.coalesce("tvl1_t", z).alias("tvl1_total"),
+            F.coalesce("tvl0_d", z).alias("tvl0_delta_24h"),
+            F.coalesce("tvl1_d", z).alias("tvl1_delta_24h"),
+        )
+    )
