@@ -27,6 +27,11 @@ from .simple_states import (  # noqa: F401
     spline_pools,
 )
 from .twamm import twamm_pool_states, twamm_sale_rate_deltas  # noqa: F401
+from .token_registry import latest_token_registrations  # noqa: F401
+from .volatility import token_pair_realized_volatility  # noqa: F401
+from .market_depth import pool_market_depth  # noqa: F401
+from .governance import proposal_delegate_voting_weights  # noqa: F401
+from .staker_rewards import calculate_staker_rewards  # noqa: F401
 
 VIEWS = {
     "pool_states": pool_states,  # V1
@@ -41,6 +46,11 @@ VIEWS = {
     "hourly_revenue_by_token": hourly_revenue_by_token,  # V14
     "hourly_price_data": hourly_price_data,  # V15
     "hourly_tvl_delta_by_token": hourly_tvl_delta_by_token,  # V16
+    "latest_token_registrations": latest_token_registrations,  # V8
+    "token_pair_realized_volatility": token_pair_realized_volatility,  # V10
+    "pool_market_depth": pool_market_depth,  # V11
+    "proposal_delegate_voting_weights": proposal_delegate_voting_weights,  # V12
+    "calculate_staker_rewards": calculate_staker_rewards,  # V17
 }
 
 
@@ -53,9 +63,18 @@ def load_ekubo_tables(spark: SparkSession, path: str) -> dict[str, DataFrame]:
     """
     import os
 
+    from pyspark.sql import functions as F
+
     out: dict[str, DataFrame] = {}
     for name in TABLE_SCHEMAS:
         p = os.path.join(path, f"{name}.parquet")
         if os.path.exists(p):
-            out[name] = spark.read.parquet(p)
+            df = spark.read.parquet(p)
+            # parquet written without isAdjustedToUTC reads as
+            # TIMESTAMP_NTZ; normalize to session-TZ (UTC) TIMESTAMP so
+            # epoch functions work uniformly
+            for c, t in df.dtypes:
+                if t == "timestamp_ntz":
+                    df = df.withColumn(c, F.col(c).cast("timestamp"))
+            out[name] = df
     return out

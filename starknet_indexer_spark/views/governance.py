@@ -1,0 +1,111 @@
+"""V12 — per-(proposal, delegate) time-weighted voting weights.
+
+Reference: proposal_delegate_voting_weights_view, src/dao.ts:1231-1352.
+For each proposal: over the window [proposal_time, proposal_time +
+voting_start_delay], the time-weighted average stake per delegate =
+integral of the delegate's running stake balance over the window,
+divided by the window length (floor'd).
+
+The reference computes this with JOIN LATERAL (one correlated
+sub-aggregation per proposal). Spark rewrite (SURVEY §2.3 J3): build
+the event set *set-based* for all proposals at once —
+proposal x in-window deltas, plus per-(proposal, delegate) bootstrap
+balances at window start, plus a zero sentinel at window end — then
+one window pass (running sum + lead) partitioned by (proposal,
+delegate) and one aggregation. Proposals are few; stake events join
+against them via a broadcast, so the fact scan happens twice (bootstrap
++ in-window) with no shuffle on the big side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+DEC = "decimal(38,0)"
+
+
+def _with_time(df: DataFrame, blocks: DataFrame) -> DataFrame:
+    b = blocks.select(F.col("number").alias("__block"), F.col("time").alias("time"))
+    return df.join(F.broadcast(b), df.block_number == F.col("__block")).drop("__block")
+
+
+def proposal_delegate_voting_weights(tables: dict[str, DataFrame]) -> DataFrame:
+    blocks = tables["blocks"]
+    gp = _with_time(tables["governor_proposed"], blocks).select(
+        F.col("id").alias("proposal_id"),
+        F.col("time").alias("proposal_time"),
+        "config_version",
+    )
+    gr = tables["governor_reconfigured"].select("version", "voting_start_delay")
+    proposal_times = (
+        gp.join(F.broadcast(gr), gp.config_version == gr.version)
+        .select(
+            "proposal_id",
+            "proposal_time",
+            (
+                F.col("proposal_time")
+                + (F.col("voting_start_delay") * F.expr("INTERVAL 1 SECOND"))
+            ).alias("vote_start"),
+            F.col("voting_start_delay").alias("window_secs"),
+        )
+    )
+
+    staked = _with_time(tables["staker_staked"], blocks).select(
+        "delegate", "time", F.col("amount").cast(DEC).alias("delta")
+    )
+    withdrawn = _with_time(tables["staker_withdrawn"], blocks).select(
+        "delegate", "time", (-F.col("amount").cast(DEC)).alias("delta")
+    )
+    deltas = staked.unionByName(withdrawn)
+
+    pt = F.broadcast(proposal_times)
+
+    in_window = deltas.join(
+        pt, F.col("time").between(F.col("proposal_time"), F.col("vote_start"))
+    ).select("proposal_id", "delegate", "time", "delta")
+
+    bootstrap = (
+        deltas.join(pt, F.col("time") < F.col("proposal_time"))
+        .groupBy("proposal_id", "delegate", "proposal_time")
+        .agg(F.sum("delta").alias("delta"))
+        .select("proposal_id", "delegate", F.col("proposal_time").alias("time"), "delta")
+    )
+
+    all_delegates = deltas.select("delegate").distinct()
+    sentinel = all_delegates.crossJoin(pt).select(
+        "proposal_id",
+        "delegate",
+        F.col("vote_start").alias("time"),
+        F.lit(0).cast(DEC).alias("delta"),
+    )
+
+    events = in_window.unionByName(bootstrap).unionByName(sentinel)
+
+    w = W.partitionBy("proposal_id", "delegate").orderBy("time")
+    running = events.select(
+        "proposal_id",
+        "delegate",
+        "time",
+        F.sum("delta").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("stake_amount"),
+        F.lead("time").over(w).alias("end_time"),
+    )
+
+    integral = (
+        running.filter(F.col("end_time").isNotNull())
+        .groupBy("proposal_id", "delegate")
+        .agg(
+            F.sum(
+                F.col("stake_amount").cast("double")
+                * (F.unix_micros("end_time") - F.unix_micros("time"))
+                / 1e6
+            ).alias("weighted_time_sum")
+        )
+    )
+
+    return integral.join(pt.select("proposal_id", "window_secs"), "proposal_id").select(
+        "proposal_id",
+        "delegate",
+        F.floor(F.col("weighted_time_sum") / F.col("window_secs")).alias("voting_weight"),
+    )

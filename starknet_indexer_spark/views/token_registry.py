@@ -1,0 +1,66 @@
+"""V8 — latest token registrations (canonical token metadata).
+
+Reference: latest_token_registrations_view, src/dao.ts:970-1023.
+Semantics:
+- union v1 registrations (short-string-packed name/symbol, decoded)
+  with v3 (plain strings);
+- validate: 1 < len(symbol) < 10, len(name) < 128, ASCII-only both;
+- per address keep the *latest* valid registration's metadata, but
+  only if that address was the *first* registrant of its (lowercased)
+  symbol — two different argmin/argmax joins (SURVEY §7 hard part 5).
+
+The short-string decode is the pure-expression pipeline from
+functions.core (numeric -> hex limbs -> unhex -> UTF-8), no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.core import short_string_decode, to_hex
+
+
+def latest_token_registrations(tables: dict[str, DataFrame]) -> DataFrame:
+    v1 = tables["token_registrations"].select(
+        "address",
+        "event_id",
+        short_string_decode(to_hex(F.col("name"))).alias("name"),
+        short_string_decode(to_hex(F.col("symbol"))).alias("symbol"),
+        "decimals",
+        "total_supply",
+    )
+    v3 = tables["token_registrations_v3"].select(
+        "address", "event_id", "name", "symbol", "decimals", "total_supply"
+    )
+    ascii_re = r"^[\x00-\x7F]*$"
+    validated = (
+        v1.unionByName(v3)
+        .filter(
+            (F.length("symbol") > 1)
+            & (F.length("symbol") < 10)
+            & F.col("symbol").rlike(ascii_re)
+            & (F.length("name") < 128)
+            & F.col("name").rlike(ascii_re)
+        )
+    )
+    per_address = validated.groupBy(F.col("address").alias("pa_address")).agg(
+        F.min("event_id").alias("first_registration_id"),
+        F.max("event_id").alias("last_registration_id"),
+    )
+    first_of_symbol = validated.groupBy(F.lower("symbol").alias("lower_symbol")).agg(
+        F.min("event_id").alias("first_id")
+    )
+    return (
+        per_address.join(
+            validated,
+            (F.col("pa_address") == F.col("address"))
+            & (F.col("last_registration_id") == F.col("event_id")),
+        )
+        .join(
+            F.broadcast(first_of_symbol),
+            (F.lower(F.col("symbol")) == F.col("lower_symbol"))
+            & (F.col("first_registration_id") == F.col("first_id")),
+        )
+        .select("address", "name", "symbol", "decimals", "total_supply")
+    )
