@@ -1,0 +1,305 @@
+"""Ingest plane: raw event feed -> typed, append-only fact tables.
+
+Reference architecture (SURVEY.md §2.1, §3.1): the Apibara gRPC stream
+delivers ordered messages carrying raw felt arrays; the indexer
+server-filters by (emitter, key), decodes with parser combinators, and
+appends to per-event-type tables inside one transaction per block,
+persisting a cursor and deleting a block suffix on reorg
+(src/index.ts:127-288, src/dao.ts:1853-2893, 2306-2321).
+
+Spark mapping:
+- feed         = a directory of raw-message parquet (batch) or the same
+                 via readStream (Structured Streaming); Kafka drops in
+                 by swapping the reader, the pipeline is identical.
+- filter       = ``keys[0] == selector`` predicate per event type —
+                 pushed into the scan (S2 predicate pushdown).
+- decode       = decode.decode_events (pure column expressions).
+- sink         = per-type parquet tables partitioned by
+                 ``block_bucket = block_number // BLOCK_BUCKET_SIZE``;
+                 at 100 TB the bucket is the unit of partition pruning
+                 AND of reorg retraction (rewrite a bounded suffix of
+                 buckets instead of the whole table — the Parquet-only
+                 equivalent of Delta's DELETE WHERE block >= n).
+- cursor       = JSON high-watermark file (batch) / checkpoint dir
+                 (streaming) — S3 exactly-once restart.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .decode import EVENT_PARSERS, decode_events
+from .functions.core import event_id_column, pool_key_hash
+
+BLOCK_BUCKET_SIZE = 1000
+
+RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("block_number", T.IntegerType(), False),
+        T.StructField("block_hash", T.StringType(), True),
+        T.StructField("block_time", T.TimestampType(), True),
+        T.StructField("transaction_index", T.IntegerType(), False),
+        T.StructField("event_index", T.IntegerType(), False),
+        T.StructField("transaction_hash", T.StringType(), True),
+        T.StructField("emitter", T.StringType(), True),
+        T.StructField("keys", T.ArrayType(T.StringType()), False),
+        T.StructField("data", T.ArrayType(T.StringType()), False),
+        T.StructField("finality", T.StringType(), True),
+    ]
+)
+
+# Source-side dispatch: key[0] selector -> event type (reference:
+# filter ids -> EVENT_PROCESSORS, src/eventProcessors.ts:76-494).
+# Selectors are deterministic synthetic constants (hex of the type
+# name's bytes) — a deployment against real Starknet data swaps in the
+# actual event selectors here.
+EVENT_SELECTORS: dict[str, str] = {
+    name: "0x" + name.encode().hex() for name in EVENT_PARSERS
+}
+
+# Event types whose decoded struct carries an embedded pool key that
+# must be upserted into the pool_keys dimension (S8, src/dao.ts:1869-1893)
+_POOL_KEY_BEARING = {
+    "swapped": "pool_key",
+    "position_updated": "pool_key",
+    "position_fees_collected": "pool_key",
+    "protocol_fees_paid": "pool_key",
+    "fees_accumulated": "pool_key",
+    "pool_initialized": "pool_key",
+    "liquidity_updated": "pool_key",
+}
+
+
+def _table_dir(tables_dir: str, name: str) -> str:
+    return os.path.join(tables_dir, name)
+
+
+def _envelope_cols(df: DataFrame) -> list:
+    return [
+        event_id_column(),
+        F.col("transaction_hash"),
+        F.col("block_number"),
+        F.col("transaction_index").cast("short").alias("transaction_index"),
+        F.col("event_index").cast("short").alias("event_index"),
+        F.col("emitter"),
+        (F.col("block_number") / BLOCK_BUCKET_SIZE).cast("int").alias("block_bucket"),
+    ]
+
+
+def ingest_batch(spark: SparkSession, raw: DataFrame, tables_dir: str) -> dict[str, int]:
+    """Decode and append one batch of raw messages. Returns rows
+    appended per table. Idempotence contract: the caller replays whole
+    blocks only after invalidating them (reference does the same:
+    deleteOldBlockNumbers before re-insert, src/index.ts:202-206)."""
+    os.makedirs(tables_dir, exist_ok=True)
+    counts: dict[str, int] = {}
+
+    blocks = (
+        raw.select(
+            F.col("block_number").alias("number"),
+            F.col("block_hash").alias("hash"),
+            F.col("block_time").alias("time"),
+        )
+        .dropDuplicates(["number"])
+        .withColumn("block_bucket", (F.col("number") / BLOCK_BUCKET_SIZE).cast("int"))
+    )
+    # Idempotent block insert: a streaming micro-batch boundary can land
+    # mid-block (two events of one block split across batches), so the
+    # same block row may arrive twice. Anti-join against the existing
+    # dimension, pruned to the buckets this batch touches — at 100 TB the
+    # scan reads only the boundary buckets, never the whole table.
+    blocks_path = _table_dir(tables_dir, "blocks")
+    if os.path.exists(blocks_path):
+        batch_buckets = [
+            r["block_bucket"] for r in blocks.select("block_bucket").distinct().collect()
+        ]
+        existing = (
+            spark.read.parquet(blocks_path)
+            .filter(F.col("block_bucket").isin(batch_buckets))
+            .select("number")
+        )
+        blocks = blocks.join(F.broadcast(existing), "number", "left_anti")
+    blocks = blocks.cache()
+    counts["blocks"] = blocks.count()
+    if counts["blocks"] > 0:
+        blocks.write.mode("append").partitionBy("block_bucket").parquet(blocks_path)
+    blocks.unpersist()
+
+    pool_key_batches: list[DataFrame] = []
+    for event_type, selector in EVENT_SELECTORS.items():
+        filtered = raw.filter(F.element_at("keys", 1) == selector)
+        decoded = decode_events(
+            filtered.select(*_envelope_cols(filtered), F.col("data")), event_type
+        )
+        n = decoded.count()
+        if n == 0:
+            continue
+        decoded.write.mode("append").partitionBy("block_bucket").parquet(
+            _table_dir(tables_dir, event_type)
+        )
+        counts[event_type] = n
+        pk_field = _POOL_KEY_BEARING.get(event_type)
+        if pk_field:
+            pool_key_batches.append(
+                decoded.select(
+                    F.col(f"{pk_field}.token0").alias("token0"),
+                    F.col(f"{pk_field}.token1").alias("token1"),
+                    F.col(f"{pk_field}.fee").alias("fee"),
+                    F.col(f"{pk_field}.tick_spacing").cast("int").alias("tick_spacing"),
+                    F.col(f"{pk_field}.extension").alias("extension"),
+                )
+            )
+
+    if pool_key_batches:
+        upsert_pool_keys(spark, pool_key_batches, tables_dir)
+    return counts
+
+
+def upsert_pool_keys(
+    spark: SparkSession, batches: list[DataFrame], tables_dir: str
+) -> None:
+    """Dimension upsert (S8): INSERT ... ON CONFLICT DO NOTHING becomes
+    dedupe + anti-join against the existing dimension + append. The
+    dimension is tiny relative to facts, so the anti-join broadcasts."""
+    new_keys = batches[0]
+    for b in batches[1:]:
+        new_keys = new_keys.unionByName(b)
+    new_keys = new_keys.dropDuplicates(
+        ["token0", "token1", "fee", "tick_spacing", "extension"]
+    ).withColumn(
+        "key_hash",
+        pool_key_hash(
+            F.col("token0"), F.col("token1"), F.col("fee"),
+            F.col("tick_spacing"), F.col("extension"),
+        ),
+    )
+    path = _table_dir(tables_dir, "pool_keys")
+    if os.path.exists(path):
+        existing = spark.read.parquet(path).select("key_hash")
+        new_keys = new_keys.join(F.broadcast(existing), "key_hash", "left_anti")
+    if new_keys.count() > 0:
+        new_keys.select(
+            "key_hash", "token0", "token1", "fee", "tick_spacing", "extension"
+        ).write.mode("append").parquet(path)
+
+
+def twamm_order_key_to_pool_key(df: DataFrame) -> DataFrame:
+    """Derived-key normalization (S9, src/dao.ts:40-56): a TWAMM order
+    key (sell_token, buy_token, fee) maps to the canonical pool key:
+    token0/token1 = sorted tokens, sentinel tick_spacing, emitter as
+    extension."""
+    MAX_TICK_SPACING = 354892
+    return df.select(
+        F.least("order_key.sell_token", "order_key.buy_token").alias("token0"),
+        F.greatest("order_key.sell_token", "order_key.buy_token").alias("token1"),
+        F.col("order_key.fee").alias("fee"),
+        F.lit(MAX_TICK_SPACING).alias("tick_spacing"),
+        F.col("emitter").alias("extension"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cursor (S3)
+# ---------------------------------------------------------------------------
+
+
+def write_cursor(tables_dir: str, block_number: int) -> None:
+    with open(os.path.join(tables_dir, "_cursor.json"), "w") as f:
+        json.dump({"block_number": block_number, "written_at": time.time()}, f)
+
+
+def read_cursor(tables_dir: str) -> int | None:
+    p = os.path.join(tables_dir, "_cursor.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)["block_number"]
+
+
+# ---------------------------------------------------------------------------
+# Reorg retraction (S4/S5)
+# ---------------------------------------------------------------------------
+
+
+def invalidate_from_block(spark: SparkSession, tables_dir: str, block_number: int) -> None:
+    """Delete every row with block >= block_number across all tables —
+    the explicit fan-out replacing the reference's FK CASCADE
+    (src/dao.ts:2306-2321). Parquet path: only buckets >=
+    block_number // BLOCK_BUCKET_SIZE are touched; surviving rows of
+    the boundary bucket are rewritten, later buckets dropped whole.
+    At 100 TB this rewrites at most one bucket of data per table."""
+    boundary_bucket = block_number // BLOCK_BUCKET_SIZE
+    for name in os.listdir(tables_dir):
+        path = os.path.join(tables_dir, name)
+        if not os.path.isdir(path):
+            continue
+        block_col = "number" if name == "blocks" else "block_number"
+        buckets = [
+            d
+            for d in os.listdir(path)
+            if d.startswith("block_bucket=")
+            and int(d.split("=")[1]) >= boundary_bucket
+        ]
+        if not buckets:
+            continue
+        boundary_dir = os.path.join(path, f"block_bucket={boundary_bucket}")
+        survivors = None
+        if os.path.isdir(boundary_dir):
+            survivors = (
+                spark.read.parquet(boundary_dir)
+                .filter(F.col(block_col) < block_number)
+                .cache()
+            )
+            survivors.count()
+        for d in buckets:
+            shutil.rmtree(os.path.join(path, d))
+        if survivors is not None and survivors.count() > 0:
+            survivors.write.mode("overwrite").parquet(boundary_dir)
+            survivors.unpersist()
+    write_cursor(tables_dir, block_number - 1)
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming (S1 streaming variant)
+# ---------------------------------------------------------------------------
+
+
+def stream_ingest(
+    spark: SparkSession,
+    feed_dir: str,
+    tables_dir: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+):
+    """readStream over the feed directory; each micro-batch runs the
+    same ingest_batch and advances the cursor to its max finalized
+    block — checkpoint-as-cursor (SURVEY §2.5 exactly-once row).
+
+    Returns the StreamingQuery; callers stop it (tests use
+    processAllAvailable)."""
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        final = batch_df.filter(
+            F.coalesce(F.col("finality"), F.lit("accepted")) != "pending"
+        )
+        if final.isEmpty():
+            return
+        ingest_batch(spark, final, tables_dir)
+        hi = final.agg(F.max("block_number")).collect()[0][0]
+        if hi is not None:
+            write_cursor(tables_dir, int(hi))
+
+    reader = spark.readStream.schema(RAW_SCHEMA).parquet(feed_dir)
+    writer = reader.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -1,0 +1,198 @@
+"""Ingest-plane tests: decode round-trip, dimension upsert, cursor,
+reorg invalidation (replay equivalence), and streaming-vs-batch
+equivalence — the invariants of SURVEY.md §2.1/§2.5 and the
+reference's own oracle (reorg leaves no orphans, src/dao.ts:2306-2321).
+"""
+
+from __future__ import annotations
+
+import os
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from starknet_indexer_spark.ingest import (
+    EVENT_SELECTORS,
+    RAW_SCHEMA,
+    ingest_batch,
+    invalidate_from_block,
+    read_cursor,
+    stream_ingest,
+    write_cursor,
+)
+
+
+def _h(v) -> str:
+    return hex(v) if isinstance(v, int) else v
+
+
+def swapped_data(
+    locker, token0, token1, fee, tick_spacing, extension,
+    amount, is_token1, limit, skip, d0, d1, sqrt_after, tick_after, liq,
+):
+    def i129(v):
+        return [hex(abs(v)), hex(0 if v >= 0 else 1)]
+
+    return (
+        [hex(locker), hex(token0), hex(token1), hex(fee), hex(tick_spacing), hex(extension)]
+        + i129(amount)
+        + [hex(1 if is_token1 else 0), hex(limit), hex(0), hex(skip)]
+        + i129(d0)
+        + i129(d1)
+        + [hex(sqrt_after), hex(0)]
+        + i129(tick_after)
+        + [hex(liq)]
+    )
+
+
+def staked_data(frm, amount, delegate):
+    return [hex(frm), hex(amount), hex(delegate)]
+
+
+def raw_row(block, tx, idx, event_type, data, finality="accepted"):
+    import datetime
+
+    return (
+        block,
+        hex(block * 7919),
+        datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=block * 12),
+        tx,
+        idx,
+        hex(block * 1000 + tx),
+        "0xe0b0",
+        [EVENT_SELECTORS[event_type]],
+        data,
+        finality,
+    )
+
+
+POOL = dict(token0=0xAAA, token1=0xBBB, fee=0x1000, tick_spacing=60, extension=0)
+
+
+def make_raw(spark, blocks):
+    rows = []
+    for b in blocks:
+        rows.append(
+            raw_row(
+                b, 0, 0, "swapped",
+                swapped_data(
+                    0xCAFE, **POOL, amount=100 + b, is_token1=False, limit=5, skip=0,
+                    d0=10 * b, d1=-9 * b, sqrt_after=1 << 40, tick_after=-b, liq=b * 1000,
+                ),
+            )
+        )
+        rows.append(raw_row(b, 1, 0, "staker_staked", staked_data(0x11, b * 10, 0x77)))
+    return spark.createDataFrame(rows, RAW_SCHEMA)
+
+
+@pytest.fixture()
+def tdir(tmp_path):
+    return str(tmp_path / "tables")
+
+
+class TestBatchIngest:
+    def test_roundtrip_and_upsert(self, spark, tdir):
+        raw = make_raw(spark, [1, 2, 3])
+        counts = ingest_batch(spark, raw, tdir)
+        assert counts["swapped"] == 3
+        assert counts["staker_staked"] == 3
+        assert counts["blocks"] == 3
+
+        sw = spark.read.parquet(os.path.join(tdir, "swapped"))
+        row = sw.filter(F.col("block_number") == 2).collect()[0]
+        assert row["event_id"] == 2 * 2**32
+        assert row["locker"] == "0xcafe"
+        assert row["pool_key"]["token0"] == "0xaaa"
+        assert row["pool_key"]["fee"] == Decimal(0x1000)
+        assert row["delta"]["amount0"] == Decimal(20)
+        assert row["delta"]["amount1"] == Decimal(-18)
+        assert row["tick_after"] == Decimal(-2)
+
+        pk = spark.read.parquet(os.path.join(tdir, "pool_keys"))
+        assert pk.count() == 1  # one distinct pool across all swaps
+
+        # re-ingesting more swaps on the same pool adds no dim rows
+        ingest_batch(spark, make_raw(spark, [4]), tdir)
+        assert spark.read.parquet(os.path.join(tdir, "pool_keys")).count() == 1
+
+    def test_cursor(self, tdir):
+        os.makedirs(tdir, exist_ok=True)
+        assert read_cursor(tdir) is None
+        write_cursor(tdir, 123)
+        assert read_cursor(tdir) == 123
+
+
+class TestReorg:
+    def test_invalidate_suffix(self, spark, tdir):
+        blocks = [995, 996, 1001, 1002, 1050, 1100]
+        ingest_batch(spark, make_raw(spark, blocks), tdir)
+        invalidate_from_block(spark, tdir, 1002)
+
+        sw = spark.read.parquet(os.path.join(tdir, "swapped"))
+        assert sorted(r["block_number"] for r in sw.select("block_number").collect()) == [
+            995, 996, 1001,
+        ]
+        bl = spark.read.parquet(os.path.join(tdir, "blocks"))
+        assert bl.agg(F.max("number")).collect()[0][0] == 1001
+        ss = spark.read.parquet(os.path.join(tdir, "staker_staked"))
+        assert ss.agg(F.max("block_number")).collect()[0][0] == 1001
+        assert read_cursor(tdir) == 1001
+
+    def test_replay_equivalence(self, spark, tmp_path):
+        """ingest all -> invalidate k -> re-ingest suffix == ingest all
+        (the reorg-replay invariant, SURVEY §5.2 item 3)."""
+        a, b = str(tmp_path / "a"), str(tmp_path / "b")
+        blocks = [995, 996, 1001, 1002, 1050]
+        ingest_batch(spark, make_raw(spark, blocks), a)
+
+        ingest_batch(spark, make_raw(spark, blocks), b)
+        invalidate_from_block(spark, b, 1002)
+        ingest_batch(spark, make_raw(spark, [1002, 1050]), b)
+
+        for t in ("swapped", "staker_staked", "blocks"):
+            da = spark.read.parquet(os.path.join(a, t))
+            db = spark.read.parquet(os.path.join(b, t))
+            assert sorted(map(str, da.collect())) == sorted(map(str, db.collect())), t
+
+
+class TestStreaming:
+    def test_stream_matches_batch(self, spark, tmp_path):
+        feed = str(tmp_path / "feed")
+        sdir = str(tmp_path / "stream_tables")
+        bdir = str(tmp_path / "batch_tables")
+        ckpt = str(tmp_path / "ckpt")
+
+        raw1 = make_raw(spark, [1, 2])
+        raw2 = make_raw(spark, [3])
+        raw1.write.mode("append").parquet(feed)
+
+        q = stream_ingest(spark, feed, sdir, ckpt)
+        q.processAllAvailable()
+        raw2.write.mode("append").parquet(feed)
+        q.processAllAvailable()
+        q.stop()
+
+        ingest_batch(spark, make_raw(spark, [1, 2, 3]), bdir)
+
+        for t in ("swapped", "staker_staked", "blocks"):
+            ds = spark.read.parquet(os.path.join(sdir, t))
+            db = spark.read.parquet(os.path.join(bdir, t))
+            assert sorted(map(str, ds.collect())) == sorted(map(str, db.collect())), t
+        assert read_cursor(sdir) == 3
+
+    def test_pending_rows_excluded(self, spark, tmp_path):
+        feed = str(tmp_path / "feed2")
+        sdir = str(tmp_path / "t2")
+        ckpt = str(tmp_path / "ckpt2")
+        rows = [
+            raw_row(1, 0, 0, "staker_staked", staked_data(0x1, 5, 0x2)),
+            raw_row(2, 0, 0, "staker_staked", staked_data(0x1, 6, 0x2), finality="pending"),
+        ]
+        spark.createDataFrame(rows, RAW_SCHEMA).write.mode("append").parquet(feed)
+        q = stream_ingest(spark, feed, sdir, ckpt)
+        q.processAllAvailable()
+        q.stop()
+        ss = spark.read.parquet(os.path.join(sdir, "staker_staked"))
+        assert ss.count() == 1
+        assert read_cursor(sdir) == 1
