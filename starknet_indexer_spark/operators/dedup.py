@@ -1,0 +1,217 @@
+"""Near-duplicate detection operators: MinHash+LSH and SimHash.
+
+Training-data-pipeline surface (no reference analogue — the reference
+is an AMM indexer; these are the ops a 100 TB pretraining corpus needs
+on top of the relational engine).
+
+Design for scale:
+
+- Everything is JVM-side column expressions over token/shingle arrays
+  (``transform`` / ``aggregate`` / ``array_min`` run inside whole-stage
+  codegen) — no Python UDFs, no driver-side loops.
+- The pairwise comparison never runs on the full corpus. Candidate
+  generation is an equi-join on (band, band_key) — only documents that
+  collide in at least one LSH band are ever compared. At 100 TB the
+  shuffle key is the band hash, bucket sizes are bounded by banding
+  width, and a hot band (boilerplate text) can be salted or capped
+  upstream without touching the verify stage.
+- Hash functions are engine-portable by construction: the base hash is
+  a 60-bit (or 32-bit) prefix of ``md5(utf8)`` — identical in Spark and
+  DuckDB — and the permutations are fixed ``(a*h + b) mod P`` literals,
+  so every stage has an exact SQL oracle.
+
+MinHash math: P = 2^31 - 1 (prime), a,b < P, h < 2^60 reduced mod P
+before multiply, so a*(h%P)+b < 2^62 — no BIGINT overflow on either
+engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: modulus of the universal-hash family.
+MINHASH_P = 2_147_483_647
+
+# 16 fixed (a, b) pairs — one permutation per signature slot. Literal
+# constants (not runtime-random) so the Spark plan and the DuckDB
+# oracle compute byte-identical signatures.
+MINHASH_PARAMS: list[tuple[int, int]] = [
+    (1_203_114_875, 306_246_109),
+    (655_063_538, 1_962_551_177),
+    (961_447_917, 1_257_332_800),
+    (854_245_889, 1_837_185_311),
+    (297_714_111, 1_211_919_011),
+    (1_736_813_627, 472_901_939),
+    (2_010_741_919, 925_333_133),
+    (490_995_517, 1_329_939_857),
+    (1_426_050_863, 130_217_219),
+    (788_064_527, 1_982_263_421),
+    (314_159_257, 1_618_033_981),
+    (1_414_213_561, 271_828_171),
+    (693_147_179, 1_098_612_287),
+    (577_215_661, 1_732_050_797),
+    (1_049_389_231, 862_997_779),
+    (235_711_131, 1_719_232_507),
+]
+
+N_HASHES = len(MINHASH_PARAMS)
+ROWS_PER_BAND = 2
+N_BANDS = N_HASHES // ROWS_PER_BAND  # 8 bands of 2 rows: s ≈ (1/8)^(1/2) ≈ 0.35
+
+SIMHASH_BITS = 32
+SIMHASH_BAND_BITS = 8
+SIMHASH_N_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS  # 4 bands: catches hamming <= 3 for sure
+
+
+def tokens_expr(text: Column) -> Column:
+    """Word tokens: lowercase, non-alphanumerics to spaces, split,
+    drop empties. Mirrors the tokenizer of ``ngram_similar_pairs`` so
+    every text operator agrees on token identity."""
+    return F.filter(
+        F.split(F.lower(F.regexp_replace(text, "[^a-z0-9]+", " ")), " "),
+        lambda x: x != "",
+    )
+
+
+def word_shingles_expr(tokens: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (requires size(tokens) >= n)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tokens, i + j) for j in range(n)]
+            ),
+        )
+    )
+
+
+def md5_hash60_expr(s: Column) -> Column:
+    """60-bit integer hash: first 15 hex chars of md5. Engine-portable
+    (DuckDB: ('0x' || substr(md5(s),1,15))::BIGINT)."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
+def md5_hash32_expr(s: Column) -> Column:
+    """32-bit integer hash: first 8 hex chars of md5."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+
+
+def minhash_signature_exprs(shingle_hashes: Column) -> list[Column]:
+    """One min-hash per (a,b) permutation over the 60-bit shingle
+    hashes; each is an ``array_min(transform(...))`` — codegen'd, no
+    shuffle, no UDF."""
+    return [
+        F.array_min(
+            F.transform(
+                shingle_hashes,
+                lambda h: (F.lit(a) * (h % MINHASH_P) + F.lit(b)) % MINHASH_P,
+            )
+        ).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+
+
+def minhash_bands(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band, band_key) rows — the LSH bucketing relation. band_key
+    concatenates the ROWS_PER_BAND signature slots of the band; docs
+    sharing (band, band_key) are candidate near-duplicates."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"sig_{b * ROWS_PER_BAND + r}").cast("string")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return sigs.select(id_col, F.explode(band_structs).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (a_id < b_id) pairs colliding in >= 1 band. The join is
+    an equi-join on the band bucket — the only shuffle of the candidate
+    stage, keyed on (band, band_key)."""
+    a = bands.select(F.col(id_col).alias("a_id"), "band", "band_key")
+    b = bands.select(F.col(id_col).alias("b_id"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def simhash_fingerprint(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """32-bit SimHash per document: per-bit majority vote over the
+    32-bit md5 hashes of word tokens (multiplicity = weight). One
+    explode + one groupBy — a single shuffle on the document id, with
+    map-side partial aggregation doing most of the work."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("token")
+    ).withColumn("th", md5_hash32_expr(F.col("token")))
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    votes = toks.groupBy(id_col).agg(*bit_votes)
+    fp = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("bigint")
+        fp = term if fp is None else fp + term
+    return votes.select(id_col, fp.alias("fingerprint"))
+
+
+def simhash_bands(fps: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Pigeonhole blocking: split the fingerprint into SIMHASH_N_BANDS
+    byte-bands; any pair within hamming distance < SIMHASH_N_BANDS
+    agrees on at least one band, so the per-band equi-join finds it."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftright(F.col("fingerprint"), j * SIMHASH_BAND_BITS)
+                .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+                .alias("band_val"),
+            )
+            for j in range(SIMHASH_N_BANDS)
+        ]
+    )
+    return fps.select(id_col, "fingerprint", F.explode(band_structs).alias("bk")).select(
+        id_col,
+        "fingerprint",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_val").alias("band_val"),
+    )
+
+
+def simhash_near_pairs(fps: DataFrame, max_hamming: int, id_col: str = "doc_id") -> DataFrame:
+    """(a_id, b_id, hamming) for pairs within ``max_hamming`` bits that
+    collide in >= 1 byte-band. Exact for max_hamming <= 3 (pigeonhole);
+    high-recall heuristic above that — the standard SimHash trade."""
+    bands = simhash_bands(fps, id_col)
+    a = bands.select(
+        F.col(id_col).alias("a_id"), F.col("fingerprint").alias("a_fp"), "band", "band_val"
+    )
+    b = bands.select(
+        F.col(id_col).alias("b_id"), F.col("fingerprint").alias("b_fp"), "band", "band_val"
+    )
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.bit_count(F.col("a_fp").bitwiseXOR(F.col("b_fp"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

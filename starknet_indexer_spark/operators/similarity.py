@@ -1,0 +1,90 @@
+"""LSH-bucketed approximate nearest-neighbor search over embeddings.
+
+Scale path for ``ann_topk_cosine`` (the brute-force baseline in
+``queries.pipeline_similarity``): random-hyperplane LSH assigns every
+vector a small integer bucket; the query-to-candidate join is an
+equi-join on the bucket id instead of a full cross product. At 100 TB:
+
+- bucket assignment is a projection (map-only, codegen'd fold over the
+  array column) — no shuffle;
+- the candidate join shuffles on ``bucket`` — with 2^n_planes buckets
+  the expected bucket population is N / 2^n, tunable to executor
+  memory; skewed buckets (dense regions) split with AQE skew-join;
+- per-query top-k is a bounded window inside each bucket — never a
+  global sort.
+
+Recall is the standard SRP-LSH trade: vectors whose cosine similarity
+is high share all n sign-bits with probability (1 - θ/π)^n. Multiple
+independent tables (OR-amplification) raise recall; the operator takes
+``n_planes`` and callers union tables if needed.
+
+The hyperplanes are **deterministic literal constants** (fixed LCG,
+seed in-source) embedded into both the Spark plan and the DuckDB
+oracle SQL — same floats, same sequential-fold dot product, same signs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EMBEDDING_DIM = 64
+N_PLANES = 4  # 16 buckets; at sf0.01 (500 vecs) ~31 candidates/bucket
+
+
+def _lcg_floats(seed: int, n: int) -> list[float]:
+    """Deterministic pseudo-random floats in [-1, 1), 6 dp — literal
+    constants, identical on both engines (no runtime RNG)."""
+    x = seed & ((1 << 64) - 1)
+    out = []
+    for _ in range(n):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        out.append(round((x >> 33) / float(1 << 31) - 1.0, 6))
+    return out
+
+
+HYPERPLANES: list[list[float]] = [
+    _lcg_floats(42 + 1000 * j, EMBEDDING_DIM) for j in range(N_PLANES)
+]
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sequential-order double fold — matches DuckDB list_dot_product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def plane_literal(j: int) -> Column:
+    return F.array(*[F.lit(c) for c in HYPERPLANES[j]])
+
+
+def bucket_expr(vec: Column, n_planes: int = N_PLANES) -> Column:
+    """Sign-bit bucket id: bit j set iff dot(vec, plane_j) >= 0."""
+    bucket = None
+    for j in range(n_planes):
+        bit = (
+            F.when(dot_expr(vec, plane_literal(j)) >= 0, F.lit(1 << j))
+            .otherwise(F.lit(0))
+            .cast("int")
+        )
+        bucket = bit if bucket is None else bucket + bit
+    return bucket
+
+
+def with_bucket(df: DataFrame, vec_col: str = "embedding", out: str = "bucket") -> DataFrame:
+    return df.withColumn(out, bucket_expr(F.col(vec_col)))
+
+
+def bucket_sql_exprs(vec_sql: str, n_planes: int = N_PLANES) -> str:
+    """The identical bucket computation in DuckDB SQL (oracle side)."""
+    bits = []
+    for j in range(n_planes):
+        plane = "[" + ", ".join(repr(c) for c in HYPERPLANES[j]) + "]::DOUBLE[]"
+        bits.append(
+            f"(CASE WHEN list_dot_product({vec_sql}, {plane}) >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(bits)

@@ -22,6 +22,7 @@ from . import events_analytics  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 from . import pipeline_text  # noqa: E402,F401
 from . import pipeline_similarity  # noqa: E402,F401
+from . import pipeline_dedup  # noqa: E402,F401
 
 
 def queries():

@@ -1,0 +1,199 @@
+"""MinHash+LSH and SimHash near-duplicate queries over ``documents``.
+
+Both are end-to-end sketches: signature → banding → candidate join →
+verify. The oracle SQL is *generated from the same literal constants*
+(`operators.dedup.MINHASH_PARAMS`, band geometry) so DuckDB replays the
+identical pipeline — candidate generation included — and the driver's
+value-hash comparison is exact.
+
+Scale shape (100 TB): signature computation is map-only; the only wide
+stages are (1) the band-bucket equi-join (shuffle on band_key, bucket
+population bounded by banding width) and (2) the verify join, which
+touches only the candidate pairs — a vanishing fraction of N^2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators.dedup import (
+    MINHASH_P,
+    MINHASH_PARAMS,
+    N_BANDS,
+    ROWS_PER_BAND,
+    SIMHASH_BAND_BITS,
+    SIMHASH_BITS,
+    SIMHASH_N_BANDS,
+    lsh_candidate_pairs,
+    md5_hash60_expr,
+    minhash_bands,
+    minhash_signature_exprs,
+    simhash_fingerprint,
+    simhash_near_pairs,
+    tokens_expr,
+    word_shingles_expr,
+)
+from .registry import register
+
+JACCARD_MIN = 0.2
+# strictly below SIMHASH_N_BANDS: pigeonhole makes the banded join
+# *exact* (zero false negatives), not just high-recall
+MAX_HAMMING = 3
+
+_TOKS_SQL = r"""
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(regexp_replace(text, '[^a-z0-9]+', ' ', 'g')),
+                       ' '), x -> x <> '') AS tokens
+    FROM documents
+"""
+
+_SH_SQL = """
+    SELECT doc_id,
+           list_distinct([tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                          for i in range(1, len(tokens) - 1)]) AS shingles
+    FROM toks WHERE len(tokens) >= 3
+"""
+
+
+def _minhash_oracle() -> str:
+    sig_cols = ",\n             ".join(
+        f"list_min(list_transform(h, x -> ({a} * (x % {MINHASH_P}) + {b}) % {MINHASH_P}))"
+        f" AS sig_{i}"
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {b} AS band, "
+        + " || ',' || ".join(
+            f"sig_{b * ROWS_PER_BAND + r}::VARCHAR" for r in range(ROWS_PER_BAND)
+        )
+        + " AS band_key FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH toks AS ({_TOKS_SQL}),
+    sh AS ({_SH_SQL}),
+    hs AS (
+      SELECT doc_id,
+             list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS h
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM hs
+    ),
+    bands AS (
+{band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT c.a_id, c.b_id,
+           len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+           ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / (len(sa.shingles) + len(sb.shingles)
+                    - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.a_id
+    JOIN sh sb ON sb.doc_id = c.b_id
+    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+          / (len(sa.shingles) + len(sb.shingles)
+             - len(list_intersect(sa.shingles, sb.shingles))) >= {JACCARD_MIN}
+    """
+
+
+@register(
+    "minhash_lsh_dedup",
+    oracle=_minhash_oracle(),
+    doc="MinHash(16 perms) + LSH(8 bands × 2 rows) near-dup detection: "
+    "shingle → signature (map-only array folds) → band-bucket equi-join "
+    "for candidates → exact-Jaccard verify on candidates only. The "
+    "banded join replaces the N^2 comparison — the 100 TB dedup path.",
+)
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("tokens"))
+    sh = toks.filter(F.size("tokens") >= 3).select(
+        "doc_id", word_shingles_expr(F.col("tokens")).alias("shingles")
+    )
+    hs = sh.select(
+        "doc_id", F.transform("shingles", md5_hash60_expr).alias("h")
+    )
+    sigs = hs.select("doc_id", *minhash_signature_exprs(F.col("h")))
+    cand = lsh_candidate_pairs(minhash_bands(sigs))
+
+    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh"))
+    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    jac = inter.cast("double") / (F.size("a_sh") + F.size("b_sh") - inter)
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            inter.alias("inter"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_MIN)
+    )
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v_{i} > 0 THEN {1 << i} ELSE 0 END)::BIGINT"
+        for i in range(SIMHASH_BITS)
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, fingerprint, {j} AS band, "
+        f"(fingerprint >> {j * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1}"
+        " AS band_val FROM fps"
+        for j in range(SIMHASH_N_BANDS)
+    )
+    return f"""
+    WITH toks AS ({_TOKS_SQL}),
+    th AS (
+      SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
+      FROM (SELECT doc_id, UNNEST(tokens) AS token FROM toks)
+    ),
+    votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM th GROUP BY doc_id
+    ),
+    fps AS (SELECT doc_id, {fp} AS fingerprint FROM votes),
+    bands AS (
+{band_selects}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.fingerprint AS a_fp, b.fingerprint AS b_fp
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    )
+    SELECT a_id, b_id, bit_count(xor(a_fp, b_fp)) AS hamming
+    FROM pairs WHERE bit_count(xor(a_fp, b_fp)) <= {MAX_HAMMING}
+    """
+
+
+@register(
+    "simhash_dedup",
+    oracle=_simhash_oracle(),
+    doc="SimHash(32-bit) near-dup detection: per-bit token majority "
+    "vote (one shuffle on doc_id with map-side combine), byte-band "
+    "pigeonhole blocking, hamming verify on colliding pairs only. "
+    f"Threshold {MAX_HAMMING} < {SIMHASH_N_BANDS} bands, so blocking "
+    "is exact — zero false negatives by pigeonhole.",
+)
+def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    fps = simhash_fingerprint(docs)
+    return simhash_near_pairs(fps, MAX_HAMMING)

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..catalog import load
+from ..operators.similarity import bucket_sql_exprs, with_bucket
 from .registry import register
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -84,6 +85,68 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def _ann_lsh_oracle() -> str:
+    bucket = bucket_sql_exprs("ev")
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS en
+      FROM embeddings
+    ),
+    vb AS (SELECT vec_id, ev, en, {bucket} AS bucket FROM v),
+    q AS (
+      SELECT vec_id AS query_id, ev AS qv, en AS qn, bucket
+      FROM vb WHERE vec_id < {N_QUERIES}
+    ),
+    sims AS (
+      SELECT q.query_id, vb.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.qv, vb.ev) / (q.qn * vb.en), 4) AS sim
+      FROM q JOIN vb ON q.bucket = vb.bucket AND q.query_id <> vb.vec_id
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM sims
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@register(
+    "ann_topk_lsh",
+    oracle=_ann_lsh_oracle(),
+    doc="LSH-bucketed ANN (random-hyperplane signs -> bucket id; "
+    "candidates = same-bucket equi-join; per-query top-k window). "
+    "The scale variant of ann_topk_cosine: bucket assignment is "
+    "map-only, the join shuffles on bucket instead of crossing the "
+    "corpus, and recall tunes via n_planes / OR-ed tables.",
+)
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    vb = with_bucket(_with_norm(emb, "vec_id", "ev", "en"), "ev")
+    q = vb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("ev").alias("qv"),
+        F.col("en").alias("qn"),
+        "bucket",
+    )
+    sims = (
+        vb.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_dot(F.col("qv"), F.col("ev")) / (F.col("qn") * F.col("en")), 4).alias("sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))

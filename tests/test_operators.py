@@ -1,0 +1,113 @@
+"""Unit tests for the dedup/similarity operators beyond oracle parity:
+planted near-duplicates are found, SimHash byte-band blocking is
+*exact* (== brute force) for hamming < n_bands, LSH buckets are
+well-formed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from starknet_indexer_spark.catalog import load
+from starknet_indexer_spark.operators.dedup import (
+    N_BANDS,
+    SIMHASH_N_BANDS,
+    lsh_candidate_pairs,
+    md5_hash60_expr,
+    minhash_bands,
+    minhash_signature_exprs,
+    simhash_fingerprint,
+    simhash_near_pairs,
+    tokens_expr,
+    word_shingles_expr,
+)
+from starknet_indexer_spark.operators.similarity import N_PLANES, with_bucket
+
+SF_DIR = "/root/testdata/sf0.001"
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while seven wizards "
+    "brew strong potions under a pale winter moon near the old stone bridge"
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE.replace("winter", "summer")),  # near-dup of 1
+        (3, "completely unrelated text about distributed query engines "
+            "partitioning shuffles broadcast joins and columnar storage formats"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _minhash_pairs(docs):
+    toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("tokens"))
+    sh = toks.filter(F.size("tokens") >= 3).select(
+        "doc_id", word_shingles_expr(F.col("tokens")).alias("shingles")
+    )
+    hs = sh.select("doc_id", F.transform("shingles", md5_hash60_expr).alias("h"))
+    sigs = hs.select("doc_id", *minhash_signature_exprs(F.col("h")))
+    return lsh_candidate_pairs(minhash_bands(sigs))
+
+
+class TestMinHash:
+    def test_planted_near_dup_found(self, spark):
+        pairs = {(r["a_id"], r["b_id"]) for r in _minhash_pairs(_docs(spark)).collect()}
+        assert (1, 2) in pairs
+
+    def test_identical_docs_always_candidates(self, spark):
+        docs = spark.createDataFrame([(1, BASE), (2, BASE)], "doc_id long, text string")
+        pairs = _minhash_pairs(docs).collect()
+        assert [(r["a_id"], r["b_id"]) for r in pairs] == [(1, 2)]
+
+    def test_signature_width(self, spark):
+        docs = _docs(spark)
+        toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("tokens"))
+        sh = toks.select("doc_id", word_shingles_expr(F.col("tokens")).alias("shingles"))
+        hs = sh.select("doc_id", F.transform("shingles", md5_hash60_expr).alias("h"))
+        sigs = hs.select("doc_id", *minhash_signature_exprs(F.col("h")))
+        bands = minhash_bands(sigs)
+        assert bands.count() == 3 * N_BANDS
+
+
+class TestSimHash:
+    def test_banding_is_exact_for_small_hamming(self, spark):
+        """Banded candidate pairs == brute-force pairs for hamming <
+        SIMHASH_N_BANDS (pigeonhole) on real corpus data."""
+        docs = load(spark, SF_DIR, "documents")
+        fps = simhash_fingerprint(docs).cache()
+        max_h = SIMHASH_N_BANDS - 1
+
+        banded = {
+            (r["a_id"], r["b_id"], r["hamming"])
+            for r in simhash_near_pairs(fps, max_h).collect()
+        }
+        a = fps.select(F.col("doc_id").alias("a_id"), F.col("fingerprint").alias("a_fp"))
+        b = fps.select(F.col("doc_id").alias("b_id"), F.col("fingerprint").alias("b_fp"))
+        brute = {
+            (r["a_id"], r["b_id"], r["hamming"])
+            for r in a.join(b, F.col("a_id") < F.col("b_id"))
+            .select(
+                "a_id", "b_id",
+                F.bit_count(F.col("a_fp").bitwiseXOR(F.col("b_fp"))).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_h)
+            .collect()
+        }
+        fps.unpersist()
+        assert banded == brute
+        assert len(brute) > 0  # corpus contains near-dups; test is non-vacuous
+
+
+class TestLshAnn:
+    def test_bucket_range_and_coverage(self, spark):
+        emb = load(spark, SF_DIR, "embeddings")
+        vb = with_bucket(emb)
+        stats = vb.agg(
+            F.min("bucket").alias("lo"),
+            F.max("bucket").alias("hi"),
+            F.countDistinct("bucket").alias("n"),
+        ).collect()[0]
+        assert 0 <= stats["lo"] and stats["hi"] < (1 << N_PLANES)
+        assert stats["n"] > 1  # hyperplanes actually split the corpus
