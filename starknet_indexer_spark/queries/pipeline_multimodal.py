@@ -1,0 +1,124 @@
+"""Multimodal pipeline queries: binary payload + typed metadata,
+Arrow-batched Python decode stubs (functions.multimodal).
+
+Oracle strategy: metadata and frame sampling are replayed exactly by
+DuckDB (byte lengths via octet_length, frame fingerprints in the
+uppercase-hex domain); the feature extractor is genuinely non-SQL
+(per-byte numeric folds over BLOBs) and registers rows-only, with a
+pure-python equivalence test in tests/test_multimodal.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.multimodal import (
+    MAX_SAMPLED_FRAMES,
+    extract_features,
+    media_expr,
+    metadata_exprs,
+    modality_expr,
+    sample_frames,
+)
+from .registry import register
+
+_META_SQL = """
+      SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             hex(encode(text)) AS hx
+      FROM documents
+"""
+
+
+@register(
+    "multimodal_metadata",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, source, encode(text) AS media FROM documents
+    )
+    SELECT doc_id,
+           CASE ('0x' || substr(md5(source), 1, 2))::BIGINT % 3
+                WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+           octet_length(media)::BIGINT AS n_bytes,
+           (32 + octet_length(media) % 97)::BIGINT AS width,
+           (32 + (octet_length(media) // 97) % 97)::BIGINT AS height,
+           (1 + octet_length(media) % 16)::BIGINT AS n_frames
+    FROM m
+    """,
+    doc="Typed metadata over an opaque binary media column: modality "
+    "tag + byte length + (stub-)decoded dimensions. JVM-side "
+    "projection — the filter/prune layer that runs BEFORE any Python "
+    "decode cost at 100 TB.",
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    media = media_expr(F.col("text"))
+    meta = metadata_exprs(media)
+    return docs.select(
+        "doc_id",
+        modality_expr(F.col("source")).alias("modality"),
+        *[c.alias(k) for k, c in meta.items()],
+    )
+
+
+def _frame_oracle() -> str:
+    # replay _frame_geometry per k: idx = (k*n_frames)//n_samp,
+    # n_samp = least(n_frames, MAX); frame bytes via hex-substring
+    selects = []
+    for k in range(MAX_SAMPLED_FRAMES):
+        selects.append(f"""
+      SELECT doc_id,
+             ({k} * n_frames) // n_samp AS frame_idx,
+             (({k} * n_frames) // n_samp) * frame_len AS byte_offset,
+             frame_len,
+             md5(substr(hx, (({k} * n_frames) // n_samp) * frame_len * 2 + 1,
+                 frame_len * 2)) AS frame_md5
+      FROM geo WHERE {k} < n_samp""")
+    union = "\n      UNION ALL\n".join(selects)
+    return f"""
+    WITH m AS ({_META_SQL}),
+    geo AS (
+      SELECT doc_id, hx,
+             (1 + n_bytes % 16)::BIGINT AS n_frames,
+             GREATEST(n_bytes // (1 + n_bytes % 16), 1)::BIGINT AS frame_len,
+             LEAST((1 + n_bytes % 16), {MAX_SAMPLED_FRAMES})::BIGINT AS n_samp
+      FROM m
+    )
+    SELECT doc_id, frame_idx::BIGINT AS frame_idx, byte_offset::BIGINT AS byte_offset,
+           frame_len, frame_md5 FROM (
+{union}
+    )
+    """
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=_frame_oracle(),
+    doc="Frame sampling via mapInPandas: up to 4 evenly-spaced frames "
+    "per video payload, each fingerprinted (md5 over hex domain). The "
+    "Arrow-batched Python stage is the real plumbing a video decoder "
+    "drops into; the oracle replays the identical geometry in SQL.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    media = media_expr(F.col("text"))
+    n_frames = metadata_exprs(media)["n_frames"]
+    return sample_frames(
+        docs.select("doc_id", media.alias("media"), n_frames.alias("n_frames"))
+    )
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle=None,  # per-byte folds over BLOBs aren't SQL-expressible; see tests
+    doc="Feature extraction stub via mapInPandas: 8 chunk byte-mean "
+    "features per payload — the embedding-model stand-in. Rows-only "
+    "driver check; exact equivalence vs a pure-python reference is "
+    "pinned in tests/test_multimodal.py.",
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    media = media_expr(F.col("text"))
+    return extract_features(docs.select("doc_id", media.alias("media")))
