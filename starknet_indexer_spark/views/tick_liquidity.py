@@ -25,8 +25,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def per_pool_per_tick_liquidity(tables: dict[str, DataFrame]) -> DataFrame:
-    pu = tables["position_updates"].select(
+def tick_liquidity_deltas(position_updates: DataFrame) -> DataFrame:
+    """Unfiltered per-(pool, tick) delta sums for a slice of
+    position_updates. The incremental maintainer
+    (streaming.incremental) merges these into its state table; the
+    full view below is the same aggregate over all history with the
+    zero-net filter applied."""
+    pu = position_updates.select(
         "pool_key_hash",
         "lower_bound",
         "upper_bound",
@@ -51,5 +56,10 @@ def per_pool_per_tick_liquidity(tables: dict[str, DataFrame]) -> DataFrame:
             F.sum("net_liquidity_delta").alias("net_liquidity_delta_diff"),
             F.sum("total_liquidity_on_tick").alias("total_liquidity_on_tick"),
         )
-        .filter(F.col("net_liquidity_delta_diff") != 0)
+    )
+
+
+def per_pool_per_tick_liquidity(tables: dict[str, DataFrame]) -> DataFrame:
+    return tick_liquidity_deltas(tables["position_updates"]).filter(
+        F.col("net_liquidity_delta_diff") != 0
     )
