@@ -40,14 +40,19 @@ HEADLINE = [
     "text_quality_score",
     "lang_id",
     "ann_topk_cosine",
+    "minhash_lsh_dedup",
+    "simhash_dedup",
+    "ann_topk_lsh",
+    "multimodal_frame_sample",
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
-    # JVM/codegen warmup outside the timed region
+    # JVM/codegen/parquet-reader warmup outside the timed region
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir.rstrip('/')}/region.parquet").count()
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None

@@ -33,27 +33,12 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from .decode import EVENT_PARSERS, decode_events
 from .functions.core import event_id_column, pool_key_hash
+from .sources.feed import RAW_SCHEMA, read_feed_stream  # noqa: F401 (re-export)
 
 BLOCK_BUCKET_SIZE = 1000
-
-RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("block_number", T.IntegerType(), False),
-        T.StructField("block_hash", T.StringType(), True),
-        T.StructField("block_time", T.TimestampType(), True),
-        T.StructField("transaction_index", T.IntegerType(), False),
-        T.StructField("event_index", T.IntegerType(), False),
-        T.StructField("transaction_hash", T.StringType(), True),
-        T.StructField("emitter", T.StringType(), True),
-        T.StructField("keys", T.ArrayType(T.StringType()), False),
-        T.StructField("data", T.ArrayType(T.StringType()), False),
-        T.StructField("finality", T.StringType(), True),
-    ]
-)
 
 # Source-side dispatch: key[0] selector -> event type (reference:
 # filter ids -> EVENT_PROCESSORS, src/eventProcessors.ts:76-494).
@@ -296,7 +281,7 @@ def stream_ingest(
         if hi is not None:
             write_cursor(tables_dir, int(hi))
 
-    reader = spark.readStream.schema(RAW_SCHEMA).parquet(feed_dir)
+    reader = read_feed_stream(spark, feed_dir)
     writer = reader.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
     )

@@ -27,42 +27,61 @@ DEC = "decimal(18,4)"
 @register(
     "pricing_summary",
     oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty_c,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_c,
+             CAST(ROUND(l_tax * 100) AS BIGINT) AS tax_c
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    )
     SELECT
       l_returnflag,
       l_linestatus,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-               * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-               * (1 - CAST(l_discount AS DECIMAL(18,4)))
-               * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
-      ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
-      ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+      CAST(SUM(qty_c) AS DOUBLE) / 100 AS sum_qty,
+      CAST(SUM(price_c) AS DOUBLE) / 100 AS sum_base_price,
+      CAST(SUM(price_c * (100 - disc_c)) AS DOUBLE) / 10000 AS sum_disc_price,
+      CAST(SUM(price_c * (100 - disc_c) * (100 + tax_c)) AS DOUBLE) / 1000000 AS sum_charge,
+      ROUND(CAST(SUM(qty_c) AS DOUBLE) / 100 / COUNT(*), 6) AS avg_qty,
+      ROUND(CAST(SUM(disc_c) AS DOUBLE) / 100 / COUNT(*), 6) AS avg_disc,
       COUNT(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    FROM c
     GROUP BY l_returnflag, l_linestatus
     """,
-    doc="TPC-H Q1 shape: grouped conditional aggregation (SURVEY §2.3 A1/A2/R2).",
+    doc="TPC-H Q1 shape: grouped conditional aggregation (SURVEY §2.3 "
+    "A1/A2/R2). Money math runs in the integer-cents domain: per-row "
+    "products are exact LongType multiplies inside whole-stage codegen "
+    "(the decimal-multiply chain would exceed precision 18 and fall "
+    "off the compact fast path), and only the final sum widens to "
+    "decimal(38,0) so it cannot overflow at any corpus size. Both "
+    "engines cast the exact integer sum to double before dividing, so "
+    "the results are bit-identical.",
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast(DEC)
-    price = F.col("l_extendedprice").cast(DEC)
-    disc = F.col("l_discount").cast(DEC)
-    tax = F.col("l_tax").cast(DEC)
+    d38 = "decimal(38,0)"
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    tax_c = F.round(F.col("l_tax") * 100).cast("long")
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("double").alias("sum_qty"),
-            F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
-            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("double").alias("sum_charge"),
-            F.round(F.sum(qty).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
-            F.round(F.sum(disc).cast("double") / F.count(F.lit(1)), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            (F.sum(qty_c.cast(d38)).cast("double") / 100).alias("sum_qty"),
+            (F.sum(price_c.cast(d38)).cast("double") / 100).alias("sum_base_price"),
+            (F.sum((price_c * (100 - disc_c)).cast(d38)).cast("double") / 10000).alias(
+                "sum_disc_price"
+            ),
+            (
+                F.sum((price_c * (100 - disc_c) * (100 + tax_c)).cast(d38)).cast("double")
+                / 1000000
+            ).alias("sum_charge"),
+            F.round(F.sum(qty_c.cast(d38)).cast("double") / 100 / n, 6).alias("avg_qty"),
+            F.round(F.sum(disc_c.cast(d38)).cast("double") / 100 / n, 6).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 

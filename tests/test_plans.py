@@ -1,0 +1,72 @@
+"""Plan-shape regression tests: the performance contract.
+
+A wrong plan at 100 TB is as much a bug as a wrong answer — these lock
+in predicate pushdown, column pruning, broadcast joins, codegen, and
+shuffle budgets for representative queries from each family.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from starknet_indexer_spark.plans import (
+    has_broadcast_join,
+    has_whole_stage_codegen,
+    pushed_filters,
+    read_schemas,
+    shuffle_count,
+    without_aqe,
+)
+from starknet_indexer_spark.queries import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def q(spark, name):
+    return REGISTRY[name].fn(spark, SF_DIR)
+
+
+class TestPushdownAndPruning:
+    def test_pricing_summary_filter_reaches_scan(self, spark):
+        df = q(spark, "pricing_summary")
+        assert any("l_shipdate" in f for f in pushed_filters(df))
+
+    def test_pricing_summary_schema_narrow(self, spark):
+        # 7 of lineitem's 16 columns; no l_comment, no keys
+        (schema,) = read_schemas(df := q(spark, "pricing_summary"))
+        assert "l_comment" not in schema and "l_orderkey" not in schema
+
+    def test_latest_state_filter_pushdown(self, spark):
+        df = q(spark, "latest_state_per_user")
+        assert any("event_type" in f for f in pushed_filters(df))
+
+
+class TestJoinStrategy:
+    @pytest.mark.parametrize(
+        "name",
+        ["dim_join_revenue", "top_customers_per_nation", "ann_topk_cosine", "ann_topk_lsh"],
+    )
+    def test_dimension_joins_broadcast(self, spark, name):
+        assert has_broadcast_join(q(spark, name)), name
+
+
+class TestExecutionShape:
+    @pytest.mark.parametrize(
+        "name",
+        ["pricing_summary", "hourly_rollup", "dedup_exact", "minhash_lsh_dedup"],
+    )
+    def test_whole_stage_codegen(self, spark, name):
+        with without_aqe(spark):
+            assert has_whole_stage_codegen(q(spark, name)), name
+
+    def test_pricing_summary_single_shuffle(self, spark):
+        # one groupBy -> exactly one exchange
+        assert shuffle_count(q(spark, "pricing_summary")) == 1
+
+    def test_hourly_rollup_shuffle_budget(self, spark):
+        assert shuffle_count(q(spark, "hourly_rollup")) <= 2
+
+    def test_dedup_exact_shuffle_budget(self, spark):
+        # hash group-by + canonical join: bounded small shuffle count,
+        # never a pairwise cross product
+        assert shuffle_count(q(spark, "dedup_exact")) <= 3
