@@ -5,4 +5,4 @@ invariant — exactly how the reference validates its own incremental
 table (src/dao.ts:510-515).
 """
 
-from . import incremental  # noqa: F401
+from . import incremental, stateful, windows  # noqa: F401

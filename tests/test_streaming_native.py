@@ -1,0 +1,110 @@
+"""Native streaming operators: watermark+window rollup and
+applyInPandasWithState latest-state — each checked for exact
+equivalence against its batch counterpart (SURVEY §2.5 streaming
+semantics; the engine's batch==stream invariant).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from starknet_indexer_spark.catalog import load
+from starknet_indexer_spark.streaming.stateful import latest_state_stream
+from starknet_indexer_spark.streaming.windows import windowed_rollup
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def events_feed(spark, tmp_path):
+    """events table split into two file chunks so the stream sees
+    multiple micro-batches."""
+    ev = load(spark, SF_DIR, "events").select("event_id", "ts", "user_id", "value")
+    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    feed = str(tmp_path / "feed")
+    ev.filter(F.col("event_id") <= mid).write.mode("append").parquet(feed)
+    ev.filter(F.col("event_id") > mid).write.mode("append").parquet(feed)
+    return ev, feed
+
+
+class TestWindowedRollup:
+    def test_stream_equals_batch(self, spark, events_feed, tmp_path):
+        ev, feed = events_feed
+        stream = spark.readStream.schema(
+            spark.read.parquet(feed).schema
+        ).option("maxFilesPerTrigger", "1").parquet(feed)
+        rolled = windowed_rollup(
+            stream,
+            "ts",
+            ["user_id"],
+            [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("total")],
+        )
+        q = (
+            rolled.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("rollup_t")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            (str(r["hour"]), r["user_id"], r["n"], str(r["total"]))
+            for r in spark.table("rollup_t").collect()
+        }
+        want = {
+            (str(r["hour"]), r["user_id"], r["n"], str(r["total"]))
+            for r in ev.groupBy(
+                F.date_trunc("hour", "ts").alias("hour"), "user_id"
+            )
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("total"))
+            .collect()
+        }
+        assert got == want and len(got) > 0
+
+
+class TestLatestStateStream:
+    def test_stream_equals_batch_argmax(self, spark, events_feed, tmp_path):
+        ev, feed = events_feed
+        stream = spark.readStream.schema(
+            spark.read.parquet(feed).schema
+        ).option("maxFilesPerTrigger", "1").parquet(feed)
+        latest = latest_state_stream(
+            stream.select("user_id", "event_id", "value"), "user_id"
+        )
+        q = (
+            latest.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("latest_t")
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # update mode emits one row per changed key per batch; the last
+        # emission per key is the final state
+        import pandas as pd
+
+        emitted = spark.table("latest_t").toPandas()
+        final = emitted.groupby("user_id").apply(
+            lambda g: g.loc[g["event_id"].idxmax()], include_groups=False
+        )
+        got = {
+            (int(uid), int(r["event_id"]), round(float(r["value"]), 6))
+            for uid, r in final.iterrows()
+        }
+        want = {
+            (int(r["user_id"]), int(r["eid"]), round(float(r["v"]), 6))
+            for r in ev.groupBy("user_id")
+            .agg(
+                F.max("event_id").alias("eid"),
+                F.max_by("value", "event_id").alias("v"),
+            )
+            .collect()
+        }
+        assert got == want and len(got) > 0
