@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 EMBEDDING_DIM = 64
 N_PLANES = 4  # 16 buckets; at sf0.01 (500 vecs) ~31 candidates/bucket
@@ -88,3 +89,35 @@ def bucket_sql_exprs(vec_sql: str, n_planes: int = N_PLANES) -> str:
             f"THEN {1 << j} ELSE 0 END)"
         )
     return " + ".join(bits)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+N_CENTROIDS = 16
+N_PROBE = 4
+
+
+def ivf_assign(
+    emb: DataFrame, centroids: DataFrame, rank_limit: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """Rank centroids per vector by cosine and keep the top
+    ``rank_limit`` (1 for list assignment, N_PROBE for query probing).
+    Map-only: the centroid table broadcasts, each vector computes
+    N_CENTROIDS dot products in place, and a bounded per-vector window
+    picks the winners — no corpus-wide shuffle at any size. A real
+    deployment trains centroids with k-means; here they are a
+    deterministic sample (first N_CENTROIDS vectors), which changes
+    recall, not the plumbing.
+
+    Contract: ``emb`` has (id_col, ev, en) — vector + norm; ``centroids``
+    has (centroid_id, cv, cn)."""
+    sim = dot_expr(F.col("ev"), F.col("cv")) / (F.col("en") * F.col("cn"))
+    w = W.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    return (
+        emb.crossJoin(F.broadcast(centroids))
+        .select(id_col, "ev", "en", "centroid_id", sim.alias("sim"))
+        .withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= rank_limit)
+    )

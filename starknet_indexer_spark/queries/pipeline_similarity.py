@@ -20,7 +20,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..catalog import load
-from ..operators.similarity import bucket_sql_exprs, with_bucket
+from ..operators.similarity import (
+    N_CENTROIDS,
+    N_PROBE,
+    bucket_sql_exprs,
+    ivf_assign,
+    with_bucket,
+)
 from .registry import register
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -147,6 +153,116 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(_dot(F.col("qv"), F.col("ev")) / (F.col("qn") * F.col("en")), 4).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def _ann_ivf_oracle() -> str:
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS en
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS centroid_id, ev AS cv, en AS cn FROM v
+      WHERE vec_id < {N_CENTROIDS}
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, cent.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.ev, cent.cv) / (v.en * cent.cn) DESC,
+                          cent.centroid_id) AS crank
+        FROM v, cent
+      ) WHERE crank = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, centroid_id FROM (
+        SELECT v.vec_id, cent.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.ev, cent.cv) / (v.en * cent.cn) DESC,
+                          cent.centroid_id) AS crank
+        FROM v, cent WHERE v.vec_id < {N_QUERIES}
+      ) WHERE crank <= {N_PROBE}
+    ),
+    cands AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
+      WHERE a.vec_id <> p.query_id
+    ),
+    sims AS (
+      SELECT c.query_id, c.neighbor_id,
+             ROUND(list_dot_product(q.ev, n.ev) / (q.en * n.en), 4) AS sim
+      FROM cands c
+      JOIN v q ON q.vec_id = c.query_id
+      JOIN v n ON n.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM sims
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@register(
+    "ann_topk_ivf",
+    oracle=_ann_ivf_oracle(),
+    doc="IVF ANN: every vector assigned to its nearest centroid list "
+    "(map-only, centroids broadcast); each query probes its "
+    f"{N_PROBE} nearest lists and ranks candidates by exact cosine. "
+    "The inverted-list join shuffles on centroid_id — the list, not "
+    "the corpus, is the unit of work. Deterministic sampled centroids "
+    "stand in for k-means training (same plumbing, different recall).",
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    v = _with_norm(emb, "vec_id", "ev", "en")
+    cent = (
+        v.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("ev").alias("cv"),
+            F.col("en").alias("cn"),
+        )
+    )
+    assign = ivf_assign(v, cent, 1).select("vec_id", "centroid_id")
+    probes = ivf_assign(v.filter(F.col("vec_id") < N_QUERIES), cent, N_PROBE).select(
+        F.col("vec_id").alias("query_id"), "centroid_id"
+    )
+    cands = (
+        probes.join(assign, "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    q = v.select(
+        F.col("vec_id").alias("query_id"), F.col("ev").alias("qv"), F.col("en").alias("qn")
+    )
+    n = v.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("ev").alias("nv"),
+        F.col("en").alias("nn"),
+    )
+    sims = (
+        cands.join(F.broadcast(q), "query_id")
+        .join(n, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 4).alias(
+                "sim"
+            ),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
