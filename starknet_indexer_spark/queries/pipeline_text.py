@@ -205,6 +205,88 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_K = 8  # char k-gram width
+WINNOW_W = 4  # winnowing window (guarantee: shared substrings >= k+w-1 chars collide)
+WINNOW_B = 256
+WINNOW_P = 1_000_000_007
+
+
+def _winnow_oracle() -> str:
+    return f"""
+    WITH chars AS (
+      SELECT doc_id,
+             list_transform(
+               string_split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ''),
+               c -> ascii(c)::BIGINT) AS cs
+      FROM documents
+    ),
+    hashes AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, len(cs) - {WINNOW_K} + 2),
+               i -> list_reduce(cs[i:i + {WINNOW_K} - 1],
+                                (acc, c) -> (acc * {WINNOW_B} + c) % {WINNOW_P})) AS hs
+      FROM chars WHERE len(cs) >= {WINNOW_K}
+    ),
+    fps AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               list_transform(range(1, len(hs) - {WINNOW_W} + 2),
+                              j -> list_min(hs[j:j + {WINNOW_W} - 1])))) AS fp
+      FROM hashes WHERE len(hs) >= {WINNOW_W}
+    )
+    SELECT doc_id,
+           len(fp) AS n_fingerprints,
+           fp[1] AS min_fingerprint,
+           md5(array_to_string(fp, ',')) AS fp_digest
+    FROM fps
+    """
+
+
+@register(
+    "winnowing_fingerprint",
+    oracle=_winnow_oracle(),
+    doc="Winnowing document fingerprint (Schleimer et al. local "
+    f"fingerprinting): char {WINNOW_K}-gram polynomial rolling hashes "
+    f"(base {WINNOW_B} mod {WINNOW_P}), per-window minima over "
+    f"{WINNOW_W} consecutive hashes, distinct-sorted. Any shared "
+    f"substring of >= {WINNOW_K + WINNOW_W - 1} chars produces a "
+    "colliding fingerprint — the near-dup guarantee exact hashing "
+    "lacks. Map-only array folds; the fingerprint set (not the text) "
+    "is what shuffles in a dedup join.",
+)
+def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    cs = F.transform(
+        F.split(F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9]+", " ")), ""),
+        lambda c: F.ascii(c),
+    )
+    chars = docs.select("doc_id", cs.alias("cs")).filter(F.size("cs") >= WINNOW_K)
+    hs = F.transform(
+        F.sequence(F.lit(1), F.size("cs") - (WINNOW_K - 1)),
+        lambda i: F.aggregate(
+            F.slice("cs", i, WINNOW_K),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * WINNOW_B + c) % WINNOW_P,
+        ),
+    )
+    hashes = chars.select("doc_id", hs.alias("hs")).filter(F.size("hs") >= WINNOW_W)
+    fp = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("hs") - (WINNOW_W - 1)),
+                lambda j: F.array_min(F.slice("hs", j, WINNOW_W)),
+            )
+        )
+    )
+    return hashes.select("doc_id", fp.alias("fp")).select(
+        "doc_id",
+        F.size("fp").alias("n_fingerprints"),
+        F.element_at("fp", 1).alias("min_fingerprint"),
+        F.md5(F.concat_ws(",", F.col("fp").cast("array<string>"))).alias("fp_digest"),
+    )
+
+
 @register(
     "doc_fingerprint",
     oracle="""
