@@ -467,3 +467,47 @@ def active_users_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ev.filter(F.col("event_type") == "purchase").select("user_id")
     b = ev.filter(F.col("event_type") == "error").select("user_id")
     return a.union(b).distinct()
+
+
+@register(
+    "asof_latest_purchase",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+             event_type, value
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, sec, arg_max(value, event_id) AS pv
+      FROM e WHERE event_type = 'purchase' GROUP BY user_id, sec
+    ),
+    c AS (SELECT event_id, user_id, sec FROM e WHERE event_type = 'click')
+    SELECT c.event_id, c.user_id, c.sec, ROUND(p.pv, 6) AS last_purchase
+    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.sec >= p.sec
+    """,
+    doc="Backward as-of join (operators.asof): each click annotated "
+    "with the user's most recent purchase value at-or-before it. "
+    "Union+window implementation — one shuffle on the key and a "
+    "per-partition sort, never the O(left×right) range theta join. "
+    "Oracle uses DuckDB's native ASOF JOIN; tie semantics (right row "
+    "effective at t matches left at t) agree by construction.",
+)
+def asof_latest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("sec"),
+        "event_type",
+        "value",
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "sec")
+        .agg(F.max_by("value", "event_id").alias("pv"))
+    )
+    c = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "sec")
+    return asof_join(c, p, ["user_id"], "sec", ["pv"]).select(
+        "event_id", "user_id", "sec", F.round("pv", 6).alias("last_purchase")
+    )

@@ -111,3 +111,27 @@ class TestLshAnn:
         ).collect()[0]
         assert 0 <= stats["lo"] and stats["hi"] < (1 << N_PLANES)
         assert stats["n"] > 1  # hyperplanes actually split the corpus
+
+
+class TestAsofJoin:
+    def test_semantics(self, spark):
+        from starknet_indexer_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 10, "a"), (1, 15, "b"), (1, 20, "c"), (2, 5, "d")],
+            "k long, ts long, tag string",
+        )
+        right = spark.createDataFrame(
+            [(1, 10, 100.0), (1, 18, 180.0), (3, 1, 999.0)],
+            "k long, ts long, v double",
+        )
+        got = {
+            (r["k"], r["ts"], r["tag"], r["v"])
+            for r in asof_join(left, right, ["k"], "ts", ["v"]).collect()
+        }
+        assert got == {
+            (1, 10, "a", 100.0),   # tie: right row at t matches left at t
+            (1, 15, "b", 100.0),   # most recent at-or-before
+            (1, 20, "c", 180.0),
+            (2, 5, "d", None),     # no right row for key -> null
+        }
