@@ -63,3 +63,24 @@ def register_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Materialize a table hash-bucketed (and optionally sorted) on its
+    join key — the co-location strategy for repeated fact⋈fact joins
+    at 100 TB: two tables bucketed on the same key into the same bucket
+    count join with NO shuffle exchange (and no sort, if sorted), per
+    bucket-pruned file pairing. The Spark analogue of the reference's
+    covering composite indexes (SURVEY §4.1). Registered as an external
+    parquet table so ``spark.table(table)`` carries the bucket spec."""
+    w = df.write.mode("overwrite").option("path", path).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
