@@ -205,6 +205,98 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOKEN_BUDGET_PER_LANG = 20_000
+
+
+@register(
+    "corpus_select",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, lang,
+             md5(lower(trim(text))) AS h,
+             len(list_filter(string_split_regex(trim(text), '[ \\t\\n\\r]+'),
+                             x -> x <> '')) AS n_tokens,
+             CAST(CEIL(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             length(text) AS n_chars_m,
+             len(regexp_extract_all(lower(text),
+                 '\\b(the|and|of|to|in|is|that|it|for|was)\\b')) AS n_stop
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, h, n_tokens, est_bpe_tokens,
+             ROUND(0.5 * (CAST(n_alpha AS DOUBLE) / n_chars_m)
+                   + 0.3 * LEAST(CAST(n_tokens AS DOUBLE) / 100, 1.0)
+                   + 0.2 * LEAST(CAST(n_stop AS DOUBLE) / GREATEST(n_tokens, 1) * 5, 1.0),
+                   6) AS quality_score
+      FROM feats
+    ),
+    canon AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS dup_rank
+        FROM scored
+      ) WHERE dup_rank = 1
+    ),
+    budgeted AS (
+      SELECT doc_id, lang, n_tokens, quality_score,
+             SUM(est_bpe_tokens) OVER (
+               PARTITION BY lang ORDER BY quality_score DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM canon
+    )
+    SELECT doc_id, lang, n_tokens, quality_score,
+           cum_tokens::BIGINT AS cum_tokens
+    FROM budgeted WHERE cum_tokens <= {TOKEN_BUDGET_PER_LANG}
+    """,
+    doc="End-to-end corpus selection: quality scoring -> exact dedup "
+    "(canonical per content hash) -> greedy per-language selection "
+    "under a token budget (running sum over quality-descending order). "
+    "The composed form of the pipeline ops; the budget window "
+    "partitions by language, so selection parallelizes per language "
+    "at scale instead of one global sort.",
+)
+def corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    tokens = F.filter(F.split(F.trim(F.col("text")), r"[ \t\n\r]+"), lambda x: x != "")
+    n_tokens = F.size(tokens)
+    n_alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+    n_stop = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(LANG_PATTERNS["en"]), 0))
+    stop_ratio = n_stop.cast("double") / F.greatest(n_tokens, F.lit(1))
+    quality = F.round(
+        0.5 * (n_alpha.cast("double") / F.length("text"))
+        + 0.3 * F.least(n_tokens.cast("double") / 100, F.lit(1.0))
+        + 0.2 * F.least(stop_ratio * 5, F.lit(1.0)),
+        6,
+    )
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
+        n_tokens.alias("n_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("est_bpe_tokens"),
+        quality.alias("quality_score"),
+    )
+    canon = (
+        scored.withColumn(
+            "dup_rank", F.row_number().over(W.partitionBy("h").orderBy("doc_id"))
+        )
+        .filter(F.col("dup_rank") == 1)
+        .drop("dup_rank")
+    )
+    wb = (
+        W.partitionBy("lang")
+        .orderBy(F.col("quality_score").desc(), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        canon.withColumn("cum_tokens", F.sum("est_bpe_tokens").over(wb))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET_PER_LANG)
+        .select("doc_id", "lang", "n_tokens", "quality_score", "cum_tokens")
+    )
+
+
 WINNOW_K = 8  # char k-gram width
 WINNOW_W = 4  # winnowing window (guarantee: shared substrings >= k+w-1 chars collide)
 WINNOW_B = 256
