@@ -62,6 +62,79 @@ _POOL_KEY_BEARING = {
 }
 
 
+def _pk_hash(prefix: str = "pool_key"):
+    return pool_key_hash(
+        F.col(f"{prefix}.token0"),
+        F.col(f"{prefix}.token1"),
+        F.col(f"{prefix}.fee"),
+        F.col(f"{prefix}.tick_spacing").cast("int"),
+        F.col(f"{prefix}.extension"),
+    ).alias("pool_key_hash")
+
+
+# Stored-table projections: decoded struct -> the reference's flattened
+# insert shape (src/dao.ts:1962-1999 flattens PoolKey/Bounds/Delta into
+# columns at insert; views consume THIS shape). Key is the decoded
+# event type, value is (stored_table_name, [projection columns beyond
+# the envelope]). Types without an entry are stored as decoded.
+STORED_PROJECTIONS: dict[str, tuple[str, list]] = {
+    "swapped": (
+        "swaps",
+        lambda: [
+            F.col("locker"),
+            _pk_hash(),
+            F.col("delta.amount0").alias("delta0"),
+            F.col("delta.amount1").alias("delta1"),
+            F.col("sqrt_ratio_after"),
+            F.col("tick_after").cast("int").alias("tick_after"),
+            F.col("liquidity_after"),
+        ],
+    ),
+    "position_updated": (
+        "position_updates",
+        lambda: [
+            F.col("locker"),
+            _pk_hash(),
+            F.col("params.salt").alias("salt"),
+            F.col("params.bounds.lower").cast("int").alias("lower_bound"),
+            F.col("params.bounds.upper").cast("int").alias("upper_bound"),
+            F.col("params.liquidity_delta").alias("liquidity_delta"),
+            F.col("delta.amount0").alias("delta0"),
+            F.col("delta.amount1").alias("delta1"),
+        ],
+    ),
+    "pool_initialized": (
+        "pool_initializations",
+        lambda: [
+            _pk_hash(),
+            F.col("tick").cast("int").alias("tick"),
+            F.col("sqrt_ratio"),
+        ],
+    ),
+}
+
+_ENVELOPE = [
+    "event_id",
+    "transaction_hash",
+    "block_number",
+    "transaction_index",
+    "event_index",
+    "emitter",
+    "block_bucket",
+]
+
+
+def to_stored(event_type: str, decoded: DataFrame) -> tuple[str, DataFrame]:
+    """Map a decoded event DataFrame to its stored-table name + shape
+    (flattened, view-ready). Falls through to the decoded shape for
+    types without a projection."""
+    proj = STORED_PROJECTIONS.get(event_type)
+    if proj is None:
+        return event_type, decoded
+    table, cols = proj
+    return table, decoded.select(*_ENVELOPE, *cols())
+
+
 def _table_dir(tables_dir: str, name: str) -> str:
     return os.path.join(tables_dir, name)
 
@@ -126,10 +199,8 @@ def ingest_batch(spark: SparkSession, raw: DataFrame, tables_dir: str) -> dict[s
         n = decoded.count()
         if n == 0:
             continue
-        decoded.write.mode("append").partitionBy("block_bucket").parquet(
-            _table_dir(tables_dir, event_type)
-        )
-        counts[event_type] = n
+        # dimension extraction reads the nested struct BEFORE the
+        # stored-shape projection flattens it away
         pk_field = _POOL_KEY_BEARING.get(event_type)
         if pk_field:
             pool_key_batches.append(
@@ -141,6 +212,11 @@ def ingest_batch(spark: SparkSession, raw: DataFrame, tables_dir: str) -> dict[s
                     F.col(f"{pk_field}.extension").alias("extension"),
                 )
             )
+        table, stored = to_stored(event_type, decoded)
+        stored.write.mode("append").partitionBy("block_bucket").parquet(
+            _table_dir(tables_dir, table)
+        )
+        counts[table] = n
 
     if pool_key_batches:
         upsert_pool_keys(spark, pool_key_batches, tables_dir)

@@ -95,19 +95,18 @@ class TestBatchIngest:
     def test_roundtrip_and_upsert(self, spark, tdir):
         raw = make_raw(spark, [1, 2, 3])
         counts = ingest_batch(spark, raw, tdir)
-        assert counts["swapped"] == 3
+        assert counts["swaps"] == 3
         assert counts["staker_staked"] == 3
         assert counts["blocks"] == 3
 
-        sw = spark.read.parquet(os.path.join(tdir, "swapped"))
+        sw = spark.read.parquet(os.path.join(tdir, "swaps"))
         row = sw.filter(F.col("block_number") == 2).collect()[0]
         assert row["event_id"] == 2 * 2**32
         assert row["locker"] == "0xcafe"
-        assert row["pool_key"]["token0"] == "0xaaa"
-        assert row["pool_key"]["fee"] == Decimal(0x1000)
-        assert row["delta"]["amount0"] == Decimal(20)
-        assert row["delta"]["amount1"] == Decimal(-18)
-        assert row["tick_after"] == Decimal(-2)
+        assert row["pool_key_hash"].startswith("0x")
+        assert row["delta0"] == Decimal(20)
+        assert row["delta1"] == Decimal(-18)
+        assert row["tick_after"] == -2  # stored int4 (src/dao.ts:243)
 
         pk = spark.read.parquet(os.path.join(tdir, "pool_keys"))
         assert pk.count() == 1  # one distinct pool across all swaps
@@ -129,7 +128,7 @@ class TestReorg:
         ingest_batch(spark, make_raw(spark, blocks), tdir)
         invalidate_from_block(spark, tdir, 1002)
 
-        sw = spark.read.parquet(os.path.join(tdir, "swapped"))
+        sw = spark.read.parquet(os.path.join(tdir, "swaps"))
         assert sorted(r["block_number"] for r in sw.select("block_number").collect()) == [
             995, 996, 1001,
         ]
@@ -150,7 +149,7 @@ class TestReorg:
         invalidate_from_block(spark, b, 1002)
         ingest_batch(spark, make_raw(spark, [1002, 1050]), b)
 
-        for t in ("swapped", "staker_staked", "blocks"):
+        for t in ("swaps", "staker_staked", "blocks"):
             da = spark.read.parquet(os.path.join(a, t))
             db = spark.read.parquet(os.path.join(b, t))
             assert sorted(map(str, da.collect())) == sorted(map(str, db.collect())), t
@@ -175,7 +174,7 @@ class TestStreaming:
 
         ingest_batch(spark, make_raw(spark, [1, 2, 3]), bdir)
 
-        for t in ("swapped", "staker_staked", "blocks"):
+        for t in ("swaps", "staker_staked", "blocks"):
             ds = spark.read.parquet(os.path.join(sdir, t))
             db = spark.read.parquet(os.path.join(bdir, t))
             assert sorted(map(str, ds.collect())) == sorted(map(str, db.collect())), t
@@ -196,3 +195,77 @@ class TestStreaming:
         ss = spark.read.parquet(os.path.join(sdir, "staker_staked"))
         assert ss.count() == 1
         assert read_cursor(sdir) == 1
+
+
+def init_data(token0, token1, fee, tick_spacing, extension, tick, sqrt_ratio):
+    def i129(v):
+        return [hex(abs(v)), hex(0 if v >= 0 else 1)]
+
+    return (
+        [hex(token0), hex(token1), hex(fee), hex(tick_spacing), hex(extension)]
+        + i129(tick)
+        + [hex(sqrt_ratio), hex(0)]
+    )
+
+
+def position_updated_data(
+    locker, token0, token1, fee, tick_spacing, extension,
+    salt, lower, upper, liq_delta, d0, d1,
+):
+    def i129(v):
+        return [hex(abs(v)), hex(0 if v >= 0 else 1)]
+
+    return (
+        [hex(locker), hex(token0), hex(token1), hex(fee), hex(tick_spacing), hex(extension)]
+        + [hex(salt)]
+        + i129(lower)
+        + i129(upper)
+        + i129(liq_delta)
+        + i129(d0)
+        + i129(d1)
+    )
+
+
+class TestEndToEnd:
+    def test_views_run_on_ingested_tables(self, spark, tdir):
+        """Raw felt arrays -> ingest -> V1/V2 views: the stored-table
+        projection (to_stored) produces exactly the shape the view
+        layer consumes (the reference flattens at insert the same way,
+        src/dao.ts:1962-1999)."""
+        from decimal import Decimal
+
+        from starknet_indexer_spark.views import VIEWS
+
+        rows = [
+            raw_row(1, 0, 0, "pool_initialized",
+                    init_data(**POOL, tick=0, sqrt_ratio=1 << 40)),
+            raw_row(2, 0, 0, "position_updated",
+                    position_updated_data(0xCAFE, **POOL, salt=1, lower=-100,
+                                          upper=100, liq_delta=5000, d0=50, d1=-40)),
+            raw_row(3, 0, 0, "swapped",
+                    swapped_data(0xCAFE, **POOL, amount=10, is_token1=False, limit=5,
+                                 skip=0, d0=10, d1=-9, sqrt_after=1 << 41,
+                                 tick_after=-5, liq=7777)),
+            raw_row(4, 0, 0, "position_updated",
+                    position_updated_data(0xCAFE, **POOL, salt=2, lower=-100,
+                                          upper=100, liq_delta=5000, d0=50, d1=-40)),
+        ]
+        ingest_batch(spark, spark.createDataFrame(rows, RAW_SCHEMA), tdir)
+
+        tables = {
+            name: spark.read.parquet(os.path.join(tdir, name))
+            for name in ("swaps", "pool_initializations", "position_updates",
+                         "pool_keys", "blocks")
+        }
+        (state,) = VIEWS["pool_states"](tables).collect()
+        assert state["tick"] == -5
+        assert state["sqrt_ratio"] == Decimal(1 << 41)
+        # last swap's liquidity_after + in-range update after the swap
+        assert state["liquidity"] == Decimal(7777 + 5000)
+        assert state["last_event_id"] == 4 * 2**32
+
+        ticks = {
+            (r["tick"], str(r["net_liquidity_delta_diff"]))
+            for r in VIEWS["per_pool_per_tick_liquidity"](tables).collect()
+        }
+        assert ticks == {(-100, "10000"), (100, "-10000")}
