@@ -35,10 +35,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .decode import EVENT_PARSERS, decode_events
-from .functions.core import event_id_column, pool_key_hash
+from .functions.core import event_id_column, hex_normalize, pool_key_hash
 from .sources.feed import RAW_SCHEMA, read_feed_stream  # noqa: F401 (re-export)
 
 BLOCK_BUCKET_SIZE = 1000
+
+# src/dao.ts:40-41
+MAX_TICK_SPACING = 354892
+LIMIT_ORDER_TICK_SPACING = 128
 
 # Source-side dispatch: key[0] selector -> event type (reference:
 # filter ids -> EVENT_PROCESSORS, src/eventProcessors.ts:76-494).
@@ -72,11 +76,66 @@ def _pk_hash(prefix: str = "pool_key"):
     ).alias("pool_key_hash")
 
 
+def _ts(col) -> object:
+    """u64 epoch-seconds -> TimestampType (reference converts at
+    insert, src/dao.ts:2370-2371)."""
+    return F.timestamp_seconds(F.col(col).cast("long")) if isinstance(col, str) else F.timestamp_seconds(col.cast("long"))
+
+
+def _sell_is_token0() -> object:
+    """Canonical token order: compare addresses as fixed-width hex
+    (variable-width hex strings don't sort numerically)."""
+    return hex_normalize(F.col("order_key.sell_token"), 64) <= hex_normalize(
+        F.col("order_key.buy_token"), 64
+    )
+
+
+def _order_pool_hash() -> object:
+    """orderKeyToPoolKey (src/dao.ts:43-56): sorted tokens, order fee,
+    MAX_TICK_SPACING sentinel, emitter as extension."""
+    s0 = _sell_is_token0()
+    return pool_key_hash(
+        F.when(s0, F.col("order_key.sell_token")).otherwise(F.col("order_key.buy_token")),
+        F.when(s0, F.col("order_key.buy_token")).otherwise(F.col("order_key.sell_token")),
+        F.col("order_key.fee"),
+        F.lit(MAX_TICK_SPACING),
+        F.col("emitter"),
+    ).alias("key_hash")
+
+
+def _route_by_sell(value, out0: str, out1: str) -> list:
+    """D15 delta routing (src/dao.ts:2333-2336, 2386-2389): the value
+    lands in the SELL token's column, zero in the other."""
+    s0 = _sell_is_token0()
+    zero = F.lit(0).cast("decimal(38,0)")
+    return [
+        F.when(s0, value).otherwise(zero).alias(out0),
+        F.when(s0, zero).otherwise(value).alias(out1),
+    ]
+
+
+def _bounds_cols(prefix: str) -> list:
+    return [
+        F.col(f"{prefix}.lower").cast("int").alias("lower_bound"),
+        F.col(f"{prefix}.upper").cast("int").alias("upper_bound"),
+    ]
+
+
+def _position_key_cols() -> list:
+    return [
+        F.col("position_key.owner").alias("owner"),
+        F.col("position_key.salt").alias("salt"),
+        *_bounds_cols("position_key.bounds"),
+    ]
+
+
 # Stored-table projections: decoded struct -> the reference's flattened
-# insert shape (src/dao.ts:1962-1999 flattens PoolKey/Bounds/Delta into
-# columns at insert; views consume THIS shape). Key is the decoded
-# event type, value is (stored_table_name, [projection columns beyond
-# the envelope]). Types without an entry are stored as decoded.
+# insert shape (src/dao.ts:1895-2893 flattens PoolKey/Bounds/Delta and
+# derives synthetic pool keys at insert; views consume THIS shape).
+# Key is the decoded event type, value is (stored_table_name,
+# thunk -> [projection columns beyond the envelope]). Types without an
+# entry are stored as decoded (reference side-tables for span columns —
+# governor calls/results — live in the decoded form).
 STORED_PROJECTIONS: dict[str, tuple[str, list]] = {
     "swapped": (
         "swaps",
@@ -111,6 +170,215 @@ STORED_PROJECTIONS: dict[str, tuple[str, list]] = {
             F.col("sqrt_ratio"),
         ],
     ),
+    "position_fees_collected": (
+        "position_fees_collected",
+        lambda: [
+            _pk_hash(),
+            *_position_key_cols(),
+            F.col("delta.amount0").alias("delta0"),
+            F.col("delta.amount1").alias("delta1"),
+        ],
+    ),
+    "protocol_fees_paid": (
+        "protocol_fees_paid",
+        lambda: [
+            _pk_hash(),
+            *_position_key_cols(),
+            F.col("delta.amount0").alias("delta0"),
+            F.col("delta.amount1").alias("delta1"),
+        ],
+    ),
+    "fees_accumulated": (
+        "fees_accumulated",
+        lambda: [_pk_hash(), F.col("amount0"), F.col("amount1")],
+    ),
+    "liquidity_updated": (
+        "liquidity_updated",
+        lambda: [
+            _pk_hash(),
+            F.col("sender"),
+            F.col("liquidity_factor"),
+            F.col("shares"),
+            F.col("amount0"),
+            F.col("amount1"),
+            F.col("protocol_fees0"),
+            F.col("protocol_fees1"),
+        ],
+    ),
+    "staker_staked": (
+        "staker_staked",
+        lambda: [
+            F.col("from").alias("from_address"),
+            F.col("amount"),
+            F.col("delegate"),
+        ],
+    ),
+    "staker_withdrawn": (
+        "staker_withdrawn",
+        lambda: [
+            F.col("from").alias("from_address"),
+            F.col("amount"),
+            F.col("to").alias("recipient"),
+            F.col("delegate"),
+        ],
+    ),
+    "position_minted_with_referrer": (
+        "position_minted_with_referrer",
+        lambda: [F.col("id").alias("token_id"), F.col("referrer")],
+    ),
+    "nft_transfer": (
+        "position_transfers",
+        lambda: [
+            F.col("id").alias("token_id"),
+            F.col("from").alias("from_address"),
+            F.col("to").alias("to_address"),
+        ],
+    ),
+    "token_registration": (
+        "token_registrations",
+        lambda: [
+            F.col("address"),
+            F.col("name"),
+            F.col("symbol"),
+            F.col("decimals"),
+            F.col("total_supply"),
+        ],
+    ),
+    "token_registration_v3": (
+        "token_registrations_v3",
+        lambda: [
+            F.col("address"),
+            F.col("name"),
+            F.col("symbol"),
+            F.col("decimals"),
+            F.col("total_supply"),
+        ],
+    ),
+    "twamm_order_updated": (
+        "twamm_order_updates",
+        lambda: [
+            _order_pool_hash(),
+            F.col("owner"),
+            F.col("salt"),
+            *_route_by_sell(
+                F.col("sale_rate_delta"), "sale_rate_delta0", "sale_rate_delta1"
+            ),
+            _ts("order_key.start_time").alias("start_time"),
+            _ts("order_key.end_time").alias("end_time"),
+        ],
+    ),
+    "twamm_order_proceeds_withdrawn": (
+        "twamm_proceeds_withdrawals",
+        lambda: [
+            _order_pool_hash(),
+            F.col("owner"),
+            F.col("salt"),
+            *_route_by_sell(F.col("amount").cast("decimal(38,0)"), "amount0", "amount1"),
+            _ts("order_key.start_time").alias("start_time"),
+            _ts("order_key.end_time").alias("end_time"),
+        ],
+    ),
+    "twamm_virtual_orders_executed": (
+        "twamm_virtual_order_executions",
+        lambda: [
+            pool_key_hash(
+                F.col("key.token0"),
+                F.col("key.token1"),
+                F.col("key.fee"),
+                F.lit(MAX_TICK_SPACING),
+                F.col("emitter"),
+            ).alias("key_hash"),
+            F.col("token0_sale_rate"),
+            F.col("token1_sale_rate"),
+            F.col("twamm_delta.amount0").alias("delta0"),
+            F.col("twamm_delta.amount1").alias("delta1"),
+        ],
+    ),
+    "oracle_snapshot": (
+        "oracle_snapshots",
+        lambda: [
+            pool_key_hash(
+                F.col("token0"),
+                F.col("token1"),
+                F.lit(0),
+                F.lit(MAX_TICK_SPACING),
+                F.col("emitter"),
+            ).alias("key_hash"),
+            F.col("token0"),
+            F.col("token1"),
+            F.col("index"),
+            F.col("snapshot.block_timestamp").alias("snapshot_block_timestamp"),
+            F.col("snapshot.tick_cumulative").alias("snapshot_tick_cumulative"),
+        ],
+    ),
+    "limit_order_placed": (
+        "limit_order_placed",
+        lambda: [
+            pool_key_hash(
+                F.col("order_key.token0"),
+                F.col("order_key.token1"),
+                F.lit(0),
+                F.lit(LIMIT_ORDER_TICK_SPACING),
+                F.col("emitter"),
+            ).alias("key_hash"),
+            F.col("owner"),
+            F.col("salt"),
+            F.col("order_key.token0").alias("token0"),
+            F.col("order_key.token1").alias("token1"),
+            F.col("order_key.tick").cast("int").alias("tick"),
+            F.col("liquidity"),
+            F.col("amount"),
+        ],
+    ),
+    "limit_order_closed": (
+        "limit_order_closed",
+        lambda: [
+            pool_key_hash(
+                F.col("order_key.token0"),
+                F.col("order_key.token1"),
+                F.lit(0),
+                F.lit(LIMIT_ORDER_TICK_SPACING),
+                F.col("emitter"),
+            ).alias("key_hash"),
+            F.col("owner"),
+            F.col("salt"),
+            F.col("order_key.token0").alias("token0"),
+            F.col("order_key.token1").alias("token1"),
+            F.col("order_key.tick").cast("int").alias("tick"),
+            F.col("amount0"),
+            F.col("amount1"),
+        ],
+    ),
+    "governor_proposed": (
+        "governor_proposed",
+        lambda: [F.col("id"), F.col("proposer"), F.col("config_version")],
+    ),
+    "governor_described": (
+        "governor_proposal_described",
+        lambda: [
+            F.col("id"),
+            # null-char sanitization (D13, src/dao.ts:2703-2704)
+            F.regexp_replace(F.col("description"), "\x00", "?").alias("description"),
+        ],
+    ),
+    "governor_executed": ("governor_executed", lambda: [F.col("id")]),
+    "governor_reconfigured": (
+        "governor_reconfigured",
+        lambda: [
+            F.col("version"),
+            F.col("new_config.voting_start_delay").alias("voting_start_delay"),
+            F.col("new_config.voting_period").alias("voting_period"),
+            F.col("new_config.voting_weight_smoothing_duration").alias(
+                "voting_weight_smoothing_duration"
+            ),
+            F.col("new_config.quorum").alias("quorum"),
+            F.col("new_config.proposal_creation_threshold").alias(
+                "proposal_creation_threshold"
+            ),
+            F.col("new_config.execution_delay").alias("execution_delay"),
+            F.col("new_config.execution_window").alias("execution_window"),
+        ],
+    ),
 }
 
 _ENVELOPE = [
@@ -133,6 +401,53 @@ def to_stored(event_type: str, decoded: DataFrame) -> tuple[str, DataFrame]:
         return event_type, decoded
     table, cols = proj
     return table, decoded.select(*_ENVELOPE, *cols())
+
+
+def _order_key_dim(decoded: DataFrame) -> DataFrame:
+    s0 = _sell_is_token0()
+    return decoded.select(
+        F.when(s0, F.col("order_key.sell_token"))
+        .otherwise(F.col("order_key.buy_token"))
+        .alias("token0"),
+        F.when(s0, F.col("order_key.buy_token"))
+        .otherwise(F.col("order_key.sell_token"))
+        .alias("token1"),
+        F.col("order_key.fee").alias("fee"),
+        F.lit(MAX_TICK_SPACING).alias("tick_spacing"),
+        F.col("emitter").alias("extension"),
+    )
+
+
+def _sentinel_dim(t0: str, t1: str, fee: str | int, tick_spacing: int) -> object:
+    def build(decoded: DataFrame) -> DataFrame:
+        fee_col = F.col(fee) if isinstance(fee, str) else F.lit(fee)
+        return decoded.select(
+            F.col(t0).alias("token0"),
+            F.col(t1).alias("token1"),
+            fee_col.alias("fee"),
+            F.lit(tick_spacing).alias("tick_spacing"),
+            F.col("emitter").alias("extension"),
+        )
+
+    return build
+
+
+# Synthetic pool keys the reference upserts for TWAMM / oracle / limit
+# order events (S9, src/dao.ts:2327-2331, 2744-2750, 2779-2785)
+_DERIVED_POOL_KEYS: dict[str, object] = {
+    "twamm_order_updated": _order_key_dim,
+    "twamm_order_proceeds_withdrawn": _order_key_dim,
+    "twamm_virtual_orders_executed": _sentinel_dim(
+        "key.token0", "key.token1", "key.fee", MAX_TICK_SPACING
+    ),
+    "oracle_snapshot": _sentinel_dim("token0", "token1", 0, MAX_TICK_SPACING),
+    "limit_order_placed": _sentinel_dim(
+        "order_key.token0", "order_key.token1", 0, LIMIT_ORDER_TICK_SPACING
+    ),
+    "limit_order_closed": _sentinel_dim(
+        "order_key.token0", "order_key.token1", 0, LIMIT_ORDER_TICK_SPACING
+    ),
+}
 
 
 def _table_dir(tables_dir: str, name: str) -> str:
@@ -212,6 +527,9 @@ def ingest_batch(spark: SparkSession, raw: DataFrame, tables_dir: str) -> dict[s
                     F.col(f"{pk_field}.extension").alias("extension"),
                 )
             )
+        derived = _DERIVED_POOL_KEYS.get(event_type)
+        if derived:
+            pool_key_batches.append(derived(decoded))
         table, stored = to_stored(event_type, decoded)
         stored.write.mode("append").partitionBy("block_bucket").parquet(
             _table_dir(tables_dir, table)

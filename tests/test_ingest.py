@@ -269,3 +269,62 @@ class TestEndToEnd:
             for r in VIEWS["per_pool_per_tick_liquidity"](tables).collect()
         }
         assert ticks == {(-100, "10000"), (100, "-10000")}
+
+
+def twamm_voe_data(token0, token1, fee, rate0, rate1, d0, d1):
+    def i129(v):
+        return [hex(abs(v)), hex(0 if v >= 0 else 1)]
+
+    return [hex(token0), hex(token1), hex(fee), hex(rate0), hex(rate1)] + i129(d0) + i129(d1)
+
+
+def twamm_order_data(owner, salt, sell, buy, fee, start, end, rate_delta):
+    def i129(v):
+        return [hex(abs(v)), hex(0 if v >= 0 else 1)]
+
+    return [hex(owner), hex(salt), hex(sell), hex(buy), hex(fee), hex(start), hex(end)] + i129(
+        rate_delta
+    )
+
+
+class TestEndToEndTwamm:
+    def test_twamm_views_on_ingested_tables(self, spark, tdir):
+        """Raw TWAMM felt arrays -> ingest (derived pool key, D15
+        routing, u64->timestamp) -> V3/V4 views."""
+        from decimal import Decimal
+
+        from starknet_indexer_spark.views import VIEWS
+
+        # block times: block b -> 2024-01-01 + 12b seconds (raw_row)
+        base = 1704067200  # 2024-01-01 UTC epoch
+        rows = [
+            # last VOE at block 2 (t = base+24): rates (1000, 2000)
+            raw_row(2, 0, 0, "twamm_virtual_orders_executed",
+                    twamm_voe_data(0xAAA, 0xBBB, 0x30, 1000, 2000, 5, -4)),
+            # order update AFTER the VOE, active window straddles t:
+            # sells token0 (0xaaa < 0xbbb) at +500
+            raw_row(3, 0, 0, "twamm_order_updated",
+                    twamm_order_data(0xD00D, 7, 0xAAA, 0xBBB, 0x30,
+                                     base, base + 3600, 500)),
+            # order update NOT yet active at t (starts later): ignored by V3
+            raw_row(3, 1, 0, "twamm_order_updated",
+                    twamm_order_data(0xD00D, 8, 0xBBB, 0xAAA, 0x30,
+                                     base + 3000, base + 7200, 900)),
+        ]
+        ingest_batch(spark, spark.createDataFrame(rows, RAW_SCHEMA), tdir)
+
+        tables = {
+            name: spark.read.parquet(os.path.join(tdir, name))
+            for name in ("twamm_virtual_order_executions", "twamm_order_updates",
+                         "pool_keys", "blocks")
+        }
+        # derived pool key present in the dimension exactly once
+        assert tables["pool_keys"].count() == 1
+
+        (state,) = VIEWS["twamm_pool_states"](tables).collect()
+        assert state["token0_sale_rate"] == Decimal(1500)  # 1000 + routed +500
+        assert state["token1_sale_rate"] == Decimal(2000)
+
+        # V4: the future-dated order contributes schedule deltas after t
+        deltas = VIEWS["twamm_sale_rate_deltas"](tables).collect()
+        assert len(deltas) > 0
