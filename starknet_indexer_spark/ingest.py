@@ -571,17 +571,11 @@ def upsert_pool_keys(
 
 def twamm_order_key_to_pool_key(df: DataFrame) -> DataFrame:
     """Derived-key normalization (S9, src/dao.ts:40-56): a TWAMM order
-    key (sell_token, buy_token, fee) maps to the canonical pool key:
-    token0/token1 = sorted tokens, sentinel tick_spacing, emitter as
-    extension."""
-    MAX_TICK_SPACING = 354892
-    return df.select(
-        F.least("order_key.sell_token", "order_key.buy_token").alias("token0"),
-        F.greatest("order_key.sell_token", "order_key.buy_token").alias("token1"),
-        F.col("order_key.fee").alias("fee"),
-        F.lit(MAX_TICK_SPACING).alias("tick_spacing"),
-        F.col("emitter").alias("extension"),
-    )
+    key (sell_token, buy_token, fee) maps to the canonical pool key.
+    Token order compares fixed-width hex (plain least/greatest on
+    variable-width hex strings sorts lexicographically, not
+    numerically)."""
+    return _order_key_dim(df)
 
 
 # ---------------------------------------------------------------------------
