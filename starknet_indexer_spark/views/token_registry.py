@@ -22,11 +22,21 @@ from ..functions.core import short_string_decode, to_hex
 
 
 def latest_token_registrations(tables: dict[str, DataFrame]) -> DataFrame:
-    v1 = tables["token_registrations"].select(
+    tr = tables["token_registrations"]
+    # packed short strings arrive as NUMERIC (reference schema /
+    # fixtures) or as canonical 0x-hex (ingest stores felt252 as hex —
+    # felts exceed Decimal(38)); both decode through the hex form
+    dtypes = dict(tr.dtypes)
+
+    def _short(col: str):
+        c = F.col(col)
+        return short_string_decode(c if dtypes[col] == "string" else to_hex(c))
+
+    v1 = tr.select(
         "address",
         "event_id",
-        short_string_decode(to_hex(F.col("name"))).alias("name"),
-        short_string_decode(to_hex(F.col("symbol"))).alias("symbol"),
+        _short("name").alias("name"),
+        _short("symbol").alias("symbol"),
         "decimals",
         "total_supply",
     )

@@ -328,3 +328,71 @@ class TestEndToEndTwamm:
         # V4: the future-dated order contributes schedule deltas after t
         deltas = VIEWS["twamm_sale_rate_deltas"](tables).collect()
         assert len(deltas) > 0
+
+
+def _packed(s: str) -> int:
+    return int.from_bytes(s.encode(), "big")
+
+
+def _bytearray_felts(s: str) -> list:
+    # short ByteArray: no full 31-byte words, one pending word + len
+    return [hex(0), hex(_packed(s)), hex(len(s))]
+
+
+class TestEndToEndRegistryOracleLimit:
+    def test_v8_token_registry_decodes_ingested_hex(self, spark, tdir):
+        """V8 over ingested tables: short-string decode must accept the
+        hex-felt storage form (fixtures store packed NUMERIC; ingest
+        stores canonical 0x-hex because felt252 exceeds Decimal(38))."""
+        from starknet_indexer_spark.views import VIEWS
+
+        rows = [
+            raw_row(1, 0, 0, "token_registration",
+                    [hex(0x111), hex(_packed("Ether")), hex(_packed("ETH")),
+                     hex(18), hex(10**9)]),
+            raw_row(2, 0, 0, "token_registration_v3",
+                    [hex(0x222)] + _bytearray_felts("Dai Stablecoin")
+                    + _bytearray_felts("DAI") + [hex(18), hex(10**9)]),
+            # later re-registration of ETH by a different address: the
+            # symbol belongs to its FIRST registrant (dao.ts:994-1012)
+            raw_row(3, 0, 0, "token_registration",
+                    [hex(0x333), hex(_packed("Fake Ether")), hex(_packed("ETH")),
+                     hex(18), hex(10**9)]),
+        ]
+        ingest_batch(spark, spark.createDataFrame(rows, RAW_SCHEMA), tdir)
+        tables = {
+            name: spark.read.parquet(os.path.join(tdir, name))
+            for name in ("token_registrations", "token_registrations_v3")
+        }
+        got = {
+            (r["address"], r["name"], r["symbol"])
+            for r in VIEWS["latest_token_registrations"](tables).collect()
+        }
+        assert got == {("0x111", "Ether", "ETH"), ("0x222", "Dai Stablecoin", "DAI")}
+
+    def test_v9_v5_on_ingested_tables(self, spark, tdir):
+        from decimal import Decimal
+
+        from starknet_indexer_spark.views import VIEWS
+
+        rows = [
+            raw_row(1, 0, 0, "oracle_snapshot",
+                    [hex(0xAAA), hex(0xBBB), hex(1), hex(1700000000), hex(42), hex(0)]),
+            raw_row(2, 0, 0, "oracle_snapshot",
+                    [hex(0xAAA), hex(0xBBB), hex(2), hex(1700000600), hex(50), hex(0)]),
+            raw_row(3, 0, 0, "limit_order_placed",
+                    [hex(0xD00D), hex(1), hex(0xAAA), hex(0xBBB)]
+                    + [hex(128), hex(0)] + [hex(5000), hex(77)]),
+        ]
+        ingest_batch(spark, spark.createDataFrame(rows, RAW_SCHEMA), tdir)
+
+        tables = {
+            "oracle_snapshots": spark.read.parquet(os.path.join(tdir, "oracle_snapshots")),
+            "limit_order_placed": spark.read.parquet(os.path.join(tdir, "limit_order_placed")),
+        }
+        (o,) = VIEWS["oracle_pool_states"](tables).collect()
+        assert o["last_snapshot_block_timestamp"] == Decimal(1700000600)
+
+        tables["limit_order_closed"] = tables["limit_order_placed"].limit(0)
+        (lo,) = VIEWS["limit_order_pool_states"](tables).collect()
+        assert lo["last_event_id"] == 3 * 2**32
