@@ -450,6 +450,45 @@ _DERIVED_POOL_KEYS: dict[str, object] = {
 }
 
 
+def _governor_calls(decoded: DataFrame) -> DataFrame:
+    """Side table governor_proposed_calls (src/dao.ts:330-340): one row
+    per call in the proposal's span, keyed by proposal id + index.
+    Envelope block columns kept so reorg invalidation covers child
+    tables too."""
+    return decoded.select(
+        F.col("id").alias("proposal_id"),
+        "block_number",
+        "block_bucket",
+        F.posexplode("calls").alias("call_index", "call"),
+    ).select(
+        "proposal_id",
+        "block_number",
+        "block_bucket",
+        "call_index",
+        F.col("call.to").alias("to"),
+        F.col("call.selector").alias("selector"),
+        F.col("call.calldata").alias("calldata"),
+    )
+
+
+def _governor_results(decoded: DataFrame) -> DataFrame:
+    """Side table governor_executed_results (src/dao.ts:360-374)."""
+    return decoded.select(
+        F.col("id").alias("proposal_id"),
+        "block_number",
+        "block_bucket",
+        F.posexplode("result_data").alias("result_index", "results"),
+    )
+
+
+# Child tables for span-typed columns (reference stores them
+# relationally, not as arrays-in-the-row)
+SIDE_TABLES: dict[str, list[tuple[str, object]]] = {
+    "governor_proposed": [("governor_proposed_calls", _governor_calls)],
+    "governor_executed": [("governor_executed_results", _governor_results)],
+}
+
+
 def _table_dir(tables_dir: str, name: str) -> str:
     return os.path.join(tables_dir, name)
 
@@ -535,6 +574,13 @@ def ingest_batch(spark: SparkSession, raw: DataFrame, tables_dir: str) -> dict[s
             _table_dir(tables_dir, table)
         )
         counts[table] = n
+        for side_name, builder in SIDE_TABLES.get(event_type, ()):
+            side = builder(decoded)
+            if not side.isEmpty():
+                side.write.mode("append").partitionBy("block_bucket").parquet(
+                    _table_dir(tables_dir, side_name)
+                )
+                counts[side_name] = side.count()
 
     if pool_key_batches:
         upsert_pool_keys(spark, pool_key_batches, tables_dir)

@@ -396,3 +396,40 @@ class TestEndToEndRegistryOracleLimit:
         tables["limit_order_closed"] = tables["limit_order_placed"].limit(0)
         (lo,) = VIEWS["limit_order_pool_states"](tables).collect()
         assert lo["last_event_id"] == 3 * 2**32
+
+
+class TestGovernorSideTables:
+    def test_calls_and_results_explode_to_child_tables(self, spark, tdir):
+        rows = [
+            # proposal with two calls (second has empty calldata)
+            raw_row(1, 0, 0, "governor_proposed",
+                    [hex(0xBEEF), hex(0x11),
+                     hex(2),
+                     hex(0xC0), hex(0x5E1), hex(2), hex(10), hex(20),
+                     hex(0xC1), hex(0x5E2), hex(0),
+                     hex(1)]),
+            raw_row(2, 0, 0, "governor_executed",
+                    [hex(0xBEEF), hex(2), hex(2), hex(7), hex(8), hex(1), hex(9)]),
+        ]
+        ingest_batch(spark, spark.createDataFrame(rows, RAW_SCHEMA), tdir)
+
+        calls = spark.read.parquet(os.path.join(tdir, "governor_proposed_calls"))
+        got = {
+            (r["proposal_id"], r["call_index"], r["to"], r["selector"], tuple(r["calldata"]))
+            for r in calls.collect()
+        }
+        assert got == {
+            ("0xbeef", 0, "0xc0", "0x5e1", ("0xa", "0x14")),
+            ("0xbeef", 1, "0xc1", "0x5e2", ()),
+        }
+
+        results = spark.read.parquet(os.path.join(tdir, "governor_executed_results"))
+        rs = {
+            (r["proposal_id"], r["result_index"], tuple(r["results"]))
+            for r in results.collect()
+        }
+        assert rs == {("0xbeef", 0, ("0x7", "0x8")), ("0xbeef", 1, ("0x9",))}
+
+        # main table kept the scalar columns
+        gp = spark.read.parquet(os.path.join(tdir, "governor_proposed"))
+        assert gp.count() == 1
