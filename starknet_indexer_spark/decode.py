@@ -64,7 +64,13 @@ def _elem(data: Column, offset: Column) -> Column:
     # offsets are 0-based (reference convention). F.get is 0-based and
     # returns NULL out of bounds (element_at would throw under ANSI) —
     # required for the `optional` combinator and empty-span guards.
-    return F.get(data, offset.cast("int"))
+    #
+    # All narrowing casts in this module are try_cast: Catalyst may
+    # evaluate decode expressions speculatively on rows a preceding
+    # selector filter would exclude (generator/codegen hoisting treats
+    # expressions as side-effect-free), so an ANSI cast of another
+    # event type's felt must yield NULL, not throw.
+    return F.get(data, offset.try_cast("int"))
 
 
 def _canon_hex(col: Column) -> Column:
@@ -142,12 +148,26 @@ def _uint8array_decode(col: Column) -> Column:
 felt252 = _OneFelt(_canon_hex, T.StringType())
 address = felt252
 u128 = _OneFelt(felt_to_decimal, T.DecimalType(38, 0))
-u64 = _OneFelt(lambda c: felt_to_decimal(c).cast("long"), T.LongType())
-u8 = _OneFelt(lambda c: felt_to_decimal(c).cast("int"), T.IntegerType())
+u64 = _OneFelt(lambda c: felt_to_decimal(c).try_cast("long"), T.LongType())
+u8 = _OneFelt(lambda c: felt_to_decimal(c).try_cast("int"), T.IntegerType())
 u256 = _TwoFelt(u256_value)
 i129 = _TwoFelt(i129_value)
 boolean = _OneFelt(_strict_bool, T.BooleanType())
 short_string = _OneFelt(_uint8array_decode, T.StringType())
+
+
+MAX_SPAN_LEN = 65_536  # far above any real event array
+
+
+def _span_len(data, offset):
+    """Length prefix with a sanity clamp. Speculative evaluation can
+    feed this parser rows of OTHER event types (see _elem note); a
+    garbage felt that happens to fit an int (e.g. a timestamp) would
+    otherwise drive sequence() to allocate billions of elements.
+    Lengths outside [0, MAX_SPAN_LEN] decode as NULL — the selector
+    filter drops those rows before they can matter."""
+    n = felt_to_decimal(_elem(data, offset)).try_cast("int")
+    return F.when(n.between(0, MAX_SPAN_LEN), n)
 
 
 @dataclass
@@ -156,7 +176,7 @@ class _Span(Parser):
     width = None
 
     def parse(self, data, offset):
-        n = felt_to_decimal(_elem(data, offset)).cast("int")
+        n = _span_len(data, offset)
         body = offset + 1
         if self.element.width is not None:
             w = self.element.width
@@ -266,7 +286,7 @@ class _ByteArray(Parser):
     width = None
 
     def parse(self, data, offset):
-        n = felt_to_decimal(_elem(data, offset)).cast("int")
+        n = _span_len(data, offset)
         words_start = offset + 1
         idx = F.sequence(F.lit(0), F.greatest(n, F.lit(1)) - 1)
         words = F.slice(

@@ -159,12 +159,16 @@ def calculate_staker_rewards(
         (F.sum("staker_reward") + F.sum("delegate_reward")).alias("total_reward"),
     )
 
+    # claimee addresses arrive as NUMERIC (reference schema / fixtures)
+    # or as canonical 0x-hex (ingest stores felt252 as hex); to_hex is
+    # only needed for the numeric form
+    claimee_is_hex = dict(tables["staker_staked"].dtypes)["from_address"] == "string"
     wr = W.orderBy(F.col("total_reward").desc())
     return (
         final.filter(F.col("total_reward") > 0)
         .select(
             (F.row_number().over(wr) - 1).alias("id"),
-            to_hex(F.col("claimee")).alias("claimee"),
+            (F.col("claimee") if claimee_is_hex else to_hex(F.col("claimee"))).alias("claimee"),
             F.floor("total_reward").alias("amount"),
             # reference swaps these two labels (src/dao.ts:1536-1537)
             F.floor("total_delegate_reward").alias("staker_portion"),

@@ -135,3 +135,22 @@ def test_analytical_tier_runs(spark, ingested, tmp_path):
     assert hv.count() >= 1  # the swap produced volume
     reg = spark.read.parquet(os.path.join(out, "latest_token_registrations"))
     assert reg.count() == 2
+
+
+def test_v17_staker_rewards_runs(spark, ingested):
+    """V17 (on-demand UDTF-style table function) over ingested
+    governance tables — completes the V1..V17 surface end-to-end."""
+    import datetime
+
+    from starknet_indexer_spark.views import VIEWS
+
+    _, tables = ingested
+    start = datetime.datetime(2024, 1, 1)
+    end = start + datetime.timedelta(hours=1)
+    out = VIEWS["calculate_staker_rewards"](
+        tables, start, end, total_rewards=1000.0, staking_share=0.6, delegate_share=0.4
+    )
+    rows = out.collect()
+    # one staker (0x11) staked 1000 then withdrew 400 -> nonzero reward
+    assert len(rows) >= 1
+    assert all(r["amount"] >= 0 for r in rows)
