@@ -1,0 +1,112 @@
+"""The indexer daemon: the reference's main loop, Spark-native.
+
+Reference (src/index.ts:104-288): stream events → per block, delete+
+re-insert, write cursor, refresh operational matviews; on head blocks,
+kick a throttled analytical refresh (5-minute cadence with a 2× overlap
+window). This module composes the engine's pieces into that loop:
+
+    Structured Streaming feed
+      └─ per micro-batch (foreachBatch):
+           ingest_batch      (decode → stored tables, dim upserts)
+           write_cursor      (high-watermark after finalized rows)
+           refresh_operational   (per-batch — the per-block tier)
+           refresh_analytical    (throttled; since = as_of − 2×cadence)
+
+Exactly-once comes from the checkpoint (replayed batches re-run the
+idempotent ingest: blocks anti-join, dim anti-join, bucket overwrite);
+reorgs are handled out-of-band with ingest.invalidate_from_block before
+resuming the stream, exactly like the reference's invalidate message.
+
+At scale the daemon is the only driver-side loop — every step inside it
+is a distributed job, and the operational tier stays cheap because its
+views are latest-state shaped over block-bucket-pruned reads.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import runtime
+from .ingest import ingest_batch, stored_schemas, write_cursor
+from .sources.feed import read_feed_stream
+
+ANALYTICAL_REFRESH_S = 300  # reference REFRESH_RATE_ANALYTICAL_VIEWS (.env.mainnet:21)
+
+_schema_cache: dict[int, dict] = {}
+
+
+def load_tables(spark: SparkSession, tables_dir: str) -> dict[str, DataFrame]:
+    """Every stored table under the ingest root; event families that
+    haven't produced rows yet come back as empty DataFrames typed
+    exactly as ingest would write them (ingest.stored_schemas) — so a
+    view joining a present table against an absent one sees consistent
+    key types."""
+    key = id(spark)
+    if key not in _schema_cache:
+        _schema_cache[key] = stored_schemas(spark)
+    out: dict[str, DataFrame] = {}
+    for name, schema in _schema_cache[key].items():
+        p = os.path.join(tables_dir, name)
+        if os.path.isdir(p):
+            out[name] = spark.read.parquet(p)
+        else:
+            out[name] = spark.createDataFrame([], schema)
+    return out
+
+
+def run_indexer(
+    spark: SparkSession,
+    feed_dir: str,
+    tables_dir: str,
+    views_dir: str,
+    checkpoint_dir: str,
+    analytical_every_s: float = ANALYTICAL_REFRESH_S,
+    trigger: dict | None = None,
+):
+    """Start the full pipeline; returns the StreamingQuery. Callers
+    stop it (tests drive it with processAllAvailable)."""
+    state = {"last_analytical": None}
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        final = batch_df.filter(
+            F.coalesce(F.col("finality"), F.lit("accepted")) != "pending"
+        )
+        if final.isEmpty():
+            return
+        ingest_batch(spark, final, tables_dir)
+        hi = final.agg(F.max("block_number")).collect()[0][0]
+        if hi is not None:
+            write_cursor(tables_dir, int(hi))
+
+        tables = load_tables(spark, tables_dir)
+        if "blocks" not in tables:
+            return
+        runtime.refresh_operational(tables, views_dir)
+
+        now = time.monotonic()
+        first = state["last_analytical"] is None
+        if first or now - state["last_analytical"] >= analytical_every_s:
+            as_of = tables["blocks"].agg(F.max("time")).collect()[0][0]
+            # boot pass rebuilds full history (reference src/index.ts:120);
+            # later passes re-aggregate a 2×-cadence overlap window
+            since = (
+                None
+                if first
+                else as_of - datetime.timedelta(seconds=2 * analytical_every_s)
+            )
+            runtime.refresh_analytical(spark, tables, views_dir, as_of, since=since)
+            state["last_analytical"] = now
+
+    writer = (
+        read_feed_stream(spark, feed_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
