@@ -1,0 +1,70 @@
+"""Compaction and reorg-to-views consistency: maintenance operations
+must never change query results."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from starknet_indexer_spark import runtime
+from starknet_indexer_spark.daemon import load_tables
+from starknet_indexer_spark.ingest import ingest_batch, invalidate_from_block
+from starknet_indexer_spark.maintenance import compact_all, compact_table
+
+from .test_ingest import make_raw
+
+
+def _rows(df):
+    return sorted(map(str, df.collect()))
+
+
+class TestCompaction:
+    def test_compact_preserves_rows(self, spark, tmp_path):
+        tdir = str(tmp_path / "t")
+        # three separate appends -> >= 3 file sets per bucket
+        for blocks in ([1, 2], [3], [4]):
+            ingest_batch(spark, make_raw(spark, blocks), tdir)
+        swaps_dir = os.path.join(tdir, "swaps")
+        before = _rows(spark.read.parquet(swaps_dir))
+
+        stats = compact_table(spark, swaps_dir)
+        assert stats, "bucket had multiple files; compaction must act"
+        (files_before, files_after), = stats.values()
+        assert files_after < files_before
+
+        assert _rows(spark.read.parquet(swaps_dir)) == before
+
+    def test_compact_all_and_head_guard(self, spark, tmp_path):
+        tdir = str(tmp_path / "t2")
+        ingest_batch(spark, make_raw(spark, [1, 2]), tdir)
+        ingest_batch(spark, make_raw(spark, [1500]), tdir)  # bucket 1
+        before = _rows(spark.read.parquet(os.path.join(tdir, "swaps")))
+        # head bucket (1) excluded
+        compact_all(spark, tdir, max_bucket=0)
+        assert _rows(spark.read.parquet(os.path.join(tdir, "swaps"))) == before
+
+
+class TestReorgViewConsistency:
+    def test_views_after_reorg_replay_match_fresh_build(self, spark, tmp_path):
+        """§3.3 end-to-end: invalidate + re-ingest + refresh must equal
+        a from-scratch build at the view level, not just the tables."""
+        reorg_dir = str(tmp_path / "reorg")
+        fresh_dir = str(tmp_path / "fresh")
+
+        ingest_batch(spark, make_raw(spark, [1, 2, 3, 4]), reorg_dir)
+        invalidate_from_block(spark, reorg_dir, 3)
+        # reorged chain: block 3 has different content (block 5's payload
+        # re-stamped is overkill; simply re-ingest canonical 3,4)
+        ingest_batch(spark, make_raw(spark, [3, 4]), reorg_dir)
+
+        ingest_batch(spark, make_raw(spark, [1, 2, 3, 4]), fresh_dir)
+
+        out_a = str(tmp_path / "va")
+        out_b = str(tmp_path / "vb")
+        runtime.refresh_operational(load_tables(spark, reorg_dir), out_a)
+        runtime.refresh_operational(load_tables(spark, fresh_dir), out_b)
+        for name in ("pool_states", "per_pool_per_tick_liquidity"):
+            a = _rows(spark.read.parquet(os.path.join(out_a, name)))
+            b = _rows(spark.read.parquet(os.path.join(out_b, name)))
+            assert a == b, name
