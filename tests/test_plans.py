@@ -70,3 +70,17 @@ class TestExecutionShape:
         # hash group-by + canonical join: bounded small shuffle count,
         # never a pairwise cross product
         assert shuffle_count(q(spark, "dedup_exact")) <= 3
+
+    @pytest.mark.parametrize(
+        ("name", "budget"),
+        [
+            ("realized_volatility", 2),  # window partition + final agg
+            ("time_weighted_balance", 2),
+            ("two_stage_price", 2),
+            ("sliding_24h_stats", 2),
+            ("hourly_net_flow", 1),  # mirrored union shares one exchange
+            ("simhash_dedup", 3),
+        ],
+    )
+    def test_window_family_shuffle_budgets(self, spark, name, budget):
+        assert shuffle_count(q(spark, name)) <= budget, name
