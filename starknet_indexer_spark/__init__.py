@@ -25,8 +25,17 @@ Layout
                  pipelines over Ekubo-shaped tables.
 - ``queries``    the driver-facing query library over the synthetic
                  TPC-H-ish tables (the t2 correctness surface).
-- ``streaming``  Structured Streaming ingestion: cursor-as-checkpoint,
-                 reorg retraction, two-tier refresh.
+- ``streaming``  incremental view maintenance (foreachBatch MERGE),
+                 watermark windows, applyInPandasWithState operators.
+- ``ingest``     raw feed -> decoded, flattened stored tables; cursor,
+                 reorg suffix-invalidation, dimension upserts.
+- ``runtime``    the two refresh tiers (per-block operational / 5-min
+                 analytical) with the matview dependency DAG wired.
+- ``daemon``     the indexer main loop: streaming feed -> ingest ->
+                 cursor -> tiered refresh (reference src/index.ts).
+- ``plans``      physical-plan inspection (the performance contract).
+- ``maintenance`` bucket compaction (small-file mitigation at scale).
+- ``sources``    raw feed schema + batch/stream readers.
 """
 
 __version__ = "0.1.0"
