@@ -1,0 +1,258 @@
+"""Corpus-statistics and sessionization queries.
+
+Operator families this module adds to the engine surface:
+
+- **Session windows** (gap-based sessionization): absent from the
+  reference (SURVEY §2.5 "session windows: not used") but a core
+  capability of a stream-analytics engine; implemented with the
+  canonical lag → new-session flag → running-sum rewrite, which is
+  also how the reference's interval-sweep views (V12, src/dao.ts:
+  1231-1352) segment running state.
+- **ROLLUP / grouping sets**: SURVEY §2.3 notes the reference never
+  uses them; a multi-granularity rollup is the hypertable-style
+  operation its hourly tables (V13-V16, src/dao.ts:435-473) would
+  need at coarser grains, expressed in one pass instead of N.
+- **Vocabulary statistics** (document frequency / IDF, top tokens per
+  language) and **stratified sampling** — training-data pipeline ops
+  over ``documents``.
+
+Scale notes per query in the docstrings; the common theme is that
+every aggregation here is a single hash shuffle with map-side partial
+aggregation, and every window partitions by a high-cardinality key
+(user_id, lang) so no single task sees more than one key group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import load
+from ..operators.dedup import tokens_expr
+from .registry import register
+
+SESSION_GAP_S = 1800
+
+_TOKS_SQL = r"""
+    SELECT doc_id, lang,
+           list_filter(string_split_regex(lower(regexp_replace(text, '[^a-z0-9]+', ' ', 'g')),
+                       ' '), x -> x <> '') AS tokens
+    FROM documents
+"""
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+    WITH ordered AS (
+      -- FLOOR before the cast: epoch() returns fractional seconds and
+      -- a bare BIGINT cast rounds, while Spark's unix_timestamp truncates
+      SELECT user_id, event_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+             LAG(CAST(FLOOR(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY event_id) AS prev_s
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, ts_s,
+             CASE WHEN prev_s IS NULL OR ts_s - prev_s > {SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ),
+    sess AS (
+      SELECT user_id, ts_s,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq,
+           COUNT(*) AS n_events,
+           MIN(ts_s) AS session_start,
+           MAX(ts_s) AS session_end,
+           MAX(ts_s) - MIN(ts_s) AS duration_s
+    FROM sess
+    GROUP BY user_id, session_seq
+    """,
+    doc="Gap-based sessionization (30-min inactivity) via the lag → "
+    "new-session flag → running-sum rewrite, then per-session "
+    "aggregation. One shuffle on user_id serves both the window and "
+    "the groupBy (the agg key prefixes the window key, so Catalyst "
+    "reuses the partitioning). At 100 TB user_id is high-cardinality, "
+    "so partitions stay balanced; the streaming analogue is "
+    "session_window() in streaming/windows.py.",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ts_s = F.unix_timestamp("ts").alias("ts_s")
+    ordered = ev.select("user_id", "event_id", ts_s)
+    w_seq = W.partitionBy("user_id").orderBy("event_id")
+    flagged = ordered.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_s").over(w_seq).isNull()
+            | (F.col("ts_s") - F.lag("ts_s").over(w_seq) > SESSION_GAP_S),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_seq",
+        F.sum("is_new")
+        .over(w_seq.rowsBetween(W.unboundedPreceding, 0))
+        .cast("bigint"),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_s").alias("session_start"),
+        F.max("ts_s").alias("session_end"),
+        (F.max("ts_s") - F.min("ts_s")).alias("duration_s"),
+    )
+
+
+@register(
+    "rollup_hourly_activity",
+    oracle="""
+    SELECT COALESCE(event_type, '<all>') AS event_type,
+           COALESCE(CAST(epoch(date_trunc('hour', ts)) AS BIGINT), -1) AS hour_ts,
+           CAST(GROUPING(event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT))
+                AS BIGINT) AS gid,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY ROLLUP (event_type,
+                     CAST(epoch(date_trunc('hour', ts)) AS BIGINT))
+    """,
+    doc="Multi-granularity ROLLUP over (event_type, hour): per-hour, "
+    "per-type, and grand-total rows in ONE aggregation pass instead of "
+    "three jobs — at 100 TB this reads the fact table once where the "
+    "reference's per-grain tables (src/dao.ts:435-473) would scan per "
+    "grain. grouping_id disambiguates grain; rolled-up keys are "
+    "COALESCEd to sentinels so the result is NULL-free on both engines.",
+)
+def rollup_hourly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hour_ts = F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_ts")
+    return (
+        ev.select("event_type", hour_ts, "value")
+        .rollup("event_type", "hour_ts")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
+            F.coalesce(F.col("hour_ts"), F.lit(-1)).alias("hour_ts"),
+            "gid",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "token_doc_frequency",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    tok AS (
+      SELECT doc_id, UNNEST(list_distinct(tokens)) AS token FROM toks
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT token,
+           COUNT(*) AS df,
+           ROUND(LN(CAST((SELECT n_docs FROM n) AS DOUBLE) / COUNT(*)), 6) AS idf
+    FROM tok
+    GROUP BY token
+    HAVING COUNT(*) >= 5
+    """,
+    doc="Vocabulary document-frequency + IDF table: distinct tokens per "
+    "doc (map-side array_distinct bounds the explode), one hash "
+    "aggregation on token, corpus size as a broadcast scalar (SURVEY "
+    "§2.3 R4 scalar-subquery pattern). The df >= 5 floor is the "
+    "standard vocab-pruning step and keeps the result bounded. The "
+    "token shuffle is Zipf-skewed at scale; partial aggregation "
+    "absorbs the head (each map task emits one row per distinct "
+    "token), so the reduce side sees at most n_tasks rows per token.",
+)
+def token_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select(
+        F.explode(F.array_distinct(tokens_expr(F.col("text")))).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 5)
+        .select(
+            "token",
+            "df",
+            F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("idf"),
+        )
+    )
+
+
+@register(
+    "top_tokens_per_lang",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    tok AS (SELECT lang, UNNEST(tokens) AS token FROM toks),
+    counts AS (
+      SELECT lang, token, COUNT(*) AS cnt
+      FROM tok GROUP BY lang, token
+    ),
+    ranked AS (
+      SELECT lang, token, cnt,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, token) AS rn
+      FROM counts
+    )
+    SELECT lang, token, cnt, rn FROM ranked WHERE rn <= 10
+    """,
+    doc="Top-10 tokens per language: explode → (lang, token) count → "
+    "row_number top-k per lang with a deterministic (cnt DESC, token) "
+    "tiebreak. Two shuffles: the count agg and the per-lang window; "
+    "the window side is pre-shrunk to one row per (lang, token) by the "
+    "agg, and lang cardinality is small, so the top-k stage is tiny.",
+)
+def top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(tokens_expr(F.col("text"))).alias("token"))
+    counts = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("token"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("lang", "token", "cnt", "rn")
+    )
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+    SELECT lang, doc_id, source
+    FROM (
+      SELECT lang, doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn <= 100
+    """,
+    doc="Deterministic stratified sample: up to 100 docs per language, "
+    "selected by md5(doc_id) order — a content-independent, "
+    "engine-portable pseudo-random order that is reproducible across "
+    "runs and engines (no RNG state). The corpus-balancing step of a "
+    "training-data pipeline. One shuffle on lang; at scale, strata "
+    "counts this small make the window input tiny after the scan's "
+    "column pruning (3 columns).",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (
+        docs.select("lang", "doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .select("lang", "doc_id", "source")
+    )

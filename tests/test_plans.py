@@ -80,6 +80,13 @@ class TestExecutionShape:
             ("sliding_24h_stats", 2),
             ("hourly_net_flow", 1),  # mirrored union shares one exchange
             ("simhash_dedup", 3),
+            # sessionize: groupBy key prefixes the window key, so the
+            # aggregation reuses the window's user_id partitioning
+            ("sessionize_events", 1),
+            ("rollup_hourly_activity", 1),  # one pass for all grains
+            ("token_doc_frequency", 1),
+            ("top_tokens_per_lang", 2),  # count agg + per-lang top-k
+            ("stratified_sample", 1),
         ],
     )
     def test_window_family_shuffle_budgets(self, spark, name, budget):
