@@ -256,3 +256,81 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 100)
         .select("lang", "doc_id", "source")
     )
+
+
+# Keep-threshold for the repetition filter: docs whose duplicate-bigram
+# fraction exceeds this are flagged (not dropped — selection queries
+# compose the flag downstream).
+MAX_DUP_BIGRAM_FRAC = 0.5
+
+
+@register(
+    "repetition_score",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    bg AS (
+      SELECT doc_id,
+             [tokens[i] || ' ' || tokens[i+1] for i in range(1, len(tokens))] AS bigrams
+      FROM toks WHERE len(tokens) >= 2
+    ),
+    stats AS (
+      SELECT doc_id,
+             len(bigrams) AS n_bigrams,
+             len(list_distinct(bigrams)) AS n_distinct
+      FROM bg
+    ),
+    counts AS (
+      SELECT doc_id, bigram, COUNT(*) AS cnt
+      FROM (SELECT doc_id, UNNEST(bigrams) AS bigram FROM bg)
+      GROUP BY doc_id, bigram
+    ),
+    maxes AS (SELECT doc_id, MAX(cnt) AS top_cnt FROM counts GROUP BY doc_id)
+    SELECT s.doc_id,
+           s.n_bigrams,
+           ROUND(1.0 - CAST(s.n_distinct AS DOUBLE) / s.n_bigrams, 6) AS dup_bigram_frac,
+           ROUND(CAST(m.top_cnt AS DOUBLE) / s.n_bigrams, 6) AS top_bigram_frac,
+           (1.0 - CAST(s.n_distinct AS DOUBLE) / s.n_bigrams)
+             <= {MAX_DUP_BIGRAM_FRAC} AS keep
+    FROM stats s JOIN maxes m USING (doc_id)
+    """,
+    doc="Repetition-based quality filter (the Gopher/MassiveText "
+    "duplicate-n-gram family): per document, the fraction of word "
+    "bigrams that are duplicates and the share of the single most "
+    "frequent bigram, plus a keep flag. The distinct/total fractions "
+    "are map-only array math; only the top-bigram count needs a "
+    "shuffle, keyed on (doc_id, bigram) with map-side combine, then a "
+    "per-doc max. doc_id is unique, so the shuffle has no skew by "
+    "construction.",
+)
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("tokens"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("tokens") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("tokens", i), F.element_at("tokens", i + 1)
+        ),
+    )
+    bg = toks.filter(F.size("tokens") >= 2).select("doc_id", bigrams.alias("bigrams"))
+    stats = bg.select(
+        "doc_id",
+        F.size("bigrams").alias("n_bigrams"),
+        F.size(F.array_distinct("bigrams")).alias("n_distinct"),
+    )
+    maxes = (
+        bg.select("doc_id", F.explode("bigrams").alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_cnt"))
+    )
+    dup_frac = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_bigrams")
+    return stats.join(maxes, "doc_id").select(
+        "doc_id",
+        "n_bigrams",
+        F.round(dup_frac, 6).alias("dup_bigram_frac"),
+        F.round(F.col("top_cnt").cast("double") / F.col("n_bigrams"), 6).alias(
+            "top_bigram_frac"
+        ),
+        (dup_frac <= MAX_DUP_BIGRAM_FRAC).alias("keep"),
+    )

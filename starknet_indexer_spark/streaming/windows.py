@@ -40,3 +40,34 @@ def windowed_rollup(
     )
     measure_cols = [c for c in agged.columns if c != "w" and c not in key_cols]
     return agged.select(F.col("w.start").alias("hour"), *key_cols, *measure_cols)
+
+
+def sessionized(
+    stream: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    agg_exprs: list[Column],
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time session windows: per key, events closer than ``gap``
+    merge into one session; a session closes (and its state is
+    evictable) once the watermark passes its end. This is the native
+    streaming counterpart of the batch ``sessionize_events`` query
+    (queries/pipeline_corpus.py) — ``F.session_window`` works in both
+    modes, so batch==stream equivalence is testable with the same
+    operator. State is bounded by *open* sessions per key, not history
+    length — the property that lets gap-sessionization run
+    indefinitely on a high-rate stream."""
+    agged = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sw"), *key_cols)
+        .agg(*agg_exprs)
+    )
+    measure_cols = [c for c in agged.columns if c != "sw" and c not in key_cols]
+    return agged.select(
+        F.col("sw.start").alias("session_start"),
+        F.col("sw.end").alias("session_end"),
+        *key_cols,
+        *measure_cols,
+    )

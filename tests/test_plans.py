@@ -87,6 +87,7 @@ class TestExecutionShape:
             ("token_doc_frequency", 1),
             ("top_tokens_per_lang", 2),  # count agg + per-lang top-k
             ("stratified_sample", 1),
+            ("repetition_score", 2),  # bigram count agg + per-doc max/join
         ],
     )
     def test_window_family_shuffle_budgets(self, spark, name, budget):

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from starknet_indexer_spark.catalog import load
 from starknet_indexer_spark.streaming.stateful import latest_state_stream
-from starknet_indexer_spark.streaming.windows import windowed_rollup
+from starknet_indexer_spark.streaming.windows import sessionized, windowed_rollup
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -62,6 +62,49 @@ class TestWindowedRollup:
             )
             .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("total"))
             .collect()
+        }
+        assert got == want and len(got) > 0
+
+
+class TestSessionized:
+    def test_stream_equals_batch(self, spark, events_feed, tmp_path):
+        ev, feed = events_feed
+        stream = spark.readStream.schema(
+            spark.read.parquet(feed).schema
+        ).option("maxFilesPerTrigger", "1").parquet(feed)
+        aggs = [F.count(F.lit(1)).alias("n")]
+        sessions = sessionized(stream, "ts", ["user_id"], aggs)
+        q = (
+            sessions.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("sessions_t")
+            .option("checkpointLocation", str(tmp_path / "ck_sess"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            (str(r["session_start"]), str(r["session_end"]), r["user_id"], r["n"])
+            for r in spark.table("sessions_t").collect()
+        }
+        # batch truth: the same session_window operator in batch mode
+        batch = (
+            ev.groupBy(
+                F.session_window(F.col("ts"), "30 minutes").alias("sw"), "user_id"
+            )
+            .agg(*aggs)
+            .select(
+                F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"),
+                "user_id",
+                "n",
+            )
+        )
+        want = {
+            (str(r["session_start"]), str(r["session_end"]), r["user_id"], r["n"])
+            for r in batch.collect()
         }
         assert got == want and len(got) > 0
 
