@@ -36,7 +36,11 @@ HEADLINE = [
     "two_stage_price",
     "range_theta_join",
     "median_value",
+    "sessionize_events",
+    "rollup_hourly_activity",
     "dedup_exact",
+    "repetition_score",
+    "stratified_sample",
     "text_quality_score",
     "lang_id",
     "ann_topk_cosine",

@@ -74,16 +74,28 @@ def tokens_expr(text: Column) -> Column:
     )
 
 
+def word_ngrams_expr(tokens: Column, n: int) -> Column:
+    """Contiguous word n-grams as ``zip_with`` over n shifted slices.
+
+    NOT the ``transform(sequence(...), i -> element_at(...))``
+    formulation: when that array feeds ``explode``, whole-stage codegen
+    re-evaluates the lambda chain per *output* row — measured ~9x
+    slower at sf0.1. zip_with walks each slice once, O(1) per element,
+    regardless of the consumer. Rows with fewer than ``n`` tokens
+    yield an empty array (callers filter them; the expression itself
+    is total, so speculative evaluation cannot throw)."""
+    length = F.greatest(F.size(tokens) - (n - 1), F.lit(0))
+    out = F.slice(tokens, 1, length)
+    for j in range(1, n):
+        out = F.zip_with(
+            out, F.slice(tokens, j + 1, length), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return out
+
+
 def word_shingles_expr(tokens: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles (requires size(tokens) >= n)."""
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(1))),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(tokens, i + j) for j in range(n)]
-            ),
-        )
-    )
+    return F.array_distinct(word_ngrams_expr(tokens, n))
 
 
 def md5_hash60_expr(s: Column) -> Column:

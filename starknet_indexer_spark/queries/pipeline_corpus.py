@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..catalog import load
-from ..operators.dedup import tokens_expr
+from ..operators.dedup import tokens_expr, word_ngrams_expr
 from .registry import register
 
 SESSION_GAP_S = 1800
@@ -305,13 +305,9 @@ MAX_DUP_BIGRAM_FRAC = 0.5
 def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("tokens"))
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size("tokens") - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at("tokens", i), F.element_at("tokens", i + 1)
-        ),
+    bg = toks.filter(F.size("tokens") >= 2).select(
+        "doc_id", word_ngrams_expr(F.col("tokens"), 2).alias("bigrams")
     )
-    bg = toks.filter(F.size("tokens") >= 2).select("doc_id", bigrams.alias("bigrams"))
     stats = bg.select(
         "doc_id",
         F.size("bigrams").alias("n_bigrams"),

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..catalog import load
+from ..operators.dedup import word_shingles_expr
 from ..operators.similarity import (
     N_CENTROIDS,
     N_PROBE,
@@ -352,17 +353,10 @@ def ngram_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda x: x != "",
     )
     toks = docs.select("doc_id", tokens.alias("tokens"))
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size("tokens") - 2, F.lit(1))),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at("tokens", i),
-                F.element_at("tokens", i + 1),
-                F.element_at("tokens", i + 2),
-            ),
-        )
-    )
+    # zip_with slices, not transform(sequence): the exploded inverted
+    # index would otherwise re-evaluate the shingle lambda per output
+    # row (see operators.dedup.word_ngrams_expr)
+    shingles = word_shingles_expr(F.col("tokens"), 3)
     # docs with <3 tokens have no 3-gram shingles on either side
     sh = toks.filter(F.size("tokens") >= 3).select("doc_id", shingles.alias("shingles"))
     ex = sh.select(
