@@ -25,6 +25,8 @@ from starknet_indexer_spark.session import get_spark
 HEADLINE = [
     "pricing_summary",
     "dim_join_revenue",
+    "shipping_priority",
+    "local_supplier_volume",
     "top_customers_per_nation",
     "latest_state_per_user",
     "hourly_rollup",

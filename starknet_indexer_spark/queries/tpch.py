@@ -213,6 +213,120 @@ def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+           CAST(FLOOR(epoch(o.o_orderdate)) AS BIGINT) AS orderdate_s
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1996-03-15'
+      AND l.l_shipdate > TIMESTAMP '1996-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, orderdate_s, l.l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: the canonical fact-to-fact shuffle join "
+    "(lineitem JOIN orders on orderkey) under selective dimension and "
+    "date predicates, then top-10 by aggregated revenue. At 100 TB "
+    "both fact sides shuffle on orderkey — co-locating them with "
+    "catalog.write_bucketed removes that exchange entirely (the "
+    "zero-shuffle plan is locked in tests/test_bucketing.py); the "
+    "customer filter broadcasts. Date filters reach both parquet "
+    "scans. Deterministic total order: (revenue DESC, date, key).",
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1996-03-15 00:00:00").cast("timestamp")
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1) - F.col("l_discount").cast(DEC))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_timestamp("o_orderdate").alias("orderdate_s"),
+        )
+        .orderBy(F.col("revenue").desc(), "orderdate_s", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+    FROM region r
+    JOIN nation n ON r.r_regionkey = n.n_regionkey
+    JOIN customer c ON n.n_nationkey = c.c_nationkey
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND s.s_nationkey = n.n_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5 shape: six-table star-plus-fact join with the "
+    "local-supplier correlation (supplier nation == customer nation, a "
+    "second non-pushable equi condition on the supplier join). One "
+    "shuffle join (lineitem-orders); every dimension side broadcasts; "
+    "the region filter prunes nations before they fan out, so the "
+    "broadcast sets shrink at the source. The pattern of every "
+    "multi-dim Ekubo view (swaps x pool_keys x blocks, "
+    "src/dao.ts:1556-1559) at its largest scale.",
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1996-01-01", "1996-12-31 23:59:59.999999")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    dims = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_nationkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (li.l_suppkey == supplier.s_suppkey)
+            & (supplier.s_nationkey == F.col("n_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1) - F.col("l_discount").cast(DEC))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
     "order_priority_distribution",
     oracle="""
     SELECT o_orderpriority,

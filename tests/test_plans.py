@@ -44,10 +44,29 @@ class TestPushdownAndPruning:
 class TestJoinStrategy:
     @pytest.mark.parametrize(
         "name",
-        ["dim_join_revenue", "top_customers_per_nation", "ann_topk_cosine", "ann_topk_lsh"],
+        [
+            "dim_join_revenue",
+            "top_customers_per_nation",
+            "ann_topk_cosine",
+            "ann_topk_lsh",
+            "shipping_priority",
+            "local_supplier_volume",
+        ],
     )
     def test_dimension_joins_broadcast(self, spark, name):
         assert has_broadcast_join(q(spark, name)), name
+
+    @pytest.mark.parametrize(
+        ("name", "budget"),
+        [
+            # fact-fact join (lineitem-orders) + agg; <=3 covers the
+            # SMJ shape when neither side is statistics-broadcast
+            ("shipping_priority", 3),
+            ("local_supplier_volume", 3),
+        ],
+    )
+    def test_fact_fact_join_budgets(self, spark, name, budget):
+        assert shuffle_count(q(spark, name)) <= budget, name
 
 
 class TestExecutionShape:
