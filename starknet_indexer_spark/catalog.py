@@ -48,10 +48,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
     # TIMESTAMP(NANOS) columns are read as epoch-nanos longs
     # (spark.sql.legacy.parquet.nanosAsLong); convert to TimestampType by
-    # floor-division to micros — the same ns->us truncation DuckDB applies,
-    # so oracle comparisons on derived epochs agree exactly.
+    # INTEGER division to micros — the same ns->us truncation DuckDB's
+    # reader applies. NOT floor(ts/1000): `/` is double division, and
+    # epoch-nanos (~1.7e18) exceed double's 53-bit mantissa, so values
+    # round by up to ±256 ns before the divide and land on the wrong
+    # microsecond for ~1 in 4000 rows (observed as a 1 µs span skew at
+    # sf0.1).
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

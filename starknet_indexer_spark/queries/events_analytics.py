@@ -330,16 +330,34 @@ def realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
              LEAD(t_us, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_t_us
       FROM deltas
     )
+    -- Three determinism guards (each observed failing at sf0.1):
+    -- 1. balance DECIMAL(38,4) x BIGINT exceeds decimal width -> DuckDB
+    --    silently falls back to DOUBLE and the integral loses
+    --    exactness; the narrowing casts keep every product an exact
+    --    DECIMAL(38,0) on both engines.
+    -- 2. The integral is kept in INTEGER units (1e-4 value x µs):
+    --    decimal(38,4)->double conversion is single-rounded in Spark
+    --    (BigDecimal.doubleValue) but double(int128)/1e4 (two
+    --    roundings) in DuckDB — off by 1 ulp on knife-edge values.
+    --    int->double is correctly rounded on both.
+    -- 3. FLOOR(x + 0.5), not ROUND(..): engine round() builtins
+    --    disagree on exact half-way quotients; on identical inputs
+    --    this floor form is the same IEEE op sequence on both.
     SELECT r.user_id,
-           ROUND(CAST(SUM(r.balance * (COALESCE(r.next_t_us, b.end_us) - r.t_us)) AS DOUBLE)
-                 / (b.end_us - b.start_us), 6) AS twab
+           FLOOR(CAST(SUM(CAST(CAST(r.balance AS DECIMAL(20,4)) * 10000 AS DECIMAL(24,0))
+                          * CAST(COALESCE(r.next_t_us, b.end_us) - r.t_us AS DECIMAL(13,0)))
+                      AS DOUBLE)
+                 * 100 / (b.end_us - b.start_us) + 0.5) / 1000000 AS twab
     FROM running r, bounds b
     GROUP BY r.user_id, b.end_us, b.start_us
     """,
     doc="Time-weighted average balance: running sum x interval-to-next "
     "integral over the global window (V12 "
     "proposal_delegate_voting_weights, src/dao.ts:1231-1352; SURVEY "
-    "§2.3 W3/W4/A7). Exact: decimal balance x integer microseconds.",
+    "§2.3 W3/W4/A7). Exact: decimal balance x integer microseconds; "
+    "the 6-dp presentation rounding is half-up via floor(x*1e6+0.5) "
+    "because engine round() builtins disagree on exact half-way "
+    "quotients.",
 )
 def time_weighted_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -360,12 +378,19 @@ def time_weighted_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         running.crossJoin(F.broadcast(bounds))
         .groupBy("user_id", "end_us", "start_us")
         .agg(
-            F.round(
-                F.sum(
-                    F.col("balance") * (F.coalesce(F.col("next_t_us"), F.col("end_us")) - F.col("t_us"))
-                ).cast("double")
-                / (F.col("end_us") - F.col("start_us")),
-                6,
+            (
+                F.floor(
+                    F.sum(
+                        (F.col("balance").cast("decimal(20,4)") * 10000).cast("decimal(24,0)")
+                        * (
+                            F.coalesce(F.col("next_t_us"), F.col("end_us")) - F.col("t_us")
+                        ).cast("decimal(13,0)")
+                    ).cast("double")
+                    * 100
+                    / (F.col("end_us") - F.col("start_us"))
+                    + F.lit(0.5)
+                )
+                / 1000000
             ).alias("twab")
         )
         .select("user_id", "twab")
