@@ -104,15 +104,50 @@ def ivf_assign(
 ) -> DataFrame:
     """Rank centroids per vector by cosine and keep the top
     ``rank_limit`` (1 for list assignment, N_PROBE for query probing).
-    Map-only: the centroid table broadcasts, each vector computes
-    N_CENTROIDS dot products in place, and a bounded per-vector window
-    picks the winners — no corpus-wide shuffle at any size. A real
-    deployment trains centroids with k-means; here they are a
+    A real deployment trains centroids with k-means; here they are a
     deterministic sample (first N_CENTROIDS vectors), which changes
     recall, not the plumbing.
 
+    ``rank_limit == 1`` (the whole-corpus assignment pass) is genuinely
+    map-only: the centroid set broadcasts as ONE array row and the
+    argmax runs as an array fold inside the scan — no exchange of the
+    corpus at any size. The window formulation would shuffle+sort the
+    entire corpus on ``id_col`` just to pick each row's max. The
+    general path (used for the tiny query-probe set) keeps the
+    explode + per-vector window.
+
     Contract: ``emb`` has (id_col, ev, en) — vector + norm; ``centroids``
     has (centroid_id, cv, cn)."""
+    if rank_limit == 1:
+        cent_arr = centroids.agg(
+            F.collect_list(F.struct("centroid_id", "cv", "cn")).alias("cents")
+        )
+        # struct-ordered max: (sim, -centroid_id) — highest sim wins,
+        # ties prefer the smallest centroid id, matching the window
+        # path's ORDER BY sim DESC, centroid_id
+        best = F.array_max(
+            F.transform(
+                "cents",
+                lambda c: F.struct(
+                    (dot_expr(F.col("ev"), c["cv"]) / (F.col("en") * c["cn"])).alias(
+                        "sim"
+                    ),
+                    (-c["centroid_id"]).alias("neg_id"),
+                ),
+            )
+        )
+        return (
+            emb.crossJoin(F.broadcast(cent_arr))
+            .withColumn("best", best)
+            .select(
+                id_col,
+                "ev",
+                "en",
+                (-F.col("best.neg_id")).alias("centroid_id"),
+                F.col("best.sim").alias("sim"),
+                F.lit(1).alias("crank"),
+            )
+        )
     sim = dot_expr(F.col("ev"), F.col("cv")) / (F.col("en") * F.col("cn"))
     w = W.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("centroid_id"))
     return (

@@ -241,8 +241,10 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = ivf_assign(v.filter(F.col("vec_id") < N_QUERIES), cent, N_PROBE).select(
         F.col("vec_id").alias("query_id"), "centroid_id"
     )
+    # probes is N_QUERIES x N_PROBE rows — broadcast it so the corpus
+    # assignment relation never shuffles for the inverted-list join
     cands = (
-        probes.join(assign, "centroid_id")
+        assign.join(F.broadcast(probes), "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()

@@ -63,6 +63,10 @@ class TestJoinStrategy:
             # SMJ shape when neither side is statistics-broadcast
             ("shipping_priority", 3),
             ("local_supplier_volume", 3),
+            # IVF: corpus assignment is map-only (array-fold argmax);
+            # the remaining exchanges touch only centroid/probe/candidate
+            # relations, never the corpus
+            ("ann_topk_ivf", 4),
         ],
     )
     def test_fact_fact_join_budgets(self, spark, name, budget):
