@@ -122,6 +122,64 @@ class TestBatchIngest:
         assert read_cursor(tdir) == 123
 
 
+class TestJsonFeed:
+    """The Kafka-shaped path: JSON message payloads decoded with
+    from_json against the explicit envelope schema must be
+    row-identical to the parquet feed (format-agnostic ingest)."""
+
+    def _write_jsonl(self, spark, raw, path):
+        from pyspark.sql import functions as F
+
+        raw.select(F.to_json(F.struct(*raw.columns)).alias("value")).coalesce(
+            1
+        ).write.mode("overwrite").text(path)
+
+    def test_json_batch_equals_parquet_feed(self, spark, tmp_path):
+        from starknet_indexer_spark.sources.feed import read_feed_json_batch
+
+        raw = make_raw(spark, [1, 2])
+        jdir = str(tmp_path / "jsonl")
+        self._write_jsonl(spark, raw, jdir)
+        got = read_feed_json_batch(spark, jdir)
+        # from_json output is all-nullable; names/types must match
+        assert [(f.name, f.dataType) for f in got.schema.fields] == [
+            (f.name, f.dataType) for f in raw.schema.fields
+        ]
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, raw.collect()))
+
+    def test_json_malformed_rows_dropped(self, spark, tmp_path):
+        from starknet_indexer_spark.sources.feed import read_feed_json_batch
+
+        raw = make_raw(spark, [1])
+        jdir = str(tmp_path / "jsonl_bad")
+        self._write_jsonl(spark, raw, jdir)
+        with open(os.path.join(jdir, "garbage.txt"), "w") as f:
+            f.write("not json at all\n{\"half\": true\n")
+        got = read_feed_json_batch(spark, jdir)
+        assert got.count() == raw.count()
+
+    def test_json_stream_equals_batch(self, spark, tmp_path):
+        from starknet_indexer_spark.sources.feed import read_feed_json_stream
+
+        raw = make_raw(spark, [1, 2, 3])
+        jdir = str(tmp_path / "jsonl_stream")
+        self._write_jsonl(spark, raw, jdir)
+        q = (
+            read_feed_json_stream(spark, jdir)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("json_feed_t")
+            .option("checkpointLocation", str(tmp_path / "ck_json"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = spark.table("json_feed_t").collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, raw.collect()))
+
+
 class TestReorg:
     def test_invalidate_suffix(self, spark, tdir):
         blocks = [995, 996, 1001, 1002, 1050, 1100]
