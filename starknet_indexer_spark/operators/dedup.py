@@ -69,7 +69,7 @@ def tokens_expr(text: Column) -> Column:
     drop empties. Mirrors the tokenizer of ``ngram_similar_pairs`` so
     every text operator agrees on token identity."""
     return F.filter(
-        F.split(F.lower(F.regexp_replace(text, "[^a-z0-9]+", " ")), " "),
+        F.split(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "), " "),
         lambda x: x != "",
     )
 

@@ -36,7 +36,7 @@ SESSION_GAP_S = 1800
 
 _TOKS_SQL = r"""
     SELECT doc_id, lang,
-           list_filter(string_split_regex(lower(regexp_replace(text, '[^a-z0-9]+', ' ', 'g')),
+           list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
                        ' '), x -> x <> '') AS tokens
     FROM documents
 """

@@ -44,7 +44,7 @@ MAX_HAMMING = 3
 
 _TOKS_SQL = r"""
     SELECT doc_id,
-           list_filter(string_split_regex(lower(regexp_replace(text, '[^a-z0-9]+', ' ', 'g')),
+           list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
                        ' '), x -> x <> '') AS tokens
     FROM documents
 """

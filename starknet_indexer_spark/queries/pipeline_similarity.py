@@ -320,7 +320,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH toks AS (
       SELECT doc_id,
-             list_filter(string_split_regex(lower(regexp_replace(text, '[^a-z0-9]+', ' ', 'g')),
+             list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
                          ' '), x -> x <> '') AS tokens
       FROM documents
     ),
@@ -351,7 +351,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     tokens = F.filter(
-        F.split(F.lower(F.regexp_replace(F.col("text"), "[^a-z0-9]+", " ")), " "),
+        F.split(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "), " "),
         lambda x: x != "",
     )
     toks = docs.select("doc_id", tokens.alias("tokens"))

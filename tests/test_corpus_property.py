@@ -1,0 +1,143 @@
+"""Property-style tests for the corpus operators: each checks an
+engine output against an independent pure-Python model (SURVEY §5.2 —
+the reference's own oracle pattern: incremental table vs from-scratch
+view, src/dao.ts:510-515, generalized to randomized inputs).
+
+One Spark job per property — randomized cases batch into a single
+DataFrame.
+"""
+
+from __future__ import annotations
+
+import random
+import re
+
+from pyspark.sql import functions as F
+
+from starknet_indexer_spark.operators.dedup import tokens_expr, word_ngrams_expr
+from starknet_indexer_spark.queries.pipeline_corpus import SESSION_GAP_S
+from starknet_indexer_spark.queries.pipeline_text import (
+    WINNOW_B,
+    WINNOW_K,
+    WINNOW_P,
+    WINNOW_W,
+)
+from starknet_indexer_spark.queries.registry import REGISTRY
+
+SEED = 0xC0FFEE
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestWordNgrams:
+    def test_matches_python_model(self, spark):
+        rng = random.Random(SEED)
+        vocab = ["a", "bb", "ccc", "dd0", "e", "ff", "g9"]
+        cases = [
+            [rng.choice(vocab) for _ in range(rng.randint(0, 12))] for _ in range(200)
+        ]
+        df = spark.createDataFrame(
+            [(i, toks) for i, toks in enumerate(cases)], "i INT, tokens ARRAY<STRING>"
+        )
+        for n in (2, 3):
+            got = {
+                r["i"]: r["ng"]
+                for r in df.select(
+                    "i", word_ngrams_expr(F.col("tokens"), n).alias("ng")
+                ).collect()
+            }
+            for i, toks in enumerate(cases):
+                want = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+                assert got[i] == want, (n, toks)
+
+    def test_tokenizer_matches_python_model(self, spark):
+        rng = random.Random(SEED + 1)
+        alphabet = "abcZ019 .,!-_\t\n"
+        cases = ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60))) for _ in range(200)]
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)], "i INT, text STRING")
+        got = {
+            r["i"]: r["toks"]
+            for r in df.select("i", tokens_expr(F.col("text")).alias("toks")).collect()
+        }
+        for i, text in enumerate(cases):
+            want = [t for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).split(" ") if t]
+            assert got[i] == want, repr(text)
+
+
+class TestSessionizeInvariants:
+    """Structural invariants of gap sessionization, checked against the
+    raw event stream: sessions tile each user's timeline (counts sum),
+    intra-session gaps <= threshold, inter-session gaps > threshold."""
+
+    def test_invariants_on_corpus(self, spark):
+        sessions = REGISTRY["sessionize_events"].fn(spark, SF_DIR).collect()
+        ev = (
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+            .selectExpr("user_id", "event_id", "ts div 1000000000 as ts_s")
+            .collect()
+        )
+        by_user: dict[int, list[tuple[int, int]]] = {}
+        for r in ev:
+            by_user.setdefault(r["user_id"], []).append((r["event_id"], r["ts_s"]))
+        # python model: sort by event_id, split on gap > threshold
+        want: dict[tuple[int, int], tuple[int, int, int]] = {}
+        for u, rows in by_user.items():
+            rows.sort()
+            seq, start, prev, n = 0, None, None, 0
+            for _, t in rows:
+                if prev is None or t - prev > SESSION_GAP_S:
+                    if start is not None:
+                        want[(u, seq)] = (n, start, prev)
+                    seq += 1
+                    start, n = t, 0
+                n += 1
+                prev = t
+            want[(u, seq)] = (n, start, prev)
+        got = {
+            (r["user_id"], r["session_seq"]): (
+                r["n_events"],
+                r["session_start"],
+                r["session_end"],
+            )
+            for r in sessions
+        }
+        assert got == want
+        for r in sessions:
+            assert r["duration_s"] == r["session_end"] - r["session_start"] >= 0
+
+
+class TestWinnowingModel:
+    """The winnowing query equals an independent Python implementation
+    of Schleimer-style fingerprinting (k-gram polynomial rolling hash,
+    per-window minima, distinct-sorted) on every corpus document."""
+
+    @staticmethod
+    def _python_fp(text: str) -> list[int]:
+        cs = [ord(c) for c in re.sub(r"[^a-zA-Z0-9]+", " ", text.lower())]
+        if len(cs) < WINNOW_K:
+            return []
+        hs = []
+        for i in range(len(cs) - WINNOW_K + 1):
+            acc = 0
+            for c in cs[i : i + WINNOW_K]:
+                acc = (acc * WINNOW_B + c) % WINNOW_P
+            hs.append(acc)
+        if len(hs) < WINNOW_W:
+            return []
+        fps = {min(hs[j : j + WINNOW_W]) for j in range(len(hs) - WINNOW_W + 1)}
+        return sorted(fps)
+
+    def test_matches_python_model(self, spark):
+        got = {
+            r["doc_id"]: (r["n_fingerprints"], r["min_fingerprint"])
+            for r in REGISTRY["winnowing_fingerprint"].fn(spark, SF_DIR).collect()
+        }
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+        checked = 0
+        for d in docs:
+            fp = self._python_fp(d["text"])
+            if not fp:
+                assert d["doc_id"] not in got
+                continue
+            assert got[d["doc_id"]] == (len(fp), fp[0]), d["doc_id"]
+            checked += 1
+        assert checked > 0
