@@ -33,6 +33,7 @@ from ..operators.dedup import (
     simhash_fingerprint,
     simhash_near_pairs,
     tokens_expr,
+    word_ngrams_expr,
     word_shingles_expr,
 )
 from .registry import register
@@ -41,6 +42,12 @@ JACCARD_MIN = 0.2
 # strictly below SIMHASH_N_BANDS: pigeonhole makes the banded join
 # *exact* (zero false negatives), not just high-recall
 MAX_HAMMING = 3
+# "newly crawled batch" split for the incremental dedup query: a
+# deterministic 1-in-5 of doc_ids stands in for the latest crawl
+NEW_BATCH_MOD = 5
+# held-out split for decontamination: one crawl source is the eval set
+EVAL_SOURCE = "src0"
+DECONTAM_N = 5
 
 _TOKS_SQL = r"""
     SELECT doc_id,
@@ -206,3 +213,195 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     fps = simhash_fingerprint(docs)
     return simhash_near_pairs(fps, MAX_HAMMING)
+
+
+def _incremental_oracle() -> str:
+    sig_cols = ",\n             ".join(
+        f"list_min(list_transform(h, x -> ({a} * (x % {MINHASH_P}) + {b}) % {MINHASH_P}))"
+        f" AS sig_{i}"
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {b} AS band, "
+        + " || ',' || ".join(
+            f"sig_{b * ROWS_PER_BAND + r}::VARCHAR" for r in range(ROWS_PER_BAND)
+        )
+        + " AS band_key FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH toks AS ({_TOKS_SQL}),
+    sh AS ({_SH_SQL}),
+    hs AS (
+      SELECT doc_id,
+             list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS h
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM hs
+    ),
+    bands AS (
+{band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT c.doc_id AS corpus_id, n.doc_id AS new_id
+      FROM bands c JOIN bands n
+        ON c.band = n.band AND c.band_key = n.band_key
+      WHERE c.doc_id % {NEW_BATCH_MOD} <> 0 AND n.doc_id % {NEW_BATCH_MOD} = 0
+    )
+    SELECT c.corpus_id, c.new_id,
+           len(list_intersect(sc.shingles, sn.shingles)) AS inter,
+           ROUND(CAST(len(list_intersect(sc.shingles, sn.shingles)) AS DOUBLE)
+                 / (len(sc.shingles) + len(sn.shingles)
+                    - len(list_intersect(sc.shingles, sn.shingles))), 6) AS jaccard
+    FROM cand c
+    JOIN sh sc ON sc.doc_id = c.corpus_id
+    JOIN sh sn ON sn.doc_id = c.new_id
+    WHERE CAST(len(list_intersect(sc.shingles, sn.shingles)) AS DOUBLE)
+          / (len(sc.shingles) + len(sn.shingles)
+             - len(list_intersect(sc.shingles, sn.shingles))) >= {JACCARD_MIN}
+    """
+
+
+@register(
+    "minhash_dedup_incremental",
+    oracle=_incremental_oracle(),
+    doc="Incremental MinHash dedup: compare ONLY a new document batch "
+    "(deterministic 1-in-5 of doc_ids, standing in for the latest "
+    "crawl) against the existing corpus's LSH band index — never "
+    "corpus-vs-corpus. This is the crawl-refresh path at 100 TB: the "
+    "corpus band index is a persisted table maintained at ingest, the "
+    "new batch's bands and shingles are tiny and BROADCAST, so the "
+    "candidate probe and the verify join are both map-side — zero "
+    "shuffle of corpus data. Within-batch duplicates are the existing "
+    "minhash_lsh_dedup run on the batch alone. Equivalence to the "
+    "full-corpus recompute (the reference's own incremental-vs-view "
+    "oracle pattern, src/dao.ts:510-515) is pytest-checked.",
+)
+def minhash_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % NEW_BATCH_MOD == 0
+    toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("tokens"))
+    sh = toks.filter(F.size("tokens") >= 3).select(
+        "doc_id", word_shingles_expr(F.col("tokens")).alias("shingles")
+    )
+
+    def bands_of(side: DataFrame) -> DataFrame:
+        hs = side.select("doc_id", F.transform("shingles", md5_hash60_expr).alias("h"))
+        return minhash_bands(hs.select("doc_id", *minhash_signature_exprs(F.col("h"))))
+
+    corpus_bands = bands_of(sh.filter(~is_new)).select(
+        F.col("doc_id").alias("corpus_id"), "band", "band_key"
+    )
+    new_bands = bands_of(sh.filter(is_new)).select(
+        F.col("doc_id").alias("new_id"), "band", "band_key"
+    )
+    cand = (
+        corpus_bands.join(F.broadcast(new_bands), ["band", "band_key"])
+        .select("corpus_id", "new_id")
+        .distinct()
+    )
+
+    sc_ = sh.filter(~is_new).select(
+        F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("c_sh")
+    )
+    sn = sh.filter(is_new).select(
+        F.col("doc_id").alias("new_id"), F.col("shingles").alias("n_sh")
+    )
+    inter = F.size(F.array_intersect("c_sh", "n_sh"))
+    jac = inter.cast("double") / (F.size("c_sh") + F.size("n_sh") - inter)
+    return (
+        cand.join(sc_, "corpus_id")
+        .join(F.broadcast(sn), "new_id")
+        .select(
+            "corpus_id",
+            "new_id",
+            inter.alias("inter"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_MIN)
+    )
+
+
+_TOKS_SRC_SQL = r"""
+    SELECT doc_id, source,
+           list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                       ' '), x -> x <> '') AS tokens
+    FROM documents
+"""
+
+_NGRAM5_TERM = " || ' ' || ".join(f"tokens[i+{j}]" for j in range(DECONTAM_N))
+
+
+@register(
+    "decontamination_ngram",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SRC_SQL}),
+    ng AS (
+      SELECT doc_id, source,
+             list_distinct([{_NGRAM5_TERM}
+                            for i in range(1, len(tokens) - {DECONTAM_N - 2})]) AS grams
+      FROM toks WHERE len(tokens) >= {DECONTAM_N}
+    ),
+    g AS (
+      SELECT doc_id, source, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
+      FROM (SELECT doc_id, source, UNNEST(grams) AS gram FROM ng)
+    ),
+    train AS (SELECT DISTINCT gh FROM g WHERE source <> '{EVAL_SOURCE}'),
+    ev AS (SELECT doc_id, gh FROM g WHERE source = '{EVAL_SOURCE}')
+    SELECT ev.doc_id,
+           COUNT(*) AS n_ngrams,
+           CAST(SUM(CASE WHEN t.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           FLOOR(CAST(SUM(CASE WHEN t.gh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) * 1e6 + 0.5) / 1e6 AS containment
+    FROM ev LEFT JOIN train t USING (gh)
+    GROUP BY ev.doc_id
+    """,
+    doc=f"Train/eval decontamination: fraction of each held-out "
+    f"document's distinct {DECONTAM_N}-word n-grams that appear "
+    f"anywhere in the training split (source != '{EVAL_SOURCE}'). "
+    "N-grams are reduced to 60-bit md5 hashes BEFORE the join, so the "
+    "shuffle key is fixed-width regardless of n-gram text length; the "
+    "train set is deduped with map-side partial aggregation before the "
+    "probe. At 100 TB the train n-gram set is a bucketed silver table "
+    "(or a bloom-filter pre-pass) — the eval probe side is tiny by "
+    "construction, so the join degenerates to a broadcast in the "
+    "common case. Rounding uses FLOOR(x*1e6+0.5)/1e6 on both engines "
+    "(round() half-way behavior differs between Spark and DuckDB).",
+)
+def decontamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", tokens_expr(F.col("text")).alias("tokens"))
+    grams = (
+        toks.filter(F.size("tokens") >= DECONTAM_N)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.array_distinct(word_ngrams_expr(F.col("tokens"), DECONTAM_N))
+            ).alias("gram"),
+        )
+        .select("doc_id", "source", md5_hash60_expr(F.col("gram")).alias("gh"))
+    )
+    train = grams.filter(F.col("source") != EVAL_SOURCE).select("gh").distinct()
+    ev = grams.filter(F.col("source") == EVAL_SOURCE).select("doc_id", "gh")
+    hit = F.sum(F.when(F.col("t_gh").isNotNull(), 1).otherwise(0)).cast("bigint")
+    return (
+        ev.join(train.select(F.col("gh").alias("t_gh")), ev.gh == F.col("t_gh"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            hit.alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_hit",
+            (
+                F.floor(F.col("n_hit").cast("double") / F.col("n_ngrams") * 1e6 + 0.5)
+                / 1e6
+            ).alias("containment"),
+        )
+    )

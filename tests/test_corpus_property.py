@@ -105,6 +105,33 @@ class TestSessionizeInvariants:
             assert r["duration_s"] == r["session_end"] - r["session_start"] >= 0
 
 
+class TestIncrementalDedupEquivalence:
+    """The incremental (new-batch-vs-corpus) MinHash query equals the
+    full-corpus recompute restricted to cross-split pairs — the
+    reference's own incremental-table-vs-view oracle (src/dao.ts:
+    510-515) applied to the dedup pipeline."""
+
+    def test_matches_full_recompute(self, spark):
+        from starknet_indexer_spark.queries.pipeline_dedup import NEW_BATCH_MOD
+
+        full = REGISTRY["minhash_lsh_dedup"].fn(spark, SF_DIR).collect()
+        inc = REGISTRY["minhash_dedup_incremental"].fn(spark, SF_DIR).collect()
+        want = {
+            (min(r["a_id"], r["b_id"]), max(r["a_id"], r["b_id"])): (r["inter"], r["jaccard"])
+            for r in full
+            if (r["a_id"] % NEW_BATCH_MOD == 0) != (r["b_id"] % NEW_BATCH_MOD == 0)
+        }
+        got = {
+            (min(r["corpus_id"], r["new_id"]), max(r["corpus_id"], r["new_id"])): (
+                r["inter"],
+                r["jaccard"],
+            )
+            for r in inc
+        }
+        assert got == want
+        assert len(inc) > 0  # the property is vacuous on an empty result
+
+
 class TestWinnowingModel:
     """The winnowing query equals an independent Python implementation
     of Schleimer-style fingerprinting (k-gram polynomial rolling hash,
