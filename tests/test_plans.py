@@ -115,3 +115,18 @@ class TestExecutionShape:
     )
     def test_window_family_shuffle_budgets(self, spark, name, budget):
         assert shuffle_count(q(spark, name)) <= budget, name
+
+
+class TestIncrementalDedupPlan:
+    """The incremental dedup's scale contract: the new-batch side is
+    broadcast into both the candidate probe and the verify join, so
+    corpus data is never shuffled for pair formation (the only
+    exchanges left are the explicit broadcast sends and the distinct
+    on the tiny candidate relation)."""
+
+    def test_new_batch_broadcast(self, spark):
+        assert has_broadcast_join(q(spark, "minhash_dedup_incremental"))
+
+    def test_decontam_shuffle_budget(self, spark):
+        # train-set distinct + probe join + per-doc agg
+        assert shuffle_count(q(spark, "decontamination_ngram")) <= 4
