@@ -1,0 +1,115 @@
+"""K-means clustering over embedding vectors (Lloyd's algorithm).
+
+Training-data-pipeline surface: corpus clustering for semantic dedup,
+cluster-balanced sampling, and IVF centroid training (the
+``operators.similarity.ivf_assign`` docstring's "real deployment
+trains centroids with k-means" — this is that trainer).
+
+Exactness design — why an *iterative* algorithm can still carry a
+value-hash DuckDB oracle:
+
+- Vectors are quantized once to integer micro-units
+  (``round(x * 1e6)`` via the engine-portable FLOOR(x*1e6+0.5)), so
+  every distance is an exact BIGINT sum of squared integer diffs —
+  no float addition anywhere in the hot loop, hence no
+  summation-order nondeterminism between Spark partitions or between
+  Spark and DuckDB.
+- Centroid updates are integer floor-means (FLOOR(sum/count) in
+  double over BIGINT sums — exact while |sum| < 2^53, i.e. up to
+  ~9e9 unit-scale vectors per cluster; beyond that shard the mean).
+- Argmin ties break on the smaller centroid id, totally ordering the
+  assignment.
+
+Scale shape: the assignment pass is MAP-ONLY — centroids collapse to
+one broadcast array row and the argmin is an array fold inside the
+scan (same trick as ``ivf_assign(rank_limit=1)``); the corpus is never
+shuffled to assign it. The update pass shuffles (cluster, component)
+partial sums with map-side combine — K*dim result rows regardless of
+corpus size. At 100 TB the standard play is mini-batch k-means (fit on
+a sample, assign the full corpus with the final map-only pass); both
+passes here are that building block.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# One unit = 1e-6 of the raw component value.
+QUANT_SCALE = 1_000_000
+
+
+def quantize_expr(vec: Column) -> Column:
+    """float array -> BIGINT micro-unit array, identical on both
+    engines (FLOOR(x*1e6+0.5) — round() half-way behavior differs
+    between Spark and DuckDB, floor+0.5 does not)."""
+    return F.transform(
+        vec,
+        lambda x: F.floor(x.cast("double") * QUANT_SCALE + F.lit(0.5)).cast("bigint"),
+    )
+
+
+def dist2_expr(a: Column, b: Column) -> Column:
+    """Exact squared L2 distance between two BIGINT arrays — an
+    integer fold, no floats."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Map-only nearest-centroid assignment. ``vecs``: (vec_id, qv);
+    ``cents``: (cluster_id, cv). Returns (vec_id, qv, cluster, d2).
+    Ties -> smallest cluster_id (struct-max over (-d2, -id))."""
+    cent_arr = cents.agg(F.collect_list(F.struct("cluster_id", "cv")).alias("cs"))
+    best = F.array_max(
+        F.transform(
+            F.col("cs"),
+            lambda c: F.struct(
+                (-dist2_expr(F.col("qv"), c["cv"])).alias("neg_d"),
+                (-c["cluster_id"]).alias("neg_id"),
+            ),
+        )
+    )
+    return (
+        vecs.crossJoin(F.broadcast(cent_arr))
+        .withColumn("best", best)
+        .select(
+            "vec_id",
+            "qv",
+            (-F.col("best.neg_id")).alias("cluster"),
+            (-F.col("best.neg_d")).alias("d2"),
+        )
+    )
+
+
+def kmeans_update(assigned: DataFrame) -> DataFrame:
+    """Per-cluster integer floor-mean centroids from an assignment.
+    posexplode -> (cluster, pos) partial sums (map-side combine; the
+    shuffled relation is K*dim rows) -> reassemble ordered arrays.
+    Clusters that lost all members simply drop out (standard k-means;
+    deterministic on both engines)."""
+    comp = assigned.select("cluster", F.posexplode("qv").alias("pos", "x"))
+    means = comp.groupBy("cluster", "pos").agg(
+        F.floor(F.sum("x").cast("double") / F.count("*")).cast("bigint").alias("m")
+    )
+    return (
+        means.groupBy("cluster")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("cv")
+        )
+        .select(F.col("cluster").alias("cluster_id"), "cv")
+    )
+
+
+def kmeans(vecs: DataFrame, init_cents: DataFrame, n_updates: int) -> DataFrame:
+    """Lloyd's algorithm: ``n_updates`` assign+update rounds followed
+    by a final assignment. Returns (vec_id, qv, cluster, d2)."""
+    cents = init_cents
+    for _ in range(n_updates):
+        cents = kmeans_update(kmeans_assign(vecs, cents))
+    return kmeans_assign(vecs, cents)

@@ -25,6 +25,7 @@ from . import pipeline_similarity  # noqa: E402,F401
 from . import pipeline_dedup  # noqa: E402,F401
 from . import pipeline_multimodal  # noqa: E402,F401
 from . import pipeline_corpus  # noqa: E402,F401
+from . import pipeline_clustering  # noqa: E402,F401
 
 
 def queries():

@@ -1,0 +1,100 @@
+"""K-means clustering query over ``embeddings`` with an exact oracle.
+
+Iterative algorithms are the driver contract's canonical example of a
+"genuinely non-SQL-expressible" query that falls back to a weaker
+rows-only check. This one does NOT: with a fixed iteration count the
+Lloyd loop unrolls into chained CTEs, and because the operator works
+on integer-quantized vectors (``operators.clustering``), every
+distance and every centroid is engine-exact — so the driver gets a
+full value-hash comparison even here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators.clustering import QUANT_SCALE, kmeans, quantize_expr
+from .registry import register
+
+KMEANS_K = 16
+KMEANS_UPDATES = 2
+_DIM = 64
+
+
+def _kmeans_oracle() -> str:
+    d2 = (
+        "CAST(list_sum([(v.qv[k] - c.cv[k]) * (v.qv[k] - c.cv[k]) "
+        f"for k in range(1, {_DIM + 1})]) AS BIGINT)"
+    )
+
+    def assign(i: int, cents: str) -> str:
+        return f"""
+    a{i} AS (
+      SELECT vec_id, qv, cluster, d2 FROM (
+        SELECT vec_id, qv, cluster, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cluster) AS rn
+        FROM (
+          SELECT v.vec_id, v.qv, c.cluster_id AS cluster, {d2} AS d2
+          FROM qv v, {cents} c
+        )
+      ) WHERE rn = 1
+    )"""
+
+    def update(i: int) -> str:
+        return f"""
+    c{i} AS (
+      SELECT cluster AS cluster_id, list(m ORDER BY k) AS cv FROM (
+        SELECT cluster, k,
+               CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+        FROM (SELECT cluster, UNNEST(qv) AS x,
+                     UNNEST(range(1, {_DIM + 1})) AS k
+              FROM a{i})
+        GROUP BY cluster, k
+      ) GROUP BY cluster
+    )"""
+
+    steps = []
+    for i in range(1, KMEANS_UPDATES + 1):
+        steps.append(assign(i, f"c{i - 1}" if i > 1 else "c0"))
+        steps.append(update(i))
+    steps.append(assign(KMEANS_UPDATES + 1, f"c{KMEANS_UPDATES}"))
+    return f"""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * {QUANT_SCALE} + 0.5) AS BIGINT))
+               AS qv
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT vec_id AS cluster_id, qv AS cv FROM qv WHERE vec_id < {KMEANS_K}
+    ),{",".join(steps)}
+    SELECT vec_id, cluster, d2 FROM a{KMEANS_UPDATES + 1}
+    """
+
+
+@register(
+    "kmeans_cluster_assign",
+    oracle=_kmeans_oracle(),
+    doc=f"K-means (K={KMEANS_K}, {KMEANS_UPDATES} Lloyd updates + final "
+    "assignment) over integer-quantized embeddings; init = the first K "
+    "vectors (deterministic). Every assignment pass is MAP-ONLY (one "
+    "broadcast centroid-array row, argmin as an array fold inside the "
+    "scan — the corpus is never shuffled to assign it); each update "
+    "shuffles only (cluster, component) partial sums with map-side "
+    "combine. All distances are exact BIGINT sums — an iterative "
+    "algorithm with a full value-hash oracle, not a rows-only check. "
+    "At 100 TB: fit on a sample (mini-batch), then one map-only "
+    "assignment pass over the corpus — both passes are this operator.",
+)
+def kmeans_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", quantize_expr(F.col("embedding")).alias("qv"))
+    init = vecs.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cluster_id"), F.col("qv").alias("cv")
+    )
+    out = kmeans(vecs, init, KMEANS_UPDATES)
+    return out.select("vec_id", "cluster", "d2")

@@ -132,6 +132,57 @@ class TestIncrementalDedupEquivalence:
         assert len(inc) > 0  # the property is vacuous on an empty result
 
 
+class TestKMeansModel:
+    """The k-means query equals an independent pure-Python Lloyd
+    implementation on the real embeddings — quantization, integer
+    distances, floor-mean updates, and tie-breaks all reproduced."""
+
+    def test_matches_python_model(self, spark):
+        import math
+
+        from starknet_indexer_spark.queries.pipeline_clustering import (
+            KMEANS_K,
+            KMEANS_UPDATES,
+        )
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+        qv = {
+            r["vec_id"]: [math.floor(float(x) * 1e6 + 0.5) for x in r["embedding"]]
+            for r in emb
+        }
+
+        def assign(cents):
+            out = {}
+            for vid, v in qv.items():
+                best = min(
+                    (sum((a - b) * (a - b) for a, b in zip(v, cv)), cid)
+                    for cid, cv in cents.items()
+                )
+                out[vid] = (best[1], best[0])
+            return out
+
+        cents = {vid: qv[vid] for vid in range(KMEANS_K)}
+        for _ in range(KMEANS_UPDATES):
+            a = assign(cents)
+            groups: dict[int, list[int]] = {}
+            for vid, (cid, _) in a.items():
+                groups.setdefault(cid, []).append(vid)
+            cents = {
+                cid: [
+                    math.floor(sum(qv[v][k] for v in vs) / len(vs))
+                    for k in range(len(next(iter(qv.values()))))
+                ]
+                for cid, vs in groups.items()
+            }
+        want = assign(cents)
+        got = {
+            r["vec_id"]: (r["cluster"], r["d2"])
+            for r in REGISTRY["kmeans_cluster_assign"].fn(spark, SF_DIR).collect()
+        }
+        assert got == want
+        assert len({c for c, _ in got.values()}) > 1  # non-degenerate
+
+
 class TestWinnowingModel:
     """The winnowing query equals an independent Python implementation
     of Schleimer-style fingerprinting (k-gram polynomial rolling hash,

@@ -130,3 +130,15 @@ class TestIncrementalDedupPlan:
     def test_decontam_shuffle_budget(self, spark):
         # train-set distinct + probe join + per-doc agg
         assert shuffle_count(q(spark, "decontamination_ngram")) <= 4
+
+
+class TestKMeansPlan:
+    def test_assignment_broadcast_and_bounded_shuffles(self, spark):
+        # Every exchange in the k-means plan carries a centroid-sized
+        # relation (K*dim partial sums or the collected centroid
+        # array), never the corpus: 2 per update round + 1 per
+        # centroid collect. Corpus assignment itself is map-only via
+        # the broadcast centroid array.
+        df = q(spark, "kmeans_cluster_assign")
+        assert has_broadcast_join(df)
+        assert shuffle_count(df) <= 7
