@@ -536,3 +536,64 @@ def asof_latest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(c, p, ["user_id"], "sec", ["pv"]).select(
         "event_id", "user_id", "sec", F.round("pv", 6).alias("last_purchase")
     )
+
+
+@register(
+    "rolling_window_stats",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+             CAST(value AS DECIMAL(18,6)) AS v
+      FROM events
+    )
+    SELECT event_id, user_id,
+           COUNT(*) OVER w_range AS n_1h,
+           FLOOR(CAST(SUM(v) OVER w_range AS DOUBLE) * 1e6 + 0.5) / 1e6 AS sum_1h,
+           FLOOR(CAST(SUM(v) OVER w_rows AS DOUBLE)
+                 / (COUNT(*) OVER w_rows) * 1e6 + 0.5) / 1e6 AS ma5
+    FROM e
+    WINDOW
+      w_range AS (PARTITION BY user_id ORDER BY ts_s
+                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW),
+      w_rows AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Sliding window frames — the two frame kinds the engine's "
+    "window layer supports beyond the reference's UNBOUNDED frames "
+    "(SURVEY §2.3 W4): a trailing 1-hour RANGE frame keyed on event "
+    "time (per-event 1h count/sum — tie-insensitive: all peers at the "
+    "boundary are in-frame on both engines) and a 5-row ROWS frame "
+    "moving average ordered by the unique event_id (ROWS frames need "
+    "a total order to be deterministic). Both windows partition by "
+    "user_id, so one exchange serves both sorts. Sums pass through "
+    "DECIMAL(18,6) for order-insensitive exactness; derived ratios "
+    "round via FLOOR(x*1e6+0.5) (engine round() differs on halves).",
+)
+def rolling_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    w_range = W.partitionBy("user_id").orderBy("ts_s").rangeBetween(-3600, 0)
+    w_rows = W.partitionBy("user_id").orderBy("event_id").rowsBetween(-4, 0)
+    six = F.lit(1e6)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w_range).alias("n_1h"),
+        (F.floor(F.sum("v").over(w_range).cast("double") * six + F.lit(0.5)) / six).alias(
+            "sum_1h"
+        ),
+        (
+            F.floor(
+                F.sum("v").over(w_rows).cast("double")
+                / F.count("*").over(w_rows)
+                * six
+                + F.lit(0.5)
+            )
+            / six
+        ).alias("ma5"),
+    )

@@ -111,6 +111,9 @@ class TestExecutionShape:
             ("top_tokens_per_lang", 2),  # count agg + per-lang top-k
             ("stratified_sample", 1),
             ("repetition_score", 2),  # bigram count agg + per-doc max/join
+            # RANGE + ROWS frames both partition on user_id: one
+            # exchange serves both window sorts
+            ("rolling_window_stats", 1),
         ],
     )
     def test_window_family_shuffle_budgets(self, spark, name, budget):
