@@ -330,3 +330,59 @@ def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (dup_frac <= MAX_DUP_BIGRAM_FRAC).alias("keep"),
     )
+
+
+SEQ_LEN = 512  # tokens per packed training sequence
+
+
+@register(
+    "sequence_packing",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    n AS (SELECT doc_id, lang, len(tokens) AS n_tok FROM toks WHERE len(tokens) > 0),
+    packed AS (
+      SELECT doc_id, lang, n_tok,
+             CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT)
+               AS start_tok
+      FROM n
+    )
+    SELECT doc_id, lang, n_tok, start_tok,
+           start_tok // {SEQ_LEN} AS seq_first,
+           (start_tok + n_tok - 1) // {SEQ_LEN} AS seq_last,
+           (start_tok + n_tok - 1) // {SEQ_LEN} - start_tok // {SEQ_LEN} + 1
+             AS n_seqs_spanned
+    FROM packed
+    """,
+    doc=f"GPT-style sequence packing (concat-and-chunk): documents are "
+    f"concatenated in doc_id order within each lang shard and chunked "
+    f"into {SEQ_LEN}-token training sequences; each document gets its "
+    "global token offset and the range of sequence ids it lands in. "
+    "One running-sum window per shard — a single exchange on lang; "
+    "shards pack independently, so at 100 TB the natural unit is "
+    "(shard, file-partition) and the window never crosses executors. "
+    "Integer token counts make the running sum exact on both engines.",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n = docs.select(
+        "doc_id", "lang", F.size(tokens_expr(F.col("text"))).alias("n_tok")
+    ).filter(F.col("n_tok") > 0)
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    packed = n.withColumn(
+        "start_tok", (F.sum("n_tok").over(w) - F.col("n_tok")).cast("bigint")
+    )
+    # integer `div`, not floor(x/512): double division loses exactness
+    # once offsets exceed 2^53 (the catalog.load ns->us lesson); both
+    # engines' integer division agrees on the non-negative offsets here
+    seq_first = F.expr(f"start_tok div {SEQ_LEN}").cast("bigint")
+    seq_last = F.expr(f"(start_tok + n_tok - 1) div {SEQ_LEN}").cast("bigint")
+    return packed.select(
+        "doc_id",
+        "lang",
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        "start_tok",
+        seq_first.alias("seq_first"),
+        seq_last.alias("seq_last"),
+        (seq_last - seq_first + F.lit(1)).alias("n_seqs_spanned"),
+    )

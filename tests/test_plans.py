@@ -114,6 +114,7 @@ class TestExecutionShape:
             # RANGE + ROWS frames both partition on user_id: one
             # exchange serves both window sorts
             ("rolling_window_stats", 1),
+            ("sequence_packing", 1),  # one running-sum window per shard
         ],
     )
     def test_window_family_shuffle_budgets(self, spark, name, budget):
