@@ -151,3 +151,40 @@ class TestLatestStateStream:
             .collect()
         }
         assert got == want and len(got) > 0
+
+
+class TestStreamingDedup:
+    """dropDuplicatesWithinWatermark: a feed that re-emits every event
+    (at-least-once delivery) dedups back to exactly the batch-distinct
+    row set, with state bounded by the watermark, not history."""
+
+    def test_stream_equals_batch_distinct(self, spark, tmp_path):
+        ev = load(spark, SF_DIR, "events").select("event_id", "ts", "user_id", "value")
+        feed = str(tmp_path / "dupfeed")
+        # two chunks, each containing the full table -> every event
+        # arrives twice across micro-batches
+        ev.write.mode("append").parquet(feed)
+        ev.write.mode("append").parquet(feed)
+        from starknet_indexer_spark.streaming.dedup import deduped_stream
+
+        stream = (
+            spark.readStream.schema(spark.read.parquet(feed).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(feed)
+        )
+        q = (
+            deduped_stream(stream, ["event_id"], "ts")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dedup_t")
+            .option("checkpointLocation", str(tmp_path / "ck_dedup"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {r["event_id"] for r in spark.table("dedup_t").collect()}
+        want = {r["event_id"] for r in ev.collect()}
+        assert got == want and len(got) > 0
+        assert spark.table("dedup_t").count() == len(want)  # no double emission
