@@ -405,3 +405,47 @@ def decontamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      {_minhash_oracle()}
+    ),
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION ALL
+      SELECT b_id AS u, a_id AS v FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u FROM edges),
+    reach(src, dst) AS (
+      SELECT u, u FROM nodes
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    )
+    SELECT src AS doc_id,
+           MIN(dst) AS component,
+           (MIN(dst) = src) AS is_representative
+    FROM reach GROUP BY src
+    """,
+    doc="Duplicate-cluster assignment: connected components over the "
+    "MinHash near-dup pair graph (operators.graph, iterative min-label "
+    "propagation — converges in <= diameter rounds, each round one "
+    "node-keyed join + map-side-combined min agg over the pair-node "
+    "relation only, never the corpus). The minimum doc_id of each "
+    "component is the canonical document to keep; everything else is "
+    "the drop set. Oracle: exact transitive closure via WITH RECURSIVE "
+    "over the identical pair relation — an iterative graph algorithm "
+    "with a full value-hash oracle.",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    pairs = minhash_lsh_dedup(spark, sf_dir)
+    comp = connected_components(pairs, src="a_id", dst="b_id")
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        (F.col("component") == F.col("id")).alias("is_representative"),
+    )
