@@ -106,10 +106,16 @@ def kmeans_update(assigned: DataFrame) -> DataFrame:
     )
 
 
-def kmeans(vecs: DataFrame, init_cents: DataFrame, n_updates: int) -> DataFrame:
-    """Lloyd's algorithm: ``n_updates`` assign+update rounds followed
-    by a final assignment. Returns (vec_id, qv, cluster, d2)."""
+def kmeans_centroids(vecs: DataFrame, init_cents: DataFrame, n_updates: int) -> DataFrame:
+    """The trained centroid relation (cluster_id, cv) after
+    ``n_updates`` Lloyd rounds."""
     cents = init_cents
     for _ in range(n_updates):
         cents = kmeans_update(kmeans_assign(vecs, cents))
-    return kmeans_assign(vecs, cents)
+    return cents
+
+
+def kmeans(vecs: DataFrame, init_cents: DataFrame, n_updates: int) -> DataFrame:
+    """Lloyd's algorithm: ``n_updates`` assign+update rounds followed
+    by a final assignment. Returns (vec_id, qv, cluster, d2)."""
+    return kmeans_assign(vecs, kmeans_centroids(vecs, init_cents, n_updates))

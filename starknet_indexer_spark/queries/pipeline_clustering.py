@@ -23,28 +23,29 @@ KMEANS_UPDATES = 2
 _DIM = 64
 
 
-def _kmeans_oracle() -> str:
-    d2 = (
-        "CAST(list_sum([(v.qv[k] - c.cv[k]) * (v.qv[k] - c.cv[k]) "
-        f"for k in range(1, {_DIM + 1})]) AS BIGINT)"
-    )
+_D2_SQL = (
+    "CAST(list_sum([(v.qv[k] - c.cv[k]) * (v.qv[k] - c.cv[k]) "
+    f"for k in range(1, {_DIM + 1})]) AS BIGINT)"
+)
 
-    def assign(i: int, cents: str) -> str:
-        return f"""
+
+def _assign_cte(i: int, cents: str) -> str:
+    return f"""
     a{i} AS (
       SELECT vec_id, qv, cluster, d2 FROM (
         SELECT vec_id, qv, cluster, d2,
                ROW_NUMBER() OVER (PARTITION BY vec_id
                                   ORDER BY d2, cluster) AS rn
         FROM (
-          SELECT v.vec_id, v.qv, c.cluster_id AS cluster, {d2} AS d2
+          SELECT v.vec_id, v.qv, c.cluster_id AS cluster, {_D2_SQL} AS d2
           FROM qv v, {cents} c
         )
       ) WHERE rn = 1
     )"""
 
-    def update(i: int) -> str:
-        return f"""
+
+def _update_cte(i: int) -> str:
+    return f"""
     c{i} AS (
       SELECT cluster AS cluster_id, list(m ORDER BY k) AS cv FROM (
         SELECT cluster, k,
@@ -56,13 +57,17 @@ def _kmeans_oracle() -> str:
       ) GROUP BY cluster
     )"""
 
+
+def kmeans_cte_chain() -> str:
+    """The shared WITH-body: quantized vectors, init centroids, and
+    KMEANS_UPDATES assign+update rounds ending at ``c{KMEANS_UPDATES}``
+    (the trained centroid relation). Reused by the IVF-with-trained-
+    centroids oracle (pipeline_similarity)."""
     steps = []
     for i in range(1, KMEANS_UPDATES + 1):
-        steps.append(assign(i, f"c{i - 1}" if i > 1 else "c0"))
-        steps.append(update(i))
-    steps.append(assign(KMEANS_UPDATES + 1, f"c{KMEANS_UPDATES}"))
-    return f"""
-    WITH qv AS (
+        steps.append(_assign_cte(i, f"c{i - 1}" if i > 1 else "c0"))
+        steps.append(_update_cte(i))
+    return f"""qv AS (
       SELECT vec_id,
              list_transform(embedding,
                x -> CAST(FLOOR(CAST(x AS DOUBLE) * {QUANT_SCALE} + 0.5) AS BIGINT))
@@ -71,7 +76,12 @@ def _kmeans_oracle() -> str:
     ),
     c0 AS (
       SELECT vec_id AS cluster_id, qv AS cv FROM qv WHERE vec_id < {KMEANS_K}
-    ),{",".join(steps)}
+    ),{",".join(steps)}"""
+
+
+def _kmeans_oracle() -> str:
+    return f"""
+    WITH {kmeans_cte_chain()},{_assign_cte(KMEANS_UPDATES + 1, f"c{KMEANS_UPDATES}")}
     SELECT vec_id, cluster, d2 FROM a{KMEANS_UPDATES + 1}
     """
 

@@ -381,3 +381,134 @@ def ngram_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair_inter.filter(jac >= 0.2)
         .select("a_id", "b_id", "inter", F.round(jac, 6).alias("jaccard"))
     )
+
+
+def _ann_ivf_kmeans_oracle() -> str:
+    from .pipeline_clustering import KMEANS_UPDATES, kmeans_cte_chain
+
+    from ..operators.clustering import QUANT_SCALE
+
+    return f"""
+    WITH {kmeans_cte_chain()},
+    cent AS (
+      SELECT cluster_id AS centroid_id,
+             list_transform(cv, x -> CAST(x AS DOUBLE) / {QUANT_SCALE}) AS cv
+      FROM c{KMEANS_UPDATES}
+    ),
+    centn AS (
+      SELECT centroid_id, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent
+    ),
+    v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS en
+      FROM embeddings
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.ev, c.cv) / (v.en * c.cn) DESC,
+                          c.centroid_id) AS crank
+        FROM v, centn c
+      ) WHERE crank = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.ev, c.cv) / (v.en * c.cn) DESC,
+                          c.centroid_id) AS crank
+        FROM v, centn c WHERE v.vec_id < {N_QUERIES}
+      ) WHERE crank <= {N_PROBE}
+    ),
+    cands AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
+      WHERE a.vec_id <> p.query_id
+    ),
+    sims AS (
+      SELECT c.query_id, c.neighbor_id,
+             ROUND(list_dot_product(q.ev, n.ev) / (q.en * n.en), 4) AS sim
+      FROM cands c
+      JOIN v q ON q.vec_id = c.query_id
+      JOIN v n ON n.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM sims
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@register(
+    "ann_topk_ivf_kmeans",
+    oracle=_ann_ivf_kmeans_oracle(),
+    doc="IVF ANN with TRAINED centroids: the k-means operator "
+    "(operators.clustering, integer-exact Lloyd rounds) supplies the "
+    "inverted-list centroids instead of ann_topk_ivf's deterministic "
+    "sample — the composition its docstring promises. Centroids "
+    "dequantize to exact doubles (bigint/1e6 — correctly rounded "
+    "identically on both engines), then the probe pipeline is the "
+    "same map-only assignment + broadcast inverted-list join. Recall "
+    "improves because lists now follow the data distribution; the "
+    "plumbing and shuffle shape are unchanged.",
+)
+def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import (
+        QUANT_SCALE,
+        kmeans_centroids,
+        quantize_expr,
+    )
+    from .pipeline_clustering import KMEANS_K, KMEANS_UPDATES
+
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", quantize_expr(F.col("embedding")).alias("qv"))
+    init = vecs.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cluster_id"), F.col("qv").alias("cv")
+    )
+    trained = kmeans_centroids(vecs, init, KMEANS_UPDATES)
+    cv = F.transform("cv", lambda x: x.cast("double") / QUANT_SCALE)
+    cent = trained.select(
+        F.col("cluster_id").alias("centroid_id"), cv.alias("cv")
+    ).select("centroid_id", "cv", F.sqrt(_dot(F.col("cv"), F.col("cv"))).alias("cn"))
+
+    v = _with_norm(emb, "vec_id", "ev", "en")
+    assign = ivf_assign(v, cent, 1).select("vec_id", "centroid_id")
+    probes = ivf_assign(v.filter(F.col("vec_id") < N_QUERIES), cent, N_PROBE).select(
+        F.col("vec_id").alias("query_id"), "centroid_id"
+    )
+    cands = (
+        assign.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    q = v.select(
+        F.col("vec_id").alias("query_id"), F.col("ev").alias("qv"), F.col("en").alias("qn")
+    )
+    n = v.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("ev").alias("nv"),
+        F.col("en").alias("nn"),
+    )
+    sims = (
+        cands.join(F.broadcast(q), "query_id")
+        .join(n, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 4).alias(
+                "sim"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
