@@ -597,3 +597,38 @@ def rolling_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / six
         ).alias("ma5"),
     )
+
+
+@register(
+    "json_props_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Semi-structured extraction: the JSON ``props`` payload parsed "
+    "with a declared schema (``from_json`` — typed, Catalyst-optimized, "
+    "null on malformed) and aggregated per event type. Schema-on-read "
+    "stays a projection: the parse is map-side, the only shuffle is "
+    "the low-cardinality groupBy. At 100 TB the play is identical — "
+    "parse once into a silver column, never re-parse per query "
+    "(the same silver-table rule as the dedup shingle relation).",
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
