@@ -18,6 +18,7 @@ from .registry import REGISTRY, Query, register  # noqa: F401
 
 # Import for side effect: each module registers its queries.
 from . import tpch  # noqa: E402,F401
+from . import tpch_extra  # noqa: E402,F401
 from . import events_analytics  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 from . import pipeline_text  # noqa: E402,F401
@@ -26,6 +27,7 @@ from . import pipeline_dedup  # noqa: E402,F401
 from . import pipeline_multimodal  # noqa: E402,F401
 from . import pipeline_corpus  # noqa: E402,F401
 from . import pipeline_clustering  # noqa: E402,F401
+from . import pipeline_quality  # noqa: E402,F401
 
 
 def queries():
