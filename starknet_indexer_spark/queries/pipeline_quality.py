@@ -1,0 +1,228 @@
+"""Statistical quality scoring and corpus-mixing operators.
+
+Training-data pipeline surface beyond simple ratio heuristics
+(pipeline_text.text_quality_score): information-theoretic per-document
+scores (word entropy, unigram-LM cross-entropy a la CCNet-style
+perplexity filtering) and the deterministic weighted source-mixing
+sampler a pretraining data recipe needs.
+
+Determinism: entropy/log-prob scores are sums of dozens of
+``c*log2(c)`` terms; cross-engine float error is ~1e-13 relative, so
+rounding to 6 dp (the driver's own comparison precision) is stable.
+Sampling decisions are pure BIGINT arithmetic (Knuth multiplicative
+hash) — bit-identical on both engines, no RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from .registry import register
+
+# Shared whitespace tokenizer (same semantics as pipeline_text).
+_TOKENS = lambda c: F.filter(F.split(F.trim(c), r"[ \t\n\r]+"), lambda x: x != "")  # noqa: E731
+_DUCK_TOKENS = r"list_filter(string_split_regex(trim(text), '[ \t\n\r]+'), x -> x <> '')"
+
+
+@register(
+    "word_entropy_quality",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents
+    ),
+    cnt AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_distinct,
+           ROUND(LOG2(CAST(SUM(c) AS DOUBLE))
+                 - SUM(c * LOG2(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE),
+                 6) AS word_entropy,
+           ROUND(COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS type_token_ratio
+    FROM cnt GROUP BY doc_id
+    """,
+    doc="Per-document Shannon entropy of the token distribution plus "
+    "type-token ratio — the low-entropy tail is boilerplate/spam, the "
+    "classic pretraining quality cut. Shape: explode -> two chained "
+    "aggregations, both keyed by doc_id, so the token-count aggregate "
+    "and the per-doc reduce share one shuffle (Catalyst reuses the "
+    "hash partitioning on the common prefix key). Entropy uses the "
+    "exact integer counts: H = log2(N) - sum(c*log2 c)/N — one "
+    "float reduction at the end, not a running float sum per row.",
+)
+def word_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_TOKENS(F.col("text"))).alias("token"))
+    cnt = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c").cast("long")
+    return cnt.groupBy("doc_id").agg(
+        n.alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(
+            F.log2(n.cast("double"))
+            - F.sum(F.col("c") * F.log2(F.col("c").cast("double"))) / n.cast("double"),
+            6,
+        ).alias("word_entropy"),
+        F.round(F.count(F.lit(1)) / n.cast("double"), 6).alias("type_token_ratio"),
+    )
+
+
+@register(
+    "unigram_logprob_score",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents
+    ),
+    lm AS (SELECT token, COUNT(*) AS tf FROM tok GROUP BY token),
+    tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM lm)
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(LOG2(CAST(MAX(tot.total) AS DOUBLE))
+                 - AVG(LOG2(CAST(l.tf AS DOUBLE))), 6) AS avg_neg_logprob
+    FROM tok t JOIN lm l ON t.token = l.token CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+    doc="Unigram-LM cross-entropy per document (CCNet-style perplexity "
+    "proxy): average -log2 p(token) under the corpus's own unigram "
+    "model. High scores = out-of-distribution/noise docs. Scale path: "
+    "the LM table is vocabulary-sized (millions of rows at 100 TB, "
+    "still ~100 MB) — it broadcast-joins back onto the exploded token "
+    "stream, so the only fact-sized shuffle is the final per-doc "
+    "aggregate; -log2 p factors into log2(total) - avg(log2 tf) so "
+    "the scalar total joins as a one-row broadcast, not a per-row "
+    "division.",
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_TOKENS(F.col("text"))).alias("token"))
+    lm = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    # total token count straight off the token stream: a map-side
+    # partial count + one single-partition exchange of 32 rows —
+    # NOT sum(lm.tf), which would re-aggregate the token-keyed subtree
+    # a second time (the broadcast consumer blocks subtree reuse).
+    tot = tok.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    return (
+        tok.join(F.broadcast(lm), "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.log2(F.max("total").cast("double"))
+                - F.avg(F.log2(F.col("tf").cast("double"))),
+                6,
+            ).alias("avg_neg_logprob"),
+        )
+    )
+
+
+@register(
+    "source_mixing_sample",
+    oracle="""
+    WITH weighted AS (
+      SELECT doc_id, source, n_chars,
+             CASE CAST(SUBSTR(source, 4) AS INTEGER) % 4
+               WHEN 0 THEN 1000 WHEN 1 THEN 500 WHEN 2 THEN 250 ELSE 125
+             END AS mix_permille,
+             ((doc_id * 2654435761) % 4294967296) % 1000 AS slot
+      FROM documents
+    )
+    SELECT source, mix_permille,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE slot < mix_permille) AS n_selected,
+           CAST(COALESCE(SUM(n_chars) FILTER (WHERE slot < mix_permille), 0)
+                AS BIGINT) AS selected_chars
+    FROM weighted
+    GROUP BY source, mix_permille
+    """,
+    doc="Deterministic weighted source mixing: each source gets a "
+    "per-mille sampling rate (the data-recipe weight) and a document "
+    "is kept iff its Knuth-multiplicative-hash slot falls under the "
+    "rate — reproducible across runs, engines, and partitionings, "
+    "unlike df.sample(). Pure BIGINT arithmetic inside the scan "
+    "stage; one narrow aggregate by source. At 100 TB this is the "
+    "map-only pre-pass that materializes a training mix without a "
+    "global shuffle or an RNG seed dependency on partition layout.",
+)
+def source_mixing_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.substring("source", 4, 10).cast("int") % 4 == 0, 1000)
+        .when(F.substring("source", 4, 10).cast("int") % 4 == 1, 500)
+        .when(F.substring("source", 4, 10).cast("int") % 4 == 2, 250)
+        .otherwise(125)
+    )
+    slot = F.pmod(F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)), F.lit(1000))
+    sel = F.col("slot") < F.col("mix_permille")
+    return (
+        docs.select(
+            "source",
+            "n_chars",
+            rate.alias("mix_permille"),
+            slot.alias("slot"),
+        )
+        .groupBy("source", "mix_permille")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(sel, 1)).alias("n_selected"),
+            F.coalesce(F.sum(F.when(sel, F.col("n_chars"))), F.lit(0))
+            .cast("long")
+            .alias("selected_chars"),
+        )
+    )
+
+
+@register(
+    "length_bucket_histogram",
+    oracle=rf"""
+    WITH t AS (
+      SELECT source,
+             len({_DUCK_TOKENS}) AS n_tokens,
+             n_chars
+      FROM documents
+    )
+    SELECT source,
+           CASE WHEN n_tokens < 16 THEN 0 WHEN n_tokens < 32 THEN 1
+                WHEN n_tokens < 64 THEN 2 WHEN n_tokens < 128 THEN 3
+                WHEN n_tokens < 256 THEN 4 ELSE 5 END AS len_bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+    FROM t
+    GROUP BY source, len_bucket
+    """,
+    doc="Token-length histogram per source on power-of-two buckets — "
+    "the input stats a sequence-packing stage (sequence_packing) "
+    "needs to pick its chunk length and predict padding waste. "
+    "Buckets are integer CASE ladders, not floor(log2(n)) (float log2 "
+    "at exact powers of two differs between engines by one ulp). "
+    "Map-side combinable count/sum; one narrow shuffle.",
+)
+def length_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(_TOKENS(F.col("text")))
+    bucket = (
+        F.when(n_tokens < 16, 0)
+        .when(n_tokens < 32, 1)
+        .when(n_tokens < 64, 2)
+        .when(n_tokens < 128, 3)
+        .when(n_tokens < 256, 4)
+        .otherwise(5)
+    )
+    return (
+        docs.select(
+            "source",
+            bucket.alias("len_bucket"),
+            n_tokens.alias("n_tokens"),
+            "n_chars",
+        )
+        .groupBy("source", "len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+    )

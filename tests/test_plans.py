@@ -51,6 +51,11 @@ class TestJoinStrategy:
             "ann_topk_lsh",
             "shipping_priority",
             "local_supplier_volume",
+            "min_cost_supplier",
+            "nation_trade_volume",
+            "supplier_part_variety",
+            "large_volume_orders",
+            "unigram_logprob_score",
         ],
     )
     def test_dimension_joins_broadcast(self, spark, name):
@@ -115,6 +120,27 @@ class TestExecutionShape:
             # exchange serves both window sorts
             ("rolling_window_stats", 1),
             ("sequence_packing", 1),  # one running-sum window per shard
+            # offer agg and argmin window share the partkey exchange
+            ("min_cost_supplier", 2),
+            # lineitem-orders fact join + year/nation agg
+            ("nation_trade_volume", 2),
+            # per-part agg; global total is a single-partition branch
+            ("part_value_share", 3),
+            # per-customer count + distribution re-agg
+            ("customer_order_distribution", 3),
+            # anti-join broadcasts; distinct expands then re-aggregates
+            ("supplier_part_variety", 2),
+            # HAVING key set aggregates once, broadcasts back; the
+            # detail re-agg shuffles on the composite group key
+            ("large_volume_orders", 3),
+            # scalar avg is single-partition; anti-join shuffles custkey
+            ("idle_rich_customers", 4),
+            # doc/token count agg + per-doc reduce share the doc_id prefix
+            ("word_entropy_quality", 2),
+            # LM table agg + per-doc agg; corpus tokens never join-shuffle
+            ("unigram_logprob_score", 3),
+            ("source_mixing_sample", 1),
+            ("length_bucket_histogram", 1),
         ],
     )
     def test_window_family_shuffle_budgets(self, spark, name, budget):
