@@ -55,6 +55,13 @@ HEADLINE = [
     "kmeans_cluster_assign",
     "rolling_window_stats",
     "sequence_packing",
+    "min_cost_supplier",
+    "nation_trade_volume",
+    "customer_order_distribution",
+    "large_volume_orders",
+    "word_entropy_quality",
+    "unigram_logprob_score",
+    "source_mixing_sample",
 ]
 
 

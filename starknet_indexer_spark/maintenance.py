@@ -77,3 +77,76 @@ def compact_all(
             if r:
                 results[name] = r
     return results
+
+
+def sort_layout(
+    spark: SparkSession,
+    table_dir: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+) -> None:
+    """Rewrite a parquet directory range-partitioned + sorted by
+    ``sort_cols`` — the Delta/Iceberg OPTIMIZE ZORDER analogue for a
+    single clustering dimension.
+
+    Why it matters at 100 TB: parquet row-group min/max statistics only
+    prune when values are clustered. After an ingest that appends in
+    arrival order, a point or range predicate on a non-time key (e.g.
+    ``user_id``) overlaps every row group and the scan reads the whole
+    table; after ``sort_layout`` the same predicate touches the one
+    row group whose [min,max] covers it. ``repartitionByRange`` keeps
+    files globally disjoint on the key (not just sorted within files),
+    so file-level pruning composes with row-group pruning.
+
+    Contents are unchanged (pure reorder); ``layout_overlap_fraction``
+    measures the effect and tests/test_maintenance.py locks it.
+    """
+    df = spark.read.parquet(table_dir)
+    n = n_files or df.rdd.getNumPartitions()
+    staging = table_dir.rstrip("/") + "._sorted"
+    shutil.rmtree(staging, ignore_errors=True)
+    (
+        df.repartitionByRange(n, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    trash = table_dir.rstrip("/") + "._old"
+    os.replace(table_dir, trash)
+    os.replace(staging, table_dir)
+    shutil.rmtree(trash, ignore_errors=True)
+
+
+def layout_overlap_fraction(table_dir: str, column: str) -> float:
+    """Mean fraction of row groups a uniformly-placed point predicate
+    on ``column`` must read, computed from parquet min/max metadata.
+
+    1.0 = every row group overlaps every point (no pruning possible);
+    1/n_groups = perfectly disjoint clustering. This is the direct
+    proxy for scan cost under selective predicates — no query
+    execution involved, only footer metadata (what a cluster's scan
+    planner reads anyway).
+    """
+    import pyarrow.parquet as pq
+
+    spans: list[tuple[float, float]] = []
+    for root, _dirs, files in os.walk(table_dir):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, f)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            ci = idx[column]
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ci).statistics
+                if st is None or st.min is None:
+                    return 1.0  # no stats -> assume unprunable
+                spans.append((float(st.min), float(st.max)))
+    if not spans:
+        return 1.0
+    lo = min(s[0] for s in spans)
+    hi = max(s[1] for s in spans)
+    width = (hi - lo) or 1.0
+    # Probability a uniform point in [lo,hi] falls inside a span,
+    # averaged over spans, = mean normalized span width.
+    return sum((b - a) / width for a, b in spans) / len(spans)

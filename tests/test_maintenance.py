@@ -68,3 +68,41 @@ class TestReorgViewConsistency:
             a = _rows(spark.read.parquet(os.path.join(out_a, name)))
             b = _rows(spark.read.parquet(os.path.join(out_b, name)))
             assert a == b, name
+
+
+class TestSortLayout:
+    """sort_layout is a pure reorder that must (a) keep contents
+    byte-identical and (b) make row-group min/max stats on the sort
+    key disjoint enough that point predicates prune most groups."""
+
+    def _scattered_events(self, spark, tmp_path) -> str:
+        from starknet_indexer_spark.catalog import load
+
+        tdir = str(tmp_path / "events_scattered")
+        # arrival-order layout: hash-scatter user_id across 8 files so
+        # every file's [min,max] spans the whole key domain
+        (
+            load(spark, "/root/testdata/sf0.001", "events")
+            .repartition(8, F.md5(F.col("event_id").cast("string")))
+            .write.mode("overwrite")
+            .parquet(tdir)
+        )
+        return tdir
+
+    def test_reorder_preserves_rows_and_prunes(self, spark, tmp_path):
+        from starknet_indexer_spark.maintenance import (
+            layout_overlap_fraction,
+            sort_layout,
+        )
+
+        tdir = self._scattered_events(spark, tmp_path)
+        before_rows = _rows(spark.read.parquet(tdir))
+        before = layout_overlap_fraction(tdir, "user_id")
+        assert before > 0.8  # scattered: every group overlaps ~everything
+
+        sort_layout(spark, tdir, ["user_id"], n_files=8)
+        after = layout_overlap_fraction(tdir, "user_id")
+        assert _rows(spark.read.parquet(tdir)) == before_rows
+        # 8 range-disjoint files -> a point predicate overlaps ~1/8
+        # of row groups (allow slack for range-partitioner sampling)
+        assert after < 0.3, (before, after)
