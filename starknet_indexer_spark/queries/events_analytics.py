@@ -632,3 +632,128 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+    ),
+    v AS (SELECT user_id, MIN(t) AS t1 FROM e WHERE event_type = 'view'
+          GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.t) AS t2
+          FROM e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.t > v.t1
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.t) AS t3
+          FROM e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.t > c.t2
+          GROUP BY e.user_id)
+    SELECT (SELECT COUNT(DISTINCT user_id) FROM e) AS n_users,
+           (SELECT COUNT(*) FROM v) AS n_viewed,
+           (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
+           (SELECT COUNT(*) FROM p) AS n_purchased_after_click,
+           ROUND((SELECT COUNT(*) FROM p) * 1.0
+                 / (SELECT COUNT(*) FROM v), 6) AS view_to_purchase_rate
+    """,
+    doc="Ordered funnel (view -> click after it -> purchase after "
+    "that): each stage is a per-user conditional MIN constrained by "
+    "the previous stage's time — the sequential-pattern shape of "
+    "product analytics at event-warehouse scale. The oracle writes it "
+    "as three self-join stages; the Spark plan instead chains three "
+    "conditional window-MINs over ONE user_id partitioning (stage k's "
+    "predicate references stage k-1's column, legal inside the same "
+    "window spec), then collapses per-user flags — the whole funnel "
+    "costs one events shuffle plus the per-user reduce, versus the "
+    "naive three aggregate-join rounds (10 exchanges measured). "
+    "Stage timestamps compare in whole microseconds on both engines "
+    "(epoch_us vs the catalog's ns->us truncation).",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+    )
+    w = W.partitionBy("user_id")
+    typ = F.col("event_type")
+    staged = (
+        ev.withColumn("t1", F.min(F.when(typ == "view", F.col("t"))).over(w))
+        .withColumn(
+            "t2",
+            F.min(
+                F.when((typ == "click") & (F.col("t") > F.col("t1")), F.col("t"))
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when((typ == "purchase") & (F.col("t") > F.col("t2")), F.col("t"))
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max(F.col("t1").isNotNull()).alias("viewed"),
+        F.max(F.col("t2").isNotNull()).alias("clicked"),
+        F.max(F.col("t3").isNotNull()).alias("purchased"),
+    )
+    n = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0))  # noqa: E731
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        n("viewed").alias("n_viewed"),
+        n("clicked").alias("n_clicked_after_view"),
+        n("purchased").alias("n_purchased_after_click"),
+    ).select(
+        "n_users",
+        "n_viewed",
+        "n_clicked_after_view",
+        "n_purchased_after_click",
+        F.round(
+            F.col("n_purchased_after_click") / F.col("n_viewed").cast("double"), 6
+        ).alias("view_to_purchase_rate"),
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) // 604800 AS week_bucket
+      FROM events
+    ),
+    cohort AS (SELECT user_id, MIN(week_bucket) AS cohort_week FROM e
+               GROUP BY user_id),
+    activity AS (SELECT DISTINCT user_id, week_bucket FROM e)
+    SELECT c.cohort_week,
+           a.week_bucket - c.cohort_week AS week_offset,
+           COUNT(*) AS n_active_users
+    FROM activity a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY c.cohort_week, week_offset
+    """,
+    doc="Weekly retention cohorts: users bucketed by first-seen week, "
+    "counted in each later activity week. Weeks are epoch-seconds "
+    "div 604800 — pure integer math, immune to the engines' "
+    "different week-start calendar conventions. The cohort argmin, "
+    "the activity distinct, and the join all key on user_id (one "
+    "partitioning reused); only the final small (cohort x offset) "
+    "aggregate re-shuffles. The standard growth-analytics rollup "
+    "over an event-sourced table (same argmin-per-key core as V1 "
+    "pool_states, src/dao.ts:384-427).",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 604800).cast("long").alias("week_bucket"),
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("week_bucket").alias("cohort_week"))
+    activity = ev.distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week_bucket") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
