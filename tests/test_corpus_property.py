@@ -72,7 +72,7 @@ class TestSessionizeInvariants:
         sessions = REGISTRY["sessionize_events"].fn(spark, SF_DIR).collect()
         ev = (
             spark.read.parquet(f"{SF_DIR}/events.parquet")
-            .selectExpr("user_id", "event_id", "ts div 1000000000 as ts_s")
+            .selectExpr("user_id", "event_id", "unix_timestamp(ts) as ts_s")
             .collect()
         )
         by_user: dict[int, list[tuple[int, int]]] = {}
