@@ -83,12 +83,19 @@ def main() -> None:
               "lineitem", "events", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir.rstrip('/')}/{t}.parquet").count()
     spark.range(10).write.format("noop").mode("overwrite").save()
+    # Per-query fault isolation: one broken query must never sink the
+    # whole run (round-1 lesson — a single AnalysisException left the
+    # round with zero performance data). Failures land in `errors`.
+    errors: dict[str, str] = {}
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir.rstrip("/"):
         for name in HEADLINE:
-            REGISTRY[name].fn(spark, warm_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            try:
+                REGISTRY[name].fn(spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as exc:  # noqa: BLE001 — isolate per query
+                errors[name] = f"warmup: {type(exc).__name__}: {exc}"[:500]
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -97,7 +104,11 @@ def main() -> None:
     for name in HEADLINE:
         q = REGISTRY[name]
         t0 = time.perf_counter()
-        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — isolate per query
+            errors.setdefault(name, f"{type(exc).__name__}: {exc}"[:500])
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
 
     out = {
@@ -107,6 +118,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
 
 

@@ -46,16 +46,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     df = spark.read.parquet(table_path(sf_dir, name))
-    # TIMESTAMP(NANOS) columns are read as epoch-nanos longs
-    # (spark.sql.legacy.parquet.nanosAsLong); convert to TimestampType by
-    # INTEGER division to micros — the same ns->us truncation DuckDB's
-    # reader applies. NOT floor(ts/1000): `/` is double division, and
-    # epoch-nanos (~1.7e18) exceed double's 53-bit mantissa, so values
-    # round by up to ±256 ns before the divide and land on the wrong
-    # microsecond for ~1 in 4000 rows (observed as a 1 µs span skew at
-    # sf0.1).
+    # Timestamp normalization — two historical corpus encodings:
+    # (a) TIMESTAMP(NANOS) read as epoch-nanos longs under
+    #     spark.sql.legacy.parquet.nanosAsLong; convert by INTEGER
+    #     division to micros — the same ns->us truncation DuckDB's
+    #     reader applies. NOT floor(ts/1000): `/` is double division,
+    #     and epoch-nanos (~1.7e18) exceed double's 53-bit mantissa.
+    # (b) timestamp[us] written without isAdjustedToUTC, which Spark
+    #     reads as TIMESTAMP_NTZ; epoch functions (unix_micros etc.)
+    #     reject NTZ, so cast to session-TZ TIMESTAMP (session TZ is
+    #     pinned UTC in session.py, so the cast is a pure re-tag).
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -45,8 +45,11 @@ def get_spark(app_name: str = "starknet_indexer_spark", **overrides: str) -> Spa
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # the driver corpus stores TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read as epoch-nanos LongType and convert in catalog
+        # legacy corpus encodings stored TIMESTAMP(NANOS), which Spark's
+        # vectorized reader rejects; keep reading those as epoch-nanos
+        # LongType (catalog.load converts). The current testdata is
+        # timestamp[us] without isAdjustedToUTC (TIMESTAMP_NTZ) — also
+        # normalized to session-TZ TIMESTAMP in catalog.load.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
