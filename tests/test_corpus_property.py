@@ -14,6 +14,7 @@ import re
 
 from pyspark.sql import functions as F
 
+from starknet_indexer_spark.catalog import load
 from starknet_indexer_spark.operators.dedup import tokens_expr, word_ngrams_expr
 from starknet_indexer_spark.queries.pipeline_corpus import SESSION_GAP_S
 from starknet_indexer_spark.queries.pipeline_text import (
@@ -70,8 +71,10 @@ class TestSessionizeInvariants:
 
     def test_invariants_on_corpus(self, spark):
         sessions = REGISTRY["sessionize_events"].fn(spark, SF_DIR).collect()
+        # go through catalog.load so this model shares the catalog's
+        # timestamp normalization (nanos->us / NTZ->TZ) with the query
         ev = (
-            spark.read.parquet(f"{SF_DIR}/events.parquet")
+            load(spark, SF_DIR, "events")
             .selectExpr("user_id", "event_id", "unix_timestamp(ts) as ts_s")
             .collect()
         )
