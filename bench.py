@@ -62,6 +62,13 @@ HEADLINE = [
     "word_entropy_quality",
     "unigram_logprob_score",
     "source_mixing_sample",
+    # reference view library (Ekubo-shaped derivation + real view plan)
+    "v01_pool_states",
+    "v07_last_24h_pool_stats",
+    "v11_market_depth",
+    "v12_voting_weights",
+    "v13_hourly_volume",
+    "v16_hourly_tvl_delta",
 ]
 
 

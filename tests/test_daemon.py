@@ -3,6 +3,8 @@ continuously — the reference main-loop behavior end-to-end."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -31,6 +33,7 @@ def _batch2(spark):
     return spark.createDataFrame(rows, RAW_SCHEMA)
 
 
+@pytest.mark.slow
 def test_daemon_end_to_end(spark, tmp_path):
     feed = str(tmp_path / "feed")
     tdir = str(tmp_path / "tables")

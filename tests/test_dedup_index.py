@@ -8,6 +8,8 @@ the whole corpus — the incremental-vs-recompute equivalence oracle
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from starknet_indexer_spark.catalog import load
@@ -18,6 +20,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 class TestDedupIndexEquivalence:
+    @pytest.mark.slow
     def test_stream_equals_full_recompute(self, spark, tmp_path):
         docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
         feed = str(tmp_path / "feed")

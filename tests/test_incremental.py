@@ -115,6 +115,7 @@ class TestRuntimeTiers:
             df = spark.read.parquet(os.path.join(out, name))
             assert df.count() == want, name
 
+    @pytest.mark.slow
     def test_analytical_incremental_equals_full(self, spark, btables, tmp_path):
         """Overlap-window upsert == full-history rebuild (the A9
         idempotence the reference relies on)."""

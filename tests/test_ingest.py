@@ -92,6 +92,7 @@ def tdir(tmp_path):
 
 
 class TestBatchIngest:
+    @pytest.mark.slow
     def test_roundtrip_and_upsert(self, spark, tdir):
         raw = make_raw(spark, [1, 2, 3])
         counts = ingest_batch(spark, raw, tdir)
@@ -181,6 +182,7 @@ class TestJsonFeed:
 
 
 class TestReorg:
+    @pytest.mark.slow
     def test_invalidate_suffix(self, spark, tdir):
         blocks = [995, 996, 1001, 1002, 1050, 1100]
         ingest_batch(spark, make_raw(spark, blocks), tdir)
@@ -196,6 +198,7 @@ class TestReorg:
         assert ss.agg(F.max("block_number")).collect()[0][0] == 1001
         assert read_cursor(tdir) == 1001
 
+    @pytest.mark.slow
     def test_replay_equivalence(self, spark, tmp_path):
         """ingest all -> invalidate k -> re-ingest suffix == ingest all
         (the reorg-replay invariant, SURVEY §5.2 item 3)."""
@@ -214,6 +217,7 @@ class TestReorg:
 
 
 class TestStreaming:
+    @pytest.mark.slow
     def test_stream_matches_batch(self, spark, tmp_path):
         feed = str(tmp_path / "feed")
         sdir = str(tmp_path / "stream_tables")

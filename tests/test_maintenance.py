@@ -3,6 +3,8 @@ must never change query results."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -20,6 +22,7 @@ def _rows(df):
 
 
 class TestCompaction:
+    @pytest.mark.slow
     def test_compact_preserves_rows(self, spark, tmp_path):
         tdir = str(tmp_path / "t")
         # three separate appends -> >= 3 file sets per bucket
@@ -35,6 +38,7 @@ class TestCompaction:
 
         assert _rows(spark.read.parquet(swaps_dir)) == before
 
+    @pytest.mark.slow
     def test_compact_all_and_head_guard(self, spark, tmp_path):
         tdir = str(tmp_path / "t2")
         ingest_batch(spark, make_raw(spark, [1, 2]), tdir)
@@ -46,6 +50,7 @@ class TestCompaction:
 
 
 class TestReorgViewConsistency:
+    @pytest.mark.slow
     def test_views_after_reorg_replay_match_fresh_build(self, spark, tmp_path):
         """§3.3 end-to-end: invalidate + re-ingest + refresh must equal
         a from-scratch build at the view level, not just the tables."""
