@@ -92,7 +92,8 @@ DRIVER_PRIORITY = [
     "median_value",
     "interval_intersect",
     "asof_latest_purchase",
-    "ann_topk_ivf",
+    # O5 intersect/except — registered round 2, no prior driver row
+    "engaged_non_buyers",
 ]
 
 

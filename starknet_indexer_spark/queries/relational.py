@@ -234,3 +234,36 @@ def source_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("lang", "owner", "first_doc_id", "last_doc_id", "n_chars")
     )
+
+
+@register(
+    "engaged_non_buyers",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_type FROM events
+      WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+    )
+    SELECT user_id FROM w WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM w WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id FROM w WHERE event_type = 'purchase'
+    """,
+    doc="O5 INTERSECT/EXCEPT (SURVEY §2.3; unused by the reference's "
+    "SQL but part of the declared operator surface): users who both "
+    "clicked and viewed but never purchased. Spark rewrites "
+    "intersect/except to left-semi/left-anti joins — same hash-join "
+    "physical shape as the reference's NOT EXISTS patterns.",
+)
+def engaged_non_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # day-1 slice: at full-history scope every user hits all event
+    # types and the result degenerates to empty
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp"))
+        .select("user_id", "event_type")
+    )
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clickers.intersect(viewers).exceptAll(buyers.distinct()).distinct()
