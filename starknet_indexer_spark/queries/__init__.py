@@ -82,6 +82,9 @@ DRIVER_PRIORITY = [
     "unigram_logprob_score",
     "source_mixing_sample",
     "length_bucket_histogram",
+    # round-2 additions with no prior driver row
+    "train_val_test_split",
+    "gopher_quality_filter",
     # one representative per already-green operator family
     "pricing_summary",
     "shipping_priority",
@@ -89,8 +92,6 @@ DRIVER_PRIORITY = [
     "top_customers_per_nation",
     "latest_state_per_user",
     "hourly_net_flow",
-    "median_value",
-    "interval_intersect",
     "asof_latest_purchase",
     # O5 intersect/except — registered round 2, no prior driver row
     "engaged_non_buyers",

@@ -386,3 +386,129 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq_last.alias("seq_last"),
         (seq_last - seq_first + F.lit(1)).alias("n_seqs_spanned"),
     )
+
+
+# hex-digit buckets on a content-independent md5: 12/16 train, 2/16
+# val, 2/16 test — the standard deterministic holdout split that stays
+# stable under repartitioning and incremental corpus growth
+_SPLIT_SQL = """
+    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) BETWEEN '0' AND '9'
+           OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('a', 'b') THEN 'train'
+         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val'
+         ELSE 'test' END
+"""
+
+
+@register(
+    "train_val_test_split",
+    oracle=f"""
+    SELECT split, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+           CAST(SUM(CEIL(length(text) / 4.0)) AS BIGINT) AS est_bpe_tokens
+    FROM (SELECT lang, text, {_SPLIT_SQL} AS split FROM documents)
+    GROUP BY 1, 2
+    """,
+    doc="Deterministic train/val/test split (75/12.5/12.5) by the "
+    "first hex digit of md5(doc_id): reproducible across engines, "
+    "runs, partitionings, and incremental corpus growth (a doc never "
+    "changes split when new docs arrive — unlike ROW_NUMBER-based "
+    "splits). Map-only assignment + one aggregation shuffle; at "
+    "100 TB the assignment is a projection fused into the scan.",
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(h.between("0", "9") | h.isin("a", "b"), "train")
+        .when(h.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", F.length("text").alias("len"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("len").alias("n_chars"),
+            F.sum(F.ceil(F.col("len") / 4.0)).cast("bigint").alias("est_bpe_tokens"),
+        )
+    )
+
+
+# Gopher-style composite quality rules (Rae et al. 2021, table A1
+# analogues, thresholds adapted to the synthetic corpus scale)
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 10_000
+GOPHER_MIN_MEAN_WORD_LEN = 2.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is")
+
+
+@register(
+    "gopher_quality_filter",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    feats AS (
+      SELECT doc_id, lang,
+             len(tokens) AS word_count,
+             ROUND(CAST(list_sum(list_transform(tokens, x -> length(x))) AS DOUBLE)
+                   / GREATEST(len(tokens), 1), 6) AS mean_word_len,
+             len(list_filter(tokens,
+                 x -> list_contains({list(GOPHER_STOPWORDS)!r}, x))) AS n_stopwords
+      FROM toks
+    )
+    SELECT doc_id, lang, word_count, mean_word_len,
+           CAST(n_stopwords AS BIGINT) AS n_stopwords,
+           (word_count BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}) AS ok_words,
+           (mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN}
+                              AND {GOPHER_MAX_MEAN_WORD_LEN}) AS ok_word_len,
+           (n_stopwords >= {GOPHER_MIN_STOPWORDS}) AS ok_stopwords,
+           ((word_count BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+            AND (mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN}
+                                   AND {GOPHER_MAX_MEAN_WORD_LEN})
+            AND n_stopwords >= {GOPHER_MIN_STOPWORDS}) AS keep
+    FROM feats
+    """,
+    doc="Gopher-style composite quality filter (word-count bounds, "
+    "mean word length bounds, stopword floor) emitting per-rule "
+    "verdicts plus the conjunction — the repeatable quality gate of a "
+    "pretraining pipeline, kept as flags so downstream selection "
+    "composes rather than destructively dropping rows. Pure column "
+    "expressions over one scan; no shuffle at all (map-only), so it "
+    "pipelines into any downstream operator at 100 TB.",
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens_expr(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("word_count"),
+        F.round(
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)).cast(
+                "double"
+            )
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("mean_word_len"),
+        F.size(F.filter(toks, lambda x: x.isin(*GOPHER_STOPWORDS))).cast("bigint").alias(
+            "n_stopwords"
+        ),
+    )
+    ok_words = F.col("word_count").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    ok_wlen = F.col("mean_word_len").between(
+        GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN
+    )
+    ok_stop = F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS
+    return d.select(
+        "doc_id",
+        "lang",
+        "word_count",
+        "mean_word_len",
+        "n_stopwords",
+        ok_words.alias("ok_words"),
+        ok_wlen.alias("ok_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_wlen & ok_stop).alias("keep"),
+    )
