@@ -172,3 +172,57 @@ class TestKMeansPlan:
         df = q(spark, "kmeans_cluster_assign")
         assert has_broadcast_join(df)
         assert shuffle_count(df) <= 7
+
+
+class TestRound2Plans:
+    """Plan contracts for the round-2 additions."""
+
+    def test_gopher_filter_map_only(self, spark):
+        # pure column expressions: must pipeline into any downstream
+        # operator with zero exchanges
+        assert shuffle_count(q(spark, "gopher_quality_filter")) == 0
+
+    def test_split_single_aggregation(self, spark):
+        # deterministic split = projection fused into the scan + one
+        # grouped aggregation
+        assert shuffle_count(q(spark, "train_val_test_split")) <= 1
+
+    def test_intersect_except_uses_hash_joins(self, spark):
+        # Catalyst rewrites INTERSECT/EXCEPT to semi/anti joins; the
+        # event-type sides are small enough to broadcast
+        df = q(spark, "engaged_non_buyers")
+        assert has_broadcast_join(df)
+        assert shuffle_count(df) <= 2
+
+    def test_minhash_candidate_stage_single_shuffle(self, spark):
+        # signatures are map-only array folds; the only exchange in
+        # the whole candidate+verify pipeline is the band-bucket join
+        # key (the verify joins broadcast the tiny candidate relation)
+        assert shuffle_count(q(spark, "minhash_lsh_dedup")) <= 1
+
+    def test_tick_liquidity_single_shuffle(self, spark):
+        # V2: mirrored union collapses into one grouped aggregation
+        assert shuffle_count(q(spark, "v02_tick_liquidity")) <= 1
+
+    @pytest.mark.parametrize(
+        ("name", "budget"),
+        [
+            # budgets include the event->Ekubo derivation fan-out
+            # (each derived fact re-aggregates blocks); the view body
+            # itself contributes the minority of exchanges
+            ("v01_pool_states", 8),
+            ("v13_hourly_volume", 9),
+            ("v16_hourly_tvl_delta", 22),
+            ("v12_voting_weights", 24),
+        ],
+    )
+    def test_view_query_shuffle_budgets(self, spark, name, budget):
+        assert shuffle_count(q(spark, name)) <= budget, name
+
+    @pytest.mark.parametrize(
+        "name",
+        ["v01_pool_states", "v13_hourly_volume", "v16_hourly_tvl_delta", "v07_last_24h_pool_stats"],
+    )
+    def test_view_dimension_joins_broadcast(self, spark, name):
+        # blocks/pool_keys joins must stay broadcast (no SMJ on facts)
+        assert has_broadcast_join(q(spark, name)), name
