@@ -110,15 +110,49 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _feature_oracle() -> str:
+    """Per-chunk byte means as DuckDB list folds. The corpus text is
+    pure ASCII (asserted at all scale factors), so ord(char) == byte
+    and the BLOB fold is expressible over the string form — which
+    upgrades this query from rows-only to a full value-hash check."""
+    cols = []
+    for i in range(8):
+        lo = f"{i} * step"
+        hi = f"LEAST(({i} + 1) * step, n)"
+        mean = (
+            f"ROUND(list_sum([ord(text[p + 1]) FOR p IN range({lo}, {hi})])"
+            f" / (255.0 * ({hi} - {lo})), 6)"
+        )
+        cols.append(f"CASE WHEN {lo} < n THEN {mean} ELSE 0.0 END AS f{i}")
+    sel = ",\n           ".join(cols)
+    return f"""
+    WITH g AS (
+      SELECT doc_id, length(text) AS n,
+             GREATEST(length(text) // 8, 1) AS step, text
+      FROM documents
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+           {sel}
+    FROM g
+    """
+
+
 @register(
     "multimodal_feature_extract",
-    oracle=None,  # per-byte folds over BLOBs aren't SQL-expressible; see tests
+    oracle=_feature_oracle(),
     doc="Feature extraction stub via mapInPandas: 8 chunk byte-mean "
-    "features per payload — the embedding-model stand-in. Rows-only "
-    "driver check; exact equivalence vs a pure-python reference is "
-    "pinned in tests/test_multimodal.py.",
+    "features per payload — the embedding-model stand-in (Arrow-batched "
+    "vectorized Python, the shape a real encoder forward pass uses). "
+    "Features are emitted as scalar columns so the driver value-hash "
+    "covers them; exact equivalence vs a pure-python reference is "
+    "additionally pinned in tests/test_multimodal.py.",
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     media = media_expr(F.col("text"))
-    return extract_features(docs.select("doc_id", media.alias("media")))
+    feats = extract_features(docs.select("doc_id", media.alias("media")))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(8)],
+    )
