@@ -18,8 +18,12 @@ from starknet_indexer_spark.catalog import DEFAULT_SF_DIR
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return qlib.REGISTRY["latest_state_per_user"].fn(spark, DEFAULT_SF_DIR)
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    V1 pool_states — the reference's flagship materialized view
+    (src/dao.ts:384-433) — run end-to-end through the event-derived
+    Ekubo tables and the real view implementation."""
+    return qlib.REGISTRY["v01_pool_states"].fn(spark, DEFAULT_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

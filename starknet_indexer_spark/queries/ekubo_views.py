@@ -35,7 +35,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .. import schemas
 from ..catalog import load
 from ..views import VIEWS
 from .registry import register
@@ -179,8 +178,8 @@ def _ekubo_tables_uncached(spark: SparkSession, sf_dir: str) -> dict[str, DataFr
         "unix_micros(ts) div 1000000 AS snapshot_block_timestamp",
     )
 
-    # --- token registry -------------------------------------------------
-    t["token_registrations"] = spark.createDataFrame([], schemas.TOKEN_REGISTRATIONS)
+    # --- token registry (v1 felt-packed table intentionally absent:
+    # the view skips its decode leg when the key is missing) ----------
     t["token_registrations_v3"] = ev.filter("event_type = 'signup' AND e % 3 = 0").selectExpr(
         "e AS event_id",
         "u AS address",

@@ -22,30 +22,38 @@ from ..functions.core import short_string_decode, to_hex
 
 
 def latest_token_registrations(tables: dict[str, DataFrame]) -> DataFrame:
-    tr = tables["token_registrations"]
-    # packed short strings arrive as NUMERIC (reference schema /
-    # fixtures) or as canonical 0x-hex (ingest stores felt252 as hex —
-    # felts exceed Decimal(38)); both decode through the hex form
-    dtypes = dict(tr.dtypes)
-
-    def _short(col: str):
-        c = F.col(col)
-        return short_string_decode(c if dtypes[col] == "string" else to_hex(c))
-
-    v1 = tr.select(
-        "address",
-        "event_id",
-        _short("name").alias("name"),
-        _short("symbol").alias("symbol"),
-        "decimals",
-        "total_supply",
-    )
+    # The v1 (felt-packed) table is optional: a corpus with only v3
+    # registrations skips the short-string decode leg entirely — the
+    # decode expression tree is wide enough to exceed the codegen
+    # budget, so building it against a known-empty relation wastes a
+    # compile + interpreted fallback.
+    tr = tables.get("token_registrations")
     v3 = tables["token_registrations_v3"].select(
         "address", "event_id", "name", "symbol", "decimals", "total_supply"
     )
+    if tr is None:
+        v1 = None
+    else:
+        # packed short strings arrive as NUMERIC (reference schema /
+        # fixtures) or as canonical 0x-hex (ingest stores felt252 as
+        # hex — felts exceed Decimal(38)); both decode via the hex form
+        dtypes = dict(tr.dtypes)
+
+        def _short(col: str):
+            c = F.col(col)
+            return short_string_decode(c if dtypes[col] == "string" else to_hex(c))
+
+        v1 = tr.select(
+            "address",
+            "event_id",
+            _short("name").alias("name"),
+            _short("symbol").alias("symbol"),
+            "decimals",
+            "total_supply",
+        )
     ascii_re = r"^[\x00-\x7F]*$"
     validated = (
-        v1.unionByName(v3)
+        (v3 if v1 is None else v1.unionByName(v3))
         .filter(
             (F.length("symbol") > 1)
             & (F.length("symbol") < 10)
