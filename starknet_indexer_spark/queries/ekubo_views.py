@@ -867,12 +867,12 @@ LEFT JOIN tvl_24h d ON d.key_hash = pk.key_hash
 )
 def v07_last_24h_pool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = ekubo_tables(spark, sf_dir)
-    # NOW() parameterized as the max block time — a bounded control-plane
-    # scalar (same pattern as the reference's materialization cursor)
-    as_of = t["blocks"].agg(F.max("time")).collect()[0][0]
+    # as_of=None: the view derives the NOW() anchor set-based
+    # (broadcast max(blocks.time) crossJoin), keeping the whole query
+    # one lazy plan with no driver-side collect
     hv = VIEWS["hourly_volume_by_token"](t)
     ht = VIEWS["hourly_tvl_delta_by_token"](t)
-    df = VIEWS["last_24h_pool_stats"](t, hv, ht, as_of)
+    df = VIEWS["last_24h_pool_stats"](t, hv, ht)
     cols = [F.col("key_hash").cast("bigint").alias("key_hash")]
     for c in (
         "volume0_24h",

@@ -22,15 +22,32 @@ def last_24h_pool_stats(
     tables: dict[str, DataFrame],
     hourly_volume: DataFrame,
     hourly_tvl_delta: DataFrame,
-    as_of,
+    as_of=None,
 ) -> DataFrame:
+    """``as_of=None`` derives the anchor set-based as max(blocks.time)
+    via a broadcast single-row crossJoin — no driver-side collect, so
+    the whole view stays one lazy plan (and one fewer pass over the
+    inputs when callers would otherwise pre-compute the scalar)."""
     pool_keys = tables["pool_keys"].select("key_hash", "token0", "token1")
-    cutoff = F.lit(as_of).cast("timestamp") - F.expr("INTERVAL 24 HOURS")
+    if as_of is None:
+        anchor = F.broadcast(
+            tables["blocks"].agg(
+                (F.max("time") - F.expr("INTERVAL 24 HOURS")).alias("__cutoff")
+            )
+        )
+        cutoff = F.col("__cutoff")
+    else:
+        anchor = None
+        cutoff = F.lit(as_of).cast("timestamp") - F.expr("INTERVAL 24 HOURS")
 
     def routed(df: DataFrame, value_cols: list[str], time_filtered: bool) -> DataFrame:
         j = df.join(F.broadcast(pool_keys), "key_hash")
         if time_filtered:
+            if anchor is not None:
+                j = j.crossJoin(anchor)
             j = j.filter(F.col("hour") >= cutoff)
+            if anchor is not None:
+                j = j.drop("__cutoff")
         aggs = []
         for vc in value_cols:
             aggs.append(
