@@ -48,18 +48,15 @@ def pool_market_depth(
                     swaps.pool_key_hash == F.col("key_hash")).filter(
         F.col("liquidity_after") != 0
     )
-    last_swap_per_pair = sp.groupBy("token0", "token1").agg(
-        F.max("event_id").alias("last_swap_event_id"),
-        F.max_by("block_number", "event_id").alias("__lsb"),
-    )
-    last_swap_time = (
-        last_swap_per_pair.join(F.broadcast(blocks), F.col("__lsb") == F.col("__block"))
-        .select("token0", "token1", F.col("__time").alias("last_time"))
-    )
-
+    # One pass over the swaps fact: the pair's last-swap time is a
+    # max_by window over the SAME (token0, token1) partitioning the
+    # median aggregation shuffles on, so Catalyst reuses one exchange
+    # and the upstream swaps pipeline executes once (the two-phase
+    # last-swap-then-join formulation ran it twice).
+    wp = W.partitionBy("token0", "token1")
     median_ticks = (
         sp.join(F.broadcast(blocks), sp.block_number == F.col("__block"))
-        .join(last_swap_time, ["token0", "token1"])
+        .withColumn("last_time", F.max_by("__time", "event_id").over(wp))
         .filter(F.col("__time") >= F.col("last_time") - F.expr("INTERVAL 1 HOUR"))
         .groupBy("token0", "token1")
         .agg(F.percentile("tick_after", F.lit(0.5)).alias("median_tick"))
@@ -102,7 +99,10 @@ def pool_market_depth(
 
     ranges = (
         pool_ticks.join(
-            pool_states, pool_ticks.pool_key_hash == pool_states.key_hash
+            # pools x 41 depth levels — always broadcast-sized; the
+            # big side (the cumulative tick ledger) stays in place
+            F.broadcast(pool_states),
+            pool_ticks.pool_key_hash == pool_states.key_hash,
         )
         .filter(
             (F.col("liquidity") != 0) & (F.col("fee_in_ticks") < F.col("depth_in_ticks"))

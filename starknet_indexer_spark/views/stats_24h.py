@@ -62,28 +62,44 @@ def last_24h_pool_stats(
             )
         return j.groupBy("key_hash").agg(*aggs)
 
+    def routed_dual(df: DataFrame, vc: str) -> DataFrame:
+        """Lifetime AND 24h-windowed sums of one pass over ``df`` —
+        the window filter moves into conditional aggregation so the
+        upstream pipeline (a full rollup over the fact table) executes
+        once, not twice. At 100 TB the rollup re-execution, not this
+        8-row agg, is the cost being halved."""
+        j = df.join(F.broadcast(pool_keys), "key_hash")
+        if anchor is not None:
+            j = j.crossJoin(anchor)
+        in_window = F.col("hour") >= cutoff
+        aggs = []
+        for side in ("token0", "token1"):
+            s = side[-1]
+            tok = F.col("token") == F.col(side)
+            aggs.append(
+                F.sum(F.when(tok, F.col(vc)).otherwise(F.lit(0))).alias(f"{vc}{s}_t")
+            )
+            aggs.append(
+                F.sum(F.when(tok & in_window, F.col(vc)).otherwise(F.lit(0))).alias(
+                    f"{vc}{s}_d"
+                )
+            )
+        return j.groupBy("key_hash").agg(*aggs)
+
     volume = routed(hourly_volume, ["volume", "fees"], time_filtered=True)
-    tvl_total = routed(hourly_tvl_delta, ["delta"], time_filtered=False)
-    tvl_24h = routed(hourly_tvl_delta, ["delta"], time_filtered=True)
+    tvl = routed_dual(hourly_tvl_delta, "delta")
 
     z = F.lit(0).cast(DEC)
     return (
         pool_keys.select("key_hash")
         .join(volume, "key_hash", "left")
         .join(
-            tvl_total.select(
+            tvl.select(
                 "key_hash",
-                F.col("delta0").alias("tvl0_t"),
-                F.col("delta1").alias("tvl1_t"),
-            ),
-            "key_hash",
-            "left",
-        )
-        .join(
-            tvl_24h.select(
-                "key_hash",
-                F.col("delta0").alias("tvl0_d"),
-                F.col("delta1").alias("tvl1_d"),
+                F.col("delta0_t").alias("tvl0_t"),
+                F.col("delta1_t").alias("tvl1_t"),
+                F.col("delta0_d").alias("tvl0_d"),
+                F.col("delta1_d").alias("tvl1_d"),
             ),
             "key_hash",
             "left",
