@@ -598,11 +598,26 @@ def ingest_batch(spark: SparkSession, raw: DataFrame, tables_dir: str) -> dict[s
     blocks = blocks.cache()
     counts["blocks"] = blocks.count()
     if counts["blocks"] > 0:
-        blocks.write.mode("append").partitionBy("block_bucket").parquet(blocks_path)
+        blocks.repartition("block_bucket").write.mode("append").partitionBy(
+            "block_bucket"
+        ).parquet(blocks_path)
     blocks.unpersist()
+
+    # One aggregation tells us which of the ~20 event families this
+    # batch actually contains, so absent families cost zero Spark jobs
+    # (a real block stream carries 2-5 families per batch; paying a
+    # filter+decode+count job for each of the other 15 dominated
+    # small-batch ingest latency). Control-plane collect: one row per
+    # distinct selector, bounded by len(EVENT_SELECTORS).
+    present = {
+        r["sel"]
+        for r in raw.select(F.element_at("keys", 1).alias("sel")).distinct().collect()
+    }
 
     pool_key_batches: list[DataFrame] = []
     for event_type, selector in EVENT_SELECTORS.items():
+        if selector not in present:
+            continue
         filtered = raw.filter(F.element_at("keys", 1) == selector)
         decoded = decode_events(
             filtered.select(*_envelope_cols(filtered), F.col("data")), event_type
@@ -627,16 +642,22 @@ def ingest_batch(spark: SparkSession, raw: DataFrame, tables_dir: str) -> dict[s
         if derived:
             pool_key_batches.append(derived(decoded))
         table, stored = to_stored(event_type, decoded)
-        stored.write.mode("append").partitionBy("block_bucket").parquet(
-            _table_dir(tables_dir, table)
-        )
+        # Cluster on the partition column before the dynamic-partition
+        # write: without it every task emits a file into every bucket
+        # it touches (tasks x buckets small files per batch); with it
+        # each bucket gets one file and the downstream block-range
+        # scans read large sequential row groups. The extra exchange
+        # moves only this family's already-filtered rows.
+        stored.repartition("block_bucket").write.mode("append").partitionBy(
+            "block_bucket"
+        ).parquet(_table_dir(tables_dir, table))
         counts[table] = n
         for side_name, builder in SIDE_TABLES.get(event_type, ()):
             side = builder(decoded)
             if not side.isEmpty():
-                side.write.mode("append").partitionBy("block_bucket").parquet(
-                    _table_dir(tables_dir, side_name)
-                )
+                side.repartition("block_bucket").write.mode("append").partitionBy(
+                    "block_bucket"
+                ).parquet(_table_dir(tables_dir, side_name))
                 counts[side_name] = side.count()
 
     if pool_key_batches:

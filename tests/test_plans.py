@@ -141,6 +141,14 @@ class TestExecutionShape:
             ("unigram_logprob_score", 3),
             ("source_mixing_sample", 1),
             ("length_bucket_histogram", 1),
+            # corpus-wide segment window + per-doc reassembly
+            ("segment_dedup", 2),
+            # map-only regexp scrub — must stay shuffle-free
+            ("pii_redaction", 0),
+            # map-only explode — must stay shuffle-free
+            ("chunk_overlap", 0),
+            # (doc,term) agg + term df agg + broadcast back + doc window
+            ("tfidf_top_terms", 4),
         ],
     )
     def test_window_family_shuffle_budgets(self, spark, name, budget):
