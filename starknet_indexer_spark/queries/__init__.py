@@ -29,6 +29,7 @@ from . import pipeline_corpus  # noqa: E402,F401
 from . import pipeline_clustering  # noqa: E402,F401
 from . import pipeline_quality  # noqa: E402,F401
 from . import pipeline_cleaning  # noqa: E402,F401
+from . import integrity  # noqa: E402,F401
 from . import ekubo_views  # noqa: E402,F401
 
 
