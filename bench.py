@@ -53,6 +53,8 @@ HEADLINE = [
     "minhash_dedup_incremental",
     "decontamination_ngram",
     "kmeans_cluster_assign",
+    "semdedup_select",
+    "constraint_violations",
     "rolling_window_stats",
     "sequence_packing",
     "min_cost_supplier",

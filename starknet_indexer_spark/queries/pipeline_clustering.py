@@ -108,3 +108,86 @@ def kmeans_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = kmeans(vecs, init, KMEANS_UPDATES)
     return out.select("vec_id", "cluster", "d2")
+
+
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+# embedding space, then inside each cluster drop points that sit
+# within epsilon of a kept representative — semantic (not lexical)
+# near-dup removal. The paper keeps the point farthest from the
+# centroid among each epsilon-group; this implementation keeps the
+# cluster representative (centroid-nearest point) and flags everything
+# within SEMDEDUP_D2_MAX of it — one deterministic pass, same
+# cluster-pruned O(n) shape (vs O(n^2) all-pairs cosine).
+SEMDEDUP_D2_MAX = 1_300_000_000_000  # quantized-unit d2 (~1-5th pct at sf0.001)
+
+_D2_REP_SQL = (
+    "CAST(list_sum([(r.qv[k] - r.rep_qv[k]) * (r.qv[k] - r.rep_qv[k]) "
+    f"for k in range(1, {_DIM + 1})]) AS BIGINT)"
+)
+
+
+def _semdedup_oracle() -> str:
+    fin = KMEANS_UPDATES + 1
+    return f"""
+    WITH {kmeans_cte_chain()},{_assign_cte(fin, f"c{KMEANS_UPDATES}")},
+    ranked AS (
+      SELECT vec_id, qv, cluster, d2,
+             ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY d2, vec_id) AS rn
+      FROM a{fin}
+    ),
+    reps AS (
+      SELECT cluster, vec_id AS rep_id, qv AS rep_qv FROM ranked WHERE rn = 1
+    ),
+    scored AS (
+      SELECT r.vec_id, r.cluster, p.rep_id, {_D2_REP_SQL} AS d2_rep
+      FROM (SELECT ranked.*, reps.rep_qv FROM ranked JOIN reps USING (cluster)) r
+      JOIN reps p USING (cluster)
+    )
+    SELECT vec_id, cluster, rep_id, d2_rep,
+           CAST(vec_id = rep_id AS BIGINT) AS is_rep,
+           CAST(vec_id = rep_id OR d2_rep > {SEMDEDUP_D2_MAX} AS BIGINT) AS keep
+    FROM scored
+    """
+
+
+@register(
+    "semdedup_select",
+    oracle=_semdedup_oracle(),
+    doc="SemDeDup semantic dedup: k-means clusters the embedding "
+    "space (map-only assignment), each cluster's centroid-nearest "
+    "point becomes the representative, and members within an exact "
+    "integer d2 epsilon of it are dropped. Candidate comparisons are "
+    "cluster-pruned — n comparisons total, never the all-pairs cosine "
+    "product; the representative relation is K rows and broadcasts. "
+    "All distances are exact BIGINTs, so even this clustering-based "
+    "selector carries a full value-hash oracle.",
+)
+def semdedup_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ..operators.clustering import dist2_expr
+
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", quantize_expr(F.col("embedding")).alias("qv"))
+    init = vecs.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cluster_id"), F.col("qv").alias("cv")
+    )
+    assigned = kmeans(vecs, init, KMEANS_UPDATES)
+    ranked = assigned.withColumn(
+        "rn", F.row_number().over(W.partitionBy("cluster").orderBy("d2", "vec_id"))
+    )
+    reps = ranked.filter(F.col("rn") == 1).select(
+        "cluster", F.col("vec_id").alias("rep_id"), F.col("qv").alias("rep_qv")
+    )
+    scored = ranked.join(F.broadcast(reps), "cluster").withColumn(
+        "d2_rep", dist2_expr(F.col("qv"), F.col("rep_qv"))
+    )
+    is_rep = F.col("vec_id") == F.col("rep_id")
+    return scored.select(
+        "vec_id",
+        "cluster",
+        "rep_id",
+        "d2_rep",
+        is_rep.cast("bigint").alias("is_rep"),
+        (is_rep | (F.col("d2_rep") > SEMDEDUP_D2_MAX)).cast("bigint").alias("keep"),
+    )

@@ -188,3 +188,66 @@ class TestStreamingDedup:
         want = {r["event_id"] for r in ev.collect()}
         assert got == want and len(got) > 0
         assert spark.table("dedup_t").count() == len(want)  # no double emission
+
+
+class TestLatestStateTransformWithState:
+    """Same contract as TestLatestStateStream on the Spark-4
+    transformWithState API (typed ValueState + RocksDB store)."""
+
+    def test_stream_equals_batch_argmax(self, spark, events_feed, tmp_path):
+        pytest.importorskip(
+            "google.protobuf",
+            reason="transformWithState's Python state protocol is protobuf-encoded",
+        )
+        from starknet_indexer_spark.streaming.stateful_v2 import (
+            install_rocksdb_state_store,
+            latest_state_stream_tws,
+        )
+
+        ev, feed = events_feed
+        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        install_rocksdb_state_store(spark)
+        try:
+            stream = (
+                spark.readStream.schema(spark.read.parquet(feed).schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(feed)
+            )
+            latest = latest_state_stream_tws(
+                stream.select("user_id", "event_id", "value"), "user_id"
+            )
+            q = (
+                latest.writeStream.outputMode("update")
+                .format("memory")
+                .queryName("latest_tws")
+                .option("checkpointLocation", str(tmp_path / "ck_tws"))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        finally:
+            if prev is not None:
+                spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+            else:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+        emitted = spark.table("latest_tws").toPandas()
+        final = emitted.groupby("user_id").apply(
+            lambda g: g.loc[g["event_id"].idxmax()], include_groups=False
+        )
+        got = {
+            (int(uid), int(r["event_id"]), round(float(r["value"]), 6))
+            for uid, r in final.iterrows()
+        }
+        want = {
+            (int(r["user_id"]), int(r["eid"]), round(float(r["v"]), 6))
+            for r in ev.groupBy("user_id")
+            .agg(
+                F.max("event_id").alias("eid"),
+                F.max_by("value", "event_id").alias("v"),
+            )
+            .collect()
+        }
+        assert got == want and len(got) > 0
