@@ -63,6 +63,8 @@ HEADLINE = [
     "large_volume_orders",
     "word_entropy_quality",
     "unigram_logprob_score",
+    "bigram_logprob_score",
+    "random_projection_reduce",
     "source_mixing_sample",
     "segment_dedup",
     "pii_redaction",

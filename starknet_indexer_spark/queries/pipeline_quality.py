@@ -226,3 +226,70 @@ def length_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").cast("long").alias("max_tokens"),
         )
     )
+
+
+@register(
+    "bigram_logprob_score",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, t[k] AS w1, t[k+1] AS w2
+      FROM toks, UNNEST(range(1, len(t))) AS u(k)
+      WHERE len(t) >= 2
+    ),
+    lm2 AS (SELECT w1, w2, COUNT(*) AS tf2 FROM bg GROUP BY w1, w2),
+    lm1 AS (SELECT w1, CAST(SUM(tf2) AS BIGINT) AS tf1 FROM lm2 GROUP BY w1)
+    SELECT b.doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(AVG(LOG2(CAST(l1.tf1 AS DOUBLE))
+                     - LOG2(CAST(l2.tf2 AS DOUBLE))), 6) AS avg_neg_logprob
+    FROM bg b
+    JOIN lm2 l2 ON b.w1 = l2.w1 AND b.w2 = l2.w2
+    JOIN lm1 l1 ON b.w1 = l1.w1
+    GROUP BY b.doc_id
+    """,
+    doc="Bigram-LM cross-entropy per document: average "
+    "-log2 p(w2|w1) with p = count(w1 w2)/count(w1 *) under the "
+    "corpus's own bigram model — one Markov order beyond "
+    "unigram_logprob_score, the cheapest perplexity proxy that "
+    "penalizes scrambled word ORDER, not just rare words. Scale "
+    "shape: both LM tables are vocabulary-sized and broadcast back "
+    "onto the exploded bigram stream; the only fact-sized shuffles "
+    "are the bigram count and the final per-doc aggregate. Docs "
+    "shorter than 2 tokens have no bigrams and drop out on both "
+    "engines.",
+)
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", _TOKENS(F.col("text")).alias("t")
+    )
+    n = F.size("t")
+    pairs = docs.filter(n >= 2).select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, n - 1),
+                F.slice(F.col("t"), 2, n - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    lm2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("tf2"))
+    lm1 = lm2.groupBy("w1").agg(F.sum("tf2").cast("long").alias("tf1"))
+    return (
+        pairs.join(F.broadcast(lm2), ["w1", "w2"])
+        .join(F.broadcast(lm1), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log2(F.col("tf1").cast("double"))
+                    - F.log2(F.col("tf2").cast("double"))
+                ),
+                6,
+            ).alias("avg_neg_logprob"),
+        )
+    )

@@ -512,3 +512,71 @@ def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (sparse, Achlioptas 2003)
+# ---------------------------------------------------------------------------
+
+RP_OUT_DIM = 16
+RP_IN_DIM = 64
+# Knuth multiplicative constant; the projection matrix entry for
+# (output dim j, input dim k) is derived from ((j*64+k)*RP_MULT) % 6:
+# 0 -> +1, 1 -> -1, else 0 — the sparse JL distribution (+1/-1 with
+# prob 1/6 each, 0 with prob 2/3). A fixed integer derivation instead
+# of runtime randomness keeps Spark and DuckDB byte-identical.
+RP_MULT = 2_654_435_761
+
+
+def _rp_entry_sql(j: str, k: str) -> str:
+    return (
+        f"CASE (({j} * {RP_IN_DIM} + {k}) * {RP_MULT}) % 6 "
+        "WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END"
+    )
+
+
+@register(
+    "random_projection_reduce",
+    oracle=f"""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+    )
+    SELECT vec_id, CAST(j AS BIGINT) AS j,
+           CAST(list_sum([qv[k] * ({_rp_entry_sql("j", "k")})
+                          for k in range(1, {RP_IN_DIM + 1})]) AS BIGINT) AS p
+    FROM qv, UNNEST(range({RP_OUT_DIM})) AS u(j)
+    """,
+    doc="Sparse random projection 64 -> 16 dims (Johnson-Lindenstrauss "
+    "via the Achlioptas +1/0/-1 matrix, derived from a fixed integer "
+    "hash so both engines build the identical matrix). Map-only: each "
+    "vector folds through 16 integer dot products inside the scan — "
+    "the standard pre-step that makes downstream ANN distance "
+    "computation 4x cheaper per comparison at 100 TB, with JL "
+    "distance-preservation guarantees. Exact BIGINT output (quantized "
+    "input), so the reduction itself is value-hash checked.",
+)
+def random_projection_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import quantize_expr
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.select("vec_id", quantize_expr(F.col("embedding")).alias("qv"))
+
+    def entry(j: int, k: Column) -> Column:
+        h = ((F.lit(j) * RP_IN_DIM + k) * F.lit(RP_MULT)) % 6
+        return F.when(h == 0, F.lit(1)).when(h == 1, F.lit(-1)).otherwise(F.lit(0))
+
+    def proj(j: int) -> Column:
+        pairs = F.zip_with(
+            F.col("qv"),
+            F.sequence(F.lit(1).cast("bigint"), F.lit(RP_IN_DIM).cast("bigint")),
+            lambda x, k: x * entry(j, k).cast("bigint"),
+        )
+        return F.aggregate(pairs, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+    return qv.select(
+        "vec_id",
+        F.posexplode(F.array(*[proj(j) for j in range(RP_OUT_DIM)])).alias("j", "p"),
+    ).select("vec_id", F.col("j").cast("bigint").alias("j"), "p")

@@ -149,6 +149,16 @@ class TestExecutionShape:
             ("chunk_overlap", 0),
             # (doc,term) agg + term df agg + broadcast back + doc window
             ("tfidf_top_terms", 4),
+            # 3 Lloyd passes: 2x (cluster,k) partial-sum shuffles +
+            # rep window + broadcast joins; assignment itself map-only
+            ("semdedup_select", 15),
+            # JL projection must stay map-only (16 folds in the scan)
+            ("random_projection_reduce", 0),
+            # bigram count + context re-agg + broadcasts + per-doc agg
+            ("bigram_logprob_score", 4),
+            # 27 audit checks; each is a global 1-row count agg (one
+            # tiny exchange each) — the scans, not these, carry cost
+            ("constraint_violations", 46),
         ],
     )
     def test_window_family_shuffle_budgets(self, spark, name, budget):
