@@ -1,0 +1,150 @@
+"""Property-style tests for the corpus-cleaning operators
+(queries/pipeline_cleaning.py) against pure-Python models and
+structural invariants on the real corpus.
+
+Invariants:
+- segment_dedup: exactly one global survivor per distinct segment;
+  the first occurrence (doc_id, pos order) is the survivor; per-doc
+  kept <= total; segment multiset is preserved by the count columns.
+- chunk_overlap: chunks tile each doc with the configured stride;
+  every chunk except the last has exactly CHUNK_SIZE tokens; token
+  coverage matches the Python chunker exactly.
+- pii_redaction: the planted PII count is recovered exactly and the
+  redacted text hash matches a Python re-based model.
+- tfidf_top_terms: ranks are 1..k without gaps and ordered by the
+  (tf DESC, df ASC, term ASC) key.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+from starknet_indexer_spark.catalog import load
+from starknet_indexer_spark.queries.pipeline_cleaning import (
+    CHUNK_SIZE,
+    CHUNK_STRIDE,
+    SEG_TOKENS,
+    TOP_TERMS,
+    _EMAIL_RE,
+    _PHONE_RE,
+)
+from starknet_indexer_spark.queries.registry import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).split(" ") if t]
+
+
+def _docs(spark):
+    return {
+        r["doc_id"]: r["text"]
+        for r in load(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    }
+
+
+class TestSegmentDedupInvariants:
+    def test_matches_python_model(self, spark):
+        docs = _docs(spark)
+        # python model: first occurrence by (doc_id, pos) wins
+        seen: set[str] = set()
+        model: dict[int, tuple[int, int, str]] = {}
+        for doc_id in sorted(docs):
+            toks = _tokens(docs[doc_id])
+            segs = [
+                " ".join(toks[i * SEG_TOKENS : (i + 1) * SEG_TOKENS])
+                for i in range(math.ceil(len(toks) / SEG_TOKENS))
+            ]
+            kept = []
+            for s in segs:
+                if s not in seen:
+                    seen.add(s)
+                    kept.append(s)
+            if segs:
+                clean = hashlib.md5(" ".join(kept).encode()).hexdigest()
+                model[doc_id] = (len(segs), len(kept), clean)
+        got = {
+            r["doc_id"]: (r["n_segments"], r["n_kept"], r["clean_md5"])
+            for r in REGISTRY["segment_dedup"].fn(spark, SF_DIR).collect()
+        }
+        assert got == model
+        # global invariant: survivors == distinct segments
+        assert sum(k for _, k, _ in model.values()) == len(seen)
+
+    def test_idempotent_on_deduped_corpus(self, spark):
+        # a corpus with all-unique segments keeps everything
+        rows = REGISTRY["segment_dedup"].fn(spark, SF_DIR).collect()
+        total_kept = sum(r["n_kept"] for r in rows)
+        total_segs = sum(r["n_segments"] for r in rows)
+        assert 0 < total_kept <= total_segs
+
+
+class TestChunkOverlapInvariants:
+    def test_matches_python_model(self, spark):
+        docs = _docs(spark)
+        model = {}
+        for doc_id, text in docs.items():
+            toks = _tokens(text)
+            if not toks:
+                continue
+            n_chunks = math.ceil(max(len(toks) - CHUNK_SIZE, 0) / CHUNK_STRIDE) + 1
+            for i in range(n_chunks):
+                chunk = toks[i * CHUNK_STRIDE : i * CHUNK_STRIDE + CHUNK_SIZE]
+                model[(doc_id, i)] = (
+                    len(chunk),
+                    hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+                )
+        got = {
+            (r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_md5"])
+            for r in REGISTRY["chunk_overlap"].fn(spark, SF_DIR).collect()
+        }
+        assert got == model
+        # all but the final chunk of each doc are full-width
+        by_doc: dict[int, list[tuple[int, int]]] = {}
+        for (d, i), (n, _) in got.items():
+            by_doc.setdefault(d, []).append((i, n))
+        for d, chunks in by_doc.items():
+            chunks.sort()
+            assert all(n == CHUNK_SIZE for _, n in chunks[:-1]), d
+
+
+class TestPiiRedactionModel:
+    def test_matches_python_model(self, spark):
+        docs = _docs(spark)
+        got = {
+            r["doc_id"]: (r["n_emails"], r["n_phones"], r["clean_md5"])
+            for r in REGISTRY["pii_redaction"].fn(spark, SF_DIR).collect()
+        }
+        for doc_id, text in docs.items():
+            planted = text
+            if doc_id % 3 == 0:
+                planted += f" contact user{doc_id}@example.com for details"
+            if doc_id % 5 == 0:
+                planted += f" or call 555-{doc_id % 10000:04d}"
+            n_e = len(re.findall(_EMAIL_RE, planted))
+            n_p = len(re.findall(_PHONE_RE, planted))
+            clean = re.sub(
+                _PHONE_RE, "<PHONE>", re.sub(_EMAIL_RE, "<EMAIL>", planted)
+            )
+            want = (n_e, n_p, hashlib.md5(clean.encode()).hexdigest())
+            assert got[doc_id] == want, doc_id
+        # positives actually exist
+        assert sum(e for e, _, _ in got.values()) > 0
+        assert sum(p for _, p, _ in got.values()) > 0
+
+
+class TestTfidfRankInvariants:
+    def test_ranks_contiguous_and_ordered(self, spark):
+        rows = REGISTRY["tfidf_top_terms"].fn(spark, SF_DIR).collect()
+        by_doc: dict[int, list] = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for doc_id, rs in by_doc.items():
+            rs.sort(key=lambda r: r["rank"])
+            assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+            assert len(rs) <= TOP_TERMS
+            keys = [(-r["tf"], r["df"], r["term"]) for r in rs]
+            assert keys == sorted(keys), doc_id
