@@ -471,6 +471,13 @@ EVENT_PARSERS: dict[str, Parser] = {
         id=(0, felt252), voter=(1, address), weight=(2, u128), yea=(3, boolean)
     ),
     "governor_canceled": struct_of(id=(0, felt252)),
+    # CreationThresholdBreached (src/events/governor.ts:49-52: both
+    # fields share index 0 -> stable order id, breach_timestamp); the
+    # reference routes it into the canceled table ("just use the
+    # canceled table", src/eventProcessors.ts:365-379)
+    "governor_creation_threshold_breached": struct_of(
+        id=(0, felt252), breach_timestamp=(0, u64)
+    ),
     "governor_executed": struct_of(
         id=(0, felt252), result_data=(1, span_of(span_of(felt252)))
     ),

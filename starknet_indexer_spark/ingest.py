@@ -372,6 +372,13 @@ STORED_PROJECTIONS: dict[str, tuple[str, list]] = {
         ],
     ),
     "governor_executed": ("governor_executed", lambda: [F.col("id")]),
+    # threshold-breach rows share the canceled table (the breach
+    # timestamp is decoded but not stored — reference parity,
+    # src/eventProcessors.ts:377-378 / src/dao.ts:2655-2669)
+    "governor_creation_threshold_breached": (
+        "governor_canceled",
+        lambda: [F.col("id")],
+    ),
     "governor_reconfigured": (
         "governor_reconfigured",
         lambda: [
@@ -651,14 +658,17 @@ def ingest_batch(spark: SparkSession, raw: DataFrame, tables_dir: str) -> dict[s
         stored.repartition("block_bucket").write.mode("append").partitionBy(
             "block_bucket"
         ).parquet(_table_dir(tables_dir, table))
-        counts[table] = n
+        # accumulate, don't assign: two event families can share one
+        # stored table (creation-threshold-breach rows land in
+        # governor_canceled)
+        counts[table] = counts.get(table, 0) + n
         for side_name, builder in SIDE_TABLES.get(event_type, ()):
             side = builder(decoded)
             if not side.isEmpty():
                 side.repartition("block_bucket").write.mode("append").partitionBy(
                     "block_bucket"
                 ).parquet(_table_dir(tables_dir, side_name))
-                counts[side_name] = side.count()
+                counts[side_name] = counts.get(side_name, 0) + side.count()
 
     if pool_key_batches:
         upsert_pool_keys(spark, pool_key_batches, tables_dir)

@@ -522,3 +522,27 @@ class TestSynthFeed:
         assert raw2.select("block_number").distinct().count() == 2 * raw.select(
             "block_number"
         ).distinct().count()
+
+
+class TestCreationThresholdBreached:
+    """GovernorCreationThresholdBreached rows land in the
+    governor_canceled table, storing only the proposal id — the
+    reference's routing (src/eventProcessors.ts:365-379)."""
+
+    def test_routes_to_canceled_table(self, spark, tdir):
+        rows = [
+            raw_row(1, 0, 0, "governor_canceled", [hex(0xAB)]),
+            raw_row(
+                1, 1, 0, "governor_creation_threshold_breached",
+                [hex(0xCD), hex(1_700_000_000)],
+            ),
+        ]
+        counts = ingest_batch(spark, spark.createDataFrame(rows, RAW_SCHEMA), tdir)
+        assert counts["governor_canceled"] == 2
+        got = {
+            r["id"]
+            for r in spark.read.parquet(
+                os.path.join(tdir, "governor_canceled")
+            ).collect()
+        }
+        assert got == {"0xab", "0xcd"}
