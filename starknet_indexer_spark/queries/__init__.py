@@ -87,14 +87,17 @@ DRIVER_PRIORITY = [
     # round-2 additions with no prior driver row
     "train_val_test_split",
     "gopher_quality_filter",
-    # one representative per already-green operator family
-    "pricing_summary",
-    "shipping_priority",
-    "customers_without_orders",
-    "top_customers_per_nation",
-    "latest_state_per_user",
-    "hourly_net_flow",
-    "asof_latest_purchase",
+    # round-2 session additions with no prior driver row (these
+    # replaced seven slots previously held by queries that already
+    # have green CORRECTNESS_r01 rows — maximizing total-ever-checked
+    # coverage within the driver's ~50-query budget)
+    "segment_dedup",
+    "chunk_overlap",
+    "tfidf_top_terms",
+    "constraint_violations",
+    "semdedup_select",
+    "bigram_logprob_score",
+    "random_projection_reduce",
     # O5 intersect/except — registered round 2, no prior driver row
     "engaged_non_buyers",
 ]
