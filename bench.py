@@ -115,22 +115,34 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
 
+    # Two executions per query at the target SF: the first pays
+    # one-time plan analysis + AQE stage compilation for this data
+    # size ("cold"), the second is the steady-state regime the
+    # reference service actually runs in (the same views recomputed
+    # every block / 5 minutes — src/index.ts:71-102). The headline
+    # metric is steady-state; cold timings ship alongside for the
+    # first-refresh story.
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         q = REGISTRY[name]
-        t0 = time.perf_counter()
         try:
+            t0 = time.perf_counter()
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            cold[name] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # noqa: BLE001 — isolate per query
             errors.setdefault(name, f"{type(exc).__name__}: {exc}"[:500])
             continue
-        timings[name] = round(time.perf_counter() - t0, 3)
 
     out = {
-        "metric": "headline_query_wall_time_total",
+        "metric": "headline_query_wall_time_total_steady",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "cold": {"total": round(sum(cold.values()), 3), "queries": cold},
         "sf": sf,
     }
 

@@ -757,3 +757,53 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active_users"))
     )
+
+
+@register(
+    "value_decile_bands",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, event_id,
+             CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS v_fixed,
+             NTILE(10) OVER w AS decile,
+             PERCENT_RANK() OVER w AS pr,
+             CUME_DIST() OVER w AS cd
+      FROM events
+      WINDOW w AS (PARTITION BY event_type
+                   ORDER BY CAST(FLOOR(value * 10000 + 0.5) AS BIGINT), event_id)
+    )
+    SELECT event_type, CAST(decile AS BIGINT) AS decile,
+           COUNT(*) AS n_events,
+           MIN(v_fixed) AS v_min,
+           MAX(v_fixed) AS v_max,
+           ROUND(MIN(pr), 6) AS pr_min,
+           ROUND(MAX(cd), 6) AS cd_max
+    FROM ranked
+    GROUP BY event_type, decile
+    """,
+    doc="Decile banding per event_type: NTILE(10) + PERCENT_RANK + "
+    "CUME_DIST over one shared window (the ranked-distribution family "
+    "of window functions, previously unexercised), then per-band "
+    "stats. Values are fixed-point BIGINTs and the window order is "
+    "totally determined by (value, event_id), so band edges are "
+    "engine-exact. One exchange on event_type serves the window AND "
+    "the grouping (the agg key prefixes the window key).",
+)
+def value_decile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v_fixed = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint")
+    w = W.partitionBy("event_type").orderBy("v_fixed", "event_id")
+    ranked = ev.select("event_type", "event_id", v_fixed.alias("v_fixed")).select(
+        "event_type",
+        "v_fixed",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return ranked.groupBy("event_type", F.col("decile").cast("bigint").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("v_fixed").alias("v_min"),
+        F.max("v_fixed").alias("v_max"),
+        F.round(F.min("pr"), 6).alias("pr_min"),
+        F.round(F.max("cd"), 6).alias("cd_max"),
+    )

@@ -512,3 +512,46 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_stop.alias("ok_stopwords"),
         (ok_words & ok_wlen & ok_stop).alias("keep"),
     )
+
+
+_PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+@register(
+    "source_lang_pivot",
+    oracle=f"""
+    SELECT source,
+           {", ".join(
+               "CAST(SUM(CASE WHEN lang = '" + la + "' THEN 1 ELSE 0 END) AS BIGINT)"
+               " AS n_" + la
+               for la in _PIVOT_LANGS
+           )},
+           CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY source
+    """,
+    doc="Cross-tab of the corpus mix: one row per source, one count "
+    "column per language — Spark's pivot() with an EXPLICIT value "
+    "list, which compiles to conditional aggregation in a single "
+    "hash agg (one shuffle). Never call pivot() without the value "
+    "list at scale: value discovery adds a full distinct pass over "
+    "the fact table before the real aggregation.",
+)
+def source_lang_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    out = (
+        docs.groupBy("source")
+        .pivot("lang", list(_PIVOT_LANGS))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("n_chars").cast("decimal(18,0)")).alias("chars"),
+        )
+    )
+    total = None
+    cols = [F.col("source")]
+    for la in _PIVOT_LANGS:
+        cols.append(F.coalesce(F.col(f"{la}_n"), F.lit(0)).cast("bigint").alias(f"n_{la}"))
+        c = F.coalesce(F.col(f"{la}_chars"), F.lit(0).cast("decimal(18,0)"))
+        total = c if total is None else total + c
+    cols.append(total.cast("bigint").alias("total_chars"))
+    return out.select(*cols)

@@ -156,6 +156,11 @@ class TestExecutionShape:
             ("random_projection_reduce", 0),
             # bigram count + context re-agg + broadcasts + per-doc agg
             ("bigram_logprob_score", 4),
+            # ntile/percent_rank/cume_dist + band agg share one
+            # event_type exchange
+            ("value_decile_bands", 1),
+            # pivot with explicit values = one conditional hash agg
+            ("source_lang_pivot", 2),
             # 27 audit checks; each is a global 1-row count agg (one
             # tiny exchange each) — the scans, not these, carry cost
             ("constraint_violations", 46),
