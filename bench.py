@@ -57,6 +57,9 @@ HEADLINE = [
     "constraint_violations",
     "rolling_window_stats",
     "sequence_packing",
+    "value_decile_bands",
+    "source_lang_pivot",
+    "gap_fill_hourly",
     "min_cost_supplier",
     "nation_trade_volume",
     "customer_order_distribution",

@@ -807,3 +807,85 @@ def value_decile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("pr"), 6).alias("pr_min"),
         F.round(F.max("cd"), 6).alias("cd_max"),
     )
+
+
+@register(
+    "gap_fill_hourly",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+             CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT MIN(hour_ts) AS lo, MAX(hour_ts) AS hi FROM hourly
+    ),
+    spine AS (
+      SELECT et.event_type, s.h AS hour_ts
+      FROM (SELECT DISTINCT event_type FROM hourly) et
+      CROSS JOIN (SELECT UNNEST(range((SELECT lo FROM bounds),
+                                      (SELECT hi FROM bounds) + 3600,
+                                      3600)) AS h) s
+    )
+    SELECT s.event_type, s.hour_ts,
+           COALESCE(h.v, 0) AS v,
+           CAST(h.v IS NULL AS BIGINT) AS was_gap,
+           LAST_VALUE(h.v IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.hour_ts
+             ROWS UNBOUNDED PRECEDING) AS v_ffill
+    FROM spine s LEFT JOIN hourly h USING (event_type, hour_ts)
+    """,
+    doc="Time-series gap fill / resample: a dense hour spine "
+    "(sequence over the global [min, max] hour range) left-joined "
+    "against the hourly rollup, with missing hours zero-filled AND "
+    "forward-filled (last_value IGNORE NULLS). The spine "
+    "(event_types x hours) is the null-preserved probe side — it "
+    "cannot be a broadcast build side; the already-aggregated rollup "
+    "is, under AQE. The fill window partitions by event_type. The "
+    "hypertable operation the reference's hourly views (V13-V16) "
+    "would need for chart-ready output.",
+)
+def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v_fixed = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_ts"),
+            v_fixed.alias("vf"),
+        )
+        .groupBy("event_type", "hour_ts")
+        .agg(F.sum("vf").cast("bigint").alias("v"))
+    )
+    bounds = hourly.agg(
+        F.min("hour_ts").alias("lo"), F.max("hour_ts").alias("hi")
+    )
+    spine = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.lit(3600).cast("bigint"))
+            ).alias("hour_ts"),
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("hour_ts").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    # the spine is the null-preserved side of the outer join, so it
+    # cannot be the broadcast build side; the rollup (already
+    # aggregated: event_types x active hours) is the small build side
+    # and AQE broadcasts it
+    return (
+        spine.join(hourly, ["event_type", "hour_ts"], "left")
+        .select(
+            "event_type",
+            "hour_ts",
+            F.coalesce(F.col("v"), F.lit(0)).cast("bigint").alias("v"),
+            F.col("v").isNull().cast("bigint").alias("was_gap"),
+            F.last("v", ignorenulls=True).over(w).alias("v_ffill"),
+        )
+    )

@@ -161,6 +161,8 @@ class TestExecutionShape:
             ("value_decile_bands", 1),
             # pivot with explicit values = one conditional hash agg
             ("source_lang_pivot", 2),
+            # rollup agg + spine distinct + fill window
+            ("gap_fill_hourly", 3),
             # 27 audit checks; each is a global 1-row count agg (one
             # tiny exchange each) — the scans, not these, carry cost
             ("constraint_violations", 46),
