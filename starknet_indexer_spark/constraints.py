@@ -64,6 +64,86 @@ def orphans(
     return non_null.join(keys, cols, "left_anti")
 
 
+def audit_table(
+    df: DataFrame,
+    relation: str,
+    pk: list[str],
+    fks: list[tuple[list[str], DataFrame, list[str], bool]] | None = None,
+) -> DataFrame:
+    """All constraint counts for one table in TWO passes instead of
+    one scan per check:
+
+    - pass 1: a single groupBy on the PK yields both violation kinds —
+      a group with n_rows > 1 is a duplicate class (count its excess),
+      and NULL key tuples form groups too, so null-key rows are the
+      groups with any NULL component.
+    - pass 2 (if FKs): one scan chaining a broadcast left join per
+      parent, then one aggregate summing the per-edge orphan flags.
+
+    At 100 TB the scan, not the tiny count aggregation, is the cost —
+    fusing checks per table is what makes a full-schema audit
+    affordable on a cadence. Output: (relation, constraint_name,
+    violations) rows, same shape as ``summary``."""
+    def rows_from_one_agg(agg_df: DataFrame, names: list[str]) -> DataFrame:
+        """1-row aggregate with one count column per constraint ->
+        (relation, constraint_name, violations) rows via explode, so
+        the aggregate subtree executes ONCE (a unionByName of selects
+        would replay the whole scan per constraint)."""
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(n).alias("constraint_name"),
+                    F.col(f"`{n}`").cast("long").alias("violations"),
+                )
+                for n in names
+            ]
+        )
+        return agg_df.select(F.explode(pairs).alias("kv")).select(
+            F.lit(relation).alias("relation"),
+            F.col("kv.constraint_name").alias("constraint_name"),
+            F.col("kv.violations").alias("violations"),
+        )
+
+    key = "_".join(pk)
+    null_any = None
+    for c in pk:
+        n = F.col(c).isNull()
+        null_any = n if null_any is None else (null_any | n)
+    groups = df.groupBy(*pk).agg(F.count(F.lit(1)).alias("n_rows"))
+    pk_agg = groups.agg(
+        F.coalesce(F.sum(F.when(F.col("n_rows") > 1, 1)), F.lit(0)).alias(f"pk_{key}"),
+        F.coalesce(F.sum(F.when(null_any, F.col("n_rows"))), F.lit(0)).alias(
+            f"notnull_{key}"
+        ),
+    )
+    out = rows_from_one_agg(pk_agg, [f"pk_{key}", f"notnull_{key}"])
+    if fks:
+        j = df.select(*{c for cols, _, _, _ in fks for c in cols})
+        flag_cols = []
+        fk_names = []
+        for i, (cols, parent, pcols, broadcast_parent) in enumerate(fks):
+            keys = parent.select(
+                *[F.col(p).alias(c) for c, p in zip(cols, pcols)]
+            ).dropDuplicates(cols).withColumn(f"__hit{i}", F.lit(1))
+            if broadcast_parent:
+                keys = F.broadcast(keys)
+            j = j.join(keys, cols, "left")
+            non_null = None
+            for c in cols:
+                nn = F.col(c).isNotNull()
+                non_null = nn if non_null is None else (non_null & nn)
+            name = f"fk_{'_'.join(cols)}"
+            fk_names.append(name)
+            flag_cols.append(
+                F.coalesce(
+                    F.sum(F.when(non_null & F.col(f"__hit{i}").isNull(), 1)),
+                    F.lit(0),
+                ).alias(name)
+            )
+        out = out.unionByName(rows_from_one_agg(j.agg(*flag_cols), fk_names))
+    return out
+
+
 def _count_row(df: DataFrame, relation: str, constraint: str) -> DataFrame:
     return df.agg(
         F.lit(relation).alias("relation"),
@@ -109,19 +189,19 @@ STORED_CONSTRAINTS: dict[str, tuple[list[str], list]] = {
 
 def validate_stored(tables: dict[str, DataFrame]) -> DataFrame:
     """Run the reference-schema constraint set over whichever stored
-    tables are present; returns the summary DataFrame."""
-    checks: list[tuple[str, str, DataFrame]] = []
+    tables are present; returns the summary DataFrame (fused
+    two-passes-per-table via ``audit_table``)."""
+    out: DataFrame | None = None
     for table, (pk, fks) in STORED_CONSTRAINTS.items():
         df = tables.get(table)
         if df is None:
             continue
-        checks.append((table, f"pk_{'_'.join(pk)}", duplicate_keys(df, pk)))
-        checks.append((table, f"notnull_{'_'.join(pk)}", null_keys(df, pk)))
-        for cols, parent, pcols in fks:
-            pdf = tables.get(parent)
-            if pdf is None:
-                continue
-            checks.append(
-                (table, f"fk_{'_'.join(cols)}", orphans(df, cols, pdf, pcols))
-            )
-    return summary(checks)
+        edges = [
+            (cols, tables[parent], pcols, True)
+            for cols, parent, pcols in fks
+            if parent in tables
+        ]
+        part = audit_table(df, table, pk, edges)
+        out = part if out is None else out.unionByName(part)
+    assert out is not None, "no stored tables present"
+    return out

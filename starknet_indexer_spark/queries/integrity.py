@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load
-from ..constraints import duplicate_keys, null_keys, orphans, summary
+from ..constraints import audit_table
 from .registry import register
 
 _PKS = [
@@ -79,9 +79,13 @@ _ORACLE = " UNION ALL ".join(
     oracle=_ORACLE,
     doc="Full-corpus integrity audit: PK uniqueness + key NOT NULL for "
     "all ten tables, FK orphan detection for all seven edges of the "
-    "star schema, one count row per constraint. Dimension parents "
-    "broadcast into the anti-joins; the single fact-fact edge "
-    "(lineitem->orders) shuffle-joins on the key.",
+    "star schema, one count row per constraint. Checks are FUSED per "
+    "table (constraints.audit_table): one groupBy pass yields both "
+    "duplicate classes and null-key rows, and all of a table's FK "
+    "edges resolve in one scan chaining broadcast dimension lookups "
+    "(the lone fact-fact edge lineitem->orders shuffle-joins) — 10 "
+    "scans for 27 checks instead of 27, the property that makes a "
+    "full-schema audit affordable on a cadence at 100 TB.",
 )
 def constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = {
@@ -99,16 +103,11 @@ def constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embeddings",
         )
     }
-    checks = []
-    for table, cols in _PKS:
-        checks.append((table, f"pk_{'_'.join(cols)}", duplicate_keys(t[table], cols)))
-        checks.append((table, f"notnull_{'_'.join(cols)}", null_keys(t[table], cols)))
+    fks_by_child: dict[str, list] = {}
     for child, cols, parent, pcols, is_dim in _FKS:
-        checks.append(
-            (
-                child,
-                f"fk_{'_'.join(cols)}",
-                orphans(t[child], cols, t[parent], pcols, broadcast_parent=is_dim),
-            )
-        )
-    return summary(checks)
+        fks_by_child.setdefault(child, []).append((cols, t[parent], pcols, is_dim))
+    out = None
+    for table, cols in _PKS:
+        part = audit_table(t[table], table, cols, fks_by_child.get(table))
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -163,9 +163,9 @@ class TestExecutionShape:
             ("source_lang_pivot", 2),
             # rollup agg + spine distinct + fill window
             ("gap_fill_hourly", 3),
-            # 27 audit checks; each is a global 1-row count agg (one
-            # tiny exchange each) — the scans, not these, carry cost
-            ("constraint_violations", 46),
+            # fused audit: one groupBy + one FK-chain scan per table
+            # (10 scans serve 27 checks); tiny 1-row agg exchanges
+            ("constraint_violations", 34),
         ],
     )
     def test_window_family_shuffle_budgets(self, spark, name, budget):
