@@ -889,3 +889,40 @@ def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("v", ignorenulls=True).over(w).alias("v_ffill"),
         )
     )
+
+
+@register(
+    "props_map_stats",
+    oracle="""
+    WITH kv AS (
+      SELECT unnest(map_entries(CAST(CAST(props AS JSON)
+                                     AS MAP(VARCHAR, VARCHAR)))) AS e
+      FROM events
+    )
+    SELECT e.key AS prop_key,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.value) AS n_distinct_values,
+           CAST(SUM(TRY_CAST(e.value AS BIGINT)) AS BIGINT) AS sum_numeric
+    FROM kv
+    GROUP BY e.key
+    """,
+    doc="Schema-FREE semi-structured pass: props parsed as "
+    "MAP<STRING,STRING> (the open-schema counterpart of "
+    "json_props_extract's declared struct), exploded to (key, value) "
+    "rows, per-key cardinality + numeric rollup. Exercises MapType + "
+    "explode(map) + try_cast. Map-side parse/explode; one shuffle on "
+    "the (low-cardinality) key. Same 100 TB rule as every JSON query: "
+    "parse once into a silver map column, never re-parse per query.",
+)
+def props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,string>")
+    return (
+        ev.select(F.explode(m).alias("prop_key", "v"))
+        .groupBy("prop_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("v").alias("n_distinct_values"),
+            F.sum(F.col("v").try_cast("bigint")).cast("bigint").alias("sum_numeric"),
+        )
+    )

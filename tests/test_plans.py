@@ -163,6 +163,8 @@ class TestExecutionShape:
             ("source_lang_pivot", 2),
             # rollup agg + spine distinct + fill window
             ("gap_fill_hourly", 3),
+            # map explode + distinct-agg expand on prop_key
+            ("props_map_stats", 2),
             # fused audit: one groupBy + one FK-chain scan per table
             # (10 scans serve 27 checks); tiny 1-row agg exchanges
             ("constraint_violations", 34),
