@@ -238,3 +238,16 @@ class TestEventShapes:
         assert calls[0]["to"] == "0xa1" and calls[0]["calldata"] == ["0x1", "0x2"]
         assert calls[1]["calldata"] == []
         assert v["config_version"] == 7
+
+
+class TestCreationThresholdBreachedParse:
+    def test_shared_index_and_types(self, spark):
+        # both fields declared at index 0 (src/events/governor.ts:49-52)
+        # -> stable order (id, breach_timestamp); id felt252 hex,
+        # timestamp u64 long
+        p = D.EVENT_PARSERS["governor_creation_threshold_breached"]
+        felts = hexes(0xBEEF, 1_700_000_000)
+        v, n = run_parser(spark, p, felts, 0)
+        assert v["id"] == "0xbeef"
+        assert v["breach_timestamp"] == 1_700_000_000
+        assert n == 2
