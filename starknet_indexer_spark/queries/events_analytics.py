@@ -926,3 +926,66 @@ def props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("v").try_cast("bigint")).cast("bigint").alias("sum_numeric"),
         )
     )
+
+
+@register(
+    "events_profile",
+    oracle="""
+    WITH base AS (
+      SELECT COUNT(*) AS n_rows,
+             COUNT(user_id) AS nn_user, COUNT(DISTINCT user_id) AS nd_user,
+             CAST(MIN(user_id) AS STRING) AS mn_user,
+             CAST(MAX(user_id) AS STRING) AS mx_user,
+             COUNT(event_type) AS nn_type, COUNT(DISTINCT event_type) AS nd_type,
+             CAST(MIN(event_type) AS STRING) AS mn_type,
+             CAST(MAX(event_type) AS STRING) AS mx_type,
+             COUNT(value) AS nn_value, COUNT(DISTINCT value) AS nd_value,
+             CAST(CAST(FLOOR(MIN(value) * 10000 + 0.5) AS BIGINT) AS STRING) AS mn_value,
+             CAST(CAST(FLOOR(MAX(value) * 10000 + 0.5) AS BIGINT) AS STRING) AS mx_value
+      FROM events
+    )
+    SELECT 'user_id' AS column_name, n_rows, n_rows - nn_user AS n_nulls,
+           nd_user AS n_distinct, mn_user AS min_value, mx_user AS max_value
+    FROM base
+    UNION ALL
+    SELECT 'event_type', n_rows, n_rows - nn_type, nd_type, mn_type, mx_type FROM base
+    UNION ALL
+    SELECT 'value', n_rows, n_rows - nn_value, nd_value, mn_value, mx_value FROM base
+    """,
+    doc="Column profiling (Deequ/dbt-style dataset statistics): one "
+    "pass computes per-column null counts, distinct cardinalities and "
+    "min/max for a declared column set, then UNPIVOTS (stack) the "
+    "single stats row into one row per column. The scan happens ONCE "
+    "for all columns — the profiling shape that stays affordable at "
+    "100 TB, vs one query per column. Floats are profiled as "
+    "fixed-point strings for engine-exact comparison.",
+)
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v_fixed_min = F.floor(F.min("value") * 10000 + F.lit(0.5)).cast("bigint")
+    v_fixed_max = F.floor(F.max("value") * 10000 + F.lit(0.5)).cast("bigint")
+    base = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("user_id").alias("nn_user"),
+        F.countDistinct("user_id").alias("nd_user"),
+        F.min("user_id").cast("string").alias("mn_user"),
+        F.max("user_id").cast("string").alias("mx_user"),
+        F.count("event_type").alias("nn_type"),
+        F.countDistinct("event_type").alias("nd_type"),
+        F.min("event_type").cast("string").alias("mn_type"),
+        F.max("event_type").cast("string").alias("mx_type"),
+        F.count("value").alias("nn_value"),
+        F.countDistinct("value").alias("nd_value"),
+        v_fixed_min.cast("string").alias("mn_value"),
+        v_fixed_max.cast("string").alias("mx_value"),
+    )
+    # stack(): the unpivot — 1 stats row -> 1 row per profiled column
+    return base.select(
+        F.expr(
+            """stack(3,
+               'user_id', n_rows, n_rows - nn_user, nd_user, mn_user, mx_user,
+               'event_type', n_rows, n_rows - nn_type, nd_type, mn_type, mx_type,
+               'value', n_rows, n_rows - nn_value, nd_value, mn_value, mx_value)
+               AS (column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"""
+        )
+    )

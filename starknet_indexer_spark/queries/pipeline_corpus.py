@@ -555,3 +555,48 @@ def source_lang_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         total = c if total is None else total + c
     cols.append(total.cast("bigint").alias("total_chars"))
     return out.select(*cols)
+
+
+N_SHARDS = 8
+
+
+@register(
+    "corpus_shuffle_shard",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('shuf1:' || CAST(doc_id AS STRING)), 1, 15))
+                  AS BIGINT) AS hv
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(hv % {N_SHARDS} AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY hv % {N_SHARDS}
+                                   ORDER BY hv, doc_id) AS BIGINT) AS pos_in_shard
+    FROM h
+    """,
+    doc="Deterministic global corpus shuffle + sharding: every doc "
+    "gets a pseudorandom but reproducible position from a seeded "
+    "60-bit md5 hash — shard = hash mod N, position = rank of hash "
+    "within shard. The training-data staple (epoch shuffling must be "
+    "identical across reruns and independent of input partitioning). "
+    "One shuffle on the shard key; within-shard ordering is a "
+    "per-shard sort, never a global one — at 100 TB a global ORDER "
+    "BY is the anti-pattern this operator replaces.",
+)
+def corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(F.md5(F.concat(F.lit("shuf1:"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    h = docs.select("doc_id", hv.alias("hv"), (hv % N_SHARDS).alias("shard"))
+    w = W.partitionBy("shard").orderBy("hv", "doc_id")
+    return h.select(
+        "doc_id",
+        F.col("shard").cast("bigint").alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
+    )

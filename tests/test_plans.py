@@ -165,6 +165,10 @@ class TestExecutionShape:
             ("gap_fill_hourly", 3),
             # map explode + distinct-agg expand on prop_key
             ("props_map_stats", 2),
+            # one shard shuffle; per-shard sort only, no global sort
+            ("corpus_shuffle_shard", 1),
+            # single-pass profile: distinct-agg expand + final 1-row agg
+            ("events_profile", 2),
             # fused audit: one groupBy + one FK-chain scan per table
             # (10 scans serve 27 checks); tiny 1-row agg exchanges
             ("constraint_violations", 34),
