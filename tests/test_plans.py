@@ -169,6 +169,9 @@ class TestExecutionShape:
             ("corpus_shuffle_shard", 1),
             # single-pass profile: distinct-agg expand + final 1-row agg
             ("events_profile", 2),
+            # coarse scan map-side (broadcast queries); one query_id
+            # exchange serves both the shortlist and re-rank windows
+            ("ann_topk_rp_rerank", 1),
             # fused audit: one groupBy + one FK-chain scan per table
             # (10 scans serve 27 checks); tiny 1-row agg exchanges
             ("constraint_violations", 34),
