@@ -989,3 +989,34 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS (column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"""
         )
     )
+
+
+@register(
+    "value_time_correlation",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(corr(value, CAST(EXTRACT(HOUR FROM ts) AS DOUBLE)), 6) AS corr_value_hour,
+           ROUND(covar_samp(value, CAST(EXTRACT(HOUR FROM ts) AS DOUBLE)), 6)
+             AS covar_value_hour,
+           ROUND(stddev_samp(value), 6) AS stddev_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Bivariate statistics per event type: Pearson correlation and "
+    "sample covariance between value and hour-of-day, plus sample "
+    "stddev — the statistical-aggregate family (corr/covar/stddev) "
+    "beyond plain sums. Single hash aggregation with map-side "
+    "partial moments (both engines accumulate the same co-moment "
+    "recurrences); results rounded to the driver's 6-dp comparison "
+    "precision.",
+)
+def value_time_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hour = F.hour("ts").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.corr("value", hour), 6).alias("corr_value_hour"),
+        F.round(F.covar_samp("value", hour), 6).alias("covar_value_hour"),
+        F.round(F.stddev_samp("value"), 6).alias("stddev_value"),
+    )

@@ -172,6 +172,8 @@ class TestExecutionShape:
             # coarse scan map-side (broadcast queries); one query_id
             # exchange serves both the shortlist and re-rank windows
             ("ann_topk_rp_rerank", 1),
+            # co-moment aggregation: one hash agg with partial moments
+            ("value_time_correlation", 1),
             # fused audit: one groupBy + one FK-chain scan per table
             # (10 scans serve 27 checks); tiny 1-row agg exchanges
             ("constraint_violations", 34),
