@@ -138,6 +138,10 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # noqa: BLE001 — isolate per query
             errors.setdefault(name, f"{type(exc).__name__}: {exc}"[:500])
+            # keep cold and steady totals over the SAME query set — a
+            # cold success followed by a steady failure must not leave
+            # an orphan cold sample skewing the comparison
+            cold.pop(name, None)
             continue
 
     out = {

@@ -155,6 +155,8 @@ def _count_row(df: DataFrame, relation: str, constraint: str) -> DataFrame:
 def summary(checks: list[tuple[str, str, DataFrame]]) -> DataFrame:
     """(relation, constraint_name, violating-rows DataFrame) triples ->
     one (relation, constraint_name, violations) DataFrame."""
+    if not checks:
+        raise ValueError("summary() needs at least one check")
     out = _count_row(checks[0][2], checks[0][0], checks[0][1])
     for relation, constraint, df in checks[1:]:
         out = out.unionByName(_count_row(df, relation, constraint))

@@ -576,103 +576,108 @@ def ingest_batch(spark: SparkSession, raw: DataFrame, tables_dir: str) -> dict[s
     # at scale. (Caching a foreachBatch DataFrame is the documented
     # Structured Streaming pattern for multi-sink fan-out.)
     raw = raw.persist()
+    try:
 
-    blocks = (
-        raw.select(
-            F.col("block_number").alias("number"),
-            F.col("block_hash").alias("hash"),
-            F.col("block_time").alias("time"),
-        )
-        .dropDuplicates(["number"])
-        .withColumn("block_bucket", (F.col("number") / BLOCK_BUCKET_SIZE).cast("int"))
-    )
-    # Idempotent block insert: a streaming micro-batch boundary can land
-    # mid-block (two events of one block split across batches), so the
-    # same block row may arrive twice. Anti-join against the existing
-    # dimension, pruned to the buckets this batch touches — at 100 TB the
-    # scan reads only the boundary buckets, never the whole table.
-    blocks_path = _table_dir(tables_dir, "blocks")
-    if os.path.exists(blocks_path):
-        batch_buckets = [
-            r["block_bucket"] for r in blocks.select("block_bucket").distinct().collect()
-        ]
-        existing = (
-            spark.read.parquet(blocks_path)
-            .filter(F.col("block_bucket").isin(batch_buckets))
-            .select("number")
-        )
-        blocks = blocks.join(F.broadcast(existing), "number", "left_anti")
-    blocks = blocks.cache()
-    counts["blocks"] = blocks.count()
-    if counts["blocks"] > 0:
-        blocks.repartition("block_bucket").write.mode("append").partitionBy(
-            "block_bucket"
-        ).parquet(blocks_path)
-    blocks.unpersist()
-
-    # One aggregation tells us which of the ~20 event families this
-    # batch actually contains, so absent families cost zero Spark jobs
-    # (a real block stream carries 2-5 families per batch; paying a
-    # filter+decode+count job for each of the other 15 dominated
-    # small-batch ingest latency). Control-plane collect: one row per
-    # distinct selector, bounded by len(EVENT_SELECTORS).
-    present = {
-        r["sel"]
-        for r in raw.select(F.element_at("keys", 1).alias("sel")).distinct().collect()
-    }
-
-    pool_key_batches: list[DataFrame] = []
-    for event_type, selector in EVENT_SELECTORS.items():
-        if selector not in present:
-            continue
-        filtered = raw.filter(F.element_at("keys", 1) == selector)
-        decoded = decode_events(
-            filtered.select(*_envelope_cols(filtered), F.col("data")), event_type
-        )
-        n = decoded.count()
-        if n == 0:
-            continue
-        # dimension extraction reads the nested struct BEFORE the
-        # stored-shape projection flattens it away
-        pk_field = _POOL_KEY_BEARING.get(event_type)
-        if pk_field:
-            pool_key_batches.append(
-                decoded.select(
-                    F.col(f"{pk_field}.token0").alias("token0"),
-                    F.col(f"{pk_field}.token1").alias("token1"),
-                    F.col(f"{pk_field}.fee").alias("fee"),
-                    F.col(f"{pk_field}.tick_spacing").cast("int").alias("tick_spacing"),
-                    F.col(f"{pk_field}.extension").alias("extension"),
-                )
+        blocks = (
+            raw.select(
+                F.col("block_number").alias("number"),
+                F.col("block_hash").alias("hash"),
+                F.col("block_time").alias("time"),
             )
-        derived = _DERIVED_POOL_KEYS.get(event_type)
-        if derived:
-            pool_key_batches.append(derived(decoded))
-        table, stored = to_stored(event_type, decoded)
-        # Cluster on the partition column before the dynamic-partition
-        # write: without it every task emits a file into every bucket
-        # it touches (tasks x buckets small files per batch); with it
-        # each bucket gets one file and the downstream block-range
-        # scans read large sequential row groups. The extra exchange
-        # moves only this family's already-filtered rows.
-        stored.repartition("block_bucket").write.mode("append").partitionBy(
-            "block_bucket"
-        ).parquet(_table_dir(tables_dir, table))
-        # accumulate, don't assign: two event families can share one
-        # stored table (creation-threshold-breach rows land in
-        # governor_canceled)
-        counts[table] = counts.get(table, 0) + n
-        for side_name, builder in SIDE_TABLES.get(event_type, ()):
-            side = builder(decoded)
-            if not side.isEmpty():
-                side.repartition("block_bucket").write.mode("append").partitionBy(
-                    "block_bucket"
-                ).parquet(_table_dir(tables_dir, side_name))
-                counts[side_name] = counts.get(side_name, 0) + side.count()
+            .dropDuplicates(["number"])
+            .withColumn("block_bucket", (F.col("number") / BLOCK_BUCKET_SIZE).cast("int"))
+        )
+        # Idempotent block insert: a streaming micro-batch boundary can land
+        # mid-block (two events of one block split across batches), so the
+        # same block row may arrive twice. Anti-join against the existing
+        # dimension, pruned to the buckets this batch touches — at 100 TB the
+        # scan reads only the boundary buckets, never the whole table.
+        blocks_path = _table_dir(tables_dir, "blocks")
+        if os.path.exists(blocks_path):
+            batch_buckets = [
+                r["block_bucket"] for r in blocks.select("block_bucket").distinct().collect()
+            ]
+            existing = (
+                spark.read.parquet(blocks_path)
+                .filter(F.col("block_bucket").isin(batch_buckets))
+                .select("number")
+            )
+            blocks = blocks.join(F.broadcast(existing), "number", "left_anti")
+        blocks = blocks.cache()
+        counts["blocks"] = blocks.count()
+        if counts["blocks"] > 0:
+            blocks.repartition("block_bucket").write.mode("append").partitionBy(
+                "block_bucket"
+            ).parquet(blocks_path)
+        blocks.unpersist()
 
-    if pool_key_batches:
-        upsert_pool_keys(spark, pool_key_batches, tables_dir)
-    raw.unpersist()
+        # One aggregation tells us which of the ~20 event families this
+        # batch actually contains, so absent families cost zero Spark jobs
+        # (a real block stream carries 2-5 families per batch; paying a
+        # filter+decode+count job for each of the other 15 dominated
+        # small-batch ingest latency). Control-plane collect: one row per
+        # distinct selector, bounded by len(EVENT_SELECTORS).
+        present = {
+            r["sel"]
+            for r in raw.select(F.element_at("keys", 1).alias("sel")).distinct().collect()
+        }
+
+        pool_key_batches: list[DataFrame] = []
+        for event_type, selector in EVENT_SELECTORS.items():
+            if selector not in present:
+                continue
+            filtered = raw.filter(F.element_at("keys", 1) == selector)
+            decoded = decode_events(
+                filtered.select(*_envelope_cols(filtered), F.col("data")), event_type
+            )
+            n = decoded.count()
+            if n == 0:
+                continue
+            # dimension extraction reads the nested struct BEFORE the
+            # stored-shape projection flattens it away
+            pk_field = _POOL_KEY_BEARING.get(event_type)
+            if pk_field:
+                pool_key_batches.append(
+                    decoded.select(
+                        F.col(f"{pk_field}.token0").alias("token0"),
+                        F.col(f"{pk_field}.token1").alias("token1"),
+                        F.col(f"{pk_field}.fee").alias("fee"),
+                        F.col(f"{pk_field}.tick_spacing").cast("int").alias("tick_spacing"),
+                        F.col(f"{pk_field}.extension").alias("extension"),
+                    )
+                )
+            derived = _DERIVED_POOL_KEYS.get(event_type)
+            if derived:
+                pool_key_batches.append(derived(decoded))
+            table, stored = to_stored(event_type, decoded)
+            # Cluster on the partition column before the dynamic-partition
+            # write: without it every task emits a file into every bucket
+            # it touches (tasks x buckets small files per batch); with it
+            # each bucket gets one file and the downstream block-range
+            # scans read large sequential row groups. The extra exchange
+            # moves only this family's already-filtered rows.
+            stored.repartition("block_bucket").write.mode("append").partitionBy(
+                "block_bucket"
+            ).parquet(_table_dir(tables_dir, table))
+            # accumulate, don't assign: two event families can share one
+            # stored table (creation-threshold-breach rows land in
+            # governor_canceled)
+            counts[table] = counts.get(table, 0) + n
+            for side_name, builder in SIDE_TABLES.get(event_type, ()):
+                side = builder(decoded)
+                if not side.isEmpty():
+                    side.repartition("block_bucket").write.mode("append").partitionBy(
+                        "block_bucket"
+                    ).parquet(_table_dir(tables_dir, side_name))
+                    counts[side_name] = counts.get(side_name, 0) + side.count()
+
+        if pool_key_batches:
+            upsert_pool_keys(spark, pool_key_batches, tables_dir)
+    finally:
+        # release even when a per-family decode/write throws —
+        # a long-lived streaming session must not accumulate
+        # pinned micro-batches across failed batches
+        raw.unpersist()
     return counts
 
 

@@ -539,22 +539,21 @@ _PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
 )
 def source_lang_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    out = (
-        docs.groupBy("source")
-        .pivot("lang", list(_PIVOT_LANGS))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("n_chars").cast("decimal(18,0)")).alias("chars"),
-        )
+    out = docs.groupBy("source").pivot("lang", list(_PIVOT_LANGS)).agg(
+        F.count(F.lit(1)).alias("n")
     )
-    total = None
+    # total_chars covers ALL rows of the source, not just the pivoted
+    # languages — a lang outside _PIVOT_LANGS must still count here
+    # (summing the per-language pivot columns would silently undercount
+    # the moment the corpus grows a sixth language)
+    totals = docs.groupBy("source").agg(
+        F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("bigint").alias("total_chars")
+    )
     cols = [F.col("source")]
     for la in _PIVOT_LANGS:
-        cols.append(F.coalesce(F.col(f"{la}_n"), F.lit(0)).cast("bigint").alias(f"n_{la}"))
-        c = F.coalesce(F.col(f"{la}_chars"), F.lit(0).cast("decimal(18,0)"))
-        total = c if total is None else total + c
-    cols.append(total.cast("bigint").alias("total_chars"))
-    return out.select(*cols)
+        cols.append(F.coalesce(F.col(la), F.lit(0)).cast("bigint").alias(f"n_{la}"))
+    cols.append(F.col("total_chars"))
+    return out.join(totals, "source").select(*cols)
 
 
 N_SHARDS = 8

@@ -99,9 +99,11 @@ def pool_market_depth(
 
     ranges = (
         pool_ticks.join(
-            # pools x 41 depth levels — always broadcast-sized; the
-            # big side (the cumulative tick ledger) stays in place
-            F.broadcast(pool_states),
+            # pools x 41 depth levels — small relative to the tick
+            # ledger, but it GROWS with pool cardinality, so no forced
+            # broadcast hint: AQE broadcasts it while it fits and falls
+            # back to a shuffle join at extreme pool counts
+            pool_states,
             pool_ticks.pool_key_hash == pool_states.key_hash,
         )
         .filter(

@@ -67,3 +67,18 @@ def test_all_sf_dirs_load(spark):
             if os.path.exists(os.path.join(p, f"{table}.parquet")):
                 bad = {c: t for c, t in load(spark, p, table).dtypes if t in FORBIDDEN}
                 assert not bad, f"{d}/{table}: {bad}"
+
+
+def test_plans_report_is_fresh():
+    """PLANS.md must carry a row for every registered query — it is
+    the committed plan-evidence surface, so a new query without a
+    regenerated report (python -m starknet_indexer_spark.plans.report)
+    fails here instead of drifting silently."""
+    import os
+
+    from starknet_indexer_spark.queries import REGISTRY
+
+    path = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    content = open(path).read()
+    missing = [n for n in REGISTRY if f"| {n} |" not in content]
+    assert not missing, f"PLANS.md stale; regenerate. missing: {missing}"

@@ -74,12 +74,28 @@ class TestSegmentDedupInvariants:
         # global invariant: survivors == distinct segments
         assert sum(k for _, k, _ in model.values()) == len(seen)
 
-    def test_idempotent_on_deduped_corpus(self, spark):
-        # a corpus with all-unique segments keeps everything
-        rows = REGISTRY["segment_dedup"].fn(spark, SF_DIR).collect()
-        total_kept = sum(r["n_kept"] for r in rows)
-        total_segs = sum(r["n_segments"] for r in rows)
-        assert 0 < total_kept <= total_segs
+    def test_idempotent_on_deduped_corpus(self, spark, tmp_path):
+        # rebuild the corpus from the FIRST pass's surviving segments
+        # (python model, verified equivalent above), re-run the
+        # operator on it: a deduped corpus must keep every segment
+        docs = _docs(spark)
+        seen: set[str] = set()
+        rebuilt = []
+        for doc_id in sorted(docs):
+            toks = _tokens(docs[doc_id])
+            segs = [
+                " ".join(toks[i * SEG_TOKENS : (i + 1) * SEG_TOKENS])
+                for i in range(math.ceil(len(toks) / SEG_TOKENS))
+            ]
+            kept = [s for s in segs if s not in seen and not seen.add(s)]
+            if kept:
+                rebuilt.append((doc_id, " ".join(kept)))
+        d = str(tmp_path / "dedup_corpus")
+        spark.createDataFrame(rebuilt, "doc_id BIGINT, text STRING").write.parquet(
+            f"{d}/documents.parquet"
+        )
+        rows = REGISTRY["segment_dedup"].fn(spark, d).collect()
+        assert rows and all(r["n_kept"] == r["n_segments"] for r in rows)
 
 
 class TestChunkOverlapInvariants:

@@ -159,8 +159,8 @@ class TestExecutionShape:
             # ntile/percent_rank/cume_dist + band agg share one
             # event_type exchange
             ("value_decile_bands", 1),
-            # pivot with explicit values = one conditional hash agg
-            ("source_lang_pivot", 2),
+            # pivot agg + all-rows totals agg + source join
+            ("source_lang_pivot", 3),
             # rollup agg + spine distinct + fill window
             ("gap_fill_hourly", 3),
             # map explode + distinct-agg expand on prop_key
