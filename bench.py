@@ -60,6 +60,11 @@ HEADLINE = [
     "value_decile_bands",
     "source_lang_pivot",
     "gap_fill_hourly",
+    "props_map_stats",
+    "corpus_shuffle_shard",
+    "events_profile",
+    "value_time_correlation",
+    "ann_topk_rp_rerank",
     "min_cost_supplier",
     "nation_trade_volume",
     "customer_order_distribution",

@@ -1044,13 +1044,14 @@ running AS (
   FROM evs),
 integral AS (
   SELECT proposal_id, delegate,
-         SUM(CAST(stake AS DOUBLE) * (epoch_us(end_time) - epoch_us(time)) / 1e6)
+         SUM(CAST(stake AS DECIMAL(38,0))
+             * ((epoch_us(end_time) - epoch_us(time)) // 1000000))
            AS weighted_time_sum
   FROM running WHERE end_time IS NOT NULL
   GROUP BY 1, 2)
 SELECT CAST(i.proposal_id AS BIGINT) AS proposal_id,
        CAST(i.delegate AS BIGINT) AS delegate,
-       CAST(FLOOR(i.weighted_time_sum / pt.window_secs) AS BIGINT) AS voting_weight
+       CAST(FLOOR(CAST(i.weighted_time_sum AS DOUBLE) / pt.window_secs) AS BIGINT) AS voting_weight
 FROM integral i JOIN pt ON i.proposal_id = pt.proposal_id
 """,
 )

@@ -97,6 +97,9 @@ def apply_batch(
         cross = (
             idx_bands.select(F.col("doc_id").alias("old_id"), "band", "band_key")
             .join(F.broadcast(probe), ["band", "band_key"])
+            # a doc present in both the index and the batch (an
+            # at-least-once redelivery) must not self-pair
+            .filter(F.col("old_id") != F.col("new_id"))
             .select(
                 F.least("old_id", "new_id").alias("a_id"),
                 F.greatest("old_id", "new_id").alias("b_id"),
@@ -112,9 +115,13 @@ def apply_batch(
 
     out.write.mode("append").parquet(pairs_dir)
 
-    # (3) fold the batch into the index
-    bands.write.mode("append").parquet(bands_path)
+    # (3) fold the batch into the index. Shingles BEFORE bands: a
+    # crash between the two appends must leave the index conservative
+    # — orphan shingles are harmless (nothing probes them), while
+    # orphan bands would make _verified's shingle join silently drop
+    # those candidates on every future batch (missed near-dups).
     sh.write.mode("append").parquet(sh_path)
+    bands.write.mode("append").parquet(bands_path)
     sh.unpersist()
     bands.unpersist()
 
@@ -138,9 +145,21 @@ def stream_dedup_index(
     stream = reader.option("maxFilesPerTrigger", str(max_files_per_trigger)).parquet(feed_dir)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        # foreachBatch is at-least-once: skip a fully-applied epoch on
+        # redelivery (checkpoint commit failed after the appends) so
+        # pairs stay exactly-once discovered and the index holds one
+        # row set per doc. The crash-mid-apply window is the
+        # multi-file transactionality a table format closes — see
+        # stream_maintain's note.
+        marker = os.path.join(index_dir, "_applied_epochs", str(epoch_id))
+        if os.path.exists(marker):
+            return
         if batch_df.isEmpty():
             return
         apply_batch(spark, batch_df, index_dir, pairs_dir)
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w") as f:
+            f.write("applied")
 
     return (
         stream.writeStream.foreachBatch(process)

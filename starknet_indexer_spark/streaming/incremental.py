@@ -41,13 +41,21 @@ def _bucket(col) -> Column:
 
 def read_state(spark: SparkSession, state_dir: str) -> DataFrame:
     """The maintained ledger (equals the V2 view over all ingested
-    position_updates)."""
+    position_updates). The view's ``net != 0`` filter is applied at
+    READ time: the state itself retains zero-net rows whose total is
+    nonzero (the reference trigger does the same, deleting only on
+    total zero, src/dao.ts:535-561) so a later delta at that tick
+    resumes from the true running total instead of from scratch."""
     if not os.path.isdir(state_dir) or not any(
         d.startswith("bucket=") for d in os.listdir(state_dir)
     ):
         schema = "pool_key_hash decimal(38,0), tick int, net_liquidity_delta_diff decimal(38,0), total_liquidity_on_tick decimal(38,0)"
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(state_dir).drop("bucket")
+    return (
+        spark.read.parquet(state_dir)
+        .drop("bucket")
+        .filter(F.col("net_liquidity_delta_diff") != 0)
+    )
 
 
 def apply_batch(spark: SparkSession, position_updates: DataFrame, state_dir: str) -> None:
@@ -74,9 +82,18 @@ def apply_batch(spark: SparkSession, position_updates: DataFrame, state_dir: str
         )
     else:
         merged = deltas.select(*_KEY, *_MEASURES)
-    # delete-on-zero (reference trigger src/dao.ts:535-540 / view filter)
+    # state retention: drop a row only when it carries NO information
+    # (both measures zero). Deleting on net-zero alone would forget a
+    # live total: net can cross zero while positions still reference
+    # the tick, and a later delta must resume from the accumulated
+    # total (reference trigger deletes on TOTAL zero,
+    # src/dao.ts:535-561; the view's net!=0 filter is applied by
+    # read_state when serving).
     merged = (
-        merged.filter(F.col("net_liquidity_delta_diff") != 0)
+        merged.filter(
+            (F.col("net_liquidity_delta_diff") != 0)
+            | (F.col("total_liquidity_on_tick") != 0)
+        )
         .withColumn("bucket", _bucket(F.col("pool_key_hash")))
         .cache()
     )
@@ -109,9 +126,16 @@ def stream_maintain(
     schema=None,
 ):
     """Structured Streaming driver: position_updates rows arriving in
-    ``feed_dir`` are merged into the ledger per micro-batch —
-    checkpoint + idempotent bucket rewrite gives the exactly-once
-    contract of the reference's cursor+trigger pair."""
+    ``feed_dir`` are merged into the ledger per micro-batch.
+
+    foreachBatch is at-least-once: if the streaming checkpoint commit
+    fails AFTER process() succeeded, the same epoch is re-delivered on
+    restart — and an additive merge would double-count it. An
+    epoch-marker file written after each successful apply makes the
+    common replay case a no-op. The remaining window (crash between
+    the bucket swap and the marker write) is the multi-file
+    transactionality a table format (Delta/Iceberg MERGE) closes; with
+    plain parquet directories it is documented, not eliminated."""
     reader = spark.readStream
     if schema is not None:
         reader = reader.schema(schema)
@@ -120,9 +144,15 @@ def stream_maintain(
     stream = reader.parquet(feed_dir)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        marker = os.path.join(state_dir, "_applied_epochs", str(epoch_id))
+        if os.path.exists(marker):
+            return  # replayed epoch — already merged
         if batch_df.isEmpty():
             return
         apply_batch(spark, batch_df, state_dir)
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w") as f:
+            f.write("applied")
 
     return (
         stream.writeStream.foreachBatch(process)

@@ -57,6 +57,7 @@ def latest_state_stream(
         if state.exists:
             stored = state.get
             best_id, best_vals = stored[0], list(stored[1:])
+        changed = False
         for pdf in pdfs:
             if pdf.empty:
                 continue
@@ -65,7 +66,11 @@ def latest_state_stream(
             if best_id is None or rid > best_id:
                 best_id = rid
                 best_vals = [float(row[c]) for c in value_cols]
-        if best_id is None:
+                changed = True
+        # emit only keys whose latest row actually changed — a batch
+        # of stale (lower event_id) rows must not rewrite state or
+        # trigger a downstream re-upsert (same guard as stateful_v2)
+        if not changed:
             return
         state.update((best_id, *best_vals))
         yield pd.DataFrame(

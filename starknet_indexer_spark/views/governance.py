@@ -26,9 +26,7 @@ from pyspark.sql.window import Window as W
 DEC = "decimal(38,0)"
 
 
-def _with_time(df: DataFrame, blocks: DataFrame) -> DataFrame:
-    b = blocks.select(F.col("number").alias("__block"), F.col("time").alias("time"))
-    return df.join(F.broadcast(b), df.block_number == F.col("__block")).drop("__block")
+from ._shared import with_block_time as _with_time  # noqa: E402
 
 
 def proposal_delegate_voting_weights(tables: dict[str, DataFrame]) -> DataFrame:
@@ -105,20 +103,29 @@ def proposal_delegate_voting_weights(tables: dict[str, DataFrame]) -> DataFrame:
         F.lead("time").over(w).alias("end_time"),
     )
 
+    # Exact integer integral: block times are whole seconds, so the
+    # interval duration is an exact BIGINT and stake * duration stays
+    # in DECIMAL — the SUM is order-insensitive and exact for stakes
+    # far beyond double's 2^53 mantissa (the reference computes this
+    # in NUMERIC, src/dao.ts:1231-1352). Only the final scalar
+    # division runs in double: IEEE754 division of identical exact
+    # inputs is exactly rounded, hence deterministic and identical on
+    # both engines.
+    dur_s = F.expr("(unix_micros(end_time) - unix_micros(time)) div 1000000")
     integral = (
         running.filter(F.col("end_time").isNotNull())
         .groupBy("proposal_id", "delegate")
         .agg(
-            F.sum(
-                F.col("stake_amount").cast("double")
-                * (F.unix_micros("end_time") - F.unix_micros("time"))
-                / 1e6
-            ).alias("weighted_time_sum")
+            F.sum(F.col("stake_amount") * dur_s.cast("decimal(18,0)")).alias(
+                "weighted_time_sum"
+            )
         )
     )
 
     return integral.join(pt.select("proposal_id", "window_secs"), "proposal_id").select(
         "proposal_id",
         "delegate",
-        F.floor(F.col("weighted_time_sum") / F.col("window_secs")).alias("voting_weight"),
+        F.floor(
+            F.col("weighted_time_sum").cast("double") / F.col("window_secs")
+        ).alias("voting_weight"),
     )

@@ -25,16 +25,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._shared import with_block_time
+
 from ..functions.core import q128_fee_amount
 
 DEC = "decimal(38,0)"
 
 
 def _with_hour(df: DataFrame, blocks: DataFrame) -> DataFrame:
-    b = blocks.select(
-        F.col("number").alias("__block"), F.date_trunc("hour", "time").alias("hour")
+    return with_block_time(
+        df, blocks, out="hour", expr=F.date_trunc("hour", "time")
     )
-    return df.join(F.broadcast(b), df.block_number == F.col("__block")).drop("__block")
 
 
 def _since_filter(col: Column, since) -> Column:
@@ -180,13 +181,22 @@ def hourly_tvl_delta_by_token(tables: dict[str, DataFrame], since=None) -> DataF
             .agg(F.min("number"))
             .collect()[0][0]
         )
-        first_event_id = (first_block or 0) * 2**32
+        first_event_id = None if first_block is None else first_block * 2**32
 
     parts = []
     for src, c0, c1 in sources:
         s = src
-        if first_event_id is not None:
-            s = s.filter(F.col("event_id") >= first_event_id)
+        if since is not None:
+            # no block at/after `since` -> the reference's scalar
+            # subquery is NULL and `event_id >= NULL` matches nothing:
+            # an incremental caller past the head gets an EMPTY delta,
+            # not a full-history recompute (coalescing the missing
+            # block to 0 did exactly that)
+            s = (
+                s.filter(F.col("event_id") >= first_event_id)
+                if first_event_id is not None
+                else s.filter(F.lit(False))
+            )
         parts.append(
             _with_hour(s, blocks)
             .groupBy("pool_key_hash", "hour")

@@ -29,9 +29,7 @@ from ..functions.core import to_hex
 DEC = "decimal(38,0)"
 
 
-def _with_time(df: DataFrame, blocks: DataFrame) -> DataFrame:
-    b = blocks.select(F.col("number").alias("__block"), F.col("time").alias("time"))
-    return df.join(F.broadcast(b), df.block_number == F.col("__block")).drop("__block")
+from ._shared import with_block_time as _with_time  # noqa: E402
 
 
 def calculate_staker_rewards(

@@ -143,3 +143,38 @@ class TestRuntimeTiers:
             w = {tuple(map(str, r)) for r in want.collect()}
             g = {tuple(map(str, r)) for r in got.collect()}
             assert g == w, f"{name}: inc != full"
+
+
+class TestZeroNetReactivation:
+    def test_total_survives_net_zero_crossing(self, spark, tmp_path):
+        """Two positions sharing tick 0 as lower and upper bound give
+        net 0 there while total stays live; a later position at that
+        tick must resume from the accumulated total — exactly what a
+        full recompute of the V2 view produces (the state retains the
+        hidden net-0 row; read_state hides it while net is 0)."""
+        state_dir = str(tmp_path / "rstate")
+        schema = (
+            "pool_key_hash long, lower_bound int, upper_bound int, "
+            "liquidity_delta long"
+        )
+        # position A [0, 10] +100 (tick 0 is lower: net +100, tot +100)
+        # position B [-10, 0] +100 (tick 0 is upper: net -100, tot +100)
+        batch1 = spark.createDataFrame([(1, 0, 10, 100), (1, -10, 0, 100)], schema)
+        apply_batch(spark, batch1, state_dir)
+        served = {
+            (r["tick"], int(r["net_liquidity_delta_diff"]),
+             int(r["total_liquidity_on_tick"]))
+            for r in read_state(spark, state_dir).collect()
+        }
+        assert (0, 100, 100) not in served  # net-0 tick hidden
+        assert {t for t, _, _ in served} == {-10, 10}
+        # position C [0, 5] +50 reactivates tick 0
+        batch2 = spark.createDataFrame([(1, 0, 5, 50)], schema)
+        apply_batch(spark, batch2, state_dir)
+        got = {
+            (r["tick"], int(r["net_liquidity_delta_diff"]),
+             int(r["total_liquidity_on_tick"]))
+            for r in read_state(spark, state_dir).collect()
+        }
+        # recompute over ALL updates: tick 0 net 50, total 250
+        assert (0, 50, 250) in got, got

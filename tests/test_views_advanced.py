@@ -225,12 +225,13 @@ running AS (
   FROM events),
 integral AS (
   SELECT proposal_id, delegate,
-         SUM(CAST(stake AS DOUBLE) * (epoch_us(end_time) - epoch_us(time)) / 1e6)
+         SUM(CAST(stake AS DECIMAL(38,0))
+             * ((epoch_us(end_time) - epoch_us(time)) // 1000000))
            AS weighted_time_sum
   FROM running WHERE end_time IS NOT NULL
   GROUP BY 1, 2)
 SELECT i.proposal_id, i.delegate,
-       CAST(FLOOR(i.weighted_time_sum / pt.window_secs) AS DECIMAL(38,0)) AS voting_weight
+       CAST(FLOOR(CAST(i.weighted_time_sum AS DOUBLE) / pt.window_secs) AS DECIMAL(38,0)) AS voting_weight
 FROM integral i JOIN pt ON i.proposal_id = pt.proposal_id
 """
 
