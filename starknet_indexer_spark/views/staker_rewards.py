@@ -63,6 +63,14 @@ def calculate_staker_rewards(
         .union(deltas.sparkSession.range(1).select(end.alias("time")))
         .distinct()
     )
+    # Reference-parity quirk, kept deliberately: the reference's
+    # intervals CTE is `... FROM ordered_time_points WHERE time <
+    # end_time` with LEAD computed AFTER the WHERE (Postgres applies
+    # WHERE before window functions, src/dao.ts:1400-1404), so the
+    # point at end_time is removed before LEAD and the final interval
+    # [last interior point, end] earns no reward on EITHER engine.
+    # Fixing it here (e.g. coalescing the last lead to `end`) would
+    # diverge from the reference's actual payouts.
     wt = W.orderBy("time")
     intervals = (
         time_points.filter(F.col("time") < end)
