@@ -62,23 +62,27 @@ def latest_token_registrations(tables: dict[str, DataFrame]) -> DataFrame:
             & F.col("name").rlike(ascii_re)
         )
     )
-    per_address = validated.groupBy(F.col("address").alias("pa_address")).agg(
-        F.min("event_id").alias("first_registration_id"),
-        F.max("event_id").alias("last_registration_id"),
+    # The per-address argmin/argmax ride a WINDOW over the validated
+    # relation instead of an aggregate+self-join, so the expensive
+    # short-string decode subtree executes twice (this branch + the
+    # symbol branch below), not three times — the window keeps every
+    # row, letting the latest-row filter happen in the same pass that
+    # computes the address's first/last registration ids.
+    from pyspark.sql.window import Window as W
+
+    w_addr = W.partitionBy("address")
+    latest = (
+        validated.withColumn(
+            "first_registration_id", F.min("event_id").over(w_addr)
+        )
+        .withColumn("last_registration_id", F.max("event_id").over(w_addr))
+        .filter(F.col("event_id") == F.col("last_registration_id"))
     )
     first_of_symbol = validated.groupBy(F.lower("symbol").alias("lower_symbol")).agg(
         F.min("event_id").alias("first_id")
     )
-    return (
-        per_address.join(
-            validated,
-            (F.col("pa_address") == F.col("address"))
-            & (F.col("last_registration_id") == F.col("event_id")),
-        )
-        .join(
-            F.broadcast(first_of_symbol),
-            (F.lower(F.col("symbol")) == F.col("lower_symbol"))
-            & (F.col("first_registration_id") == F.col("first_id")),
-        )
-        .select("address", "name", "symbol", "decimals", "total_supply")
-    )
+    return latest.join(
+        F.broadcast(first_of_symbol),
+        (F.lower(F.col("symbol")) == F.col("lower_symbol"))
+        & (F.col("first_registration_id") == F.col("first_id")),
+    ).select("address", "name", "symbol", "decimals", "total_supply")
