@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import runtime
-from .ingest import ingest_batch, stored_schemas, write_cursor
+from .ingest import ingest_micro_batch, stored_schemas
 from .sources.feed import read_feed_stream
 
 ANALYTICAL_REFRESH_S = 300  # reference REFRESH_RATE_ANALYTICAL_VIEWS (.env.mainnet:21)
@@ -73,15 +73,11 @@ def run_indexer(
     state = {"last_analytical": None}
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        final = batch_df.filter(
-            F.coalesce(F.col("finality"), F.lit("accepted")) != "pending"
-        )
-        if final.isEmpty():
+        # shared per-batch semantics (finality filter, epoch-replay
+        # skip, ingest, cursor) live in ingest.ingest_micro_batch —
+        # ONE copy for the bare stream and the daemon
+        if ingest_micro_batch(spark, batch_df, tables_dir, epoch_id=epoch_id) is None:
             return
-        ingest_batch(spark, final, tables_dir)
-        hi = final.agg(F.max("block_number")).collect()[0][0]
-        if hi is not None:
-            write_cursor(tables_dir, int(hi))
 
         tables = load_tables(spark, tables_dir)
         if "blocks" not in tables:

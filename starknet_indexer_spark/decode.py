@@ -36,7 +36,12 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .functions.core import felt_to_decimal, i129_value, u256_value
+from .functions.core import (
+    felt_to_decimal,
+    i129_value,
+    short_string_decode,
+    u256_value,
+)
 
 __all__ = [
     "felt252",
@@ -136,13 +141,10 @@ def _strict_bool(col: Column) -> Column:
     )
 
 
-def _uint8array_decode(col: Column) -> Column:
-    """felt -> UTF-8 string of its nonzero big-endian bytes."""
-    h = F.lpad(F.lower(F.regexp_replace(col, "^0x", "")), 64, "0")
-    stripped = F.regexp_replace(h, "^(00)+", "")
-    return F.when(F.regexp_replace(h, "^0+", "") == "", F.lit("")).otherwise(
-        F.decode(F.unhex(stripped), "UTF-8")
-    )
+# felt -> UTF-8 string of its nonzero big-endian bytes: the ONE
+# short-string decoding rule lives in functions.core (shared with the
+# view layer) — a private copy here drifted once already
+_uint8array_decode = short_string_decode
 
 
 felt252 = _OneFelt(_canon_hex, T.StringType())

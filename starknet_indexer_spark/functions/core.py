@@ -58,7 +58,15 @@ def felt_to_decimal(col: Column) -> Column:
     width policy, matching the reference's NUMERIC columns which the
     fixtures bound to < 2^128 (FIXTURES.md conventions).
     """
-    h = hex_normalize(col, 32)  # 128 bits
+    # out-of-contract felts (>= 2^128 after stripping leading zeros)
+    # must yield NULL, not a silently truncated value: lpad SHORTENS
+    # longer strings to their leftmost chars, which would decode
+    # 2^128 as 2^124 — a plausible-looking wrong number (the decode
+    # layer's speculative-evaluation contract is NULL-on-garbage)
+    stripped = F.regexp_replace(
+        F.lower(F.regexp_replace(col, "^0x", "")), "^0+(?=.)", ""
+    )
+    h = F.when(F.length(stripped) <= 32, F.lpad(stripped, 32, "0"))
     hi = F.conv(F.substring(h, 1, 16), 16, 10).cast("decimal(20,0)")
     lo = F.conv(F.substring(h, 17, 16), 16, 10).cast("decimal(20,0)")
     return (hi * F.lit(TWO_64).cast("decimal(38,0)") + lo).cast("decimal(38,0)")

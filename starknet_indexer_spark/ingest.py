@@ -437,7 +437,13 @@ def _order_key_dim(decoded: DataFrame) -> DataFrame:
 
 def _sentinel_dim(t0: str, t1: str, fee: str | int, tick_spacing: int) -> object:
     def build(decoded: DataFrame) -> DataFrame:
-        fee_col = F.col(fee) if isinstance(fee, str) else F.lit(fee)
+        # literal fees MUST match the decoded u128 type: an int32
+        # literal would write pool_keys parquet files whose fee column
+        # physically conflicts with the decimal(38,0) other batches
+        # write, corrupting the table for every later read
+        fee_col = (F.col(fee) if isinstance(fee, str) else F.lit(fee)).cast(
+            "decimal(38,0)"
+        )
         return decoded.select(
             F.col(t0).alias("token0"),
             F.col(t1).alias("token1"),
@@ -619,14 +625,14 @@ def ingest_batch(spark: SparkSession, raw: DataFrame, tables_dir: str) -> dict[s
         # distinct selector, bounded by len(EVENT_SELECTORS).
         present = {
             r["sel"]
-            for r in raw.select(F.element_at("keys", 1).alias("sel")).distinct().collect()
+            for r in raw.select(F.get("keys", 0).alias("sel")).distinct().collect()
         }
 
         pool_key_batches: list[DataFrame] = []
         for event_type, selector in EVENT_SELECTORS.items():
             if selector not in present:
                 continue
-            filtered = raw.filter(F.element_at("keys", 1) == selector)
+            filtered = raw.filter(F.get("keys", 0) == selector)
             decoded = decode_events(
                 filtered.select(*_envelope_cols(filtered), F.col("data")), event_type
             )
@@ -763,25 +769,76 @@ def invalidate_from_block(spark: SparkSession, tables_dir: str, block_number: in
         if not buckets:
             continue
         boundary_dir = os.path.join(path, f"block_bucket={boundary_bucket}")
-        survivors = None
+        # durability order: materialize the boundary bucket's
+        # survivors to a staging dir OUTSIDE the table BEFORE deleting
+        # anything — a cached DataFrame is only a recompute plan over
+        # the source files, and deleting those first would make any
+        # cache loss between delete and rewrite unrecoverable
+        staging = None
         if os.path.isdir(boundary_dir):
-            survivors = (
-                spark.read.parquet(boundary_dir)
-                .filter(F.col(block_col) < block_number)
-                .cache()
+            staging = os.path.join(
+                tables_dir, f"._invalidate_{name}_b{boundary_bucket}"
             )
-            survivors.count()
+            shutil.rmtree(staging, ignore_errors=True)
+            spark.read.parquet(boundary_dir).filter(
+                F.col(block_col) < block_number
+            ).write.mode("overwrite").parquet(staging)
         for d in buckets:
             shutil.rmtree(os.path.join(path, d))
-        if survivors is not None and survivors.count() > 0:
-            survivors.write.mode("overwrite").parquet(boundary_dir)
-            survivors.unpersist()
+        if staging is not None:
+            # a zero-row write still emits a schema-only part file, so
+            # check actual rows, not file presence
+            has_rows = spark.read.parquet(staging).limit(1).count() > 0
+            if has_rows:
+                os.replace(staging, boundary_dir)
+            else:
+                shutil.rmtree(staging, ignore_errors=True)
     write_cursor(tables_dir, block_number - 1)
 
 
 # ---------------------------------------------------------------------------
 # Structured Streaming (S1 streaming variant)
 # ---------------------------------------------------------------------------
+
+
+def ingest_micro_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    tables_dir: str,
+    epoch_id: int | None = None,
+) -> dict[str, int] | None:
+    """The shared foreachBatch body (used by ``stream_ingest`` AND the
+    daemon — one copy of the per-batch semantics): drop pending rows,
+    skip a fully-applied epoch on at-least-once redelivery, ingest,
+    advance the cursor, then mark the epoch applied.
+
+    Fact tables are plain parquet appends, so WITHOUT the epoch marker
+    a redelivered batch would double-append every fact row (blocks and
+    pool_keys alone are anti-join-guarded). The marker closes the
+    common replay case — checkpoint commit failed after a successful
+    apply; the crash-mid-apply window that remains is the multi-file
+    transactionality a table format (Delta/Iceberg) closes.
+
+    Returns per-table counts, or None if the batch was skipped."""
+    final = batch_df.filter(
+        F.coalesce(F.col("finality"), F.lit("accepted")) != "pending"
+    )
+    marker = None
+    if epoch_id is not None:
+        marker = os.path.join(tables_dir, "_applied_epochs", str(epoch_id))
+        if os.path.exists(marker):
+            return None
+    if final.isEmpty():
+        return None
+    counts = ingest_batch(spark, final, tables_dir)
+    hi = final.agg(F.max("block_number")).collect()[0][0]
+    if hi is not None:
+        write_cursor(tables_dir, int(hi))
+    if marker is not None:
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w") as f:
+            f.write("applied")
+    return counts
 
 
 def stream_ingest(
@@ -799,15 +856,7 @@ def stream_ingest(
     processAllAvailable)."""
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        final = batch_df.filter(
-            F.coalesce(F.col("finality"), F.lit("accepted")) != "pending"
-        )
-        if final.isEmpty():
-            return
-        ingest_batch(spark, final, tables_dir)
-        hi = final.agg(F.max("block_number")).collect()[0][0]
-        if hi is not None:
-            write_cursor(tables_dir, int(hi))
+        ingest_micro_batch(spark, batch_df, tables_dir, epoch_id=epoch_id)
 
     reader = read_feed_stream(spark, feed_dir)
     writer = reader.writeStream.foreachBatch(process).option(

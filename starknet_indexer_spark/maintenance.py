@@ -51,10 +51,15 @@ def compact_table(
         size = sum(os.path.getsize(os.path.join(bdir, f)) for f in files)
         n_out = max(1, round(size / target_file_bytes))
         df = spark.read.parquet(bdir)
-        staging = bdir + "._compact"
+        # staging/trash live OUTSIDE the table dir: a crash leftover
+        # inside it would be discovered as a partition by every read
+        # (double-counted rows, string-typed bucket column) and would
+        # break the next compaction's int() parse of bucket dir names
+        staging = f"{table_dir}._compact_b{bucket}"
+        trash = f"{table_dir}._old_b{bucket}"
         shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(trash, ignore_errors=True)
         df.coalesce(n_out).write.mode("overwrite").parquet(staging)
-        trash = bdir + "._old"
         os.replace(bdir, trash)
         os.replace(staging, bdir)
         shutil.rmtree(trash, ignore_errors=True)

@@ -108,10 +108,18 @@ def kmeans_update(assigned: DataFrame) -> DataFrame:
 
 def kmeans_centroids(vecs: DataFrame, init_cents: DataFrame, n_updates: int) -> DataFrame:
     """The trained centroid relation (cluster_id, cv) after
-    ``n_updates`` Lloyd rounds."""
+    ``n_updates`` Lloyd rounds.
+
+    Each round's centroids are lazily localCheckpoint'ed so the plan
+    does NOT nest one full assign+update subtree per round —
+    unbounded lineage makes Catalyst analysis superlinear in
+    n_updates (the same truncation connected_components applies per
+    iteration, operators/graph.py). Lazy (eager=False) keeps query
+    construction free of jobs; the checkpoint materializes on first
+    execution."""
     cents = init_cents
     for _ in range(n_updates):
-        cents = kmeans_update(kmeans_assign(vecs, cents))
+        cents = kmeans_update(kmeans_assign(vecs, cents)).localCheckpoint(eager=False)
     return cents
 
 
