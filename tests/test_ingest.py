@@ -546,3 +546,24 @@ class TestCreationThresholdBreached:
             ).collect()
         }
         assert got == {"0xab", "0xcd"}
+
+
+class TestEpochReplayGuard:
+    """foreachBatch is at-least-once: a redelivered epoch must not
+    double-append fact rows (the common replay case — checkpoint
+    commit failed after a successful apply)."""
+
+    def test_replayed_epoch_is_skipped(self, spark, tdir):
+        from starknet_indexer_spark.ingest import ingest_micro_batch
+
+        raw = make_raw(spark, [1, 2])
+        counts = ingest_micro_batch(spark, raw, tdir, epoch_id=7)
+        assert counts and counts["swaps"] == 2
+        swaps_path = os.path.join(tdir, "swaps")
+        n1 = spark.read.parquet(swaps_path).count()
+        # redelivery of the same epoch: no-op
+        assert ingest_micro_batch(spark, raw, tdir, epoch_id=7) is None
+        assert spark.read.parquet(swaps_path).count() == n1
+        # a NEW epoch with new data still lands
+        counts3 = ingest_micro_batch(spark, make_raw(spark, [3]), tdir, epoch_id=8)
+        assert counts3 and spark.read.parquet(swaps_path).count() == n1 + 1
