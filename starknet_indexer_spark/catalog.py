@@ -30,10 +30,14 @@ TABLES = (
     "embeddings",
 )
 
-# Small dimensions that should always be broadcast when joined against
-# a fact table. (Reference analogue: `blocks` and `pool_keys` join to
-# every event table — SURVEY.md §1.4.)
-BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "customer", "part"})
+# Broadcast policy note: region/nation/supplier/customer/part are
+# dimension-sized and every query broadcasts them EXPLICITLY at the
+# join site (F.broadcast hints, locked by
+# tests/test_plans.py::TestJoinStrategy) — hint-at-the-join keeps each
+# plan self-documenting and lets a query opt out (e.g. the probe side
+# of an outer join cannot take the hint). A load()-level hint was
+# considered and rejected: it would silently attach to every use,
+# including positions where Spark warns and ignores it.
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 

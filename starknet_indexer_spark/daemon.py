@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import runtime
-from .ingest import ingest_micro_batch, stored_schemas
+from .ingest import checkpoint_query_id, ingest_micro_batch, stored_schemas
 from .sources.feed import read_feed_stream
 
 ANALYTICAL_REFRESH_S = 300  # reference REFRESH_RATE_ANALYTICAL_VIEWS (.env.mainnet:21)
@@ -75,12 +75,23 @@ def run_indexer(
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         # shared per-batch semantics (finality filter, epoch-replay
         # skip, ingest, cursor) live in ingest.ingest_micro_batch —
-        # ONE copy for the bare stream and the daemon
-        if ingest_micro_batch(spark, batch_df, tables_dir, epoch_id=epoch_id) is None:
+        # ONE copy for the bare stream and the daemon; markers are
+        # namespaced by the checkpoint's query id so a fresh
+        # checkpoint (epoch ids restart at 0) never collides with a
+        # previous run's markers
+        applied = ingest_micro_batch(
+            spark,
+            batch_df,
+            tables_dir,
+            epoch_id=epoch_id,
+            marker_ns=checkpoint_query_id(checkpoint_dir),
+        )
+        if applied is None:
             return
 
         tables = load_tables(spark, tables_dir)
-        if "blocks" not in tables:
+        if not os.path.isdir(os.path.join(tables_dir, "blocks")):
+            # nothing ingested yet — views have no time dimension
             return
         runtime.refresh_operational(tables, views_dir)
 

@@ -801,11 +801,26 @@ def invalidate_from_block(spark: SparkSession, tables_dir: str, block_number: in
 # ---------------------------------------------------------------------------
 
 
+def checkpoint_query_id(checkpoint_dir: str) -> str | None:
+    """The streaming query id persisted in the checkpoint's metadata
+    file — stable across restarts of the SAME checkpoint, regenerated
+    when the checkpoint is cleared. Epoch markers must be namespaced
+    by it: epoch ids restart at 0 for a fresh checkpointLocation, so
+    un-namespaced markers from a previous run would silently skip
+    every batch of a recovered stream."""
+    try:
+        with open(os.path.join(checkpoint_dir, "metadata")) as f:
+            return json.load(f)["id"]
+    except (OSError, KeyError, ValueError):
+        return None
+
+
 def ingest_micro_batch(
     spark: SparkSession,
     batch_df: DataFrame,
     tables_dir: str,
     epoch_id: int | None = None,
+    marker_ns: str | None = None,
 ) -> dict[str, int] | None:
     """The shared foreachBatch body (used by ``stream_ingest`` AND the
     daemon — one copy of the per-batch semantics): drop pending rows,
@@ -825,7 +840,9 @@ def ingest_micro_batch(
     )
     marker = None
     if epoch_id is not None:
-        marker = os.path.join(tables_dir, "_applied_epochs", str(epoch_id))
+        marker = os.path.join(
+            tables_dir, "_applied_epochs", marker_ns or "default", str(epoch_id)
+        )
         if os.path.exists(marker):
             return None
     if final.isEmpty():
@@ -856,7 +873,13 @@ def stream_ingest(
     processAllAvailable)."""
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        ingest_micro_batch(spark, batch_df, tables_dir, epoch_id=epoch_id)
+        ingest_micro_batch(
+            spark,
+            batch_df,
+            tables_dir,
+            epoch_id=epoch_id,
+            marker_ns=checkpoint_query_id(checkpoint_dir),
+        )
 
     reader = read_feed_stream(spark, feed_dir)
     writer = reader.writeStream.foreachBatch(process).option(

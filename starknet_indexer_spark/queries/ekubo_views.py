@@ -72,6 +72,14 @@ def ekubo_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     if cached is not None:
         return cached
     t = _ekubo_tables_uncached(spark, sf_dir)
+    # bounded: a process cycling many sessions/sf_dirs must not pin
+    # DataFrame plans (and their captured parquet file listings)
+    # forever; 8 (app, sf_dir) combinations covers any driver sweep.
+    # NOTE cached plans hold the file index captured at first use — if
+    # an sf_dir's parquet is rewritten in-process, evict via
+    # _TABLE_CACHE.clear().
+    while len(_TABLE_CACHE) >= 8:
+        _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
     _TABLE_CACHE[key] = t
     return t
 

@@ -996,10 +996,15 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           ROUND(corr(value, CAST(EXTRACT(HOUR FROM ts) AS DOUBLE)), 6) AS corr_value_hour,
-           ROUND(covar_samp(value, CAST(EXTRACT(HOUR FROM ts) AS DOUBLE)), 6)
-             AS covar_value_hour,
-           ROUND(stddev_samp(value), 6) AS stddev_value
+           CASE WHEN COUNT(*) > 1 AND stddev_samp(value) > 0
+                 AND stddev_samp(CAST(EXTRACT(HOUR FROM ts) AS DOUBLE)) > 0
+                THEN ROUND(corr(value, CAST(EXTRACT(HOUR FROM ts) AS DOUBLE)), 6)
+           END AS corr_value_hour,
+           CASE WHEN COUNT(*) > 1
+                THEN ROUND(covar_samp(value, CAST(EXTRACT(HOUR FROM ts) AS DOUBLE)), 6)
+           END AS covar_value_hour,
+           CASE WHEN COUNT(*) > 1 THEN ROUND(stddev_samp(value), 6)
+           END AS stddev_value
     FROM events
     GROUP BY event_type
     """,
@@ -1014,9 +1019,20 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def value_time_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     hour = F.hour("ts").cast("double")
+    # degenerate groups (one row, or zero variance in either operand)
+    # are NULLed explicitly: Spark's corr/covar_samp/stddev_samp emit
+    # NaN there while DuckDB emits NULL — an engine divergence the
+    # value-hash would flag on any corpus with a sparse event_type
+    n = F.count(F.lit(1))
+    sv = F.stddev_samp("value")
+    sh = F.stddev_samp(hour)
     return ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.corr("value", hour), 6).alias("corr_value_hour"),
-        F.round(F.covar_samp("value", hour), 6).alias("covar_value_hour"),
-        F.round(F.stddev_samp("value"), 6).alias("stddev_value"),
+        n.alias("n_events"),
+        F.when((n > 1) & (sv > 0) & (sh > 0), F.round(F.corr("value", hour), 6)).alias(
+            "corr_value_hour"
+        ),
+        F.when(n > 1, F.round(F.covar_samp("value", hour), 6)).alias(
+            "covar_value_hour"
+        ),
+        F.when(n > 1, F.round(sv, 6)).alias("stddev_value"),
     )

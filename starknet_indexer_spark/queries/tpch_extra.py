@@ -327,36 +327,39 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "idle_rich_customers",
     oracle="""
-    WITH avg_bal AS (
-      SELECT AVG(CAST(c_acctbal AS DECIMAL(18,4))) AS a
+    WITH bal AS (
+      SELECT CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+             COUNT(*) AS n
       FROM customer WHERE c_acctbal > 0
     )
     SELECT c.c_mktsegment,
            COUNT(*) AS n_customers,
            CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
-    FROM customer c, avg_bal
-    WHERE c.c_acctbal > avg_bal.a
+    FROM customer c, bal
+    WHERE CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT) * bal.n > bal.s
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     GROUP BY c.c_mktsegment
     """,
     doc="TPC-H Q22 shape: customers above the global average positive "
     "balance (scalar-aggregate subquery, broadcast as a one-row cross "
     "join) with no orders (anti-join on the orders key set), "
-    "aggregated by segment. The anti-join side is orders projected to "
-    "one column — at scale this stays a shuffle anti-join on custkey "
-    "while the scalar threshold broadcasts; the average is computed "
-    "in DECIMAL so both engines agree bit-for-bit.",
+    "aggregated by segment. The threshold is the exact rational "
+    "comparison cents*n > sum_cents — AVG's quotient differs between "
+    "engines (DuckDB AVG(DECIMAL) is DOUBLE, Spark widens the "
+    "decimal), so cross-multiplication in integer cents is the "
+    "bit-for-bit-stable form. The anti-join side is orders projected "
+    "to one column; the scalar broadcasts.",
 )
 def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders").select("o_custkey")
-    avg_bal = (
-        customer.filter(F.col("c_acctbal") > 0)
-        .agg(F.avg(F.col("c_acctbal").cast(DEC)).alias("a"))
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(cents).cast("long").alias("s"), F.count(F.lit(1)).alias("n")
     )
     return (
-        customer.crossJoin(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("a"))
+        customer.crossJoin(F.broadcast(bal))
+        .filter(cents * F.col("n") > F.col("s"))
         .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(

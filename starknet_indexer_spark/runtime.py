@@ -63,10 +63,22 @@ HOURLY = (
 def _swap_in(df: DataFrame, out_dir: str) -> None:
     """Write to a fresh staging dir, then swap it into place. Readers
     holding the old snapshot keep a consistent view (files are
-    unlinked, not truncated) — the REFRESH CONCURRENTLY analogue."""
+    unlinked, not truncated) — the REFRESH CONCURRENTLY analogue.
+
+    Crash hygiene: a leftover non-empty ``.trash`` from an interrupted
+    prior swap must not poison every future refresh (os.replace onto a
+    non-empty dir raises), so trash is cleared BEFORE the swap; a
+    failed staging write removes its own dir instead of leaking
+    uuid-named orphans. The instant between the two os.replace calls
+    (no out_dir on disk) is the atomicity a table format closes."""
     staging = f"{out_dir}.{uuid.uuid4().hex[:8]}.staging"
-    df.write.mode("overwrite").parquet(staging)
+    try:
+        df.write.mode("overwrite").parquet(staging)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     trash = f"{out_dir}.trash"
+    shutil.rmtree(trash, ignore_errors=True)
     if os.path.isdir(out_dir):
         os.replace(out_dir, trash)
     os.replace(staging, out_dir)

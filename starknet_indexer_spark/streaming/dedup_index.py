@@ -151,7 +151,10 @@ def stream_dedup_index(
         # row set per doc. The crash-mid-apply window is the
         # multi-file transactionality a table format closes — see
         # stream_maintain's note.
-        marker = os.path.join(index_dir, "_applied_epochs", str(epoch_id))
+        from ..ingest import checkpoint_query_id
+
+        ns = checkpoint_query_id(checkpoint_dir) or "default"
+        marker = os.path.join(index_dir, "_applied_epochs", ns, str(epoch_id))
         if os.path.exists(marker):
             return
         if batch_df.isEmpty():

@@ -144,7 +144,10 @@ def stream_maintain(
     stream = reader.parquet(feed_dir)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        marker = os.path.join(state_dir, "_applied_epochs", str(epoch_id))
+        from ..ingest import checkpoint_query_id
+
+        ns = checkpoint_query_id(checkpoint_dir) or "default"
+        marker = os.path.join(state_dir, "_applied_epochs", ns, str(epoch_id))
         if os.path.exists(marker):
             return  # replayed epoch — already merged
         if batch_df.isEmpty():
