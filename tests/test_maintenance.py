@@ -111,3 +111,27 @@ class TestSortLayout:
         # 8 range-disjoint files -> a point predicate overlaps ~1/8
         # of row groups (allow slack for range-partitioner sampling)
         assert after < 0.3, (before, after)
+
+
+class TestSwapInCrashHygiene:
+    def test_stale_trash_does_not_poison_refresh(self, spark, tmp_path):
+        """A leftover non-empty .trash from an interrupted swap must
+        not make the next refresh raise (os.replace onto a non-empty
+        dir fails) — the daemon would otherwise crash-loop until
+        manual cleanup."""
+        import os
+
+        from starknet_indexer_spark.runtime import _swap_in
+
+        out = str(tmp_path / "view_out")
+        df1 = spark.range(3).selectExpr("id AS v")
+        _swap_in(df1, out)
+        # simulate the interrupted prior swap: non-empty trash leftover
+        trash = out + ".trash"
+        os.makedirs(trash, exist_ok=True)
+        with open(os.path.join(trash, "orphan.parquet"), "w") as f:
+            f.write("stale")
+        df2 = spark.range(5).selectExpr("id AS v")
+        _swap_in(df2, out)  # must not raise
+        assert spark.read.parquet(out).count() == 5
+        assert not os.path.isdir(trash)
