@@ -1036,3 +1036,52 @@ def value_time_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(n > 1, F.round(sv, 6)).alias("stddev_value"),
     )
+
+
+@register(
+    "value_mad_by_type",
+    oracle="""
+    WITH fx AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS v
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, CAST(median(v) AS DOUBLE) AS med_v
+      FROM fx GROUP BY event_type
+    ),
+    dev AS (
+      SELECT f.event_type, ABS(f.v - m.med_v) AS d, m.med_v
+      FROM fx f JOIN med m USING (event_type)
+    )
+    SELECT event_type,
+           ROUND(MAX(med_v), 6) AS median_v,
+           ROUND(CAST(median(d) AS DOUBLE), 6) AS mad_v,
+           COUNT(*) AS n_events
+    FROM dev
+    GROUP BY event_type
+    """,
+    doc="Robust dispersion per event type: median absolute deviation "
+    "(MAD) — the outlier-resistant scale estimate a quality pipeline "
+    "prefers over stddev on heavy-tailed value distributions. Two "
+    "exact-percentile passes over fixed-point values, both keyed on "
+    "event_type so the median broadcast-joins back onto the same "
+    "partitioning. At 100 TB swap exact percentile for "
+    "percentile_approx per the documented policy (median_value "
+    "docstring).",
+)
+def value_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint")
+    fx = ev.select("event_type", v.alias("v"))
+    med = fx.groupBy("event_type").agg(
+        F.percentile("v", F.lit(0.5)).alias("med_v")
+    )
+    dev = fx.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("v") - F.col("med_v")).alias("d"), "med_v"
+    )
+    return dev.groupBy("event_type").agg(
+        F.round(F.max("med_v"), 6).alias("median_v"),
+        F.round(F.percentile("d", F.lit(0.5)), 6).alias("mad_v"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

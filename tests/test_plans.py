@@ -174,6 +174,8 @@ class TestExecutionShape:
             ("ann_topk_rp_rerank", 1),
             # co-moment aggregation: one hash agg with partial moments
             ("value_time_correlation", 1),
+            # two exact-percentile passes sharing the event_type key
+            ("value_mad_by_type", 2),
             # fused audit: one groupBy + one FK-chain scan per table
             # (10 scans serve 27 checks); tiny 1-row agg exchanges
             ("constraint_violations", 34),
