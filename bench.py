@@ -64,6 +64,7 @@ HEADLINE = [
     "corpus_shuffle_shard",
     "events_profile",
     "value_time_correlation",
+    "value_mad_by_type",
     "ann_topk_rp_rerank",
     "min_cost_supplier",
     "nation_trade_volume",
