@@ -47,6 +47,7 @@ HEADLINE = [
     "lang_id",
     "ann_topk_cosine",
     "minhash_lsh_dedup",
+    "minhash_lsh_dedup_capped",
     "simhash_dedup",
     "ann_topk_lsh",
     "multimodal_frame_sample",
@@ -203,8 +204,111 @@ def main() -> None:
 
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+
+    # Full detail (cold per-query map, ingest breakdown, error strings)
+    # goes to BENCH_DETAIL.json next to this script; stdout carries ONE
+    # compact JSON line so the driver's tail capture can always parse
+    # it (round-2 lesson: the full map got truncated mid-stream and
+    # BENCH_r02.json recorded "parsed": null).
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass
+
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cold_total": out["cold"]["total"],
+    }
+    if "ingest" in out:
+        compact["ingest_rows_per_sec"] = out["ingest"]["rows_per_sec"]
+    if errors:
+        compact["error_count"] = len(errors)
+    print(json.dumps(compact, separators=(",", ":")))
+
+
+def compare(baseline_path: str, current_path: str | None = None,
+            threshold: float = 1.5) -> int:
+    """Diff per-query steady timings vs a prior round's bench record.
+
+    ``baseline_path`` is a BENCH_r{N}.json driver record ({"parsed":
+    {...}} or raw), a BENCH_DETAIL.json, or a compact stdout line saved
+    to a file. Prints a markdown table of regressions (> threshold x)
+    and improvements; returns 1 if any regression exceeds threshold.
+    """
+
+    def load_queries(path: str) -> dict[str, float]:
+        with open(path) as fh:
+            doc = json.load(fh)
+        # driver wrapper: {"parsed": {...}, "raw": "..."} — or raw dict
+        if isinstance(doc.get("parsed"), dict):
+            doc = doc["parsed"]
+        q = doc.get("queries")
+        if isinstance(q, dict):
+            return {k: float(v) for k, v in q.items()}
+        # Salvage a truncated driver record (BENCH_r02 regime: "parsed"
+        # null, "tail" holds the cut line). Steady-state pairs sit
+        # before the '"cold"' key; regex them out of the fragment.
+        tail = doc.get("tail")
+        if isinstance(tail, str):
+            frag = tail.split('"cold"')[0]
+            pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', frag)
+            salvaged = {k: float(v) for k, v in pairs
+                        if k not in ("value", "sf", "total")}
+            if salvaged:
+                print(f"(salvaged {len(salvaged)} steady-state timings "
+                      f"from truncated {os.path.basename(path)})")
+                return salvaged
+        raise SystemExit(f"{path}: no parseable 'queries' map")
+
+    base = load_queries(baseline_path)
+    if current_path is None:
+        cur_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH_DETAIL.json")
+    else:
+        cur_path = current_path
+    cur = load_queries(cur_path)
+
+    shared = sorted(set(base) & set(cur))
+    regressions, improvements = [], []
+    for name in shared:
+        b, c = base[name], cur[name]
+        if b <= 0:
+            continue
+        ratio = c / b
+        if ratio > threshold:
+            regressions.append((name, b, c, ratio))
+        elif ratio < 1 / threshold:
+            improvements.append((name, b, c, ratio))
+    print(f"# bench diff: {os.path.basename(cur_path)} vs "
+          f"{os.path.basename(baseline_path)}")
+    print(f"shared queries: {len(shared)}; regressions >"
+          f"{threshold}x: {len(regressions)}; improvements <"
+          f"{1/threshold:.2f}x: {len(improvements)}")
+    print()
+    print("| query | baseline s | current s | ratio |")
+    print("|---|---|---|---|")
+    for name, b, c, r in sorted(regressions, key=lambda t: -t[3]):
+        print(f"| {name} | {b:.3f} | {c:.3f} | {r:.2f}x REGRESSION |")
+    for name, b, c, r in sorted(improvements, key=lambda t: t[3]):
+        print(f"| {name} | {b:.3f} | {c:.3f} | {r:.2f}x |")
+    only_base = sorted(set(base) - set(cur))
+    only_cur = sorted(set(cur) - set(base))
+    if only_base:
+        print(f"\nonly in baseline: {', '.join(only_base)}")
+    if only_cur:
+        print(f"\nnew this round: {', '.join(only_cur)}")
+    return 1 if regressions else 0
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--compare":
+        sys.exit(compare(sys.argv[2],
+                         sys.argv[3] if len(sys.argv) > 3 else None))
     sys.exit(main())

@@ -70,20 +70,30 @@ def audit_table(
     pk: list[str],
     fks: list[tuple[list[str], DataFrame, list[str], bool]] | None = None,
 ) -> DataFrame:
-    """All constraint counts for one table in TWO passes instead of
-    one scan per check:
+    """All constraint counts for one table in ONE pass — one scan per
+    table no matter how many checks:
 
-    - pass 1: a single groupBy on the PK yields both violation kinds —
-      a group with n_rows > 1 is a duplicate class (count its excess),
-      and NULL key tuples form groups too, so null-key rows are the
-      groups with any NULL component.
-    - pass 2 (if FKs): one scan chaining a broadcast left join per
-      parent, then one aggregate summing the per-edge orphan flags.
+    - FK edges resolve first: the scan (pruned to pk + fk columns)
+      chains a left join per parent against its deduplicated key
+      projection (broadcast for dimensions), tagging each row with a
+      per-edge hit flag.
+    - a single groupBy on the PK then yields every violation kind at
+      once: a group with n_rows > 1 is a duplicate class, NULL key
+      tuples form groups too (null-key rows = groups with any NULL
+      component), and each group carries the partial sum of its rows'
+      per-edge orphan flags.
+    - a final 1-row aggregate folds the groups into the count columns.
+
+    When an edge is a fact-fact join (broadcast=False, e.g.
+    lineitem->orders), the shuffle it introduces is REUSED by the
+    groupBy: hash-partitioning on the join key satisfies the PK
+    grouping's clustering whenever the join key is a subset of the PK,
+    so no second exchange appears.
 
     At 100 TB the scan, not the tiny count aggregation, is the cost —
-    fusing checks per table is what makes a full-schema audit
-    affordable on a cadence. Output: (relation, constraint_name,
-    violations) rows, same shape as ``summary``."""
+    fusing all of a table's checks behind one scan is what makes a
+    full-schema audit affordable on a cadence. Output: (relation,
+    constraint_name, violations) rows, same shape as ``summary``."""
     def rows_from_one_agg(agg_df: DataFrame, names: list[str]) -> DataFrame:
         """1-row aggregate with one count column per constraint ->
         (relation, constraint_name, violations) rows via explode, so
@@ -109,39 +119,42 @@ def audit_table(
     for c in pk:
         n = F.col(c).isNull()
         null_any = n if null_any is None else (null_any | n)
-    groups = df.groupBy(*pk).agg(F.count(F.lit(1)).alias("n_rows"))
-    pk_agg = groups.agg(
+
+    fks = fks or []
+    needed = list(dict.fromkeys(pk + [c for cols, _, _, _ in fks for c in cols]))
+    j = df.select(*needed)
+    group_flags = []  # per-group partial orphan sums
+    fk_names = []
+    for i, (cols, parent, pcols, broadcast_parent) in enumerate(fks):
+        keys = parent.select(
+            *[F.col(p).alias(c) for c, p in zip(cols, pcols)]
+        ).dropDuplicates(cols).withColumn(f"__hit{i}", F.lit(1))
+        if broadcast_parent:
+            keys = F.broadcast(keys)
+        j = j.join(keys, cols, "left")
+        non_null = None
+        for c in cols:
+            nn = F.col(c).isNotNull()
+            non_null = nn if non_null is None else (non_null & nn)
+        name = f"fk_{'_'.join(cols)}"
+        fk_names.append(name)
+        group_flags.append(
+            F.coalesce(
+                F.sum(F.when(non_null & F.col(f"__hit{i}").isNull(), 1)), F.lit(0)
+            ).alias(f"__g_{name}")
+        )
+
+    groups = j.groupBy(*pk).agg(
+        F.count(F.lit(1)).alias("n_rows"), *group_flags
+    )
+    agg = groups.agg(
         F.coalesce(F.sum(F.when(F.col("n_rows") > 1, 1)), F.lit(0)).alias(f"pk_{key}"),
         F.coalesce(F.sum(F.when(null_any, F.col("n_rows"))), F.lit(0)).alias(
             f"notnull_{key}"
         ),
+        *[F.sum(f"__g_{n}").alias(n) for n in fk_names],
     )
-    out = rows_from_one_agg(pk_agg, [f"pk_{key}", f"notnull_{key}"])
-    if fks:
-        j = df.select(*{c for cols, _, _, _ in fks for c in cols})
-        flag_cols = []
-        fk_names = []
-        for i, (cols, parent, pcols, broadcast_parent) in enumerate(fks):
-            keys = parent.select(
-                *[F.col(p).alias(c) for c, p in zip(cols, pcols)]
-            ).dropDuplicates(cols).withColumn(f"__hit{i}", F.lit(1))
-            if broadcast_parent:
-                keys = F.broadcast(keys)
-            j = j.join(keys, cols, "left")
-            non_null = None
-            for c in cols:
-                nn = F.col(c).isNotNull()
-                non_null = nn if non_null is None else (non_null & nn)
-            name = f"fk_{'_'.join(cols)}"
-            fk_names.append(name)
-            flag_cols.append(
-                F.coalesce(
-                    F.sum(F.when(non_null & F.col(f"__hit{i}").isNull(), 1)),
-                    F.lit(0),
-                ).alias(name)
-            )
-        out = out.unionByName(rows_from_one_agg(j.agg(*flag_cols), fk_names))
-    return out
+    return rows_from_one_agg(agg, [f"pk_{key}", f"notnull_{key}"] + fk_names)
 
 
 def _count_row(df: DataFrame, relation: str, constraint: str) -> DataFrame:

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import runtime
-from .ingest import checkpoint_query_id, ingest_micro_batch, stored_schemas
+from .ingest import checkpoint_marker_ns, ingest_micro_batch, stored_schemas
 from .sources.feed import read_feed_stream
 
 ANALYTICAL_REFRESH_S = 300  # reference REFRESH_RATE_ANALYTICAL_VIEWS (.env.mainnet:21)
@@ -84,7 +84,7 @@ def run_indexer(
             batch_df,
             tables_dir,
             epoch_id=epoch_id,
-            marker_ns=checkpoint_query_id(checkpoint_dir),
+            marker_ns=checkpoint_marker_ns(checkpoint_dir),
         )
         if applied is None:
             return

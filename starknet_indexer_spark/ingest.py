@@ -26,6 +26,7 @@ Spark mapping:
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -747,6 +748,36 @@ def read_cursor(tables_dir: str) -> int | None:
 # ---------------------------------------------------------------------------
 
 
+def recover_invalidation_staging(tables_dir: str) -> list[str]:
+    """Crash recovery for ``invalidate_from_block``: if a prior run
+    died after deleting a boundary bucket but before swapping its
+    staged survivors back in, the survivors sit orphaned in a
+    ``._invalidate_<table>_b<bucket>`` dir and the table silently
+    misses them. Restore each orphan whose boundary bucket is absent
+    (the staging dir is then the only copy); drop staging dirs whose
+    boundary bucket still exists (the bucket is the authoritative
+    superset — the crash happened before any delete). Returns the
+    paths restored. Called on entry to every invalidation."""
+    restored: list[str] = []
+    for entry in os.listdir(tables_dir):
+        if not entry.startswith("._invalidate_"):
+            continue
+        stem = entry[len("._invalidate_"):]
+        table, _, bucket = stem.rpartition("_b")
+        staging = os.path.join(tables_dir, entry)
+        if not table or not bucket.isdigit():
+            continue
+        boundary_dir = os.path.join(
+            tables_dir, table, f"block_bucket={bucket}"
+        )
+        if os.path.isdir(boundary_dir):
+            shutil.rmtree(staging, ignore_errors=True)
+        else:
+            os.replace(staging, boundary_dir)
+            restored.append(boundary_dir)
+    return restored
+
+
 def invalidate_from_block(spark: SparkSession, tables_dir: str, block_number: int) -> None:
     """Delete every row with block >= block_number across all tables —
     the explicit fan-out replacing the reference's FK CASCADE
@@ -754,6 +785,7 @@ def invalidate_from_block(spark: SparkSession, tables_dir: str, block_number: in
     block_number // BLOCK_BUCKET_SIZE are touched; surviving rows of
     the boundary bucket are rewritten, later buckets dropped whole.
     At 100 TB this rewrites at most one bucket of data per table."""
+    recover_invalidation_staging(tables_dir)
     boundary_bucket = block_number // BLOCK_BUCKET_SIZE
     for name in os.listdir(tables_dir):
         path = os.path.join(tables_dir, name)
@@ -815,6 +847,22 @@ def checkpoint_query_id(checkpoint_dir: str) -> str | None:
         return None
 
 
+def checkpoint_marker_ns(checkpoint_dir: str) -> str:
+    """Marker namespace for a streaming checkpoint: its query id, or —
+    when the metadata file is unreadable — a hash of the checkpoint
+    PATH. Never a shared constant: epoch ids restart at 0 for a fresh
+    checkpointLocation, so a constant fallback reused across
+    checkpoint generations would let stale markers silently skip live
+    batches (the bug query-id namespacing was introduced to fix)."""
+    qid = checkpoint_query_id(checkpoint_dir)
+    if qid is not None:
+        return qid
+    digest = hashlib.sha256(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:16]
+    return f"ckpt-{digest}"
+
+
 def ingest_micro_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -840,6 +888,12 @@ def ingest_micro_batch(
     )
     marker = None
     if epoch_id is not None:
+        # epoch ids restart at 0 for a fresh checkpointLocation, so a
+        # namespace shared across checkpoint generations would
+        # resurrect the stale-marker silent-batch-skip bug the
+        # namespacing exists to prevent — streaming callers derive a
+        # checkpoint-scoped fallback (see stream_ingest); "default" is
+        # only reachable for direct batch callers with no checkpoint.
         marker = os.path.join(
             tables_dir, "_applied_epochs", marker_ns or "default", str(epoch_id)
         )
@@ -855,7 +909,35 @@ def ingest_micro_batch(
         os.makedirs(os.path.dirname(marker), exist_ok=True)
         with open(marker, "w") as f:
             f.write("applied")
+        _prune_epoch_markers(os.path.dirname(marker), epoch_id)
     return counts
+
+
+# replay redelivers at most the last few uncommitted epochs; keep a
+# tail well beyond that so pruning can never race a legitimate skip
+# check, while the marker dir stays O(tail) instead of growing one
+# file per micro-batch forever
+_EPOCH_MARKER_TAIL = 128
+
+
+def _prune_epoch_markers(ns_dir: str, committed_epoch: int) -> None:
+    """Delete markers more than _EPOCH_MARKER_TAIL epochs below the
+    just-committed one. Redelivery only ever replays epochs at or
+    after the last uncommitted checkpoint offset, so markers far below
+    the committed epoch can never be consulted again."""
+    floor = committed_epoch - _EPOCH_MARKER_TAIL
+    if floor <= 0:
+        return
+    try:
+        entries = os.listdir(ns_dir)
+    except OSError:
+        return
+    for entry in entries:
+        if entry.isdigit() and int(entry) < floor:
+            try:
+                os.remove(os.path.join(ns_dir, entry))
+            except OSError:
+                pass
 
 
 def stream_ingest(
@@ -878,7 +960,7 @@ def stream_ingest(
             batch_df,
             tables_dir,
             epoch_id=epoch_id,
-            marker_ns=checkpoint_query_id(checkpoint_dir),
+            marker_ns=checkpoint_marker_ns(checkpoint_dir),
         )
 
     reader = read_feed_stream(spark, feed_dir)

@@ -41,7 +41,23 @@ from . import ekubo_views  # noqa: E402,F401
 # shapes keep their pytest oracles and round-1 CORRECTNESS rows; one
 # representative per operator family stays inside the window.
 DRIVER_PRIORITY = [
-    # round-1 CORRECTNESS errors, fixed this round — prove at driver level
+    # round-3 front: the 10 queries registered late in round 2 that the
+    # driver window never reached (they pass the local sf0.001 oracle;
+    # this rotation gets them hash-verified at driver level -> 107/107
+    # ever-verified). Banked green r2 rows rotated out to make room.
+    "ann_topk_rp_rerank",
+    "corpus_shuffle_shard",
+    "events_profile",
+    "gap_fill_hourly",
+    "pii_redaction",
+    "props_map_stats",
+    "source_lang_pivot",
+    "value_decile_bands",
+    "value_mad_by_type",
+    "value_time_correlation",
+    # round-3 additions with no prior driver row
+    "minhash_lsh_dedup_capped",
+    # round-1 CORRECTNESS errors, fixed round 2 (driver-green r2)
     "time_weighted_balance",
     "funnel_conversion",
     "range_theta_join",

@@ -1059,7 +1059,17 @@ integral AS (
   GROUP BY 1, 2)
 SELECT CAST(i.proposal_id AS BIGINT) AS proposal_id,
        CAST(i.delegate AS BIGINT) AS delegate,
-       CAST(FLOOR(CAST(i.weighted_time_sum AS DOUBLE) / pt.window_secs) AS BIGINT) AS voting_weight
+       -- exact integer floor division (HUGEINT), mirroring the Spark
+       -- side's decimal_floordiv: a double division here could shift
+       -- the floor by 1 for weighted sums beyond 2^53 — and the
+       -- cross-engine gate would then be blind to the same divergence
+       -- from the reference's NUMERIC math. DuckDB's // truncates
+       -- toward zero, so correct it to floor for negative quotients.
+       CAST(CAST(i.weighted_time_sum AS HUGEINT) // pt.window_secs
+            - CASE WHEN CAST(i.weighted_time_sum AS HUGEINT) % pt.window_secs <> 0
+                        AND (i.weighted_time_sum < 0) <> (pt.window_secs < 0)
+                   THEN 1 ELSE 0 END
+            AS BIGINT) AS voting_weight
 FROM integral i JOIN pt ON i.proposal_id = pt.proposal_id
 """,
 )

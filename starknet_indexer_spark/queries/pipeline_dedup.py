@@ -26,6 +26,7 @@ from ..operators.dedup import (
     SIMHASH_BAND_BITS,
     SIMHASH_BITS,
     SIMHASH_N_BANDS,
+    cap_hot_bands,
     lsh_candidate_pairs,
     md5_hash60_expr,
     minhash_bands,
@@ -64,7 +65,11 @@ _SH_SQL = """
 """
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(band_cap: int | None = None) -> str:
+    cap_clause = (
+        f"\n      QUALIFY COUNT(*) OVER (PARTITION BY band, band_key)"
+        f" <= {band_cap}" if band_cap else ""
+    )
     sig_cols = ",\n             ".join(
         f"list_min(list_transform(h, x -> ({a} * (x % {MINHASH_P}) + {b}) % {MINHASH_P}))"
         f" AS sig_{i}"
@@ -91,8 +96,11 @@ def _minhash_oracle() -> str:
              {sig_cols}
       FROM hs
     ),
-    bands AS (
+    bands0 AS (
 {band_selects}
+    ),
+    bands AS (
+      SELECT doc_id, band, band_key FROM bands0{cap_clause}
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
@@ -142,6 +150,54 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shingle relation occurs. In a deployed pipeline `sh` is a
     # materialized silver table (shingles computed once at ingest) —
     # re-deriving it here keeps the query self-contained on raw text.
+    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh"))
+    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    jac = inter.cast("double") / (F.size("a_sh") + F.size("b_sh") - inter)
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            inter.alias("inter"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_MIN)
+    )
+
+
+# Tight enough to bite on the sf corpora (their hottest band buckets
+# reach 4, so the driver row proves the cap path, not the
+# passthrough). Production corpora set this orders of magnitude
+# higher — the point is bounding boilerplate mega-buckets (10^4+
+# docs), not trimming ordinary collisions.
+BAND_CAP = 3
+
+
+@register(
+    "minhash_lsh_dedup_capped",
+    oracle=_minhash_oracle(band_cap=BAND_CAP),
+    doc="MinHash+LSH near-dup detection with hot-band capping: band "
+    "buckets larger than BAND_CAP (boilerplate mega-buckets — the LSH "
+    "straggler/pair-explosion scale-killer) are dropped before the "
+    "candidate join, bounding per-bucket work at O(cap^2) while "
+    "similar pairs keep their cooler bands. The cap is one window "
+    "count over the same (band, band_key) key the candidate join "
+    "shuffles on — the exchange is reused, no extra shuffle. Output "
+    "is provably a subset of the uncapped pairs (exactness-tested in "
+    "tests/test_operators.py).",
+)
+def minhash_lsh_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("tokens"))
+    sh = toks.filter(F.size("tokens") >= 3).select(
+        "doc_id", word_shingles_expr(F.col("tokens")).alias("shingles")
+    )
+    hs = sh.select("doc_id", F.transform("shingles", md5_hash60_expr).alias("h"))
+    sigs = hs.select("doc_id", *minhash_signature_exprs(F.col("h")))
+    cand = lsh_candidate_pairs(cap_hot_bands(minhash_bands(sigs), BAND_CAP))
+
     sa = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh"))
     sb = sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh"))
     inter = F.size(F.array_intersect("a_sh", "b_sh"))

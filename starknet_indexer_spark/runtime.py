@@ -65,24 +65,40 @@ def _swap_in(df: DataFrame, out_dir: str) -> None:
     holding the old snapshot keep a consistent view (files are
     unlinked, not truncated) — the REFRESH CONCURRENTLY analogue.
 
-    Crash hygiene: a leftover non-empty ``.trash`` from an interrupted
-    prior swap must not poison every future refresh (os.replace onto a
-    non-empty dir raises), so trash is cleared BEFORE the swap; a
-    failed staging write removes its own dir instead of leaking
-    uuid-named orphans. The instant between the two os.replace calls
-    (no out_dir on disk) is the atomicity a table format closes."""
+    Crash hygiene: each displaced snapshot moves to a uniquely-named
+    ``.trash-<gen>`` dir (os.replace onto a fresh name can never
+    collide with an interrupted prior swap's leftovers, the round-2
+    poisoning bug), and trash dirs are pruned LAZILY — all but the
+    newest one — so the previous snapshot survives one extra refresh
+    cycle as a rollback copy. A failed staging write removes its own
+    dir instead of leaking uuid-named orphans. The instant between the
+    two os.replace calls (no out_dir on disk) is the atomicity a table
+    format closes."""
     staging = f"{out_dir}.{uuid.uuid4().hex[:8]}.staging"
     try:
         df.write.mode("overwrite").parquet(staging)
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
-    trash = f"{out_dir}.trash"
-    shutil.rmtree(trash, ignore_errors=True)
+    trash = f"{out_dir}.trash-{uuid.uuid4().hex[:8]}"
     if os.path.isdir(out_dir):
         os.replace(out_dir, trash)
     os.replace(staging, out_dir)
-    shutil.rmtree(trash, ignore_errors=True)
+    # lazy prune: drop every trash generation except the one we just
+    # created — the prior snapshot is kept exactly one cycle
+    base = os.path.basename(out_dir)
+    parent = os.path.dirname(out_dir) or "."
+    try:
+        entries = os.listdir(parent)
+    except OSError:
+        entries = []
+    for entry in entries:
+        p = os.path.join(parent, entry)
+        if (
+            entry.startswith(f"{base}.trash")
+            and p != trash
+        ):
+            shutil.rmtree(p, ignore_errors=True)
 
 
 def refresh_operational(tables: dict[str, DataFrame], out_root: str) -> list[str]:

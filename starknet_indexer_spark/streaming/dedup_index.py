@@ -151,9 +151,9 @@ def stream_dedup_index(
         # row set per doc. The crash-mid-apply window is the
         # multi-file transactionality a table format closes — see
         # stream_maintain's note.
-        from ..ingest import checkpoint_query_id
+        from ..ingest import checkpoint_marker_ns
 
-        ns = checkpoint_query_id(checkpoint_dir) or "default"
+        ns = checkpoint_marker_ns(checkpoint_dir)
         marker = os.path.join(index_dir, "_applied_epochs", ns, str(epoch_id))
         if os.path.exists(marker):
             return

@@ -144,9 +144,9 @@ def stream_maintain(
     stream = reader.parquet(feed_dir)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        from ..ingest import checkpoint_query_id
+        from ..ingest import checkpoint_marker_ns
 
-        ns = checkpoint_query_id(checkpoint_dir) or "default"
+        ns = checkpoint_marker_ns(checkpoint_dir)
         marker = os.path.join(state_dir, "_applied_epochs", ns, str(epoch_id))
         if os.path.exists(marker):
             return  # replayed epoch — already merged

@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..functions.core import decimal_floordiv
+
 DEC = "decimal(38,0)"
 
 
@@ -107,10 +109,20 @@ def proposal_delegate_voting_weights(tables: dict[str, DataFrame]) -> DataFrame:
     # interval duration is an exact BIGINT and stake * duration stays
     # in DECIMAL — the SUM is order-insensitive and exact for stakes
     # far beyond double's 2^53 mantissa (the reference computes this
-    # in NUMERIC, src/dao.ts:1231-1352). Only the final scalar
-    # division runs in double: IEEE754 division of identical exact
-    # inputs is exactly rounded, hence deterministic and identical on
-    # both engines.
+    # in NUMERIC, src/dao.ts:1231-1352), and the final division is
+    # exact decimal floor division (decimal_floordiv), matching the
+    # reference's NUMERIC floor even when the weighted sum exceeds
+    # 2^53 (a double division there could shift the floor by 1).
+    #
+    # Width bound: stake deltas are felt252-derived but capped at
+    # decimal(38,0) by the cast above; the stake*duration product is
+    # likewise decimal(38,0), so a running stake S over an interval of
+    # D seconds requires S*D < 10^38. With realistic windows (D <=
+    # ~10^7 s) that admits stakes to ~10^31 — beyond u128 token
+    # supplies (~3.4*10^38 is unreachable for real ERC20 amounts whose
+    # totals fit 2^128 scaled by 10^18 decimals). Inputs beyond the
+    # bound raise under ANSI mode rather than silently wrapping —
+    # the failure is loud, matching Postgres NUMERIC overflow behavior.
     dur_s = F.expr("(unix_micros(end_time) - unix_micros(time)) div 1000000")
     integral = (
         running.filter(F.col("end_time").isNotNull())
@@ -125,7 +137,8 @@ def proposal_delegate_voting_weights(tables: dict[str, DataFrame]) -> DataFrame:
     return integral.join(pt.select("proposal_id", "window_secs"), "proposal_id").select(
         "proposal_id",
         "delegate",
-        F.floor(
-            F.col("weighted_time_sum").cast("double") / F.col("window_secs")
+        decimal_floordiv(
+            F.col("weighted_time_sum"),
+            F.col("window_secs").cast("decimal(38,0)"),
         ).alias("voting_weight"),
     )

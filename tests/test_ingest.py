@@ -216,6 +216,97 @@ class TestReorg:
             assert sorted(map(str, da.collect())) == sorted(map(str, db.collect())), t
 
 
+class TestInvalidationCrashRecovery:
+    def test_orphaned_staging_restored_on_next_invalidation(self, spark, tdir):
+        """Crash window: survivors staged durably, boundary bucket
+        deleted, then death before os.replace — the survivors are
+        orphaned in ._invalidate_*. The next invalidation must restore
+        them before proceeding (data loss otherwise)."""
+        import shutil as sh
+
+        from starknet_indexer_spark.ingest import (
+            BLOCK_BUCKET_SIZE,
+            recover_invalidation_staging,
+        )
+
+        blocks = [995, 996, 1001, 1002, 1050]
+        ingest_batch(spark, make_raw(spark, blocks), tdir)
+        bucket = 1002 // BLOCK_BUCKET_SIZE
+        boundary = os.path.join(tdir, "swaps", f"block_bucket={bucket}")
+        staging = os.path.join(tdir, f"._invalidate_swaps_b{bucket}")
+        # simulate the crash: survivors staged, boundary gone
+        spark.read.parquet(boundary).filter(F.col("block_number") < 1002).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        sh.rmtree(boundary)
+        pre = spark.read.parquet(os.path.join(tdir, "swaps")).count()
+
+        restored = recover_invalidation_staging(tdir)
+        assert restored == [boundary]
+        assert not os.path.exists(staging)
+        assert spark.read.parquet(os.path.join(tdir, "swaps")).count() > pre
+        # and the table now matches a clean invalidate at the same point
+        invalidate_from_block(spark, tdir, 1002)
+        got = sorted(
+            r["block_number"]
+            for r in spark.read.parquet(os.path.join(tdir, "swaps")).collect()
+        )
+        assert got == [995, 996, 1001]
+
+    def test_stale_staging_with_live_bucket_is_dropped(self, spark, tdir):
+        """Crash BEFORE any delete: the boundary bucket is intact and
+        authoritative; the staged filtered copy must be discarded, not
+        swapped over it."""
+        from starknet_indexer_spark.ingest import (
+            BLOCK_BUCKET_SIZE,
+            recover_invalidation_staging,
+        )
+
+        blocks = [995, 996, 1001, 1002]
+        ingest_batch(spark, make_raw(spark, blocks), tdir)
+        bucket = 1002 // BLOCK_BUCKET_SIZE
+        boundary = os.path.join(tdir, "swaps", f"block_bucket={bucket}")
+        staging = os.path.join(tdir, f"._invalidate_swaps_b{bucket}")
+        spark.read.parquet(boundary).filter(F.col("block_number") < 1002).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        pre = sorted(map(str, spark.read.parquet(boundary).collect()))
+
+        assert recover_invalidation_staging(tdir) == []
+        assert not os.path.exists(staging)
+        assert sorted(map(str, spark.read.parquet(boundary).collect())) == pre
+
+
+class TestEpochMarkerHygiene:
+    def test_markers_pruned_to_tail(self, spark, tdir):
+        """One marker file per micro-batch forever is an unbounded
+        driver-side dir; markers far below the committed epoch are
+        pruned (redelivery can only replay recent epochs)."""
+        from starknet_indexer_spark import ingest as ing
+
+        ns_dir = os.path.join(tdir, "_applied_epochs", "nsX")
+        os.makedirs(ns_dir)
+        for e in range(0, 300, 50):
+            open(os.path.join(ns_dir, str(e)), "w").write("applied")
+        ing._prune_epoch_markers(ns_dir, committed_epoch=300)
+        kept = sorted(int(x) for x in os.listdir(ns_dir))
+        floor = 300 - ing._EPOCH_MARKER_TAIL
+        assert kept == [e for e in range(0, 300, 50) if e >= floor]
+
+    def test_fallback_namespace_is_checkpoint_scoped(self, tmp_path):
+        """Unreadable checkpoint metadata must NOT collapse into one
+        shared namespace: epoch ids restart at 0 per checkpoint
+        generation, so a shared ns would let stale markers silently
+        skip live batches."""
+        from starknet_indexer_spark.ingest import checkpoint_marker_ns
+
+        a = checkpoint_marker_ns(str(tmp_path / "ckpt_a"))
+        b = checkpoint_marker_ns(str(tmp_path / "ckpt_b"))
+        assert a != b and a.startswith("ckpt-") and b.startswith("ckpt-")
+        # stable for the same path
+        assert a == checkpoint_marker_ns(str(tmp_path / "ckpt_a"))
+
+
 class TestStreaming:
     @pytest.mark.slow
     def test_stream_matches_batch(self, spark, tmp_path):

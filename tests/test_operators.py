@@ -71,6 +71,78 @@ class TestMinHash:
         assert bands.count() == 3 * N_BANDS
 
 
+class TestHotBandCap:
+    def _bands(self, docs):
+        toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("tokens"))
+        sh = toks.filter(F.size("tokens") >= 3).select(
+            "doc_id", word_shingles_expr(F.col("tokens")).alias("shingles")
+        )
+        hs = sh.select("doc_id", F.transform("shingles", md5_hash60_expr).alias("h"))
+        return minhash_bands(hs.select("doc_id", *minhash_signature_exprs(F.col("h"))))
+
+    def test_passthrough_below_cap(self, spark):
+        """No bucket above the cap -> identical pairs (the common case
+        must not change results)."""
+        from starknet_indexer_spark.operators.dedup import cap_hot_bands
+
+        bands = self._bands(_docs(spark))
+        uncapped = {
+            (r["a_id"], r["b_id"]) for r in lsh_candidate_pairs(bands).collect()
+        }
+        capped = {
+            (r["a_id"], r["b_id"])
+            for r in lsh_candidate_pairs(cap_hot_bands(bands, 100)).collect()
+        }
+        assert capped == uncapped
+
+    def test_capped_pairs_are_subset_and_bounded(self, spark):
+        """A planted boilerplate mega-group: every doc shares the same
+        text, so all collapse into the same band buckets. With cap=c
+        the mega-bucket is dropped entirely; pairs from cooler buckets
+        survive. Output must be a subset of the uncapped output, and
+        the mega-group's quadratic pair set must be gone."""
+        from starknet_indexer_spark.operators.dedup import cap_hot_bands
+
+        boiler = [(100 + i, BASE) for i in range(20)]  # 20 identical docs
+        distinct_pair = [
+            (1, BASE.replace("winter", "summer") + " unique tail marker one"),
+            (2, BASE.replace("winter", "summer") + " unique tail marker one"),
+        ]
+        docs = spark.createDataFrame(
+            boiler + distinct_pair, "doc_id long, text string"
+        )
+        bands = self._bands(docs)
+        uncapped = {
+            (r["a_id"], r["b_id"]) for r in lsh_candidate_pairs(bands).collect()
+        }
+        capped = {
+            (r["a_id"], r["b_id"])
+            for r in lsh_candidate_pairs(cap_hot_bands(bands, 8)).collect()
+        }
+        assert capped <= uncapped
+        # the 20-doc mega-group (190 quadratic pairs) is capped away...
+        assert not any(a >= 100 and b >= 100 for a, b in capped)
+        # ...while the small near-dup pair in its own cool bucket survives
+        assert (1, 2) in capped
+
+    def test_cap_bites_on_corpus(self, spark):
+        """At sf0.001 the cap must actually drop buckets (otherwise the
+        registered query only ever exercises the passthrough path and
+        the driver row proves nothing about capping)."""
+        from starknet_indexer_spark.catalog import load
+        from starknet_indexer_spark.queries.pipeline_dedup import BAND_CAP
+
+        docs = load(spark, "/root/testdata/sf0.001", "documents")
+        bands = self._bands(docs)
+        hot = (
+            bands.groupBy("band", "band_key")
+            .count()
+            .filter(F.col("count") > BAND_CAP)
+            .count()
+        )
+        assert hot > 0
+
+
 class TestSimHash:
     def test_banding_is_exact_for_small_hamming(self, spark):
         """Banded candidate pairs == brute-force pairs for hamming <

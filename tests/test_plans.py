@@ -176,9 +176,11 @@ class TestExecutionShape:
             ("value_time_correlation", 1),
             # two exact-percentile passes sharing the event_type key
             ("value_mad_by_type", 2),
-            # fused audit: one groupBy + one FK-chain scan per table
-            # (10 scans serve 27 checks); tiny 1-row agg exchanges
-            ("constraint_violations", 34),
+            # fully fused audit: ONE scan per table chains the FK
+            # lookups then a single PK groupBy yields every check
+            # (10 scans serve 27 checks): 10 PK-group exchanges + 10
+            # tiny 1-row agg exchanges + 7 parent-key dedups
+            ("constraint_violations", 27),
         ],
     )
     def test_window_family_shuffle_budgets(self, spark, name, budget):

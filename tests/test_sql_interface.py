@@ -71,6 +71,39 @@ class TestSqlCatalog:
         assert n == spark.sql("SELECT COUNT(*) AS n FROM pool_states").collect()[0]["n"]
 
 
+class TestStakerRewardsSql:
+    def test_sql_table_function_matches_dataframe(self, spark, btables):
+        """V17 callable from SQL exactly like the reference's plpgsql
+        table function (src/dao.ts:1354-1540): SELECT * FROM
+        calculate_staker_rewards(...) == the DataFrame API result."""
+        install_sql_catalog(spark, btables)
+        tmin, tmax = (
+            btables["blocks"].agg(F.min("time"), F.max("time")).collect()[0]
+        )
+        args = (tmin, tmax, 1_000_000.0, 0.7, 0.3)
+        via_df = (
+            VIEWS["calculate_staker_rewards"](btables, *args)
+            .orderBy("claimee")
+            .collect()
+        )
+        via_sql = spark.sql(
+            """
+            SELECT * FROM calculate_staker_rewards(
+              CAST(:t0 AS TIMESTAMP), CAST(:t1 AS TIMESTAMP), :rew, :ss, :ds)
+            ORDER BY claimee
+            """,
+            args={
+                "t0": tmin.isoformat(sep=" "),
+                "t1": tmax.isoformat(sep=" "),
+                "rew": 1_000_000.0,
+                "ss": 0.7,
+                "ds": 0.3,
+            },
+        ).collect()
+        assert len(via_df) > 0
+        assert via_sql == via_df
+
+
 class TestConstraints:
     def test_clean_corpus_has_zero_violations(self, btables):
         rows = validate_stored(btables).collect()

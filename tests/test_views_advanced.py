@@ -231,7 +231,14 @@ integral AS (
   FROM running WHERE end_time IS NOT NULL
   GROUP BY 1, 2)
 SELECT i.proposal_id, i.delegate,
-       CAST(FLOOR(CAST(i.weighted_time_sum AS DOUBLE) / pt.window_secs) AS DECIMAL(38,0)) AS voting_weight
+       -- exact HUGEINT floor division (see views/governance.py:
+       -- decimal_floordiv) — double division could mis-floor sums
+       -- beyond 2^53; // truncates, so correct to floor when negative
+       CAST(CAST(i.weighted_time_sum AS HUGEINT) // pt.window_secs
+            - CASE WHEN CAST(i.weighted_time_sum AS HUGEINT) % pt.window_secs <> 0
+                        AND (i.weighted_time_sum < 0) <> (pt.window_secs < 0)
+                   THEN 1 ELSE 0 END
+            AS DECIMAL(38,0)) AS voting_weight
 FROM integral i JOIN pt ON i.proposal_id = pt.proposal_id
 """
 
@@ -240,6 +247,31 @@ def test_v12_voting_weights(btables, bduck):
     df = VIEWS["proposal_delegate_voting_weights"](btables)
     df = df.withColumn("voting_weight", F.col("voting_weight").cast("decimal(38,0)"))
     check(df, bduck, GOLDEN_V12)
+
+
+def test_v12_floor_exact_beyond_double_mantissa(spark):
+    """The final stake-integral division must be exact decimal floor
+    division, not a double round-trip: pick a weighted sum just above
+    a multiple of the window where float64 rounds UP across the
+    boundary, shifting floor(double(a)/b) by 1 vs the reference's
+    NUMERIC floor(a/b)."""
+    from starknet_indexer_spark.functions.core import decimal_floordiv
+
+    a = 2**60 - 1          # float64 rounds this UP to 2^60
+    b = 2**30              # exact floor = 2^30 - 1; double path says 2^30
+    row = spark.createDataFrame(
+        [(str(a), b)], "a string, b long"
+    ).select(
+        decimal_floordiv(
+            F.col("a").cast("decimal(38,0)"), F.col("b").cast("decimal(38,0)")
+        ).alias("exact"),
+        F.floor(F.col("a").cast("decimal(38,0)").cast("double") / F.col("b")).alias(
+            "via_double"
+        ),
+    ).collect()[0]
+    assert int(row["exact"]) == a // b
+    # the double path is genuinely wrong here — proves the fix matters
+    assert int(row["via_double"]) != a // b
 
 
 def golden_v17(start, end, total, s_share, d_share) -> str:
