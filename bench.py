@@ -67,6 +67,8 @@ HEADLINE = [
     "value_time_correlation",
     "value_mad_by_type",
     "ann_topk_rp_rerank",
+    "approx_distinct_shingles",
+    "zorder_locality",
     "min_cost_supplier",
     "nation_trade_volume",
     "customer_order_distribution",
@@ -243,38 +245,54 @@ def compare(baseline_path: str, current_path: str | None = None,
     and improvements; returns 1 if any regression exceeds threshold.
     """
 
-    def load_queries(path: str) -> dict[str, float]:
+    def load_queries(path: str) -> tuple[dict[str, float], dict[str, float]]:
+        """(steady map, cold map) — either may be partial/empty."""
         with open(path) as fh:
             doc = json.load(fh)
         # driver wrapper: {"parsed": {...}, "raw": "..."} — or raw dict
         if isinstance(doc.get("parsed"), dict):
             doc = doc["parsed"]
-        q = doc.get("queries")
-        if isinstance(q, dict):
-            return {k: float(v) for k, v in q.items()}
+        steady = doc.get("queries")
+        cold = (doc.get("cold") or {}).get("queries")
+        if isinstance(steady, dict):
+            return (
+                {k: float(v) for k, v in steady.items()},
+                {k: float(v) for k, v in cold.items()}
+                if isinstance(cold, dict) else {},
+            )
         # Salvage a truncated driver record (BENCH_r02 regime: "parsed"
         # null, "tail" holds the cut line). Steady-state pairs sit
-        # before the '"cold"' key; regex them out of the fragment.
+        # before the '"cold"' key (usually a partial suffix of the
+        # map); the cold map after it usually survives whole.
         tail = doc.get("tail")
         if isinstance(tail, str):
-            frag = tail.split('"cold"')[0]
-            pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', frag)
-            salvaged = {k: float(v) for k, v in pairs
-                        if k not in ("value", "sf", "total")}
-            if salvaged:
-                print(f"(salvaged {len(salvaged)} steady-state timings "
-                      f"from truncated {os.path.basename(path)})")
-                return salvaged
+            frag, _, rest = tail.partition('"cold"')
+            drop = ("value", "sf", "total", "rows", "rows_per_sec", "sec")
+            s_pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', frag)
+            c_pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', rest)
+            steady = {k: float(v) for k, v in s_pairs if k not in drop}
+            cold = {k: float(v) for k, v in c_pairs if k not in drop}
+            if steady or cold:
+                print(f"(salvaged {len(steady)} steady + {len(cold)} cold "
+                      f"timings from truncated {os.path.basename(path)})")
+                return steady, cold
         raise SystemExit(f"{path}: no parseable 'queries' map")
 
-    base = load_queries(baseline_path)
+    base_s, base_c = load_queries(baseline_path)
     if current_path is None:
         cur_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "BENCH_DETAIL.json")
     else:
         cur_path = current_path
-    cur = load_queries(cur_path)
+    cur_s, cur_c = load_queries(cur_path)
 
+    # prefer steady-vs-steady; fall back to cold-vs-cold when the
+    # baseline's steady map is unusable (truncated-record salvage)
+    mode = "steady"
+    base, cur = base_s, cur_s
+    if len(set(base_s) & set(cur_s)) < len(set(base_c) & set(cur_c)):
+        mode = "cold"
+        base, cur = base_c, cur_c
     shared = sorted(set(base) & set(cur))
     regressions, improvements = [], []
     for name in shared:
@@ -287,7 +305,7 @@ def compare(baseline_path: str, current_path: str | None = None,
         elif ratio < 1 / threshold:
             improvements.append((name, b, c, ratio))
     print(f"# bench diff: {os.path.basename(cur_path)} vs "
-          f"{os.path.basename(baseline_path)}")
+          f"{os.path.basename(baseline_path)} ({mode} timings)")
     print(f"shared queries: {len(shared)}; regressions >"
           f"{threshold}x: {len(regressions)}; improvements <"
           f"{1/threshold:.2f}x: {len(improvements)}")

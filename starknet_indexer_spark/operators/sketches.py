@@ -1,0 +1,87 @@
+"""Distinct-count estimation sketches, engine-portable by construction.
+
+At 100 TB an exact ``COUNT(DISTINCT token)`` shuffles every distinct
+value; profiling jobs want an estimate whose cost is a vanishing
+fraction of that. Spark's ``approx_count_distinct`` (HyperLogLog++) is
+the built-in answer, but its binary sketch is not reproducible in other
+engines, so a result can't be value-hash-checked cross-engine.
+
+This module implements *hash-threshold sampling* (the classic
+distinct-sampling / KMV-family estimator): a value is retained iff its
+60-bit md5 hash falls below ``2^(60 - ratio_bits)``. Each distinct
+value is retained independently with probability exactly
+``2^-ratio_bits`` (md5 is uniform on the hash space), so
+
+    estimate = COUNT(DISTINCT retained values) << ratio_bits
+
+is an unbiased estimator with relative error ~ 1/sqrt(retained).
+Everything is integer arithmetic over a hash both engines compute
+identically (``md5`` hex prefix), so the estimate is deterministic and
+bit-equal in Spark and DuckDB — the property that makes even an
+*approximate* operator driver-hash-checkable.
+
+Scale shape: the threshold filter runs map-side BEFORE the distinct,
+so the shuffle carries ~``distinct/2^ratio_bits`` rows instead of every
+distinct value; the group-by aggregation gets map-side partial
+de-duplication for free (Spark plans count(distinct) with a partial
+aggregate). No unbounded per-group state anywhere (a collect_set-based
+KMV would hold k values per group in executor memory; this holds none).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_hash60_expr
+
+# 1-in-2^RATIO_BITS retention. 8 → 1/256: on corpora with ≥ ~25k
+# distinct values per group the estimator keeps ≥ ~100 samples
+# (≈10% relative error); tests pin accuracy on the real corpus.
+DEFAULT_RATIO_BITS = 8
+
+HASH_BITS = 60
+
+
+def hash_threshold_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value: Column,
+    ratio_bits: int = DEFAULT_RATIO_BITS,
+    out_col: str = "est_distinct",
+) -> DataFrame:
+    """Estimated distinct ``value`` count per group (see module doc).
+
+    The returned estimate is exact integer math: retained-count shifted
+    left by ``ratio_bits``. Groups where nothing survives the filter
+    estimate 0 and are still emitted (left join against the group
+    spine would be the caller's concern — here a group only appears if
+    it has at least one row, matching COUNT(DISTINCT)'s group set only
+    when every group retains a sample; callers wanting the full spine
+    aggregate over the unfiltered frame)."""
+    threshold = 1 << (HASH_BITS - ratio_bits)
+    h = md5_hash60_expr(value)
+    return (
+        df.select(*group_cols, h.alias("__h"))
+        .filter(F.col("__h") < threshold)
+        .groupBy(*group_cols)
+        .agg(
+            (F.count_distinct(F.col("__h")) * F.lit(1 << ratio_bits))
+            .cast("bigint")
+            .alias(out_col)
+        )
+    )
+
+
+def hash_threshold_distinct_sql(
+    value_sql: str, ratio_bits: int = DEFAULT_RATIO_BITS
+) -> tuple[str, str]:
+    """(retain_predicate, estimate_expr) DuckDB fragments mirroring
+    ``hash_threshold_distinct`` bit-for-bit; callers splice them into
+    their oracle around the same GROUP BY."""
+    threshold = 1 << (HASH_BITS - ratio_bits)
+    h = f"('0x' || substr(md5({value_sql}), 1, 15))::BIGINT"
+    return (
+        f"{h} < {threshold}",
+        f"CAST(COUNT(DISTINCT {h}) * {1 << ratio_bits} AS BIGINT)",
+    )

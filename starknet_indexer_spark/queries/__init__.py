@@ -29,6 +29,7 @@ from . import pipeline_corpus  # noqa: E402,F401
 from . import pipeline_clustering  # noqa: E402,F401
 from . import pipeline_quality  # noqa: E402,F401
 from . import pipeline_cleaning  # noqa: E402,F401
+from . import pipeline_layout  # noqa: E402,F401
 from . import integrity  # noqa: E402,F401
 from . import ekubo_views  # noqa: E402,F401
 
@@ -57,6 +58,8 @@ DRIVER_PRIORITY = [
     "value_time_correlation",
     # round-3 additions with no prior driver row
     "minhash_lsh_dedup_capped",
+    "approx_distinct_shingles",
+    "zorder_locality",
     # round-1 CORRECTNESS errors, fixed round 2 (driver-green r2)
     "time_weighted_balance",
     "funnel_conversion",

@@ -176,6 +176,14 @@ class TestExecutionShape:
             ("value_time_correlation", 1),
             # two exact-percentile passes sharing the event_type key
             ("value_mad_by_type", 2),
+            # threshold filter map-side, then distinct partial + final
+            ("approx_distinct_shingles", 2),
+            # broadcast min-anchor + prefix agg (partial+final)
+            ("zorder_locality", 2),
+            # capped LSH: bucket-count window partitions on the same
+            # (band, band_key) key the candidate join uses (one
+            # exchange per join side under AQE) + the pair distinct
+            ("minhash_lsh_dedup_capped", 3),
             # fully fused audit: ONE scan per table chains the FK
             # lookups then a single PK groupBy yields every check
             # (10 scans serve 27 checks): 10 PK-group exchanges + 10
