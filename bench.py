@@ -69,6 +69,8 @@ HEADLINE = [
     "ann_topk_rp_rerank",
     "approx_distinct_shingles",
     "zorder_locality",
+    "pq_encode_codes",
+    "pq_ann_adc_topk",
     "min_cost_supplier",
     "nation_trade_volume",
     "customer_order_distribution",

@@ -127,3 +127,93 @@ def kmeans(vecs: DataFrame, init_cents: DataFrame, n_updates: int) -> DataFrame:
     """Lloyd's algorithm: ``n_updates`` assign+update rounds followed
     by a final assignment. Returns (vec_id, qv, cluster, d2)."""
     return kmeans_assign(vecs, kmeans_centroids(vecs, init_cents, n_updates))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the billion-scale ANN compression path
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    vecs: DataFrame, dim: int, m_subspaces: int, k: int, n_updates: int
+) -> list[DataFrame]:
+    """One k-means codebook per subspace: split each quantized vector
+    into ``m_subspaces`` contiguous slices and run the integer-exact
+    Lloyd trainer on each (init = the first ``k`` vectors' slices,
+    deterministic). Returns the list of (cluster_id, cv) relations.
+
+    At 100 TB the trainer runs on a sample (mini-batch k-means, like
+    the full-vector case); each codebook is k rows of dim/M ints —
+    trivially broadcastable."""
+    sub_len = dim // m_subspaces
+    books = []
+    for m in range(m_subspaces):
+        sub = vecs.select(
+            "vec_id", F.slice("qv", m * sub_len + 1, sub_len).alias("qv")
+        )
+        init = sub.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cluster_id"), F.col("qv").alias("cv")
+        )
+        books.append(kmeans_centroids(sub, init, n_updates))
+    return books
+
+
+def pq_encode(vecs: DataFrame, books: list[DataFrame], dim: int) -> DataFrame:
+    """Encode each vector as M codebook indices (the PQ compressed
+    form: dim floats -> M small ints, e.g. 64x4B -> 4x1B) plus the
+    exact total quantization error.
+
+    MAP-ONLY: every codebook collapses to one broadcast array row and
+    each code is an argmin fold over the vector's slice inside the
+    scan — the corpus is never shuffled to encode it, the same shape
+    as ``kmeans_assign``. Ties break to the smaller code id, totally
+    ordering the output (hash-checkable)."""
+    m_subspaces = len(books)
+    sub_len = dim // m_subspaces
+    out = vecs
+    for m, cents in enumerate(books):
+        arr = cents.agg(
+            F.collect_list(F.struct("cluster_id", "cv")).alias(f"__cs_{m}")
+        )
+        out = out.crossJoin(F.broadcast(arr))
+    def _scorer(s: Column):
+        # closure factory: the lambda must be single-arg (a 2-arg
+        # Python lambda — even via a default — is treated by PySpark
+        # as the (element, index) form and binds the index instead)
+        return lambda c: F.struct(
+            (-dist2_expr(s, c["cv"])).alias("neg_d"),
+            (-c["cluster_id"]).alias("neg_id"),
+        )
+
+    for m in range(m_subspaces):
+        sub = F.slice(F.col("qv"), m * sub_len + 1, sub_len)
+        best = F.array_max(F.transform(F.col(f"__cs_{m}"), _scorer(sub)))
+        out = out.withColumn(f"__best_{m}", best)
+    err = None
+    cols = [F.col("vec_id")]
+    for m in range(m_subspaces):
+        cols.append(
+            (-F.col(f"__best_{m}.neg_id")).cast("int").alias(f"code_{m}")
+        )
+        e = -F.col(f"__best_{m}.neg_d")
+        err = e if err is None else err + e
+    return out.select(*cols, err.cast("bigint").alias("err"))
+
+
+def pq_reconstruct_expr(books_cols: list[str], code_cols: list[str]):
+    """Column expr: concatenate each code's codebook entry back into a
+    full-dim integer vector (the decoded form ADC distances are
+    computed against). ``books_cols`` name broadcast array<struct
+    (cluster_id, cv)> columns; lookup is a map build + element_at."""
+    parts = []
+    for bc, cc in zip(books_cols, code_cols):
+        m = F.map_from_entries(
+            F.transform(
+                F.col(bc), lambda c: F.struct(c["cluster_id"], c["cv"])
+            )
+        )
+        parts.append(F.element_at(m, F.col(cc).cast("long")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = F.concat(out, p)
+    return out

@@ -30,6 +30,7 @@ from . import pipeline_clustering  # noqa: E402,F401
 from . import pipeline_quality  # noqa: E402,F401
 from . import pipeline_cleaning  # noqa: E402,F401
 from . import pipeline_layout  # noqa: E402,F401
+from . import pipeline_pq  # noqa: E402,F401
 from . import integrity  # noqa: E402,F401
 from . import ekubo_views  # noqa: E402,F401
 
@@ -60,6 +61,8 @@ DRIVER_PRIORITY = [
     "minhash_lsh_dedup_capped",
     "approx_distinct_shingles",
     "zorder_locality",
+    "pq_encode_codes",
+    "pq_ann_adc_topk",
     # round-1 CORRECTNESS errors, fixed round 2 (driver-green r2)
     "time_weighted_balance",
     "funnel_conversion",

@@ -266,6 +266,127 @@ class TestZorderLayout:
         assert mean_span(zpath, "user_id") < 0.5 * 149
 
 
+class TestProductQuantization:
+    SF = "/root/testdata/sf0.001"
+
+    def _vecs(self, spark):
+        from starknet_indexer_spark.catalog import load
+        from starknet_indexer_spark.operators.clustering import quantize_expr
+
+        emb = load(spark, self.SF, "embeddings")
+        return emb.select("vec_id", quantize_expr(F.col("embedding")).alias("qv"))
+
+    def test_codes_in_range_and_total(self, spark):
+        from starknet_indexer_spark.queries import REGISTRY
+        from starknet_indexer_spark.queries.pipeline_pq import PQ_K, PQ_M
+
+        rows = REGISTRY["pq_encode_codes"].fn(spark, self.SF).collect()
+        assert len(rows) == 500
+        for r in rows:
+            for m in range(PQ_M):
+                assert 0 <= r[f"code_{m}"] < PQ_K
+            assert r["err"] >= 0
+
+    def test_encode_is_map_only_past_training(self, spark):
+        """The encode plan's shuffles all belong to codebook TRAINING
+        (K*dim partial sums per Lloyd round); the corpus-side encode
+        itself is broadcast codebooks + argmin folds in the scan. A
+        regression that shuffles the corpus to encode it would blow
+        this budget immediately."""
+        from starknet_indexer_spark.plans.inspect import shuffle_count
+        from starknet_indexer_spark.queries import REGISTRY
+
+        assert shuffle_count(REGISTRY["pq_encode_codes"].fn(spark, self.SF)) <= 4
+
+    def test_adc_shortlist_rerank_recall(self, spark):
+        """The deployment composition — PQ-ADC shortlist, exact
+        re-rank — must recover >= 0.85 recall@5 vs brute-force exact
+        top-5 with a shortlist of 100 on the 500-vector corpus.
+        (Pure ADC@5 recall is ~0.26 here: the synthetic embeddings
+        are near-random 64-dim, the hardest PQ regime — which is
+        exactly why the rerank stage exists.) Deterministic: fixed
+        codebooks, integer distances, total tiebreak."""
+        from pyspark.sql.window import Window as W
+
+        from starknet_indexer_spark.operators.clustering import (
+            dist2_expr,
+            pq_codebooks,
+            pq_encode,
+            pq_reconstruct_expr,
+        )
+
+        vecs = self._vecs(spark)
+        qset = vecs.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
+        )
+        cand = vecs.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("dv")
+        )
+        w = W.partitionBy("query_id").orderBy("d2", "neighbor_id")
+
+        exact = (
+            cand.crossJoin(F.broadcast(qset))
+            .filter("query_id != neighbor_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                dist2_expr(F.col("qq"), F.col("dv")).alias("d2"),
+            )
+        )
+        exact5 = {
+            (r["query_id"], r["neighbor_id"])
+            for r in exact.withColumn("rank", F.row_number().over(w))
+            .filter("rank<=5")
+            .collect()
+        }
+
+        m_sub = 4
+        books = pq_codebooks(vecs, 64, m_sub, 16, 1)
+        enc = pq_encode(vecs, books, 64)
+        for m, cents in enumerate(books):
+            arr = cents.agg(
+                F.collect_list(F.struct("cluster_id", "cv")).alias(f"__cs_{m}")
+            )
+            enc = enc.crossJoin(F.broadcast(arr))
+        recon = enc.select(
+            F.col("vec_id").alias("neighbor_id"),
+            pq_reconstruct_expr(
+                [f"__cs_{m}" for m in range(m_sub)],
+                [f"code_{m}" for m in range(m_sub)],
+            ).alias("rv"),
+        )
+        adc = (
+            recon.crossJoin(F.broadcast(qset))
+            .filter("query_id != neighbor_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                dist2_expr(F.col("qq"), F.col("rv")).alias("d2"),
+            )
+        )
+        shortlist = (
+            adc.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 100)
+            .select("query_id", "neighbor_id")
+        )
+        rerank = (
+            shortlist.join(cand, "neighbor_id")
+            .join(F.broadcast(qset), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                dist2_expr(F.col("qq"), F.col("dv")).alias("d2"),
+            )
+        )
+        top5 = {
+            (r["query_id"], r["neighbor_id"])
+            for r in rerank.withColumn("rank", F.row_number().over(w))
+            .filter("rank<=5")
+            .collect()
+        }
+        assert len(exact5 & top5) / len(exact5) >= 0.85
+
+
 class TestSimHash:
     def test_banding_is_exact_for_small_hamming(self, spark):
         """Banded candidate pairs == brute-force pairs for hamming <

@@ -178,6 +178,12 @@ class TestExecutionShape:
             ("value_mad_by_type", 2),
             # threshold filter map-side, then distinct partial + final
             ("approx_distinct_shingles", 2),
+            # codebook training only (K*dim partials per subspace
+            # round); corpus encode is broadcast + argmin folds
+            ("pq_encode_codes", 4),
+            # training + per-query top-k window; candidates
+            # reconstruct map-side from broadcast codebooks
+            ("pq_ann_adc_topk", 9),
             # broadcast min-anchor + prefix agg (partial+final)
             ("zorder_locality", 2),
             # capped LSH: bucket-count window partitions on the same
