@@ -63,6 +63,7 @@ DRIVER_PRIORITY = [
     "zorder_locality",
     "pq_encode_codes",
     "pq_ann_adc_topk",
+    "interval_attribution",
     # round-1 CORRECTNESS errors, fixed round 2 (driver-green r2)
     "time_weighted_balance",
     "funnel_conversion",

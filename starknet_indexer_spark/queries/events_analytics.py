@@ -1085,3 +1085,63 @@ def value_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("d", F.lit(0.5)), 6).alias("mad_v"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "interval_attribution",
+    oracle="""
+    WITH buys AS (
+      SELECT user_id, event_id AS buy_id, ts AS buy_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    views AS (
+      SELECT user_id, event_id AS view_id, ts AS view_ts
+      FROM events WHERE event_type = 'view'
+    ),
+    paired AS (
+      SELECT b.buy_id, v.view_id
+      FROM buys b JOIN views v
+        ON b.user_id = v.user_id
+       AND v.view_ts >= b.buy_ts - INTERVAL 1 HOUR
+       AND v.view_ts <= b.buy_ts
+    )
+    SELECT buy_id,
+           COUNT(*) AS n_views,
+           MIN(view_id) AS first_view_id,
+           MAX(view_id) AS last_view_id
+    FROM paired GROUP BY buy_id
+    """,
+    doc="Event-time interval attribution: each purchase matched to the "
+    "same user's page-views in the preceding hour, then aggregated "
+    "per purchase. Built on streaming/joins.interval_join run in "
+    "batch mode — the SAME operator code that passes the stream=="
+    "batch equivalence test (test_streaming_native.py), so this "
+    "driver hash row certifies the streaming operator's join "
+    "semantics too (J5 range join, streaming §2.5 surface). The join "
+    "shuffles both sides on user_id; at scale both streams "
+    "pre-bucket on the key.",
+)
+def interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.joins import interval_join
+
+    ev = load(spark, sf_dir, "events")
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("buy_id"), F.col("ts").alias("buy_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    paired = interval_join(
+        buys,
+        views,
+        keys=["user_id"],
+        left_ts="buy_ts",
+        right_ts="view_ts",
+        lower="-1 hour",
+        upper="0 seconds",
+    )
+    return paired.groupBy("buy_id").agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.min("view_id").alias("first_view_id"),
+        F.max("view_id").alias("last_view_id"),
+    )

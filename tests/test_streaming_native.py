@@ -251,3 +251,83 @@ class TestLatestStateTransformWithState:
             .collect()
         }
         assert got == want and len(got) > 0
+
+
+class TestStreamStreamIntervalJoin:
+    def test_stream_equals_batch(self, spark, tmp_path):
+        """Stream-stream interval join (purchase matched to the same
+        user's views within the preceding hour) must produce exactly
+        the batch range-join rows once both streams drain. Both sides
+        watermarked -> bounded state; same operator code runs in both
+        modes (mode-agnostic DataFrame function)."""
+        from starknet_indexer_spark.streaming.joins import interval_join
+
+        ev = load(spark, SF_DIR, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        buys = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("ts").alias("buy_ts"),
+            F.col("event_id").alias("buy_id"),
+        )
+        views = ev.filter(F.col("event_type") == "view").select(
+            "user_id",
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        bdir, vdir = str(tmp_path / "buys"), str(tmp_path / "views")
+        # two chunks per side -> multiple micro-batches
+        mid_b = buys.approxQuantile("buy_id", [0.5], 0.0)[0]
+        buys.filter(F.col("buy_id") <= mid_b).write.mode("append").parquet(bdir)
+        buys.filter(F.col("buy_id") > mid_b).write.mode("append").parquet(bdir)
+        mid_v = views.approxQuantile("view_id", [0.5], 0.0)[0]
+        views.filter(F.col("view_id") <= mid_v).write.mode("append").parquet(vdir)
+        views.filter(F.col("view_id") > mid_v).write.mode("append").parquet(vdir)
+
+        def streamed(path, schema_src):
+            return (
+                spark.readStream.schema(spark.read.parquet(path).schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(path)
+            )
+
+        joined = interval_join(
+            streamed(bdir, buys),
+            streamed(vdir, views),
+            keys=["user_id"],
+            left_ts="buy_ts",
+            right_ts="view_ts",
+            lower="-1 hour",
+            upper="0 seconds",
+            watermark="2 hours",
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("ssj_t")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            (r["buy_id"], r["view_id"])
+            for r in spark.sql("SELECT buy_id, view_id FROM ssj_t").collect()
+        }
+
+        expect = {
+            (r["buy_id"], r["view_id"])
+            for r in interval_join(
+                buys,
+                views,
+                keys=["user_id"],
+                left_ts="buy_ts",
+                right_ts="view_ts",
+                lower="-1 hour",
+                upper="0 seconds",
+            ).collect()
+        }
+        assert len(expect) > 0
+        assert got == expect
