@@ -67,6 +67,7 @@ def run_indexer(
     checkpoint_dir: str,
     analytical_every_s: float = ANALYTICAL_REFRESH_S,
     trigger: dict | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """Start the full pipeline; returns the StreamingQuery. Callers
     stop it (tests drive it with processAllAvailable)."""
@@ -110,7 +111,7 @@ def run_indexer(
             state["last_analytical"] = now
 
     writer = (
-        read_feed_stream(spark, feed_dir)
+        read_feed_stream(spark, feed_dir, max_files_per_trigger)
         .writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
     )

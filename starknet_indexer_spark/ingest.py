@@ -943,10 +943,19 @@ def ingest_micro_batch(
     apply; the crash-mid-apply window that remains is the multi-file
     transactionality a table format (Delta/Iceberg) closes.
 
+    In-band reorg handling (reference: the stream's `invalidate`
+    message, src/index.ts:162-184 — delete blocks above the
+    invalidated cursor, write the cursor back, keep consuming): a feed
+    row with ``keys = ["invalidate"]`` and ``block_number`` = the last
+    VALID block triggers ``invalidate_from_block(block_number + 1)``
+    BEFORE the batch's data rows are applied. Multiple invalidates in
+    one batch collapse to the deepest. Feed contract: the writer rolls
+    a new feed file at a reorg boundary, so old-chain rows for the
+    invalidated range are never co-batched with (or after) their own
+    invalidate marker — the same strict message ordering the
+    reference's gRPC stream guarantees.
+
     Returns per-table counts, or None if the batch was skipped."""
-    final = batch_df.filter(
-        F.coalesce(F.col("finality"), F.lit("accepted")) != "pending"
-    )
     marker = None
     if epoch_id is not None:
         # epoch ids restart at 0 for a fresh checkpointLocation, so a
@@ -960,7 +969,32 @@ def ingest_micro_batch(
         )
         if os.path.exists(marker):
             return None
+    # empty-keys rows must not evaluate to NULL here (a NULL predicate
+    # would silently drop them from `final`)
+    is_invalidate = F.coalesce(
+        F.get("keys", 0) == "invalidate", F.lit(False)
+    )
+    invalidates = batch_df.filter(is_invalidate)
+    inv_point = invalidates.agg(F.min("block_number")).collect()[0][0]
+    if inv_point is not None and os.path.isdir(tables_dir):
+        # deepest invalidation wins; idempotent on replay (a second
+        # run finds the suffix already gone and rewrites nothing new)
+        invalidate_from_block(spark, tables_dir, int(inv_point) + 1)
+    final = batch_df.filter(
+        ~is_invalidate
+        & (F.coalesce(F.col("finality"), F.lit("accepted")) != "pending")
+    )
     if final.isEmpty():
+        if inv_point is not None:
+            if marker is not None:
+                os.makedirs(os.path.dirname(marker), exist_ok=True)
+                with open(marker, "w") as f:
+                    f.write("applied")
+                _prune_epoch_markers(os.path.dirname(marker), epoch_id)
+            # an invalidation happened: return empty counts (NOT None)
+            # so the daemon still refreshes its views off the truncated
+            # tables instead of treating the batch as a no-op
+            return {}
         return None
     counts = ingest_batch(spark, final, tables_dir)
     hi = final.agg(F.max("block_number")).collect()[0][0]
@@ -1007,10 +1041,14 @@ def stream_ingest(
     tables_dir: str,
     checkpoint_dir: str,
     trigger: dict | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """readStream over the feed directory; each micro-batch runs the
     same ingest_batch and advances the cursor to its max finalized
     block — checkpoint-as-cursor (SURVEY §2.5 exactly-once row).
+
+    ``max_files_per_trigger=1`` preserves file-order across batches —
+    required when the feed carries in-band invalidate markers.
 
     Returns the StreamingQuery; callers stop it (tests use
     processAllAvailable)."""
@@ -1024,7 +1062,7 @@ def stream_ingest(
             marker_ns=checkpoint_marker_ns(checkpoint_dir),
         )
 
-    reader = read_feed_stream(spark, feed_dir)
+    reader = read_feed_stream(spark, feed_dir, max_files_per_trigger)
     writer = reader.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
     )

@@ -41,8 +41,17 @@ def read_feed_batch(spark: SparkSession, feed_dir: str) -> DataFrame:
     return spark.read.schema(RAW_SCHEMA).parquet(feed_dir)
 
 
-def read_feed_stream(spark: SparkSession, feed_dir: str) -> DataFrame:
-    return spark.readStream.schema(RAW_SCHEMA).parquet(feed_dir)
+def read_feed_stream(
+    spark: SparkSession, feed_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """``max_files_per_trigger=1`` preserves file-level message order
+    across micro-batches — required when the feed carries in-band
+    control messages (reorg invalidate markers) whose position
+    relative to data files is semantically load-bearing."""
+    reader = spark.readStream.schema(RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(feed_dir)
 
 
 def decode_feed_json(raw: DataFrame, value_col: str = "value") -> DataFrame:
