@@ -75,6 +75,28 @@ def decode_feed_json(raw: DataFrame, value_col: str = "value") -> DataFrame:
     return parsed.select("m.*").filter(F.col("block_number").isNotNull())
 
 
+def decode_feed_json_split(
+    raw: DataFrame, value_col: str = "value"
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter variant of ``decode_feed_json``: returns
+    ``(decoded, malformed)``. Malformed payloads (from_json PERMISSIVE
+    -> all-null envelope) keep their ORIGINAL bytes in a one-column
+    ``raw_value`` frame for a dead-letter sink, instead of being
+    silently discarded — at 100 TB/day, a silent drop rate is an
+    outage you find weeks later; a dead-letter table is an alert you
+    see at the next refresh. Both outputs derive from one projection
+    of the same scan (no second read of the source)."""
+    from pyspark.sql import functions as F
+
+    parsed = raw.select(
+        F.col(value_col).cast("string").alias("raw_value"),
+        F.from_json(F.col(value_col).cast("string"), RAW_SCHEMA).alias("m"),
+    )
+    decoded = parsed.filter(F.col("m.block_number").isNotNull()).select("m.*")
+    malformed = parsed.filter(F.col("m.block_number").isNull()).select("raw_value")
+    return decoded, malformed
+
+
 def read_feed_json_batch(spark: SparkSession, feed_dir: str) -> DataFrame:
     """JSON-lines feed directory (one message per line), batch."""
     return decode_feed_json(spark.read.text(feed_dir))

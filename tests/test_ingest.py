@@ -159,6 +159,32 @@ class TestJsonFeed:
         got = read_feed_json_batch(spark, jdir)
         assert got.count() == raw.count()
 
+    def test_json_dead_letter_split(self, spark, tmp_path):
+        """decode_feed_json_split must route malformed payloads to the
+        dead-letter frame WITH their original bytes, while the decoded
+        side equals the plain decode path — no silent drops."""
+        from starknet_indexer_spark.sources.feed import (
+            decode_feed_json_split,
+            read_feed_json_batch,
+        )
+
+        raw = make_raw(spark, [1, 2])
+        jdir = str(tmp_path / "jsonl_dl")
+        self._write_jsonl(spark, raw, jdir)
+        bad_lines = ["not json at all", '{"half": true']
+        with open(os.path.join(jdir, "garbage.txt"), "w") as f:
+            f.write("\n".join(bad_lines) + "\n")
+
+        decoded, malformed = decode_feed_json_split(
+            spark.read.text(jdir), value_col="value"
+        )
+        plain = read_feed_json_batch(spark, jdir)
+        assert sorted(map(tuple, decoded.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+        got_bad = sorted(r["raw_value"] for r in malformed.collect())
+        assert got_bad == sorted(bad_lines)
+
     def test_json_stream_equals_batch(self, spark, tmp_path):
         from starknet_indexer_spark.sources.feed import read_feed_json_stream
 

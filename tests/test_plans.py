@@ -184,6 +184,9 @@ class TestExecutionShape:
             # training + per-query top-k window; candidates
             # reconstruct map-side from broadcast codebooks
             ("pq_ann_adc_topk", 9),
+            # stream-stream-capable interval join run in batch: one
+            # user_id exchange serves join and per-buy aggregation
+            ("interval_attribution", 1),
             # broadcast min-anchor + prefix agg (partial+final)
             ("zorder_locality", 2),
             # capped LSH: bucket-count window partitions on the same
