@@ -66,3 +66,43 @@ def test_daemon_end_to_end(spark, tmp_path):
     from starknet_indexer_spark.ingest import read_cursor
 
     assert read_cursor(tdir) == 3
+
+
+@pytest.mark.slow
+def test_daemon_in_band_invalidate_refreshes_views(spark, tmp_path):
+    """An invalidate marker flowing through the DAEMON (not just the
+    bare stream) must truncate the tables AND refresh the operational
+    views off the truncated state — the empty-counts (not-None) return
+    contract of ingest_micro_batch, end-to-end."""
+    from .test_ingest import invalidate_row
+
+    feed = str(tmp_path / "feed")
+    tdir = str(tmp_path / "tables")
+    vdir = str(tmp_path / "views")
+    ckpt = str(tmp_path / "ckpt")
+
+    _batch1(spark).coalesce(1).write.mode("append").parquet(feed)
+    _batch2(spark).coalesce(1).write.mode("append").parquet(feed)
+    q = run_indexer(
+        spark, feed, tdir, vdir, ckpt,
+        analytical_every_s=0, max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+        ps = spark.read.parquet(os.path.join(vdir, "pool_states")).collect()
+        assert len(ps) == 1 and ps[0]["tick"] == -8  # block-3 swap applied
+
+        # reorg: invalidate block 3 (last valid = 2)
+        spark.createDataFrame(
+            [invalidate_row(2)], RAW_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(feed)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    sw = spark.read.parquet(os.path.join(tdir, "swaps"))
+    assert sorted(r["block_number"] for r in sw.collect()) == [2]
+    # the view refreshed off the truncated tables: back to block-2 state
+    ps = spark.read.parquet(os.path.join(vdir, "pool_states")).collect()
+    assert len(ps) == 1 and ps[0]["tick"] == -5
+    assert str(ps[0]["liquidity"]) == "1111"
