@@ -71,6 +71,7 @@ HEADLINE = [
     "zorder_locality",
     "pq_encode_codes",
     "pq_ann_adc_topk",
+    "ann_topk_ivfpq",
     "interval_attribution",
     "min_cost_supplier",
     "nation_trade_volume",

@@ -64,6 +64,7 @@ DRIVER_PRIORITY = [
     "pq_encode_codes",
     "pq_ann_adc_topk",
     "interval_attribution",
+    "ann_topk_ivfpq",
     # round-1 CORRECTNESS errors, fixed round 2 (driver-green r2)
     "time_weighted_balance",
     "funnel_conversion",

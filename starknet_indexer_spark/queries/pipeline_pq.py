@@ -233,3 +233,226 @@ def pq_ann_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= PQ_TOP_K)
         .select("query_id", "neighbor_id", "d2", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse cells + residual PQ + probe-limited ADC search
+# ---------------------------------------------------------------------------
+
+IVF_CELLS = 8
+IVF_UPDATES = 1
+IVF_NPROBE = 3
+
+
+def _ivfpq_cte_chain() -> str:
+    """Coarse k-means chain over full vectors (cells cc*), residuals
+    vs the assigned cell, then per-subspace PQ chains over residual
+    slices — the shared WITH-body for the IVF-PQ oracle."""
+    steps = [
+        f"""qvfull AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * {QUANT_SCALE} + 0.5) AS BIGINT))
+               AS qv
+      FROM embeddings
+    ),
+    cc_0 AS (
+      SELECT vec_id AS cluster_id, qv AS cv FROM qvfull WHERE vec_id < {IVF_CELLS}
+    )"""
+    ]
+    prev = "cc_0"
+    for i in range(1, IVF_UPDATES + 1):
+        steps.append(_assign_cte(f"cas_{i}", "qvfull", prev, PQ_DIM))
+        steps.append(_update_cte(f"cc_{i}", f"cas_{i}", PQ_DIM))
+        prev = f"cc_{i}"
+    steps.append(_assign_cte("casg", "qvfull", prev, PQ_DIM))
+    steps.append(
+        f"""
+    resid AS (
+      SELECT a.vec_id, a.cluster,
+             [a.qv[k] - c.cv[k] for k in range(1, {PQ_DIM + 1})] AS qv
+      FROM casg a JOIN {prev} c ON a.cluster = c.cluster_id
+    )"""
+    )
+    for m in range(PQ_M):
+        lo, hi = m * _SUB_LEN + 1, (m + 1) * _SUB_LEN
+        steps.append(
+            f"""
+    rs{m} AS (SELECT vec_id, qv[{lo}:{hi}] AS qv FROM resid),
+    rb{m}_0 AS (
+      SELECT vec_id AS cluster_id, qv AS cv FROM rs{m} WHERE vec_id < {PQ_K}
+    )"""
+        )
+        bprev = f"rb{m}_0"
+        for i in range(1, PQ_UPDATES + 1):
+            steps.append(_assign_cte(f"ras{m}_{i}", f"rs{m}", bprev, _SUB_LEN))
+            steps.append(_update_cte(f"rb{m}_{i}", f"ras{m}_{i}", _SUB_LEN))
+            bprev = f"rb{m}_{i}"
+        steps.append(_assign_cte(f"rf{m}", f"rs{m}", bprev, _SUB_LEN))
+    return ",".join(steps)
+
+
+_R_JOINS = "rf0" + "".join(
+    f" JOIN rf{m} ON rf0.vec_id = rf{m}.vec_id" for m in range(1, PQ_M)
+)
+_RB_FINAL = [f"rb{m}_{PQ_UPDATES}" for m in range(PQ_M)]
+_PRV = " || ".join(f"{b}.cv" for b in _RB_FINAL)
+_RB_JOIN = "".join(
+    f" JOIN {b} ON rcodes.code_{m} = {b}.cluster_id"
+    for m, b in enumerate(_RB_FINAL)
+)
+
+
+@register(
+    "ann_topk_ivfpq",
+    oracle=f"""
+    WITH {_ivfpq_cte_chain()},
+    rcodes AS (
+      SELECT rf0.vec_id AS vec_id,
+             {", ".join(f"rf{m}.cluster AS code_{m}" for m in range(PQ_M))}
+      FROM {_R_JOINS}
+    ),
+    recon AS (
+      SELECT rcodes.vec_id AS neighbor_id, casg.cluster,
+             [cc.cv[k] + prv[k] for k in range(1, {PQ_DIM + 1})] AS rv
+      FROM rcodes
+      JOIN casg ON rcodes.vec_id = casg.vec_id
+      JOIN cc_{IVF_UPDATES} cc ON casg.cluster = cc.cluster_id
+      JOIN (SELECT rcodes2.vec_id, {_PRV} AS prv
+            FROM rcodes rcodes2 {_RB_JOIN.replace('rcodes.', 'rcodes2.')}) pr
+        ON pr.vec_id = rcodes.vec_id
+    ),
+    q AS (
+      SELECT vec_id AS query_id, qv FROM qvfull WHERE vec_id < {PQ_N_QUERIES}
+    ),
+    probe AS (
+      SELECT query_id, cluster_id FROM (
+        SELECT q.query_id, c.cluster_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 CAST(list_sum([(q.qv[k] - c.cv[k]) * (q.qv[k] - c.cv[k])
+                                for k in range(1, {PQ_DIM + 1})]) AS BIGINT),
+                 c.cluster_id) AS rn
+        FROM q, cc_{IVF_UPDATES} c
+      ) WHERE rn <= {IVF_NPROBE}
+    ),
+    dists AS (
+      SELECT q.query_id, r.neighbor_id,
+             CAST(list_sum([(q.qv[k] - r.rv[k]) * (q.qv[k] - r.rv[k])
+                            for k in range(1, {PQ_DIM + 1})]) AS BIGINT) AS d2
+      FROM q
+      JOIN probe p ON p.query_id = q.query_id
+      JOIN recon r ON r.cluster = p.cluster_id
+      WHERE q.query_id <> r.neighbor_id
+    )
+    SELECT query_id, neighbor_id, d2, rank FROM (
+      SELECT query_id, neighbor_id, d2,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY d2, neighbor_id) AS rank
+      FROM dists
+    ) WHERE rank <= {PQ_TOP_K}
+    """,
+    doc=f"Full IVF-PQ ANN search (the billion-scale vector-store "
+    f"design): {IVF_CELLS}-cell coarse quantizer (integer-exact "
+    "k-means), product quantization of the RESIDUAL vs the assigned "
+    f"cell centroid (M={PQ_M} x K={PQ_K}), then probe-limited ADC — "
+    f"each query scores only candidates in its {IVF_NPROBE} nearest "
+    "cells against centroid+decoded-residual reconstructions. "
+    "Raw recall@5 ~0.28 on the near-random synthetic embeddings "
+    "(nprobe misses + PQ distortion — the hardest regime; real "
+    "corpora with cluster structure fare far better); production "
+    "deployments widen the ADC shortlist and exact-rerank it, the "
+    "composition pq_ann_adc_topk's tests pin at >= 0.85. "
+    "Scale shape: cell assignment and PQ encoding are map-only under "
+    "broadcast centroids/codebooks; the probe prunes the candidate "
+    "set to nprobe/cells of the corpus BEFORE any distance work; the "
+    "only corpus shuffle is the per-query top-k. The entire iterative "
+    "train->encode->search pipeline is integer-exact and value-hash-"
+    "checked against a DuckDB CTE mirror.",
+)
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import kmeans_assign, kmeans_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", quantize_expr(F.col("embedding")).alias("qv"))
+
+    # coarse quantizer
+    init = vecs.filter(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cluster_id"), F.col("qv").alias("cv")
+    )
+    cells = kmeans_centroids(vecs, init, IVF_UPDATES)
+    assigned = kmeans_assign(vecs, cells).select("vec_id", "qv", "cluster")
+
+    # residual encode (map-only: broadcast cell centroids)
+    resid = (
+        assigned.join(
+            F.broadcast(cells.select(F.col("cluster_id").alias("cluster"), "cv")),
+            "cluster",
+        )
+        .select(
+            "vec_id",
+            "cluster",
+            F.zip_with("qv", "cv", lambda x, y: x - y).alias("qv"),
+        )
+    )
+    books = pq_codebooks(resid.select("vec_id", "qv"), PQ_DIM, PQ_M, PQ_K, PQ_UPDATES)
+    codes = pq_encode(resid.select("vec_id", "qv"), books, PQ_DIM)
+
+    # reconstruct: cell centroid + decoded residual
+    enc = codes.join(resid.select("vec_id", "cluster"), "vec_id")
+    for m, cents in enumerate(books):
+        arr = cents.agg(
+            F.collect_list(F.struct("cluster_id", "cv")).alias(f"__cs_{m}")
+        )
+        enc = enc.crossJoin(F.broadcast(arr))
+    enc = enc.join(
+        F.broadcast(cells.select(F.col("cluster_id").alias("cluster"),
+                                 F.col("cv").alias("cell_cv"))),
+        "cluster",
+    )
+    recon = enc.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "cluster",
+        F.zip_with(
+            "cell_cv",
+            pq_reconstruct_expr(
+                [f"__cs_{m}" for m in range(PQ_M)],
+                [f"code_{m}" for m in range(PQ_M)],
+            ),
+            lambda x, y: x + y,
+        ).alias("rv"),
+    )
+
+    # probe: nprobe nearest cells per query
+    q = vecs.filter(F.col("vec_id") < PQ_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv")
+    )
+    qc = q.crossJoin(
+        F.broadcast(cells.select("cluster_id", F.col("cv").alias("cell_cv")))
+    ).select(
+        "query_id",
+        "qv",
+        "cluster_id",
+        dist2_expr(F.col("qv"), F.col("cell_cv")).alias("cd2"),
+    )
+    wp = W.partitionBy("query_id").orderBy(F.col("cd2"), F.col("cluster_id"))
+    probe = (
+        qc.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("query_id", "qv", F.col("cluster_id").alias("cluster"))
+    )
+
+    dists = (
+        recon.join(F.broadcast(probe), "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            dist2_expr(F.col("qv"), F.col("rv")).alias("d2"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("d2"), F.col("neighbor_id"))
+    return (
+        dists.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_TOP_K)
+        .select("query_id", "neighbor_id", "d2", "rank")
+    )

@@ -187,6 +187,9 @@ class TestExecutionShape:
             # stream-stream-capable interval join run in batch: one
             # user_id exchange serves join and per-buy aggregation
             ("interval_attribution", 1),
+            # coarse + 4 residual codebook trainings (K*dim partials);
+            # probe/encode/search are broadcast-side
+            ("ann_topk_ivfpq", 14),
             # broadcast min-anchor + prefix agg (partial+final)
             ("zorder_locality", 2),
             # capped LSH: bucket-count window partitions on the same
