@@ -104,6 +104,49 @@ class TestStakerRewardsSql:
         assert via_sql == via_df
 
 
+class TestStakerRewardsSqlHexPath:
+    def test_hex_claimee_passthrough_matches_dataframe(self, spark, tmp_path):
+        """Ingest-produced tables store addresses as 0x-hex strings;
+        the SQL function's claimee passthrough branch (no numeric->hex
+        codec) must still match the DataFrame path on such tables."""
+        from starknet_indexer_spark.daemon import load_tables
+        from starknet_indexer_spark.ingest import ingest_batch
+
+        from .test_ingest import make_raw
+
+        tdir = str(tmp_path / "tables")
+        ingest_batch(spark, make_raw(spark, [1, 2, 3]), tdir)
+        tables = load_tables(spark, tdir)
+        assert dict(tables["staker_staked"].dtypes)["from_address"] == "string"
+
+        install_sql_catalog(spark, tables)
+        tmin, tmax = (
+            tables["blocks"].agg(F.min("time"), F.max("time")).collect()[0]
+        )
+        args = (tmin, tmax, 500_000.0, 0.6, 0.4)
+        via_df = (
+            VIEWS["calculate_staker_rewards"](tables, *args)
+            .orderBy("claimee")
+            .collect()
+        )
+        via_sql = spark.sql(
+            """
+            SELECT * FROM calculate_staker_rewards(
+              CAST(:t0 AS TIMESTAMP), CAST(:t1 AS TIMESTAMP), :rew, :ss, :ds)
+            ORDER BY claimee
+            """,
+            args={
+                "t0": tmin.isoformat(sep=" "),
+                "t1": tmax.isoformat(sep=" "),
+                "rew": 500_000.0,
+                "ss": 0.6,
+                "ds": 0.4,
+            },
+        ).collect()
+        assert len(via_df) > 0
+        assert via_sql == via_df
+
+
 class TestConstraints:
     def test_clean_corpus_has_zero_violations(self, btables):
         rows = validate_stored(btables).collect()
