@@ -331,3 +331,102 @@ class TestStreamStreamIntervalJoin:
         }
         assert len(expect) > 0
         assert got == expect
+
+
+class TestHeavyHittersStream:
+    def test_mg_error_bound_vs_exact(self, spark, tmp_path):
+        """Sharded Misra-Gries over a real multi-batch stream: for
+        every key, estimate <= true count and true - estimate <=
+        n_shard/(k+1); every key above that threshold is PRESENT.
+        These bounds hold for ANY arrival order, which is what makes
+        a sketch testable without exact replay."""
+        from starknet_indexer_spark.streaming.heavy_hitters import (
+            collect_heavy_hitters,
+            heavy_hitters_stream,
+        )
+
+        K, SHARDS = 8, 4
+        ev = load(spark, SF_DIR, "events").select(
+            "event_id", F.col("user_id").cast("string").alias("item")
+        )
+        feed = str(tmp_path / "items")
+        mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+        ev.filter(F.col("event_id") <= mid).write.mode("append").parquet(feed)
+        ev.filter(F.col("event_id") > mid).write.mode("append").parquet(feed)
+
+        stream = (
+            spark.readStream.schema(spark.read.parquet(feed).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(feed)
+        )
+        q = (
+            heavy_hitters_stream(stream, "item", k=K, n_shards=SHARDS)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("hh_t")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        # latest summary per shard (update mode re-emits each batch)
+        import pandas as pd
+
+        emitted = spark.sql("SELECT * FROM hh_t").toPandas()
+        latest = (
+            emitted.groupby("shard", as_index=False).last()
+        )
+        est = collect_heavy_hitters(latest.to_dict("records"))
+        shard_n = dict(zip(latest["shard"], latest["n_items"]))
+
+        exact = {
+            str(r["item"]): r["n"]
+            for r in ev.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        from pyspark.sql import Row
+
+        shard_of = {
+            r["item"]: r["s"]
+            for r in ev.select("item")
+            .distinct()
+            .select(
+                "item", F.pmod(F.xxhash64(F.col("item")), F.lit(SHARDS)).alias("s")
+            )
+            .collect()
+        }
+        assert sum(shard_n.values()) == sum(exact.values())
+        for item, true_n in exact.items():
+            bound = shard_n[shard_of[item]] / (K + 1)
+            got = est.get(item)
+            if true_n > bound:
+                assert got is not None, (item, true_n, bound)
+            if got is not None:
+                assert got <= true_n, (item, got, true_n)
+                assert true_n - got <= bound, (item, got, true_n, bound)
+
+    def test_pure_python_mg_bound(self):
+        """The shared MG update obeys the textbook bound on adversarial
+        orders (pure-python sanity for the kernel the stream uses)."""
+        import random
+
+        from starknet_indexer_spark.streaming.heavy_hitters import mg_update
+
+        rng = random.Random(7)
+        stream = (
+            ["hot"] * 400
+            + ["warm"] * 120
+            + [f"cold{i}" for i in range(300)]
+        )
+        rng.shuffle(stream)
+        k = 10
+        counters = mg_update({"__k__": k}, stream)
+        counters.pop("__k__")
+        n = len(stream)
+        assert counters.get("hot", 0) >= 400 - n / (k + 1)
+        assert counters.get("warm", 0) >= 120 - n / (k + 1)
+        for item, c in counters.items():
+            true = 400 if item == "hot" else 120 if item == "warm" else 1
+            assert c <= true
