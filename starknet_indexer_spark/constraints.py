@@ -157,7 +157,14 @@ def audit_table(
         F.coalesce(F.sum(F.when(null_any, F.col("n_rows"))), F.lit(0)).alias(
             f"notnull_{key}"
         ),
-        *[F.sum(f"__g_{n}").alias(n) for n in fk_names],
+        # coalesce: an EMPTY child table has zero groups, and SUM over
+        # zero rows is NULL — the audit must report 0 violations, not
+        # NULL (empty typed tables are a normal input: stored_schemas
+        # stands them in for event families that haven't fired yet)
+        *[
+            F.coalesce(F.sum(f"__g_{n}"), F.lit(0)).alias(n)
+            for n in fk_names
+        ],
     )
     return rows_from_one_agg(agg, [f"pk_{key}", f"notnull_{key}"] + fk_names)
 

@@ -67,7 +67,10 @@ def run_indexer(
     checkpoint_dir: str,
     analytical_every_s: float = ANALYTICAL_REFRESH_S,
     trigger: dict | None = None,
-    max_files_per_trigger: int | None = None,
+    # default 1: in-band invalidate markers are only ordering-safe
+    # with one-file batches (see ingest.stream_ingest); pass None for
+    # marker-free feeds that want bigger batches
+    max_files_per_trigger: int | None = 1,
 ):
     """Start the full pipeline; returns the StreamingQuery. Callers
     stop it (tests drive it with processAllAvailable)."""

@@ -695,9 +695,6 @@ def ingest_batch(spark: SparkSession, raw: DataFrame, tables_dir: str) -> dict[s
         # latency on local[32] at 2 concurrent families; the win grows
         # with family count since whole job chains overlap (big
         # single-family batches are write-bound and unaffected).
-        # Counts merge
-        # ADDITIVELY because two families can share one stored table
-        # (creation-threshold-breach rows land in governor_canceled).
         # Two families CAN share a stored table (creation-threshold-
         # breach rows land in governor_canceled): their appends must
         # stay sequential — concurrent writers clobber each other's
@@ -969,22 +966,32 @@ def ingest_micro_batch(
         )
         if os.path.exists(marker):
             return None
+    if os.path.isdir(tables_dir):
+        # a crash mid-invalidation must not leave survivors orphaned
+        # until the NEXT reorg happens to arrive — repair on every
+        # batch entry (one listdir; no-op in the common case)
+        recover_invalidation_staging(tables_dir)
     # empty-keys rows must not evaluate to NULL here (a NULL predicate
     # would silently drop them from `final`)
     is_invalidate = F.coalesce(
         F.get("keys", 0) == "invalidate", F.lit(False)
     )
-    invalidates = batch_df.filter(is_invalidate)
-    inv_point = invalidates.agg(F.min("block_number")).collect()[0][0]
+    is_data = (~is_invalidate) & (
+        F.coalesce(F.col("finality"), F.lit("accepted")) != "pending"
+    )
+    # ONE driver round-trip for the batch's control stats (previously
+    # three: invalidate min, emptiness probe, max-block cursor)
+    stats = batch_df.agg(
+        F.min(F.when(is_invalidate, F.col("block_number"))).alias("inv"),
+        F.max(F.when(is_data, F.col("block_number"))).alias("hi"),
+        F.count(F.when(is_data, F.lit(1))).alias("n_data"),
+    ).collect()[0]
+    inv_point, hi, n_data = stats["inv"], stats["hi"], stats["n_data"]
     if inv_point is not None and os.path.isdir(tables_dir):
         # deepest invalidation wins; idempotent on replay (a second
         # run finds the suffix already gone and rewrites nothing new)
         invalidate_from_block(spark, tables_dir, int(inv_point) + 1)
-    final = batch_df.filter(
-        ~is_invalidate
-        & (F.coalesce(F.col("finality"), F.lit("accepted")) != "pending")
-    )
-    if final.isEmpty():
+    if n_data == 0:
         if inv_point is not None:
             if marker is not None:
                 os.makedirs(os.path.dirname(marker), exist_ok=True)
@@ -996,8 +1003,7 @@ def ingest_micro_batch(
             # tables instead of treating the batch as a no-op
             return {}
         return None
-    counts = ingest_batch(spark, final, tables_dir)
-    hi = final.agg(F.max("block_number")).collect()[0][0]
+    counts = ingest_batch(spark, batch_df.filter(is_data), tables_dir)
     if hi is not None:
         write_cursor(tables_dir, int(hi))
     if marker is not None:
@@ -1041,14 +1047,19 @@ def stream_ingest(
     tables_dir: str,
     checkpoint_dir: str,
     trigger: dict | None = None,
-    max_files_per_trigger: int | None = None,
+    max_files_per_trigger: int | None = 1,
 ):
     """readStream over the feed directory; each micro-batch runs the
     same ingest_batch and advances the cursor to its max finalized
     block — checkpoint-as-cursor (SURVEY §2.5 exactly-once row).
 
-    ``max_files_per_trigger=1`` preserves file-order across batches —
-    required when the feed carries in-band invalidate markers.
+    ``max_files_per_trigger`` DEFAULTS TO 1: in-band invalidate
+    markers are only applied correctly when no old-chain data file can
+    co-batch with (or after) its own marker, and one-file batches are
+    the only file-source setting that guarantees that ordering during
+    a backlog catch-up. Feeds that carry no in-band markers (reorgs
+    handled out-of-band) may pass ``None`` to let the source batch
+    freely for throughput.
 
     Returns the StreamingQuery; callers stop it (tests use
     processAllAvailable)."""

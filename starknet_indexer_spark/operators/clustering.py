@@ -158,6 +158,23 @@ def pq_codebooks(
     return books
 
 
+def attach_codebook_broadcasts(
+    df: DataFrame, books: list[DataFrame], prefix: str = "__cs_"
+) -> DataFrame:
+    """Cross-join one broadcast array<struct(cluster_id, cv)> row per
+    codebook onto ``df`` (columns ``{prefix}{m}``). Books come out of
+    ``kmeans_centroids`` lazily checkpointed, so attaching them to
+    several consumers does NOT retrain — the materialized RDD is
+    shared."""
+    out = df
+    for m, cents in enumerate(books):
+        arr = cents.agg(
+            F.collect_list(F.struct("cluster_id", "cv")).alias(f"{prefix}{m}")
+        )
+        out = out.crossJoin(F.broadcast(arr))
+    return out
+
+
 def pq_encode(vecs: DataFrame, books: list[DataFrame], dim: int) -> DataFrame:
     """Encode each vector as M codebook indices (the PQ compressed
     form: dim floats -> M small ints, e.g. 64x4B -> 4x1B) plus the
@@ -170,12 +187,8 @@ def pq_encode(vecs: DataFrame, books: list[DataFrame], dim: int) -> DataFrame:
     ordering the output (hash-checkable)."""
     m_subspaces = len(books)
     sub_len = dim // m_subspaces
-    out = vecs
-    for m, cents in enumerate(books):
-        arr = cents.agg(
-            F.collect_list(F.struct("cluster_id", "cv")).alias(f"__cs_{m}")
-        )
-        out = out.crossJoin(F.broadcast(arr))
+    out = attach_codebook_broadcasts(vecs, books)
+
     def _scorer(s: Column):
         # closure factory: the lambda must be single-arg (a 2-arg
         # Python lambda — even via a default — is treated by PySpark

@@ -32,6 +32,7 @@ from pyspark.sql.window import Window as W
 from ..catalog import load
 from ..operators.clustering import (
     QUANT_SCALE,
+    attach_codebook_broadcasts,
     dist2_expr,
     pq_codebooks,
     pq_encode,
@@ -201,12 +202,7 @@ def pq_ann_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = pq_codebooks(vecs, PQ_DIM, PQ_M, PQ_K, PQ_UPDATES)
     codes = pq_encode(vecs, books, PQ_DIM)
 
-    enc = codes
-    for m, cents in enumerate(books):
-        arr = cents.agg(
-            F.collect_list(F.struct("cluster_id", "cv")).alias(f"__cs_{m}")
-        )
-        enc = enc.crossJoin(F.broadcast(arr))
+    enc = attach_codebook_broadcasts(codes, books)
     recon = enc.select(
         F.col("vec_id").alias("neighbor_id"),
         pq_reconstruct_expr(
@@ -398,12 +394,9 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq_encode(resid.select("vec_id", "qv"), books, PQ_DIM)
 
     # reconstruct: cell centroid + decoded residual
-    enc = codes.join(resid.select("vec_id", "cluster"), "vec_id")
-    for m, cents in enumerate(books):
-        arr = cents.agg(
-            F.collect_list(F.struct("cluster_id", "cv")).alias(f"__cs_{m}")
-        )
-        enc = enc.crossJoin(F.broadcast(arr))
+    enc = attach_codebook_broadcasts(
+        codes.join(resid.select("vec_id", "cluster"), "vec_id"), books
+    )
     enc = enc.join(
         F.broadcast(cells.select(F.col("cluster_id").alias("cluster"),
                                  F.col("cv").alias("cell_cv"))),

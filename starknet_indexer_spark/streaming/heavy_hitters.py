@@ -34,10 +34,12 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
 
-def mg_update(counters: dict[str, int], items) -> dict[str, int]:
+def mg_update(counters: dict[str, int], items, k: int) -> dict[str, int]:
     """Classic Misra-Gries update, pure Python (shared by the
-    streaming op and the test's reference implementation)."""
-    k = counters.pop("__k__")
+    streaming op and the test's reference implementation). ``k`` is a
+    separate parameter, never an in-dict sentinel — items are
+    arbitrary user strings, and any sentinel key could collide with a
+    real item and silently corrupt its count."""
     for x in items:
         if x in counters:
             counters[x] += 1
@@ -51,7 +53,6 @@ def mg_update(counters: dict[str, int], items) -> dict[str, int]:
                     dead.append(key)
             for key in dead:
                 del counters[key]
-    counters["__k__"] = k
     return counters
 
 
@@ -91,7 +92,7 @@ def heavy_hitters_stream(
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        counters: dict = {"__k__": k}
+        counters: dict = {}
         n = 0
         if state.exists:
             items, counts, n = state.get
@@ -101,12 +102,11 @@ def heavy_hitters_stream(
             vals = pdf[item_col].astype(str).tolist()
             if not vals:
                 continue
-            counters = mg_update(counters, vals)
+            counters = mg_update(counters, vals, k)
             n += len(vals)
             changed = True
         if not changed:
             return
-        counters.pop("__k__")
         items = sorted(counters)  # stable output order
         counts = [counters[i] for i in items]
         state.update((items, counts, n))

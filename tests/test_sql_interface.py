@@ -167,3 +167,27 @@ class TestConstraints:
         ).limit(2)
         child = btables["swaps"].select("block_number").unionByName(ghost)
         assert orphans(child, ["block_number"], blocks, ["number"]).count() == 2
+
+
+class TestAuditEmptyTables:
+    def test_empty_child_reports_zero_not_null(self, spark):
+        """An EMPTY child table (normal input: stored_schemas stands in
+        empty typed tables for unfired event families) must report 0
+        violations for every constraint — the fused single-pass
+        aggregate previously returned NULL for the fk_ columns."""
+        from starknet_indexer_spark.constraints import audit_table
+
+        child = spark.createDataFrame(
+            [], "event_id long, block_number int"
+        )
+        parent = spark.createDataFrame([(1,)], "number int")
+        rows = audit_table(
+            child, "empty_rel", ["event_id"],
+            [(["block_number"], parent, ["number"], True)],
+        ).collect()
+        got = {r["constraint_name"]: r["violations"] for r in rows}
+        assert got == {
+            "pk_event_id": 0,
+            "notnull_event_id": 0,
+            "fk_block_number": 0,
+        }

@@ -422,11 +422,19 @@ class TestHeavyHittersStream:
         )
         rng.shuffle(stream)
         k = 10
-        counters = mg_update({"__k__": k}, stream)
-        counters.pop("__k__")
+        counters = mg_update({}, stream, k)
         n = len(stream)
         assert counters.get("hot", 0) >= 400 - n / (k + 1)
         assert counters.get("warm", 0) >= 120 - n / (k + 1)
         for item, c in counters.items():
             true = 400 if item == "hot" else 120 if item == "warm" else 1
             assert c <= true
+
+    def test_item_named_like_internal_sentinel_survives(self):
+        """Items are arbitrary user strings — one spelled '__k__' (or
+        any would-be sentinel) must keep an ordinary, correct count."""
+        from starknet_indexer_spark.streaming.heavy_hitters import mg_update
+
+        counters = mg_update({}, ["__k__"] * 5 + ["other"] * 2, 4)
+        assert counters["__k__"] == 5
+        assert counters["other"] == 2
