@@ -518,6 +518,40 @@ SIDE_TABLES: dict[str, list[tuple[str, object]]] = {
 }
 
 
+def _family_write_dirs(event_type: str) -> set[str]:
+    """Every table directory a family's ingest writes: its main stored
+    table plus any side tables."""
+    table = STORED_PROJECTIONS.get(event_type, (event_type, None))[0]
+    return {table} | {name for name, _ in SIDE_TABLES.get(event_type, ())}
+
+
+def _family_concurrency_groups() -> dict[str, str]:
+    """event_type -> concurrency-group key, where two families share a
+    group iff they (transitively) write ANY common table directory —
+    main stored table OR side table. Families in different groups run
+    concurrently; same-group families run sequentially, because two
+    concurrent parquet appends under one directory clobber each
+    other's ``_temporary/0`` committer dir. Keying only on the main
+    table would silently break the day a side table is shared across
+    two families, so the union is over the FULL write set."""
+    parent: dict[str, str] = {et: et for et in EVENT_SELECTORS}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    dir_owner: dict[str, str] = {}
+    for et in EVENT_SELECTORS:
+        for d in _family_write_dirs(et):
+            if d in dir_owner:
+                parent[find(et)] = find(dir_owner[d])
+            else:
+                dir_owner[d] = et
+    return {et: find(et) for et in EVENT_SELECTORS}
+
+
 def stored_schemas(spark: SparkSession) -> dict[str, "T.StructType"]:
     """The exact schema of every stored table, derived by planning the
     decode + stored-shape projection over an empty feed — by
@@ -698,15 +732,17 @@ def ingest_batch(spark: SparkSession, raw: DataFrame, tables_dir: str) -> dict[s
         # Two families CAN share a stored table (creation-threshold-
         # breach rows land in governor_canceled): their appends must
         # stay sequential — concurrent writers clobber each other's
-        # _temporary committer dir under the shared path. Group by
-        # target table; groups are disjoint directories, so groups run
-        # concurrently while same-table families run in order.
+        # _temporary committer dir under the shared path. Group by the
+        # FULL write set (main table + side tables, transitively via
+        # _family_concurrency_groups): groups touch disjoint
+        # directories, so groups run concurrently while families that
+        # share any directory run in order.
+        group_key = _family_concurrency_groups()
         groups: dict[str, list[tuple[str, str]]] = {}
         for event_type, selector in EVENT_SELECTORS.items():
             if selector not in present:
                 continue
-            table = STORED_PROJECTIONS.get(event_type, (event_type, None))[0]
-            groups.setdefault(table, []).append((event_type, selector))
+            groups.setdefault(group_key[event_type], []).append((event_type, selector))
 
         def ingest_group(
             fams: list[tuple[str, str]]

@@ -15,6 +15,17 @@ value is retained independently with probability exactly
     estimate = COUNT(DISTINCT retained values) << ratio_bits
 
 is an unbiased estimator with relative error ~ 1/sqrt(retained).
+
+One caveat to "unbiased": the estimator counts distinct retained
+*hashes*, not distinct retained values, so two distinct values whose
+60-bit hashes collide are counted once — an O(n²/2^61) low bias
+(birthday term over n distinct values; ~0.0003% at n = 10^8, and only
+material past ~10^9 distinct values per group). Cross-engine equality
+is unaffected — both engines share the same hash and therefore the
+same collisions. Callers needing more headroom should widen the hash,
+not raise ``ratio_bits`` (which trades sampling error, not collision
+bias).
+
 Everything is integer arithmetic over a hash both engines compute
 identically (``md5`` hex prefix), so the estimate is deterministic and
 bit-equal in Spark and DuckDB — the property that makes even an

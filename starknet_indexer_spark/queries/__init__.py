@@ -43,87 +43,63 @@ from . import ekubo_views  # noqa: E402,F401
 # shapes keep their pytest oracles and round-1 CORRECTNESS rows; one
 # representative per operator family stays inside the window.
 DRIVER_PRIORITY = [
-    # round-3 front: the 10 queries registered late in round 2 that the
-    # driver window never reached (they pass the local sf0.001 oracle;
-    # this rotation gets them hash-verified at driver level -> 107/107
-    # ever-verified). Banked green r2 rows rotated out to make room.
-    "ann_topk_rp_rerank",
-    "corpus_shuffle_shard",
-    "events_profile",
-    "gap_fill_hourly",
-    "pii_redaction",
-    "props_map_stats",
-    "source_lang_pivot",
-    "value_decile_bands",
-    "value_mad_by_type",
-    "value_time_correlation",
-    # round-3 additions with no prior driver row
-    "minhash_lsh_dedup_capped",
-    "approx_distinct_shingles",
-    "zorder_locality",
-    "pq_encode_codes",
-    "pq_ann_adc_topk",
-    "interval_attribution",
-    "ann_topk_ivfpq",
-    # round-1 CORRECTNESS errors, fixed round 2 (driver-green r2)
-    "time_weighted_balance",
-    "funnel_conversion",
-    "range_theta_join",
-    # reference view library V1-V17
-    "v01_pool_states",
-    "v02_tick_liquidity",
-    "v03_twamm_pool_states",
-    "v04_twamm_sale_rate_deltas",
-    "v05_limit_order_pool_states",
-    "v06_spline_pools",
-    "v07_last_24h_pool_stats",
-    "v08_token_registrations",
-    "v09_oracle_pool_states",
-    "v10_realized_volatility",
-    "v11_market_depth",
-    "v12_voting_weights",
-    "v13_hourly_volume",
-    "v14_hourly_revenue",
-    "v15_hourly_price",
-    "v16_hourly_tvl_delta",
-    "v17_staker_rewards",
-    # LLM-pipeline operators never reached by the round-1 driver run
-    "ann_topk_ivf_kmeans",
-    "minhash_lsh_dedup",
-    "simhash_dedup",
-    "minhash_dedup_incremental",
-    "decontamination_ngram",
-    "dedup_components",
-    "multimodal_metadata",
-    "multimodal_frame_sample",
-    "multimodal_feature_extract",
-    "sessionize_events",
-    "rollup_hourly_activity",
-    "token_doc_frequency",
-    "top_tokens_per_lang",
-    "stratified_sample",
-    "repetition_score",
-    "sequence_packing",
-    "word_entropy_quality",
-    "unigram_logprob_score",
-    "source_mixing_sample",
-    "length_bucket_histogram",
-    # round-2 additions with no prior driver row
-    "train_val_test_split",
-    "gopher_quality_filter",
-    # round-2 session additions with no prior driver row (these
-    # replaced seven slots previously held by queries that already
-    # have green CORRECTNESS_r01 rows — maximizing total-ever-checked
-    # coverage within the driver's ~50-query budget)
-    "segment_dedup",
-    "chunk_overlap",
-    "tfidf_top_terms",
-    "constraint_violations",
-    "semdedup_select",
-    "bigram_logprob_score",
-    "random_projection_reduce",
-    # O5 intersect/except — registered round 2, no prior driver row
-    "engaged_non_buyers",
+    # round-4 front: freshness rotation (VERDICT r3 item 1). The ~50-query
+    # driver window covers (a) the two queries new this round and (b) all 47
+    # queries whose latest green hash row dates to round 1 — shared infra
+    # (catalog, session, registry) changed twice since, so re-verify them.
+    # Every other query keeps a green r2/r3 row (nothing older than 2 rounds
+    # after this rotation).
+    # -- new in round 4 (no prior driver row)
+    "heavy_hitters_mg",
+    "ann_topk_ivfpq_rerank",
+    # -- latest driver row is round 1: refresh
+    "pricing_summary",
+    "filter_projection",
+    "dim_join_revenue",
+    "customers_without_orders",
+    "top_customers_per_nation",
+    "shipping_priority",
+    "local_supplier_volume",
+    "order_priority_distribution",
+    "min_cost_supplier",
+    "nation_trade_volume",
+    "part_value_share",
+    "customer_order_distribution",
+    "supplier_part_variety",
+    "large_volume_orders",
+    "idle_rich_customers",
+    "latest_event_per_user",
+    "latest_state_per_user",
+    "hourly_rollup",
+    "sliding_24h_stats",
+    "value_routing",
+    "bucket_ledger",
+    "realized_volatility",
+    "two_stage_price",
+    "median_value",
+    "global_top1",
+    "active_users_union",
+    "asof_latest_purchase",
+    "rolling_window_stats",
+    "json_props_extract",
+    "retention_cohorts",
+    "interval_intersect",
+    "hourly_net_flow",
+    "depth_levels",
+    "source_canonicalization",
+    "dedup_exact",
+    "text_token_stats",
+    "text_quality_score",
+    "lang_id",
+    "corpus_select",
+    "winnowing_fingerprint",
+    "doc_fingerprint",
+    "ann_topk_cosine",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "embedding_near_dup",
+    "ngram_similar_pairs",
+    "kmeans_cluster_assign",
 ]
 
 

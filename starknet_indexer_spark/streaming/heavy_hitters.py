@@ -99,7 +99,10 @@ def heavy_hitters_stream(
             counters.update(dict(zip(items, counts)))
         changed = False
         for pdf in pdfs:
-            vals = pdf[item_col].astype(str).tolist()
+            # dropna BEFORE astype: astype(str) would turn nulls into
+            # the literal string "None", conflating them with a real
+            # "None" item. Null items carry no key — skip them.
+            vals = pdf[item_col].dropna().astype(str).tolist()
             if not vals:
                 continue
             counters = mg_update(counters, vals, k)
@@ -116,7 +119,8 @@ def heavy_hitters_stream(
         )
 
     return (
-        stream.withColumn("shard", shard)
+        stream.filter(F.col(item_col).isNotNull())
+        .withColumn("shard", shard)
         .groupBy("shard")
         .applyInPandasWithState(
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
@@ -125,10 +129,23 @@ def heavy_hitters_stream(
 
 
 def collect_heavy_hitters(summaries: list) -> dict[str, int]:
-    """Concatenate final per-shard summaries (each key lives in one
-    shard) into one {item: estimate} map."""
-    out: dict[str, int] = {}
+    """Concatenate per-shard summaries (each key lives in one shard)
+    into one {item: estimate} map.
+
+    Misuse-proof against update-mode HISTORY: each emission for a
+    shard is the shard's cumulative summary, so if a caller passes
+    every emission (e.g. a memory-sink query's full output) rather
+    than only final rows, summing would double-count. ``n_items`` is
+    cumulative and strictly grows across a shard's emissions, so the
+    row with the max ``n_items`` per shard IS the final summary — keep
+    exactly that one, regardless of input order."""
+    final: dict = {}
     for row in summaries:
+        prev = final.get(row["shard"])
+        if prev is None or row["n_items"] > prev["n_items"]:
+            final[row["shard"]] = row
+    out: dict[str, int] = {}
+    for row in final.values():
         for item, count in zip(row["items"], row["counts"]):
             out[item] = out.get(item, 0) + int(count)
     return out

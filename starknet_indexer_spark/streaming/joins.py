@@ -49,6 +49,19 @@ def interval_join(
     bounds. The join itself shuffles both sides on ``keys`` — the one
     unavoidable exchange; at scale pre-bucketing both streams on the
     key makes it map-side."""
+    if left_ts == right_ts:
+        raise ValueError(
+            f"interval_join: left_ts and right_ts must be distinct column "
+            f"names (both are {left_ts!r}) so the output can carry both "
+            f"event times; rename one side before joining"
+        )
+    overlap = (set(left.columns) & set(right.columns)) - set(keys)
+    if overlap:
+        raise ValueError(
+            f"interval_join: non-key columns {sorted(overlap)} exist on both "
+            f"sides and would be ambiguous in the output; rename or drop "
+            f"them on one side (keys={keys})"
+        )
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     cond = None

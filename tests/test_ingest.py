@@ -748,3 +748,55 @@ class TestEpochReplayGuard:
         # a NEW epoch with new data still lands
         counts3 = ingest_micro_batch(spark, make_raw(spark, [3]), tdir, epoch_id=8)
         assert counts3 and spark.read.parquet(swaps_path).count() == n1 + 1
+
+
+class TestFamilyConcurrencyGroups:
+    """Concurrent ingest groups must be keyed by the FULL set of
+    directories a family writes (main table + side tables) — two
+    families sharing ANY directory must never run concurrently
+    (parquet appends under one path clobber the shared _temporary
+    committer dir)."""
+
+    def test_groups_write_disjoint_directories(self):
+        from starknet_indexer_spark import ingest as ing
+
+        groups = ing._family_concurrency_groups()
+        dirs_by_group: dict[str, set] = {}
+        for et, g in groups.items():
+            dirs_by_group.setdefault(g, set()).update(ing._family_write_dirs(et))
+        seen: dict[str, str] = {}
+        for g, dirs in dirs_by_group.items():
+            for d in dirs:
+                assert d not in seen, (d, g, seen[d])
+                seen[d] = g
+
+    def test_same_stored_table_families_share_group(self):
+        from starknet_indexer_spark import ingest as ing
+
+        groups = ing._family_concurrency_groups()
+        by_table: dict[str, set] = {}
+        for et in ing.EVENT_SELECTORS:
+            t = ing.STORED_PROJECTIONS.get(et, (et, None))[0]
+            by_table.setdefault(t, set()).add(groups[et])
+        for t, gs in by_table.items():
+            assert len(gs) == 1, (t, gs)
+
+    def test_shared_side_table_merges_groups(self, monkeypatch):
+        """A future side table reachable from two families with
+        DIFFERENT main tables must pull both into one group."""
+        from starknet_indexer_spark import ingest as ing
+
+        # two families known to have different stored tables today
+        a, b = "position_updated", "position_fees_collected"
+        assert (
+            ing.STORED_PROJECTIONS.get(a, (a, None))[0]
+            != ing.STORED_PROJECTIONS.get(b, (b, None))[0]
+        )
+        base = ing._family_concurrency_groups()
+        assert base[a] != base[b]
+        shared = dict(ing.SIDE_TABLES)
+        shared[a] = list(shared.get(a, ())) + [("shared_side", None)]
+        shared[b] = list(shared.get(b, ())) + [("shared_side", None)]
+        monkeypatch.setattr(ing, "SIDE_TABLES", shared)
+        merged = ing._family_concurrency_groups()
+        assert merged[a] == merged[b]

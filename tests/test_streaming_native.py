@@ -438,3 +438,76 @@ class TestHeavyHittersStream:
         counters = mg_update({}, ["__k__"] * 5 + ["other"] * 2, 4)
         assert counters["__k__"] == 5
         assert counters["other"] == 2
+
+
+class TestHeavyHittersHardening:
+    def test_collect_tolerates_update_mode_history(self):
+        """collect_heavy_hitters fed EVERY emission (update-mode
+        history) must not double-count: each emission is cumulative,
+        so only the max-n_items row per shard counts."""
+        from starknet_indexer_spark.streaming.heavy_hitters import (
+            collect_heavy_hitters,
+        )
+
+        history = [
+            # shard 0: two emissions, second is cumulative/final
+            {"shard": 0, "items": ["a"], "counts": [3], "n_items": 3},
+            {"shard": 0, "items": ["a", "b"], "counts": [5, 2], "n_items": 7},
+            # shard 1: one emission, listed out of order vs shard 0
+            {"shard": 1, "items": ["c"], "counts": [4], "n_items": 4},
+        ]
+        assert collect_heavy_hitters(history) == {"a": 5, "b": 2, "c": 4}
+        # order-independence: reversed history gives the same answer
+        assert collect_heavy_hitters(history[::-1]) == {"a": 5, "b": 2, "c": 4}
+
+    def test_null_items_not_counted(self, spark, tmp_path):
+        """Null items must be dropped, not stringified to 'None' — a
+        REAL 'None' string item keeps its own exact count."""
+        from starknet_indexer_spark.streaming.heavy_hitters import (
+            collect_heavy_hitters,
+            heavy_hitters_stream,
+        )
+
+        rows = [("None",)] * 3 + [(None,)] * 5 + [("x",)] * 2
+        feed = str(tmp_path / "nulls")
+        spark.createDataFrame(rows, "item string").coalesce(1).write.parquet(feed)
+        stream = spark.readStream.schema("item string").parquet(feed)
+        q = (
+            heavy_hitters_stream(stream, "item", k=4, n_shards=2)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("hh_nulls")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = collect_heavy_hitters(
+            [r.asDict() for r in spark.sql("SELECT * FROM hh_nulls").collect()]
+        )
+        assert got == {"None": 3, "x": 2}  # nulls contribute nothing
+
+
+class TestIntervalJoinValidation:
+    def test_rejects_shared_ts_name(self, spark):
+        from starknet_indexer_spark.streaming.joins import interval_join
+
+        df = spark.range(3).select("id", F.current_timestamp().alias("ts"))
+        with pytest.raises(ValueError, match="left_ts and right_ts"):
+            interval_join(df, df, keys=["id"], left_ts="ts", right_ts="ts",
+                          lower="-1 hour", upper="0 seconds")
+
+    def test_rejects_ambiguous_non_key_columns(self, spark):
+        from starknet_indexer_spark.streaming.joins import interval_join
+
+        left = spark.range(3).select(
+            "id", F.current_timestamp().alias("lts"), F.lit(1).alias("value")
+        )
+        right = spark.range(3).select(
+            "id", F.current_timestamp().alias("rts"), F.lit(2).alias("value")
+        )
+        with pytest.raises(ValueError, match="value"):
+            interval_join(left, right, keys=["id"], left_ts="lts",
+                          right_ts="rts", lower="-1 hour", upper="0 seconds")
