@@ -72,6 +72,8 @@ HEADLINE = [
     "pq_encode_codes",
     "pq_ann_adc_topk",
     "ann_topk_ivfpq",
+    "ann_topk_ivfpq_rerank",
+    "heavy_hitters_mg",
     "interval_attribution",
     "min_cost_supplier",
     "nation_trade_volume",

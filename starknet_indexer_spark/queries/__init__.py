@@ -31,6 +31,7 @@ from . import pipeline_quality  # noqa: E402,F401
 from . import pipeline_cleaning  # noqa: E402,F401
 from . import pipeline_layout  # noqa: E402,F401
 from . import pipeline_pq  # noqa: E402,F401
+from . import profiling  # noqa: E402,F401
 from . import integrity  # noqa: E402,F401
 from . import ekubo_views  # noqa: E402,F401
 

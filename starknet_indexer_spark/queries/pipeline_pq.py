@@ -299,9 +299,11 @@ _RB_JOIN = "".join(
 )
 
 
-@register(
-    "ann_topk_ivfpq",
-    oracle=f"""
+def _ivfpq_search_ctes(nprobe: int) -> str:
+    """WITH-body through the ``dists`` CTE of the IVF-PQ search
+    oracle, parameterized by probe width (shared by the raw ADC query
+    and the rerank composition)."""
+    return f"""
     WITH {_ivfpq_cte_chain()},
     rcodes AS (
       SELECT rf0.vec_id AS vec_id,
@@ -329,7 +331,7 @@ _RB_JOIN = "".join(
                                 for k in range(1, {PQ_DIM + 1})]) AS BIGINT),
                  c.cluster_id) AS rn
         FROM q, cc_{IVF_UPDATES} c
-      ) WHERE rn <= {IVF_NPROBE}
+      ) WHERE rn <= {nprobe}
     ),
     dists AS (
       SELECT q.query_id, r.neighbor_id,
@@ -339,7 +341,13 @@ _RB_JOIN = "".join(
       JOIN probe p ON p.query_id = q.query_id
       JOIN recon r ON r.cluster = p.cluster_id
       WHERE q.query_id <> r.neighbor_id
-    )
+    )"""
+
+
+@register(
+    "ann_topk_ivfpq",
+    oracle=f"""
+    {_ivfpq_search_ctes(IVF_NPROBE)}
     SELECT query_id, neighbor_id, d2, rank FROM (
       SELECT query_id, neighbor_id, d2,
              ROW_NUMBER() OVER (PARTITION BY query_id
@@ -366,6 +374,22 @@ _RB_JOIN = "".join(
     "checked against a DuckDB CTE mirror.",
 )
 def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dists, _q, _vecs = _ivfpq_adc_dists(spark, sf_dir, IVF_NPROBE)
+    w = W.partitionBy("query_id").orderBy(F.col("d2"), F.col("neighbor_id"))
+    return (
+        dists.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_TOP_K)
+        .select("query_id", "neighbor_id", "d2", "rank")
+    )
+
+
+def _ivfpq_adc_dists(
+    spark: SparkSession, sf_dir: str, nprobe: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared IVF-PQ ADC pipeline: returns (dists, q, vecs) where
+    ``dists`` is (query_id, neighbor_id, d2) over the probe-limited
+    candidate set, ``q`` the query batch (query_id, qv), ``vecs`` the
+    quantized corpus (vec_id, qv)."""
     from ..operators.clustering import kmeans_assign, kmeans_centroids
 
     emb = load(spark, sf_dir, "embeddings")
@@ -430,7 +454,7 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     wp = W.partitionBy("query_id").orderBy(F.col("cd2"), F.col("cluster_id"))
     probe = (
         qc.withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= IVF_NPROBE)
+        .filter(F.col("rn") <= nprobe)
         .select("query_id", "qv", F.col("cluster_id").alias("cluster"))
     )
 
@@ -443,9 +467,83 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist2_expr(F.col("qv"), F.col("rv")).alias("d2"),
         )
     )
+    return dists, q, vecs
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ + exact re-rank: the deployment composition
+# ---------------------------------------------------------------------------
+
+RERANK_NPROBE = 4
+RERANK_SHORTLIST = 100
+
+
+@register(
+    "ann_topk_ivfpq_rerank",
+    oracle=f"""
+    {_ivfpq_search_ctes(RERANK_NPROBE)},
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY d2, neighbor_id) AS srank
+        FROM dists
+      ) WHERE srank <= {RERANK_SHORTLIST}
+    ),
+    exact AS (
+      SELECT s.query_id, s.neighbor_id,
+             CAST(list_sum([(q.qv[k] - v.qv[k]) * (q.qv[k] - v.qv[k])
+                            for k in range(1, {PQ_DIM + 1})]) AS BIGINT) AS d2
+      FROM shortlist s
+      JOIN q ON q.query_id = s.query_id
+      JOIN qvfull v ON v.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, d2, rank FROM (
+      SELECT query_id, neighbor_id, d2,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY d2, neighbor_id) AS rank
+      FROM exact
+    ) WHERE rank <= {PQ_TOP_K}
+    """,
+    doc=f"The production ANN composition the ann_topk_ivfpq docstring "
+    f"cites: probe-limited ADC (nprobe={RERANK_NPROBE} of "
+    f"{IVF_CELLS} cells) builds a top-{RERANK_SHORTLIST} shortlist "
+    "per query from compressed codes, then only the shortlist is "
+    f"re-scored against EXACT vectors for the final top-{PQ_TOP_K}. "
+    "Raw IVF-PQ@5 recall is ~0.28 on these near-random embeddings; "
+    "the composition recovers 0.88 vs exact-cosine ground truth "
+    "(embeddings are unit-norm, so exact-L2 order == cosine order; "
+    "pinned >= 0.85 at sf0.01 in tests/test_operators.py). Scale "
+    "shape: everything up to the shortlist is the IVF-PQ plan "
+    "(map-only assignment/encode under broadcasts, probe-pruned "
+    "candidates); the rerank joins the TINY shortlist (queries x "
+    f"{RERANK_SHORTLIST} rows, broadcast) back to the corpus, so "
+    "full-precision vectors are touched for only "
+    "shortlist/corpus of the data — the memory-bandwidth win that "
+    "makes PQ worthwhile. Integer-exact end to end; the full "
+    "compose is value-hash-checked against the DuckDB CTE mirror.",
+)
+def ann_topk_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dists, q, vecs = _ivfpq_adc_dists(spark, sf_dir, RERANK_NPROBE)
+    ws = W.partitionBy("query_id").orderBy(F.col("d2"), F.col("neighbor_id"))
+    shortlist = (
+        dists.withColumn("srank", F.row_number().over(ws))
+        .filter(F.col("srank") <= RERANK_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    exact = (
+        vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("nv"))
+        .join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(q.select("query_id", F.col("qv").alias("qqv"))), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            dist2_expr(F.col("qqv"), F.col("nv")).alias("d2"),
+        )
+    )
     w = W.partitionBy("query_id").orderBy(F.col("d2"), F.col("neighbor_id"))
     return (
-        dists.withColumn("rank", F.row_number().over(w))
+        exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= PQ_TOP_K)
         .select("query_id", "neighbor_id", "d2", "rank")
     )

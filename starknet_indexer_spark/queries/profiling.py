@@ -1,0 +1,119 @@
+"""Corpus-profiling queries built on the Misra-Gries heavy-hitters
+kernel.
+
+``heavy_hitters_mg`` is the BATCH twin of the streaming operator in
+`streaming/heavy_hitters.py` — same ``mg_update`` kernel, driven here
+as the canonical two-stage batch pipeline:
+
+1. **Candidate generation, map-only**: each input partition runs its
+   own MG(k) summary via ``mapInPandas`` (O(k) state per partition,
+   zero shuffle). Completeness proof: if an item is absent from
+   partition p's summary, its count there is <= n_p/(k+1) (the MG
+   bound); absent from EVERY summary would mean a global count
+   <= sum_p n_p/(k+1) = n/(k+1). Contrapositive: every item with
+   global count > n/(k+1) appears in at least one partition summary.
+2. **Exact recount of the candidate union**: candidates (<= k per
+   partition) are broadcast back over the input for a semi join, the
+   matched rows get an ordinary map-side-combined groupBy count, and
+   the global threshold ``cnt*(k+1) > n`` filters the survivors.
+
+Because stage 2 re-counts exactly and the stage-1 guarantee makes the
+candidate set a superset of every above-threshold item, the final
+result is ORDER-INVARIANT — independent of partitioning, arrival
+order, and which near-threshold items happen to survive eviction. That
+is what makes a sketch-backed query value-hash-checkable against a
+plain ``GROUP BY ... HAVING cnt*(k+1) > n`` DuckDB oracle: a broken
+kernel (a missed heavy item) shows up as a missing output row.
+
+At 100 TB the shape is: one scan + O(k x partitions) candidate rows
+broadcast + one partial-aggregated shuffle of only candidate-matched
+groups — no per-key state, no global sort, no second full shuffle.
+
+The item here is ``event_type || '/' || decade-bucket(value)`` — 15
+distinct items with shares from ~14% down to ~2.5% at every SF, so
+with k=9 the counters genuinely evict (15 > 9) and the >10%-share
+output is non-empty at every scale. Buckets use exact comparisons
+(``value >= 100``, ``>= 10``), not ``floor(log10(..))``, so no float
+boundary can disagree across engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..streaming.heavy_hitters import mg_update
+from .registry import register
+
+# 15 distinct items vs 9 counters: eviction is exercised at every SF,
+# and the n/(k+1) = 10% share threshold keeps the output non-empty.
+MG_K = 9
+
+
+def _items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") >= 100, F.lit(2))
+        .when(F.col("value") >= 10, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return ev.filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        F.concat_ws("/", F.col("event_type"), bucket.cast("string")).alias("item")
+    )
+
+
+@register(
+    "heavy_hitters_mg",
+    oracle="""
+    WITH items AS (
+      SELECT event_type || '/' ||
+             CAST(CASE WHEN value >= 100 THEN 2
+                       WHEN value >= 10 THEN 1
+                       ELSE 0 END AS VARCHAR) AS item
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ), tot AS (SELECT COUNT(*) AS n FROM items)
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM items, tot
+    GROUP BY item, tot.n
+    HAVING COUNT(*) * 10 > tot.n
+    """,
+    doc="Batch heavy hitters over event-type/value-decade items via "
+    "per-partition Misra-Gries summaries (mapInPandas, O(k) state, "
+    "map-only) + exact broadcast-semi-join recount of the candidate "
+    "union, thresholded at count*(k+1) > n. The MG completeness "
+    "bound makes the result order-invariant and exactly equal to the "
+    "plain GROUP BY/HAVING oracle — the driver-checkable twin of "
+    "streaming/heavy_hitters.py (same mg_update kernel).",
+)
+def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = _items(spark, sf_dir)
+    k = MG_K
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            vals = pdf["item"].tolist()
+            if vals:
+                mg_update(counters, vals, k)
+        if counters:
+            yield pd.DataFrame({"item": sorted(counters)})
+
+    candidates = items.mapInPandas(summarize, "item string").distinct()
+    counts = (
+        items.join(F.broadcast(candidates), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = items.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * (k + 1) > F.col("n"))
+        .select("item", "cnt")
+    )
