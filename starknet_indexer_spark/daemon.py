@@ -67,10 +67,11 @@ def run_indexer(
     checkpoint_dir: str,
     analytical_every_s: float = ANALYTICAL_REFRESH_S,
     trigger: dict | None = None,
-    # default 1: in-band invalidate markers are only ordering-safe
-    # with one-file batches (see ingest.stream_ingest); pass None for
-    # marker-free feeds that want bigger batches
-    max_files_per_trigger: int | None = 1,
+    # default None (unbounded): marker-carrying batches are split at
+    # invalidate boundaries and applied in file order
+    # (ingest._apply_marker_batch), so co-batching is ordering-safe;
+    # pass an int only to bound per-batch memory/latency
+    max_files_per_trigger: int | None = None,
 ):
     """Start the full pipeline; returns the StreamingQuery. Callers
     stop it (tests drive it with processAllAvailable)."""

@@ -37,7 +37,12 @@ from pyspark.sql import functions as F
 
 from .decode import EVENT_PARSERS, decode_events
 from .functions.core import event_id_column, hex_normalize, pool_key_hash
-from .sources.feed import RAW_SCHEMA, read_feed_stream  # noqa: F401 (re-export)
+from .sources.feed import (  # noqa: F401 (re-export)
+    FEED_FILE_COL,
+    FEED_MTIME_COL,
+    RAW_SCHEMA,
+    read_feed_stream,
+)
 
 BLOCK_BUCKET_SIZE = 1000
 
@@ -1023,30 +1028,133 @@ def ingest_micro_batch(
         F.count(F.when(is_data, F.lit(1))).alias("n_data"),
     ).collect()[0]
     inv_point, hi, n_data = stats["inv"], stats["hi"], stats["n_data"]
-    if inv_point is not None and os.path.isdir(tables_dir):
-        # deepest invalidation wins; idempotent on replay (a second
-        # run finds the suffix already gone and rewrites nothing new)
-        invalidate_from_block(spark, tables_dir, int(inv_point) + 1)
-    if n_data == 0:
-        if inv_point is not None:
-            if marker is not None:
-                os.makedirs(os.path.dirname(marker), exist_ok=True)
-                with open(marker, "w") as f:
-                    f.write("applied")
-                _prune_epoch_markers(os.path.dirname(marker), epoch_id)
-            # an invalidation happened: return empty counts (NOT None)
-            # so the daemon still refreshes its views off the truncated
-            # tables instead of treating the batch as a no-op
-            return {}
+    if inv_point is None and n_data == 0:
         return None
-    counts = ingest_batch(spark, batch_df.filter(is_data), tables_dir)
-    if hi is not None:
-        write_cursor(tables_dir, int(hi))
+    if inv_point is None:
+        # fast path (the overwhelmingly common batch): no control
+        # messages, one ingest + cursor advance (provenance columns,
+        # if the stream reader attached them, are not stored)
+        counts = ingest_batch(
+            spark,
+            batch_df.filter(is_data).drop(FEED_FILE_COL, FEED_MTIME_COL),
+            tables_dir,
+        )
+        if hi is not None:
+            write_cursor(tables_dir, int(hi))
+    else:
+        # marker batch: apply file-ordered segments so a multi-file
+        # micro-batch with data on BOTH sides of an invalidate marker
+        # replays the exact message order (see _apply_marker_batch)
+        counts = _apply_marker_batch(
+            spark, batch_df, tables_dir, is_invalidate, is_data,
+            int(inv_point), int(n_data),
+        )
     if marker is not None:
         os.makedirs(os.path.dirname(marker), exist_ok=True)
         with open(marker, "w") as f:
             f.write("applied")
         _prune_epoch_markers(os.path.dirname(marker), epoch_id)
+    # counts == {} for an invalidate-only batch (NOT None) so the
+    # daemon still refreshes its views off the truncated tables
+    # instead of treating the batch as a no-op
+    return counts
+
+
+def _apply_marker_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    tables_dir: str,
+    is_invalidate: Column,
+    is_data: Column,
+    inv_point: int,
+    n_data: int,
+) -> dict[str, int]:
+    """Apply a micro-batch that contains invalidate marker(s), honoring
+    in-feed message order even when the file source co-batched many
+    feed files (``maxFilesPerTrigger`` unset — backlog catch-up).
+
+    Order reconstruction: the file streaming source admits files in
+    modification-time order (ties by path), and the feed contract says
+    the writer rolls a new file at every reorg boundary — so sorting
+    the batch's files by (mtime, path) replays the original message
+    sequence: [old-chain files] [marker file] [new-chain files]. Each
+    marker applies BEFORE any data that follows it and AFTER the data
+    segment accumulated so far, exactly as the reference consumes its
+    ordered gRPC stream (src/index.ts:162-184). Within a single file a
+    marker applies before the file's own data rows (the writer never
+    co-files a marker with pre-reorg data).
+
+    The cursor replays sequentially too: a data segment sets it to the
+    segment's max finalized block, a marker resets it to the last
+    valid block; the final value is written once at the end.
+
+    File provenance comes from the FEED_FILE_COL / FEED_MTIME_COL
+    columns ``read_feed_stream`` attaches in the stream plan (the
+    hidden ``_metadata`` struct does not survive into foreachBatch).
+    Falls back to the whole-batch path (deepest invalidation first,
+    then all data — the pre-segmentation semantics, correct whenever
+    no old-chain data co-batches with its own marker) when the batch
+    has no provenance columns (constructed DataFrames in direct batch
+    calls)."""
+    if FEED_FILE_COL in batch_df.columns:
+        meta = batch_df.select(
+            "*",
+            F.col(FEED_FILE_COL).alias("__fp"),
+            F.col(FEED_MTIME_COL).alias("__mt"),
+        ).drop(FEED_FILE_COL, FEED_MTIME_COL)
+    else:
+        meta = None
+    if meta is None:
+        if os.path.isdir(tables_dir):
+            invalidate_from_block(spark, tables_dir, inv_point + 1)
+        if n_data == 0:
+            return {}
+        data = batch_df.filter(is_data)
+        counts = ingest_batch(spark, data, tables_dir)
+        hi = data.agg(F.max("block_number")).collect()[0][0]
+        if hi is not None:
+            write_cursor(tables_dir, int(hi))
+        return counts or {}
+
+    per_file = (
+        meta.groupBy("__fp")
+        .agg(
+            F.max("__mt").alias("mt"),
+            F.min(F.when(is_invalidate, F.col("block_number"))).alias("inv"),
+            F.count(F.when(is_data, F.lit(1))).alias("n_data"),
+            F.max(F.when(is_data, F.col("block_number"))).alias("hi"),
+        )
+        .collect()
+    )
+    counts: dict[str, int] = {}
+    cursor: int | None = None
+    seg: list[str] = []
+    seg_hi: int | None = None
+
+    def flush() -> None:
+        nonlocal seg, seg_hi, cursor
+        if not seg:
+            return
+        seg_df = meta.filter(F.col("__fp").isin(seg) & is_data).drop("__fp", "__mt")
+        for table, n in (ingest_batch(spark, seg_df, tables_dir) or {}).items():
+            counts[table] = counts.get(table, 0) + n
+        if seg_hi is not None:
+            cursor = int(seg_hi)
+        seg, seg_hi = [], None
+
+    for f in sorted(per_file, key=lambda r: (r["mt"], r["__fp"])):
+        if f["inv"] is not None:
+            flush()
+            if os.path.isdir(tables_dir):
+                invalidate_from_block(spark, tables_dir, int(f["inv"]) + 1)
+            cursor = int(f["inv"])
+        if f["n_data"]:
+            seg.append(f["__fp"])
+            if f["hi"] is not None:
+                seg_hi = max(seg_hi or 0, int(f["hi"]))
+    flush()
+    if cursor is not None:
+        write_cursor(tables_dir, cursor)
     return counts
 
 
@@ -1083,19 +1191,19 @@ def stream_ingest(
     tables_dir: str,
     checkpoint_dir: str,
     trigger: dict | None = None,
-    max_files_per_trigger: int | None = 1,
+    max_files_per_trigger: int | None = None,
 ):
     """readStream over the feed directory; each micro-batch runs the
     same ingest_batch and advances the cursor to its max finalized
     block — checkpoint-as-cursor (SURVEY §2.5 exactly-once row).
 
-    ``max_files_per_trigger`` DEFAULTS TO 1: in-band invalidate
-    markers are only applied correctly when no old-chain data file can
-    co-batch with (or after) its own marker, and one-file batches are
-    the only file-source setting that guarantees that ordering during
-    a backlog catch-up. Feeds that carry no in-band markers (reorgs
-    handled out-of-band) may pass ``None`` to let the source batch
-    freely for throughput.
+    ``max_files_per_trigger`` defaults to None (unbounded batching):
+    in-band invalidate markers are safe under co-batching because
+    ``ingest_micro_batch`` splits a marker-carrying batch at marker
+    boundaries and applies the file-ordered segments sequentially
+    (_apply_marker_batch) — backlog catch-up batches hundreds of
+    files per trigger instead of one. Pass an int to bound per-batch
+    work (memory/latency), not for ordering.
 
     Returns the StreamingQuery; callers stop it (tests use
     processAllAvailable)."""

@@ -41,17 +41,35 @@ def read_feed_batch(spark: SparkSession, feed_dir: str) -> DataFrame:
     return spark.read.schema(RAW_SCHEMA).parquet(feed_dir)
 
 
+# File-provenance columns attached by read_feed_stream: inside
+# foreachBatch the batch arrives as a plain RDD-backed frame (the
+# hidden ``_metadata`` struct no longer resolves), so the provenance
+# must be materialized as ordinary columns IN the stream plan for
+# ingest to reconstruct in-feed message order across a co-batched
+# backlog (ingest._apply_marker_batch).
+FEED_FILE_COL = "_feed_file"
+FEED_MTIME_COL = "_feed_mtime"
+
+
 def read_feed_stream(
     spark: SparkSession, feed_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """``max_files_per_trigger=1`` preserves file-level message order
-    across micro-batches — required when the feed carries in-band
-    control messages (reorg invalidate markers) whose position
-    relative to data files is semantically load-bearing."""
+    """Streaming feed reader. Emits RAW_SCHEMA plus the two
+    provenance columns (FEED_FILE_COL, FEED_MTIME_COL) that let the
+    ingest layer split marker-carrying micro-batches at reorg
+    boundaries in file order; ``max_files_per_trigger`` bounds
+    per-batch work (memory/latency) — it is no longer needed for
+    marker ordering."""
+    from pyspark.sql import functions as F
+
     reader = spark.readStream.schema(RAW_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return reader.parquet(feed_dir)
+    return reader.parquet(feed_dir).select(
+        "*",
+        F.col("_metadata.file_path").alias(FEED_FILE_COL),
+        F.col("_metadata.file_modification_time").alias(FEED_MTIME_COL),
+    )
 
 
 def decode_feed_json(raw: DataFrame, value_col: str = "value") -> DataFrame:

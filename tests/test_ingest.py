@@ -800,3 +800,82 @@ class TestFamilyConcurrencyGroups:
         monkeypatch.setattr(ing, "SIDE_TABLES", shared)
         merged = ing._family_concurrency_groups()
         assert merged[a] == merged[b]
+
+
+class TestMarkerBoundaryBatching:
+    """In-band invalidates under UNBOUNDED file batching: a single
+    micro-batch holding [old chain][marker][new chain] files must
+    replay the message order by splitting at marker boundaries
+    (ingest._apply_marker_batch) — the backlog catch-up path."""
+
+    def _write(self, df, feed):
+        import time as _t
+
+        df.coalesce(1).write.mode("append").parquet(feed)
+        _t.sleep(0.02)  # distinct mtimes: the feed contract's file order
+
+    def test_reorg_mid_backlog_one_batch(self, spark, tmp_path):
+        from starknet_indexer_spark.ingest import read_cursor, stream_ingest
+
+        feed = str(tmp_path / "feed")
+        a, b = str(tmp_path / "canonical"), str(tmp_path / "streamed")
+
+        self._write(make_raw(spark, [995, 996]), feed)
+        self._write(make_raw(spark, [1001, 1002, 1050]), feed)
+        self._write(spark.createDataFrame([invalidate_row(1001)], RAW_SCHEMA), feed)
+        self._write(make_raw(spark, [1002]), feed)
+        self._write(make_raw(spark, [1003]), feed)
+
+        q = stream_ingest(
+            spark,
+            feed,
+            b,
+            str(tmp_path / "ck"),
+            trigger={"availableNow": True},
+            max_files_per_trigger=None,  # all five files in one batch
+        )
+        q.awaitTermination(120)
+
+        ingest_batch(spark, make_raw(spark, [995, 996, 1001]), a)
+        ingest_batch(spark, make_raw(spark, [1002, 1003]), a)
+
+        for t in ("swaps", "staker_staked", "blocks"):
+            da = spark.read.parquet(os.path.join(a, t))
+            db = spark.read.parquet(os.path.join(b, t))
+            assert sorted(map(str, da.collect())) == sorted(map(str, db.collect())), t
+        assert read_cursor(b) == 1003
+
+    def test_two_reorgs_one_batch(self, spark, tmp_path):
+        """Two invalidates inside one co-batched backlog must apply
+        sequentially (each against the segment before it), not
+        collapse to the deepest-first whole-batch shortcut."""
+        from starknet_indexer_spark.ingest import read_cursor, stream_ingest
+
+        feed = str(tmp_path / "feed")
+        a, b = str(tmp_path / "canonical"), str(tmp_path / "streamed")
+
+        self._write(make_raw(spark, [100, 101, 102]), feed)
+        self._write(spark.createDataFrame([invalidate_row(101)], RAW_SCHEMA), feed)
+        self._write(make_raw(spark, [102, 103]), feed)
+        self._write(spark.createDataFrame([invalidate_row(102)], RAW_SCHEMA), feed)
+        self._write(make_raw(spark, [103]), feed)
+
+        q = stream_ingest(
+            spark,
+            feed,
+            b,
+            str(tmp_path / "ck"),
+            trigger={"availableNow": True},
+            max_files_per_trigger=None,
+        )
+        q.awaitTermination(120)
+
+        ingest_batch(spark, make_raw(spark, [100, 101]), a)
+        ingest_batch(spark, make_raw(spark, [102]), a)
+        ingest_batch(spark, make_raw(spark, [103]), a)
+
+        for t in ("swaps", "blocks"):
+            da = spark.read.parquet(os.path.join(a, t))
+            db = spark.read.parquet(os.path.join(b, t))
+            assert sorted(map(str, da.collect())) == sorted(map(str, db.collect())), t
+        assert read_cursor(b) == 103
