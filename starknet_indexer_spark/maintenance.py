@@ -155,3 +155,143 @@ def layout_overlap_fraction(table_dir: str, column: str) -> float:
     # Probability a uniform point in [lo,hi] falls inside a span,
     # averaged over spans, = mean normalized span width.
     return sum((b - a) / width for a, b in spans) / len(spans)
+
+
+def _zdim_expr(column: str, kind: str):
+    """Numeric view of a clustering dimension. kind 'int' casts;
+    'hex' maps a 0x-prefixed hex string to the integer of its first
+    15 hex digits — enough to cluster equal/nearby keys together
+    (point-predicate row groups end up with min==max on the stored
+    string column, which is what prunes)."""
+    from pyspark.sql import functions as F
+
+    if kind == "int":
+        return F.col(column).cast("bigint")
+    if kind == "hex":
+        # first 15 hex digits only: 60 bits fits a signed BIGINT
+        # (felt-sized keys overflow conv under ANSI otherwise)
+        return F.conv(
+            F.substring(F.regexp_replace(F.col(column), "^0x", ""), 1, 15), 16, 10
+        ).cast("bigint")
+    raise ValueError(f"unknown z-dim kind {kind!r} (use 'int' or 'hex')")
+
+
+def zorder_table(
+    spark: SparkSession,
+    table_dir: str,
+    dims: list[tuple[str, str]],
+    bits_per_dim: int = 12,
+    max_bucket: int | None = None,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+    min_files: int = 1,
+) -> dict[str, tuple[int, int]]:
+    """Compaction with multi-dimensional clustering: rewrite each
+    block bucket laid out by the Morton key of ``dims`` (list of
+    (column, kind) with kind 'int' or 'hex').
+
+    Ingest appends files in ARRIVAL order, so row-group min/max is
+    tight on block_number and useless on every other column — a
+    pool-key predicate reads the whole bucket. Z-ordering the bucket
+    on (block_number, pool_key_hash) makes BOTH predicates prune
+    (operators/layout.py has the bit math and the width rule; each
+    dim is min-max normalized to ``bits_per_dim`` bits here, so no
+    dimension owns the top bits).
+
+    Same durability order as compact_table: write to a staging dir
+    outside the table, atomic-swap the bucket dir, drop the old files
+    — contents unchanged, so reorg invalidation and replay semantics
+    are unaffected (locked by tests/test_maintenance.py). Buckets
+    above ``max_bucket`` (the live head) are left alone."""
+    from pyspark.sql import functions as F
+
+    from .operators.layout import zorder_key_expr
+
+    out: dict[str, tuple[int, int]] = {}
+    if not os.path.isdir(table_dir):
+        return out
+    for d in _bucket_dirs(table_dir):
+        bucket = int(d.split("=")[1])
+        if max_bucket is not None and bucket > max_bucket:
+            continue
+        bdir = os.path.join(table_dir, d)
+        files = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
+        if len(files) < min_files:
+            continue
+        size = sum(os.path.getsize(os.path.join(bdir, f)) for f in files)
+        n_out = max(1, round(size / target_file_bytes))
+        df = spark.read.parquet(bdir)
+        exprs = [_zdim_expr(c, kind) for c, kind in dims]
+        stats = df.agg(
+            *[F.min(e).alias(f"mn{i}") for i, e in enumerate(exprs)],
+            *[F.max(e).alias(f"mx{i}") for i, e in enumerate(exprs)],
+        ).collect()[0]
+        norm = []
+        top = (1 << bits_per_dim) - 1
+        for i, e in enumerate(exprs):
+            mn, mx = stats[f"mn{i}"], stats[f"mx{i}"]
+            if mn is None or mx is None or int(mx) == int(mn):
+                norm.append(F.lit(0).cast("bigint"))
+                continue
+            span = int(mx) - int(mn)
+            norm.append(
+                F.floor(
+                    (F.coalesce(e, F.lit(int(mn))) - F.lit(int(mn)))
+                    * F.lit(top / span)
+                ).cast("bigint")
+            )
+        keyed = df.withColumn("__z", zorder_key_expr(norm, bits_per_dim))
+        staging = f"{table_dir}._zorder_b{bucket}"
+        trash = f"{table_dir}._old_b{bucket}"
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(trash, ignore_errors=True)
+        (
+            keyed.repartitionByRange(n_out, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        os.replace(bdir, trash)
+        os.replace(staging, bdir)
+        shutil.rmtree(trash, ignore_errors=True)
+        out[d] = (
+            len(files),
+            len([f for f in os.listdir(bdir) if f.endswith(".parquet")]),
+        )
+    return out
+
+
+def row_groups_matching_all(
+    table_dir: str, preds: list[tuple[str, object]]
+) -> tuple[int, int]:
+    """(row groups the CONJUNCTION of point predicates must read,
+    total row groups) from parquet footer min/max only — exactly the
+    pruning decision a scan planner makes. Works for string and
+    numeric columns (stats compare in the column's own order)."""
+    import pyarrow.parquet as pq
+
+    matching = total = 0
+    for root, _dirs, files in os.walk(table_dir):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, f)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for g in range(md.num_row_groups):
+                total += 1
+                hit = True
+                for column, value in preds:
+                    st = md.row_group(g).column(idx[column]).statistics
+                    if st is None or st.min is None:
+                        continue  # no stats -> unprunable on this col
+                    if not (st.min <= value <= st.max):
+                        hit = False
+                        break
+                if hit:
+                    matching += 1
+    return matching, total
+
+
+def row_groups_matching(table_dir: str, column: str, value) -> tuple[int, int]:
+    """Single-predicate convenience over ``row_groups_matching_all``."""
+    return row_groups_matching_all(table_dir, [(column, value)])

@@ -135,3 +135,96 @@ class TestSwapInCrashHygiene:
         _swap_in(df2, out)  # must not raise
         assert spark.read.parquet(out).count() == 5
         assert not os.path.isdir(trash)
+
+
+def make_raw_pools(spark, blocks, n_pools=8):
+    """Multi-pool swap feed: each block carries one swap per pool, so
+    arrival-order files span every pool (the layout z-order fixes)."""
+    from .test_ingest import POOL, RAW_SCHEMA, raw_row, swapped_data
+
+    rows = []
+    for b in blocks:
+        for p in range(n_pools):
+            pool = dict(POOL, token0=0xAAA0 + p, token1=0xBBB0 + p)
+            rows.append(
+                raw_row(
+                    b, p, 0, "swapped",
+                    swapped_data(
+                        0xCAFE, **pool, amount=100 + b, is_token1=False,
+                        limit=5, skip=0, d0=10 * b, d1=-9 * b,
+                        sqrt_after=1 << 40, tick_after=-b, liq=b * 1000,
+                    ),
+                )
+            )
+    return spark.createDataFrame(rows, RAW_SCHEMA)
+
+
+class TestZorderCompaction:
+    def _build(self, spark, tmp_path, n_appends=10):
+        tdir = str(tmp_path / "zt")
+        for i in range(n_appends):
+            ingest_batch(
+                spark, make_raw_pools(spark, [10 * i + j for j in range(10)]), tdir
+            )
+        return tdir, os.path.join(tdir, "swaps")
+
+    def test_zorder_preserves_rows_and_prunes_both_dims(self, spark, tmp_path):
+        """After z-order compaction a point predicate on pool_key_hash
+        AND one on block_number must both prune row groups; arrival
+        order prunes only block_number. Contents unchanged."""
+        from starknet_indexer_spark.maintenance import (
+            row_groups_matching,
+            zorder_table,
+        )
+
+        tdir, swaps_dir = self._build(spark, tmp_path)
+        before = _rows(spark.read.parquet(swaps_dir))
+        pool = spark.read.parquet(swaps_dir).select("pool_key_hash").first()[0]
+
+        m_pool_before, total_before = row_groups_matching(
+            swaps_dir, "pool_key_hash", pool
+        )
+        assert total_before >= 8
+        # arrival order: every file spans every pool -> no pruning
+        assert m_pool_before == total_before
+
+        stats = zorder_table(
+            spark,
+            swaps_dir,
+            dims=[("block_number", "int"), ("pool_key_hash", "hex")],
+            target_file_bytes=3 * 1024,
+        )
+        assert stats
+
+        from starknet_indexer_spark.maintenance import row_groups_matching_all
+
+        assert _rows(spark.read.parquet(swaps_dir)) == before
+        m_pool, total = row_groups_matching(swaps_dir, "pool_key_hash", pool)
+        m_blk, _ = row_groups_matching(swaps_dir, "block_number", 42)
+        m_both, _ = row_groups_matching_all(
+            swaps_dir, [("pool_key_hash", pool), ("block_number", 42)]
+        )
+        assert total >= 8
+        # z-order: BOTH single-dim predicates prune (arrival order
+        # prunes only block); the V13-shaped conjunction prunes best
+        assert m_pool * 2 <= total, (m_pool, total)
+        assert m_blk * 2 <= total, (m_blk, total)
+        assert m_both <= m_pool and m_both <= m_blk, (m_both, m_pool, m_blk)
+
+    def test_reorg_after_zorder(self, spark, tmp_path):
+        """Invalidation must still truncate correctly on a z-ordered
+        table (partition scheme and contents are unchanged by the
+        rewrite)."""
+        from starknet_indexer_spark.maintenance import zorder_table
+
+        tdir, swaps_dir = self._build(spark, tmp_path, n_appends=4)
+        zorder_table(
+            spark,
+            swaps_dir,
+            dims=[("block_number", "int"), ("pool_key_hash", "hex")],
+            target_file_bytes=12 * 1024,
+        )
+        invalidate_from_block(spark, tdir, 25)
+        got = spark.read.parquet(swaps_dir)
+        assert got.agg(F.max("block_number")).collect()[0][0] == 24
+        assert got.count() == 25 * 8  # blocks 0..24 x 8 pools
