@@ -98,7 +98,7 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
+def main(diff_against: str | None = None) -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
     # One-time process costs are paid outside the timed region so the
@@ -238,18 +238,37 @@ def main() -> None:
         compact["ingest_rows_per_sec"] = out["ingest"]["rows_per_sec"]
     if errors:
         compact["error_count"] = len(errors)
+
+    # Same-run diff artifact: BENCH_DIFF.md is generated from the
+    # BENCH_DETAIL.json this very invocation just wrote, so the two
+    # committed artifacts can never disagree (round-3 lesson: a diff
+    # generated from a different run's detail file did not reproduce).
+    if diff_against:
+        diff_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BENCH_DIFF.md")
+        try:
+            with open(diff_path, "w") as fh:
+                compare(diff_against, detail_path, out=fh)
+        except SystemExit as exc:
+            compact["diff_error"] = str(exc)
+
     print(json.dumps(compact, separators=(",", ":")))
 
 
 def compare(baseline_path: str, current_path: str | None = None,
-            threshold: float = 1.5) -> int:
+            threshold: float = 1.5, out=None) -> int:
     """Diff per-query steady timings vs a prior round's bench record.
 
     ``baseline_path`` is a BENCH_r{N}.json driver record ({"parsed":
     {...}} or raw), a BENCH_DETAIL.json, or a compact stdout line saved
     to a file. Prints a markdown table of regressions (> threshold x)
-    and improvements; returns 1 if any regression exceeds threshold.
+    and improvements to ``out`` (default stdout); returns 1 if any
+    regression exceeds threshold.
     """
+    import builtins
+    import functools
+
+    print = functools.partial(builtins.print, file=out) if out else builtins.print
 
     def load_queries(path: str) -> tuple[dict[str, float], dict[str, float]]:
         """(steady map, cold map) — either may be partial/empty."""
@@ -335,4 +354,8 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--compare":
         sys.exit(compare(sys.argv[2],
                          sys.argv[3] if len(sys.argv) > 3 else None))
+    if len(sys.argv) > 2 and sys.argv[1] == "--diff-against":
+        # run the bench AND write BENCH_DIFF.md from the same run's
+        # BENCH_DETAIL.json (one-invocation artifacts)
+        sys.exit(main(diff_against=sys.argv[2]))
     sys.exit(main())
