@@ -74,6 +74,7 @@ HEADLINE = [
     "ann_topk_ivfpq",
     "ann_topk_ivfpq_rerank",
     "heavy_hitters_mg",
+    "approx_quantiles_sampled",
     "interval_attribution",
     "min_cost_supplier",
     "nation_trade_volume",
@@ -243,16 +244,21 @@ def main(diff_against: str | None = None) -> None:
     # BENCH_DETAIL.json this very invocation just wrote, so the two
     # committed artifacts can never disagree (round-3 lesson: a diff
     # generated from a different run's detail file did not reproduce).
+    diff_rc = 0
     if diff_against:
         diff_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BENCH_DIFF.md")
+        # a bad baseline path / corrupt JSON must not lose the compact
+        # stdout line after a multi-minute bench run
         try:
             with open(diff_path, "w") as fh:
-                compare(diff_against, detail_path, out=fh)
-        except SystemExit as exc:
-            compact["diff_error"] = str(exc)
+                diff_rc = compare(diff_against, detail_path, out=fh)
+        except (SystemExit, OSError, ValueError) as exc:
+            compact["diff_error"] = f"{type(exc).__name__}: {exc}"[:200]
 
     print(json.dumps(compact, separators=(",", ":")))
+    # propagate the regression gate (same contract as --compare)
+    return diff_rc
 
 
 def compare(baseline_path: str, current_path: str | None = None,

@@ -72,10 +72,17 @@ def run_indexer(
     # (ingest._apply_marker_batch), so co-batching is ordering-safe;
     # pass an int only to bound per-batch memory/latency
     max_files_per_trigger: int | None = None,
+    # table maintenance cadence: every maintenance_every_s seconds,
+    # compact all NON-HEAD buckets (the head still receives appends)
+    # and z-order the tables named in zorder_dims — small-file cleanup
+    # and multi-dim clustering ride the same loop the reference uses
+    # for its analytical refresh. None (default) = never.
+    maintenance_every_s: float | None = None,
+    zorder_dims: dict[str, list[tuple[str, str]]] | None = None,
 ):
     """Start the full pipeline; returns the StreamingQuery. Callers
     stop it (tests drive it with processAllAvailable)."""
-    state = {"last_analytical": None}
+    state = {"last_analytical": None, "last_maintenance": None}
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         # shared per-batch semantics (finality filter, epoch-replay
@@ -113,6 +120,28 @@ def run_indexer(
             )
             runtime.refresh_analytical(spark, tables, views_dir, as_of, since=since)
             state["last_analytical"] = now
+
+        if maintenance_every_s is not None:
+            now = time.monotonic()
+            last_m = state["last_maintenance"]
+            if last_m is None or now - last_m >= maintenance_every_s:
+                from .ingest import BLOCK_BUCKET_SIZE, read_cursor
+                from .maintenance import compact_all, zorder_table
+
+                cursor = read_cursor(tables_dir)
+                if cursor is not None:
+                    # only buckets strictly below the live head — it
+                    # still receives appends this very loop
+                    head = cursor // BLOCK_BUCKET_SIZE
+                    compact_all(spark, tables_dir, max_bucket=head - 1)
+                    for table, dims in (zorder_dims or {}).items():
+                        zorder_table(
+                            spark,
+                            os.path.join(tables_dir, table),
+                            dims,
+                            max_bucket=head - 1,
+                        )
+                state["last_maintenance"] = now
 
     writer = (
         read_feed_stream(spark, feed_dir, max_files_per_trigger)

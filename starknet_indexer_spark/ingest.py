@@ -1074,19 +1074,34 @@ def _apply_marker_batch(
     feed files (``maxFilesPerTrigger`` unset — backlog catch-up).
 
     Order reconstruction: the file streaming source admits files in
-    modification-time order (ties by path), and the feed contract says
-    the writer rolls a new file at every reorg boundary — so sorting
-    the batch's files by (mtime, path) replays the original message
+    modification-time order, and the feed contract says the writer
+    rolls a new file at every reorg boundary — so segmenting the
+    batch's data rows by marker mtimes replays the original message
     sequence: [old-chain files] [marker file] [new-chain files]. Each
     marker applies BEFORE any data that follows it and AFTER the data
-    segment accumulated so far, exactly as the reference consumes its
-    ordered gRPC stream (src/index.ts:162-184). Within a single file a
-    marker applies before the file's own data rows (the writer never
-    co-files a marker with pre-reorg data).
+    segment before it, exactly as the reference consumes its ordered
+    gRPC stream (src/index.ts:162-184).
+
+    Mtime TIES carry no order (part-file names are random): a data
+    file sharing a marker's exact mtime tick is deliberately placed
+    AFTER that marker. For post-reorg data that is the correct order;
+    for pre-reorg data it degrades to the pre-segmentation semantics
+    (stale rows that the next invalidation sweeps) — never the
+    reverse error of ingesting new-chain data and then deleting it.
+    Among same-tick markers the deepest applies last so the cursor
+    lands at the deepest point. Coarse-mtime object stores should
+    keep feed files >= one timestamp tick apart at reorg boundaries
+    (local/HDFS mtimes are ns-resolution — a non-issue there).
+
+    Segments are selected by mtime RANGE predicates, never by file
+    path lists — a marker late in a 10^5-file backlog must not embed
+    10^5 path literals into one Catalyst In() expression.
 
     The cursor replays sequentially too: a data segment sets it to the
     segment's max finalized block, a marker resets it to the last
-    valid block; the final value is written once at the end.
+    valid block; the final value is written once at the end (only if
+    the tables root exists — a marker-only first batch has nothing to
+    anchor a cursor to).
 
     File provenance comes from the FEED_FILE_COL / FEED_MTIME_COL
     columns ``read_feed_stream`` attaches in the stream plan (the
@@ -1126,34 +1141,51 @@ def _apply_marker_batch(
         )
         .collect()
     )
+    # markers by (mt, -inv): data at a marker's exact tick segments
+    # AFTER it (see docstring); among same-tick markers the deepest
+    # applies last
+    markers = sorted(
+        ((r["mt"], int(r["inv"])) for r in per_file if r["inv"] is not None),
+        key=lambda t: (t[0], -t[1]),
+    )
+    data_files = [r for r in per_file if r["n_data"]]
     counts: dict[str, int] = {}
     cursor: int | None = None
-    seg: list[str] = []
-    seg_hi: int | None = None
 
-    def flush() -> None:
-        nonlocal seg, seg_hi, cursor
-        if not seg:
+    def apply_segment(lo, hi_mt) -> None:
+        """Ingest data rows with mtime in [lo, hi_mt) — marker mtimes
+        bound segments; a None end is unbounded."""
+        nonlocal cursor
+        in_seg = [
+            r
+            for r in data_files
+            if (lo is None or r["mt"] >= lo) and (hi_mt is None or r["mt"] < hi_mt)
+        ]
+        if not in_seg:
             return
-        seg_df = meta.filter(F.col("__fp").isin(seg) & is_data).drop("__fp", "__mt")
+        cond = is_data
+        if lo is not None:
+            cond = cond & (F.col("__mt") >= F.lit(lo))
+        if hi_mt is not None:
+            cond = cond & (F.col("__mt") < F.lit(hi_mt))
+        seg_df = meta.filter(cond).drop("__fp", "__mt")
         for table, n in (ingest_batch(spark, seg_df, tables_dir) or {}).items():
             counts[table] = counts.get(table, 0) + n
+        seg_hi = max(
+            (int(r["hi"]) for r in in_seg if r["hi"] is not None), default=None
+        )
         if seg_hi is not None:
-            cursor = int(seg_hi)
-        seg, seg_hi = [], None
+            cursor = seg_hi
 
-    for f in sorted(per_file, key=lambda r: (r["mt"], r["__fp"])):
-        if f["inv"] is not None:
-            flush()
-            if os.path.isdir(tables_dir):
-                invalidate_from_block(spark, tables_dir, int(f["inv"]) + 1)
-            cursor = int(f["inv"])
-        if f["n_data"]:
-            seg.append(f["__fp"])
-            if f["hi"] is not None:
-                seg_hi = max(seg_hi or 0, int(f["hi"]))
-    flush()
-    if cursor is not None:
+    prev_mt = None
+    for mt, inv in markers:
+        apply_segment(prev_mt, mt)
+        if os.path.isdir(tables_dir):
+            invalidate_from_block(spark, tables_dir, inv + 1)
+        cursor = inv
+        prev_mt = mt
+    apply_segment(prev_mt, None)
+    if cursor is not None and os.path.isdir(tables_dir):
         write_cursor(tables_dir, cursor)
     return counts
 

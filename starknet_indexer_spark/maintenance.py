@@ -28,18 +28,61 @@ def _bucket_dirs(table_dir: str) -> list[str]:
     )
 
 
-def compact_table(
+def recover_bucket_swaps(table_dir: str) -> None:
+    """Crash repair for the per-bucket rewrite protocol: a process
+    death between ``os.replace(bdir, trash)`` and
+    ``os.replace(staging, bdir)`` leaves the bucket's ONLY copy in
+    ``{table}._old_b<N>`` and the bucket missing from the table.
+    Restore it; remove leftovers of completed swaps and incomplete
+    staging writes. Runs at the top of every rewrite entry point, so
+    the window self-heals on the next maintenance pass."""
+    import re
+
+    parent = os.path.dirname(os.path.abspath(table_dir)) or "."
+    base = os.path.basename(os.path.abspath(table_dir))
+    if not os.path.isdir(parent):
+        return
+    for entry in os.listdir(parent):
+        if not entry.startswith(base + "._"):
+            continue
+        m = re.match(r"^\._([a-z]+)_b(\d+)$", entry[len(base):])
+        if not m:
+            continue
+        kind, bucket = m.group(1), m.group(2)
+        full = os.path.join(parent, entry)
+        bdir = os.path.join(table_dir, f"block_bucket={bucket}")
+        if kind == "old":
+            if not os.path.isdir(bdir):
+                os.replace(full, bdir)  # mid-swap crash: restore
+            else:
+                shutil.rmtree(full, ignore_errors=True)  # swap completed
+        else:
+            shutil.rmtree(full, ignore_errors=True)  # incomplete staging
+
+
+def _rewrite_buckets(
     spark: SparkSession,
     table_dir: str,
-    max_bucket: int | None = None,
-    target_file_bytes: int = TARGET_FILE_BYTES,
-    min_files: int = 2,
+    tag: str,
+    plan_fn,
+    max_bucket: int | None,
+    target_file_bytes: int,
+    min_files: int,
 ) -> dict[str, tuple[int, int]]:
-    """Compact every bucket of one table with >= ``min_files`` data
-    files. Returns {bucket_dir: (files_before, files_after)}."""
+    """Shared per-bucket rewrite protocol (compaction and z-order use
+    the same durability order; only the layout transform differs).
+    ``plan_fn(df, n_out) -> DataFrame`` produces the rewritten frame.
+
+    Staging/trash live OUTSIDE the table dir: a crash leftover inside
+    it would be discovered as a partition by every read
+    (double-counted rows, string-typed bucket column) and would break
+    the next pass's int() parse of bucket dir names.
+    ``recover_bucket_swaps`` runs first, so a previous crash anywhere
+    in the protocol is repaired before new work starts."""
     out: dict[str, tuple[int, int]] = {}
     if not os.path.isdir(table_dir):
         return out
+    recover_bucket_swaps(table_dir)
     for d in _bucket_dirs(table_dir):
         bucket = int(d.split("=")[1])
         if max_bucket is not None and bucket > max_bucket:
@@ -51,15 +94,11 @@ def compact_table(
         size = sum(os.path.getsize(os.path.join(bdir, f)) for f in files)
         n_out = max(1, round(size / target_file_bytes))
         df = spark.read.parquet(bdir)
-        # staging/trash live OUTSIDE the table dir: a crash leftover
-        # inside it would be discovered as a partition by every read
-        # (double-counted rows, string-typed bucket column) and would
-        # break the next compaction's int() parse of bucket dir names
-        staging = f"{table_dir}._compact_b{bucket}"
+        staging = f"{table_dir}._{tag}_b{bucket}"
         trash = f"{table_dir}._old_b{bucket}"
         shutil.rmtree(staging, ignore_errors=True)
         shutil.rmtree(trash, ignore_errors=True)
-        df.coalesce(n_out).write.mode("overwrite").parquet(staging)
+        plan_fn(df, n_out).write.mode("overwrite").parquet(staging)
         os.replace(bdir, trash)
         os.replace(staging, bdir)
         shutil.rmtree(trash, ignore_errors=True)
@@ -68,6 +107,26 @@ def compact_table(
             len([f for f in os.listdir(bdir) if f.endswith(".parquet")]),
         )
     return out
+
+
+def compact_table(
+    spark: SparkSession,
+    table_dir: str,
+    max_bucket: int | None = None,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+    min_files: int = 2,
+) -> dict[str, tuple[int, int]]:
+    """Compact every bucket of one table with >= ``min_files`` data
+    files. Returns {bucket_dir: (files_before, files_after)}."""
+    return _rewrite_buckets(
+        spark,
+        table_dir,
+        "compact",
+        lambda df, n_out: df.coalesce(n_out),
+        max_bucket,
+        target_file_bytes,
+        min_files,
+    )
 
 
 def compact_all(
@@ -106,6 +165,9 @@ def sort_layout(
     Contents are unchanged (pure reorder); ``layout_overlap_fraction``
     measures the effect and tests/test_maintenance.py locks it.
     """
+    trash0 = table_dir.rstrip("/") + "._old"
+    if not os.path.isdir(table_dir) and os.path.isdir(trash0):
+        os.replace(trash0, table_dir)  # crash between the two swaps
     df = spark.read.parquet(table_dir)
     n = n_files or df.rdd.getNumPartitions()
     staging = table_dir.rstrip("/") + "._sorted"
@@ -197,29 +259,16 @@ def zorder_table(
     dim is min-max normalized to ``bits_per_dim`` bits here, so no
     dimension owns the top bits).
 
-    Same durability order as compact_table: write to a staging dir
-    outside the table, atomic-swap the bucket dir, drop the old files
-    — contents unchanged, so reorg invalidation and replay semantics
-    are unaffected (locked by tests/test_maintenance.py). Buckets
-    above ``max_bucket`` (the live head) are left alone."""
+    Shares compact_table's rewrite protocol (_rewrite_buckets:
+    staging outside the table, atomic bucket swap, crash recovery on
+    entry) — contents unchanged, so reorg invalidation and replay
+    semantics are unaffected (locked by tests/test_maintenance.py).
+    Buckets above ``max_bucket`` (the live head) are left alone."""
     from pyspark.sql import functions as F
 
     from .operators.layout import zorder_key_expr
 
-    out: dict[str, tuple[int, int]] = {}
-    if not os.path.isdir(table_dir):
-        return out
-    for d in _bucket_dirs(table_dir):
-        bucket = int(d.split("=")[1])
-        if max_bucket is not None and bucket > max_bucket:
-            continue
-        bdir = os.path.join(table_dir, d)
-        files = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
-        if len(files) < min_files:
-            continue
-        size = sum(os.path.getsize(os.path.join(bdir, f)) for f in files)
-        n_out = max(1, round(size / target_file_bytes))
-        df = spark.read.parquet(bdir)
+    def plan_fn(df, n_out):
         exprs = [_zdim_expr(c, kind) for c, kind in dims]
         stats = df.agg(
             *[F.min(e).alias(f"mn{i}") for i, e in enumerate(exprs)],
@@ -240,25 +289,15 @@ def zorder_table(
                 ).cast("bigint")
             )
         keyed = df.withColumn("__z", zorder_key_expr(norm, bits_per_dim))
-        staging = f"{table_dir}._zorder_b{bucket}"
-        trash = f"{table_dir}._old_b{bucket}"
-        shutil.rmtree(staging, ignore_errors=True)
-        shutil.rmtree(trash, ignore_errors=True)
-        (
+        return (
             keyed.repartitionByRange(n_out, "__z")
             .sortWithinPartitions("__z")
             .drop("__z")
-            .write.mode("overwrite")
-            .parquet(staging)
         )
-        os.replace(bdir, trash)
-        os.replace(staging, bdir)
-        shutil.rmtree(trash, ignore_errors=True)
-        out[d] = (
-            len(files),
-            len([f for f in os.listdir(bdir) if f.endswith(".parquet")]),
-        )
-    return out
+
+    return _rewrite_buckets(
+        spark, table_dir, "zorder", plan_fn, max_bucket, target_file_bytes, min_files
+    )
 
 
 def row_groups_matching_all(

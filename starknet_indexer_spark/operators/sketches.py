@@ -96,3 +96,21 @@ def hash_threshold_distinct_sql(
         f"{h} < {threshold}",
         f"CAST(COUNT(DISTINCT {h}) * {1 << ratio_bits} AS BIGINT)",
     )
+
+
+def hash_sample_pred(key: Column, ratio_bits: int = DEFAULT_RATIO_BITS) -> Column:
+    """Deterministic 1-in-2^ratio_bits ROW sample: retain a row iff
+    the 60-bit md5 hash of its unique ``key`` falls below the
+    threshold. Engine-portable (same rows retained in Spark and
+    DuckDB), so sample-based estimators are value-hash-checkable —
+    the same property hash_threshold_distinct exploits, applied to
+    rows instead of distinct values. The filter is a map-side
+    predicate: everything downstream (sort, quantile, aggregate)
+    runs on 1/2^ratio_bits of the data."""
+    return md5_hash60_expr(key) < F.lit(1 << (HASH_BITS - ratio_bits))
+
+
+def hash_sample_pred_sql(key_sql: str, ratio_bits: int = DEFAULT_RATIO_BITS) -> str:
+    """DuckDB predicate mirroring ``hash_sample_pred`` bit-for-bit."""
+    threshold = 1 << (HASH_BITS - ratio_bits)
+    return f"('0x' || substr(md5({key_sql}), 1, 15))::BIGINT < {threshold}"

@@ -45,7 +45,7 @@ from . import ekubo_views  # noqa: E402,F401
 # representative per operator family stays inside the window.
 DRIVER_PRIORITY = [
     # round-4 front: freshness rotation (VERDICT r3 item 1). The ~50-query
-    # driver window covers (a) the two queries new this round and (b) all 47
+    # driver window covers (a) the three queries new this round and (b) all 47
     # queries whose latest green hash row dates to round 1 — shared infra
     # (catalog, session, registry) changed twice since, so re-verify them.
     # Every other query keeps a green r2/r3 row (nothing older than 2 rounds
@@ -53,6 +53,7 @@ DRIVER_PRIORITY = [
     # -- new in round 4 (no prior driver row)
     "heavy_hitters_mg",
     "ann_topk_ivfpq_rerank",
+    "approx_quantiles_sampled",
     # -- latest driver row is round 1: refresh
     "pricing_summary",
     "filter_projection",

@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..operators.sketches import hash_sample_pred, hash_sample_pred_sql
 from ..streaming.heavy_hitters import mg_update
 from .registry import register
 
@@ -116,4 +117,53 @@ def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.crossJoin(F.broadcast(total))
         .filter(F.col("cnt") * (k + 1) > F.col("n"))
         .select("item", "cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sampled quantiles: the portable quantile-sketch path
+# ---------------------------------------------------------------------------
+
+QUANT_RATIO_BITS = 3  # 1-in-8 rows
+
+
+@register(
+    "approx_quantiles_sampled",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+        AND {hash_sample_pred_sql("CAST(event_id AS VARCHAR)", QUANT_RATIO_BITS)}
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sample,
+           ROUND(quantile_cont(value, 0.25), 4) AS q25,
+           ROUND(quantile_cont(value, 0.50), 4) AS q50,
+           ROUND(quantile_cont(value, 0.75), 4) AS q75
+    FROM s GROUP BY event_type
+    """,
+    doc="Per-type value quartiles over a deterministic 1-in-8 hash "
+    "sample of rows (operators/sketches.py hash_sample_pred): the "
+    "portable quantile-sketch path. An exact percentile shuffles and "
+    "sorts EVERY row of the group; here the map-side hash predicate "
+    "drops 7/8 of the rows before any shuffle, and because the "
+    "sample is keyed on md5(event_id) both engines retain exactly "
+    "the same rows — so even the approximate answer value-hashes "
+    "(Spark's approx_percentile/t-digest cannot: its sketch is not "
+    "reproducible cross-engine). Spark percentile() and DuckDB "
+    "quantile_cont() share the (n-1)*p linear-interpolation "
+    "definition; results round to 4dp inside the plan on both sides.",
+)
+def approx_quantiles_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    s = ev.filter(
+        F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & hash_sample_pred(F.col("event_id").cast("string"), QUANT_RATIO_BITS)
+    )
+    return s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        F.round(F.expr("percentile(value, 0.25)"), 4).alias("q25"),
+        F.round(F.expr("percentile(value, 0.50)"), 4).alias("q50"),
+        F.round(F.expr("percentile(value, 0.75)"), 4).alias("q75"),
     )

@@ -106,3 +106,58 @@ def test_daemon_in_band_invalidate_refreshes_views(spark, tmp_path):
     ps = spark.read.parquet(os.path.join(vdir, "pool_states")).collect()
     assert len(ps) == 1 and ps[0]["tick"] == -5
     assert str(ps[0]["liquidity"]) == "1111"
+
+
+@pytest.mark.slow
+def test_daemon_maintenance_compacts_and_zorders_cold_buckets(spark, tmp_path):
+    """The maintenance cadence must compact + z-order buckets BELOW
+    the live head while the stream runs, without changing any query
+    result. Head bucket (still receiving appends) is untouched."""
+    from starknet_indexer_spark.ingest import read_cursor
+    from .test_ingest import make_raw
+
+    feed = str(tmp_path / "feed")
+    tdir = str(tmp_path / "tables")
+    vdir = str(tmp_path / "views")
+    ckpt = str(tmp_path / "ckpt")
+
+    # bucket 0 gets three separate file sets; head lands in bucket 2
+    make_raw(spark, [1, 2]).coalesce(1).write.mode("append").parquet(feed)
+    make_raw(spark, [3]).coalesce(1).write.mode("append").parquet(feed)
+    make_raw(spark, [4]).coalesce(1).write.mode("append").parquet(feed)
+    q = run_indexer(
+        spark, feed, tdir, vdir, ckpt,
+        analytical_every_s=0,
+        maintenance_every_s=None,  # first pass: no maintenance
+        max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    swaps_b0 = os.path.join(tdir, "swaps", "block_bucket=0")
+    files_before = len([f for f in os.listdir(swaps_b0) if f.endswith(".parquet")])
+    assert files_before >= 3
+    rows_before = sorted(map(str, spark.read.parquet(os.path.join(tdir, "swaps")).collect()))
+
+    # restart the daemon with maintenance on; a head append in bucket 2
+    # makes bucket 0 cold and triggers the pass
+    make_raw(spark, [2500]).coalesce(1).write.mode("append").parquet(feed)
+    q = run_indexer(
+        spark, feed, tdir, vdir, ckpt,
+        analytical_every_s=0,
+        maintenance_every_s=0,
+        zorder_dims={"swaps": [("block_number", "int"), ("pool_key_hash", "hex")]},
+        max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert read_cursor(tdir) == 2500
+    files_after = len([f for f in os.listdir(swaps_b0) if f.endswith(".parquet")])
+    assert files_after < files_before
+    rows_after = sorted(map(str, spark.read.parquet(os.path.join(tdir, "swaps")).collect()))
+    assert len(rows_after) == len(rows_before) + 1  # one swap row per block
+    assert set(rows_before) <= set(rows_after)

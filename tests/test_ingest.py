@@ -879,3 +879,67 @@ class TestMarkerBoundaryBatching:
             db = spark.read.parquet(os.path.join(b, t))
             assert sorted(map(str, da.collect())) == sorted(map(str, db.collect())), t
         assert read_cursor(b) == 103
+
+
+class TestMarkerMtimeTies:
+    def test_marker_applies_before_same_tick_data(self, spark, tmp_path):
+        """When a marker file and a NEW-CHAIN data file share an exact
+        mtime tick (coarse-mtime stores; part-file names carry no
+        order), the marker must apply first — the new data survives.
+        The reverse order would ingest then delete it: silent loss."""
+        import time as _t
+
+        from starknet_indexer_spark.ingest import read_cursor, stream_ingest
+
+        feed = str(tmp_path / "feed")
+        b = str(tmp_path / "streamed")
+
+        make_raw(spark, [995, 1002, 1050]).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+        old_files = {f for f in os.listdir(feed) if f.endswith(".parquet")}
+        spark.createDataFrame([invalidate_row(1001)], RAW_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(feed)
+        make_raw(spark, [1002, 1003]).coalesce(1).write.mode("append").parquet(feed)
+
+        # marker + new-chain files share ONE exact mtime tick; the
+        # old-chain file sits strictly earlier
+        tick = _t.time()
+        for f in os.listdir(feed):
+            if f.endswith(".parquet"):
+                t = tick - 10 if f in old_files else tick
+                os.utime(os.path.join(feed, f), (t, t))
+
+        q = stream_ingest(
+            spark, feed, b, str(tmp_path / "ck"),
+            trigger={"availableNow": True}, max_files_per_trigger=None,
+        )
+        q.awaitTermination(120)
+
+        sw = spark.read.parquet(os.path.join(b, "swaps"))
+        blocks = sorted(r["block_number"] for r in sw.collect())
+        # new-chain 1002/1003 must survive the same-tick marker; the
+        # old chain's 1050 (earlier tick) must be invalidated
+        assert 1003 in blocks and 1002 in blocks
+        assert 1050 not in blocks
+        assert read_cursor(b) == 1003
+
+    def test_marker_only_first_batch_no_tables_dir(self, spark, tmp_path):
+        """A marker-only FIRST micro-batch (fresh pipeline, nothing
+        ingested yet) must not crash writing a cursor into a
+        nonexistent tables dir."""
+        from starknet_indexer_spark.ingest import stream_ingest
+
+        feed = str(tmp_path / "feed")
+        b = str(tmp_path / "streamed")
+        spark.createDataFrame([invalidate_row(100)], RAW_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(feed)
+        q = stream_ingest(
+            spark, feed, b, str(tmp_path / "ck"),
+            trigger={"availableNow": True}, max_files_per_trigger=None,
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+        assert not os.path.isdir(os.path.join(b, "swaps"))

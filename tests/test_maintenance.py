@@ -228,3 +228,44 @@ class TestZorderCompaction:
         got = spark.read.parquet(swaps_dir)
         assert got.agg(F.max("block_number")).collect()[0][0] == 24
         assert got.count() == 25 * 8  # blocks 0..24 x 8 pools
+
+
+class TestBucketSwapCrashRecovery:
+    def test_mid_swap_crash_restores_bucket(self, spark, tmp_path):
+        """A crash between the two os.replace calls leaves the
+        bucket's only copy in {table}._old_b<N>; the next maintenance
+        pass must restore it before doing anything else."""
+        from starknet_indexer_spark.maintenance import (
+            compact_table,
+            recover_bucket_swaps,
+        )
+
+        tdir = str(tmp_path / "t")
+        for blocks in ([1, 2], [3]):
+            ingest_batch(spark, make_raw(spark, blocks), tdir)
+        swaps_dir = os.path.join(tdir, "swaps")
+        before = _rows(spark.read.parquet(swaps_dir))
+        bdir = os.path.join(swaps_dir, "block_bucket=0")
+
+        # simulate the mid-swap crash: bucket moved to trash, staging
+        # incomplete
+        os.replace(bdir, f"{swaps_dir}._old_b0")
+        os.makedirs(f"{swaps_dir}._compact_b0")
+        assert not os.path.isdir(bdir)
+
+        recover_bucket_swaps(swaps_dir)
+        assert os.path.isdir(bdir)
+        assert not os.path.exists(f"{swaps_dir}._old_b0")
+        assert not os.path.exists(f"{swaps_dir}._compact_b0")
+        assert _rows(spark.read.parquet(swaps_dir)) == before
+
+        # completed-swap leftovers (bucket present) are just removed
+        os.makedirs(f"{swaps_dir}._old_b0/x")
+        recover_bucket_swaps(swaps_dir)
+        assert os.path.isdir(bdir)
+        assert not os.path.exists(f"{swaps_dir}._old_b0")
+
+        # and compact_table self-heals on entry
+        os.replace(bdir, f"{swaps_dir}._old_b0")
+        compact_table(spark, swaps_dir)
+        assert _rows(spark.read.parquet(swaps_dir)) == before

@@ -493,3 +493,38 @@ class TestIvfPqRerankRecall:
         hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
         total = sum(len(v) for v in truth.values())
         assert hits / total >= 0.85, (hits, total)
+
+
+class TestSampledQuantiles:
+    def test_sample_tracks_exact_quartiles(self, spark):
+        """The 1-in-8 hash-sample quartiles must sit close to the
+        exact quartiles: within a quarter of the exact IQR per type at
+        sf0.01 (deterministic — the sample is hash-keyed)."""
+        from starknet_indexer_spark.queries import REGISTRY
+
+        sf = "/root/testdata/sf0.01"
+        got = {
+            r["event_type"]: r
+            for r in REGISTRY["approx_quantiles_sampled"].fn(spark, sf).collect()
+        }
+        from starknet_indexer_spark.catalog import load
+
+        exact = {
+            r["event_type"]: r
+            for r in load(spark, sf, "events")
+            .filter(F.col("event_type").isNotNull() & F.col("value").isNotNull())
+            .groupBy("event_type")
+            .agg(
+                F.expr("percentile(value, 0.25)").alias("q25"),
+                F.expr("percentile(value, 0.50)").alias("q50"),
+                F.expr("percentile(value, 0.75)").alias("q75"),
+            )
+            .collect()
+        }
+        assert set(got) == set(exact)
+        for et, e in exact.items():
+            iqr = e["q75"] - e["q25"]
+            assert iqr > 0
+            for q in ("q25", "q50", "q75"):
+                assert abs(got[et][q] - e[q]) <= 0.25 * iqr, (et, q)
+            assert got[et]["n_sample"] > 50  # enough mass to trust
