@@ -75,6 +75,7 @@ HEADLINE = [
     "ann_topk_ivfpq_rerank",
     "heavy_hitters_mg",
     "approx_quantiles_sampled",
+    "setjoin_prefix_jaccard",
     "interval_attribution",
     "min_cost_supplier",
     "nation_trade_volume",

@@ -528,3 +528,45 @@ class TestSampledQuantiles:
             for q in ("q25", "q50", "q75"):
                 assert abs(got[et][q] - e[q]) <= 0.25 * iqr, (et, q)
             assert got[et]["n_sample"] > 50  # enough mass to trust
+
+
+class TestPrefixSetJoin:
+    def test_prefix_blocking_prunes_and_loses_nothing(self, spark):
+        """The prefix-blocked candidate set must be a strict subset of
+        the full inverted-index pair set (the efficiency claim) while
+        the verified result is exact (the oracle proves equality to a
+        full inverted-index computation; here we pin the pruning)."""
+        from starknet_indexer_spark.catalog import load
+        from starknet_indexer_spark.operators.dedup import (
+            tokens_expr,
+            word_shingles_expr,
+        )
+        from starknet_indexer_spark.queries.pipeline_setjoin import (
+            SETJOIN_THRESHOLD,
+            prefix_candidates,
+            prefix_jaccard_pairs,
+        )
+
+        docs = load(spark, SF_DIR, "documents")
+        sets = docs.select(
+            "doc_id", word_shingles_expr(tokens_expr(F.col("text"))).alias("toks")
+        )
+        _ranked, cands = prefix_candidates(sets, SETJOIN_THRESHOLD)
+        n_cands = cands.count()
+
+        ex = sets.filter(F.size("toks") > 0).select(
+            "doc_id", F.explode("toks").alias("t")
+        )
+        n_full = (
+            ex.alias("a")
+            .join(
+                ex.alias("b"),
+                (F.col("a.t") == F.col("b.t"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select("a.doc_id", "b.doc_id")
+            .distinct()
+            .count()
+        )
+        n_result = prefix_jaccard_pairs(sets, SETJOIN_THRESHOLD).count()
+        assert 0 < n_result <= n_cands < n_full, (n_result, n_cands, n_full)
