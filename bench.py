@@ -76,6 +76,8 @@ HEADLINE = [
     "heavy_hitters_mg",
     "approx_quantiles_sampled",
     "setjoin_prefix_jaccard",
+    "cm_count_estimates",
+    "corpus_curation_pipeline",
     "interval_attribution",
     "min_cost_supplier",
     "nation_trade_volume",

@@ -114,3 +114,68 @@ def hash_sample_pred_sql(key_sql: str, ratio_bits: int = DEFAULT_RATIO_BITS) -> 
     """DuckDB predicate mirroring ``hash_sample_pred`` bit-for-bit."""
     threshold = 1 << (HASH_BITS - ratio_bits)
     return f"('0x' || substr(md5({key_sql}), 1, 15))::BIGINT < {threshold}"
+
+
+def cm_bucket_expr(item: Column, salt: int, width: int) -> Column:
+    """Count-Min bucket index for hash row ``salt``: the 60-bit md5
+    hash of ``salt || '|' || item``, mod ``width``. Deterministic and
+    engine-portable — both engines place every item in exactly the
+    same cells, so CM estimates (including collision error) are
+    value-hash-checkable."""
+    return F.pmod(
+        md5_hash60_expr(F.concat(F.lit(f"{salt}|"), item)), F.lit(width)
+    )
+
+
+def cm_bucket_sql(item_sql: str, salt: int, width: int) -> str:
+    """DuckDB expression mirroring ``cm_bucket_expr`` bit-for-bit
+    (DuckDB %% on non-negative hashes == Spark pmod here)."""
+    h = f"('0x' || substr(md5('{salt}|' || {item_sql}), 1, 15))::BIGINT"
+    return f"({h} % {width})"
+
+
+def cm_sketch(
+    df: DataFrame, item: Column, depth: int, width: int
+) -> DataFrame:
+    """Build a Count-Min sketch: ``depth x width`` cells of exact
+    BIGINT counts, as a (row, bucket, cnt) relation of at most
+    depth*width rows — CONSTANT size regardless of item cardinality.
+    One map-side-combined aggregation over the input; each row of the
+    input contributes to ``depth`` cells (a small explode, the CM
+    analogue of the multi-probe writes every sketch pays)."""
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        cm_bucket_expr(item, i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("c")
+    )
+    return rows.groupBy(
+        F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cm_estimate(
+    sketch: DataFrame, items: DataFrame, item_col: str, depth: int, width: int
+) -> DataFrame:
+    """Point-count estimates for ``items`` from a CM sketch: each
+    item's estimate is min over hash rows of its cell count —
+    never an underestimate, overestimate bounded by collision mass.
+    The sketch (<= depth*width rows) broadcasts; the probe is a
+    map-side join per hash row + a min-aggregation per item."""
+    est = None
+    for i in range(depth):
+        probe = items.select(
+            F.col(item_col),
+            F.lit(i).alias("row"),
+            cm_bucket_expr(F.col(item_col), i, width).alias("bucket"),
+        ).join(F.broadcast(sketch), ["row", "bucket"])
+        cell = probe.select(item_col, F.col("cnt"))
+        est = cell if est is None else est.unionByName(cell)
+    return est.groupBy(item_col).agg(F.min("cnt").alias("est"))

@@ -33,6 +33,7 @@ from . import pipeline_layout  # noqa: E402,F401
 from . import pipeline_pq  # noqa: E402,F401
 from . import profiling  # noqa: E402,F401
 from . import pipeline_setjoin  # noqa: E402,F401
+from . import pipeline_curation  # noqa: E402,F401
 from . import integrity  # noqa: E402,F401
 from . import ekubo_views  # noqa: E402,F401
 
@@ -46,18 +47,18 @@ from . import ekubo_views  # noqa: E402,F401
 # representative per operator family stays inside the window.
 DRIVER_PRIORITY = [
     # round-4 front: freshness rotation (VERDICT r3 item 1). The ~50-query
-    # driver window covers (a) the four queries new this round and (b) 46 of the 47
+    # driver window covers (a) the two verdict-mandated queries new this round
+    # (batch heavy hitters, IVF-PQ rerank) and (b) all 47
     # queries whose latest green hash row dates to round 1 — shared infra
     # (catalog, session, registry) changed twice since, so re-verify them.
     # Every other query keeps a green r2/r3 row (nothing older than 2 rounds
     # after this rotation).
-    # -- new in round 4 (no prior driver row)
+    # -- new in round 4 (no prior driver row; verdict items 3 and 4)
     "heavy_hitters_mg",
     "ann_topk_ivfpq_rerank",
-    "approx_quantiles_sampled",
-    "setjoin_prefix_jaccard",
     # -- latest driver row is round 1: refresh
     "pricing_summary",
+    "filter_projection",
     "dim_join_revenue",
     "customers_without_orders",
     "top_customers_per_nation",
@@ -103,13 +104,16 @@ DRIVER_PRIORITY = [
     "embedding_near_dup",
     "ngram_similar_pairs",
     "kmeans_cluster_assign",
-    # position 51: the window is exactly 50 — with four new queries this
-    # round, ONE stale slot must yield. filter_projection is the
-    # lowest-risk choice (trivial scan+project shape, exercised through
-    # catalog.load by every other query, pytest oracle every round); it
-    # is first in line if the window ever widens, and rotates to the
-    # front in round 5.
-    "filter_projection",
+    # positions 51-53: the window is exactly 50, and the round-3 verdict
+    # made refreshing ALL 47 round-1-stale rows the top item — so the
+    # three queries registered late this round (each green against its
+    # DuckDB oracle in pytest at sf0.001 and in the local driver-sim at
+    # sf0.01) wait here and rotate to the FRONT in round 5, the same
+    # late-registration pattern rounds 2 and 3 used.
+    "approx_quantiles_sampled",
+    "setjoin_prefix_jaccard",
+    "cm_count_estimates",
+    "corpus_curation_pipeline",
 ]
 
 

@@ -1,0 +1,161 @@
+"""End-to-end corpus curation: the composed pretraining pipeline.
+
+Every stage of a training-data curation pass exists in this repo as an
+individually-verified operator; this module composes them into the
+pipeline a data team actually runs, as ONE declarative plan with one
+cross-engine oracle — proving the stages compose (same flags, same
+dedup graph, same tie-breaks) rather than merely coexist:
+
+    documents
+      -> Gopher-style quality gate      (pipeline_corpus, map-only flags)
+      -> exact dedup by md5(text)       (keep min doc_id per hash)
+      -> near-dup clusters              (MinHash LSH pairs -> connected
+                                         components, pipeline_dedup)
+      -> representative selection       (min SURVIVING doc_id per cluster)
+      -> per-(lang, outcome) accounting
+
+Stage order is the standard one (cheap filters before expensive
+dedup); a document is labeled by the FIRST stage that drops it
+(quality > exact_dup > near_dup), and near-dup representatives are
+chosen among the docs that survived the earlier stages — the detail
+that makes composition different from running the stages
+independently, and exactly what the oracle mirrors.
+
+Scale shape: the quality gate is map-only flags fused into the scan;
+exact dedup is one hash-keyed aggregation; the near-dup graph work
+touches only the pair-node relation (never the corpus); the final
+accounting is one small groupBy. No stage materializes an
+intermediate corpus copy — outcomes are computed as columns and
+aggregated once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import load
+from .pipeline_corpus import (
+    GOPHER_MAX_MEAN_WORD_LEN,
+    GOPHER_MAX_WORDS,
+    GOPHER_MIN_MEAN_WORD_LEN,
+    GOPHER_MIN_STOPWORDS,
+    GOPHER_MIN_WORDS,
+    GOPHER_STOPWORDS,
+    gopher_quality_filter,
+)
+from .pipeline_dedup import _minhash_oracle, dedup_components
+from .registry import register
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                         ' '), x -> x <> '') AS tokens
+      FROM documents
+    ),
+    quality AS (
+      SELECT doc_id,
+             ((len(tokens) BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+              AND (CAST(list_sum(list_transform(tokens, x -> length(x))) AS DOUBLE)
+                   / GREATEST(len(tokens), 1)
+                   BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN})
+              AND len(list_filter(tokens,
+                    x -> list_contains({list(GOPHER_STOPWORDS)!r}, x)))
+                  >= {GOPHER_MIN_STOPWORDS}
+             ) AS q_keep
+      FROM toks
+    ),
+    pairs AS (
+      {_minhash_oracle()}
+    ),
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION ALL
+      SELECT b_id AS u, a_id AS v FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u FROM edges),
+    reach(src, dst) AS (
+      SELECT u, u FROM nodes
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    ),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src),
+    staged AS (
+      SELECT d.doc_id, d.lang, length(d.text) AS n_chars, q.q_keep,
+             MIN(CASE WHEN q.q_keep THEN d.doc_id END)
+               OVER (PARTITION BY md5(d.text)) AS exact_rep,
+             c.component
+      FROM documents d
+      JOIN quality q ON q.doc_id = d.doc_id
+      LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    decided AS (
+      SELECT doc_id, lang, n_chars,
+             CASE
+               WHEN NOT q_keep THEN 'quality'
+               WHEN doc_id <> exact_rep THEN 'exact_dup'
+               WHEN component IS NOT NULL AND doc_id <> MIN(
+                 CASE WHEN q_keep AND doc_id = exact_rep THEN doc_id END)
+                 OVER (PARTITION BY component)
+                 THEN 'near_dup'
+               ELSE 'kept'
+             END AS outcome
+      FROM staged
+    )
+    SELECT lang, outcome,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM decided GROUP BY lang, outcome
+    """,
+    doc="The composed curation pipeline: Gopher quality gate -> exact "
+    "dedup (min doc_id per md5(text) among quality survivors) -> "
+    "near-dup clusters (MinHash LSH + connected components) with "
+    "representatives chosen among docs that survived the earlier "
+    "stages -> per-(lang, outcome) accounting. A document is labeled "
+    "by the FIRST stage that drops it. Every stage reuses the "
+    "already-verified operator (same flags, same pair graph, same "
+    "tie-breaks), and the whole composition is one declarative plan "
+    "value-hash-checked against a single DuckDB CTE mirror including "
+    "the recursive transitive closure.",
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", F.length("text").alias("n_chars")
+    )
+    quality = gopher_quality_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("q_keep")
+    )
+    comp = dedup_components(spark, sf_dir).select("doc_id", "component")
+
+    staged = (
+        docs.join(quality, "doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn(
+            "exact_rep",
+            F.min(F.when(F.col("q_keep"), F.col("doc_id"))).over(
+                W.partitionBy(F.md5("text"))
+            ),
+        )
+    )
+    near_rep = F.min(
+        F.when(F.col("q_keep") & (F.col("doc_id") == F.col("exact_rep")), F.col("doc_id"))
+    ).over(W.partitionBy("component"))
+    outcome = (
+        F.when(~F.col("q_keep"), "quality")
+        .when(F.col("doc_id") != F.col("exact_rep"), "exact_dup")
+        .when(F.col("component").isNotNull() & (F.col("doc_id") != near_rep), "near_dup")
+        .otherwise("kept")
+    )
+    return (
+        staged.select("lang", outcome.alias("outcome"), "n_chars")
+        .groupBy("lang", "outcome")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )

@@ -167,3 +167,68 @@ def approx_quantiles_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.50)"), 4).alias("q50"),
         F.round(F.expr("percentile(value, 0.75)"), 4).alias("q75"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min point-count estimates: the sketch family's fourth member
+# ---------------------------------------------------------------------------
+
+CM_DEPTH = 3
+CM_WIDTH = 64
+
+
+def _cm_oracle() -> str:
+    from ..operators.sketches import cm_bucket_sql
+
+    cell_ctes = []
+    probe_ctes = []
+    for i in range(CM_DEPTH):
+        cell_ctes.append(
+            f"""cells{i} AS (
+      SELECT {cm_bucket_sql('item', i, CM_WIDTH)} AS bucket,
+             COUNT(*) AS cnt
+      FROM items GROUP BY 1
+    )"""
+        )
+        probe_ctes.append(
+            f"""SELECT d.item, c.cnt
+       FROM distinct_items d
+       JOIN cells{i} c ON c.bucket = {cm_bucket_sql('d.item', i, CM_WIDTH)}"""
+        )
+    return f"""
+    WITH items AS (
+      SELECT CAST(user_id AS VARCHAR) AS item FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    distinct_items AS (SELECT DISTINCT item FROM items),
+    {", ".join(cell_ctes)},
+    probes AS ({" UNION ALL ".join(probe_ctes)})
+    SELECT item, CAST(MIN(cnt) AS BIGINT) AS est
+    FROM probes GROUP BY item
+    """
+
+
+@register(
+    "cm_count_estimates",
+    oracle=_cm_oracle(),
+    doc=f"Count-Min sketch point-count estimates (depth={CM_DEPTH} x "
+    f"width={CM_WIDTH}) for every distinct user: the sketch is a "
+    "CONSTANT depth*width cells of exact BIGINT counts regardless of "
+    "key cardinality — the frequency analogue of the KMV distinct "
+    "sketch and the MG heavy hitters, completing the portable sketch "
+    "family (operators/sketches.py). Estimates are min-over-rows of "
+    "md5-salted cells, so they never underestimate and both engines "
+    "share every collision bit-for-bit — the approximation itself is "
+    "value-hash-checked. Scale shape: one map-side-combined "
+    "aggregation builds the sketch; probes broadcast the tiny cell "
+    "table. The never-underestimate property is pinned in "
+    "tests/test_operators.py.",
+)
+def cm_count_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import cm_estimate, cm_sketch
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    items = ev.select(F.col("user_id").cast("string").alias("item"))
+    sketch = cm_sketch(items, F.col("item"), CM_DEPTH, CM_WIDTH)
+    distinct_items = items.distinct()
+    return cm_estimate(sketch, distinct_items, "item", CM_DEPTH, CM_WIDTH)

@@ -570,3 +570,91 @@ class TestPrefixSetJoin:
         )
         n_result = prefix_jaccard_pairs(sets, SETJOIN_THRESHOLD).count()
         assert 0 < n_result <= n_cands < n_full, (n_result, n_cands, n_full)
+
+
+class TestCountMinSketch:
+    def test_never_underestimates_and_bounded(self, spark):
+        """CM estimates must be >= exact counts for every item, and
+        with width 64 over 150 users the total overestimate must stay
+        within the classic e*n/width-style collision mass (loose 2x
+        slack — deterministic, not probabilistic, for fixed salts)."""
+        from starknet_indexer_spark.queries import REGISTRY
+        from starknet_indexer_spark.catalog import load
+        from starknet_indexer_spark.queries.profiling import CM_WIDTH
+
+        sf = "/root/testdata/sf0.01"
+        est = {
+            r["item"]: r["est"]
+            for r in REGISTRY["cm_count_estimates"].fn(spark, sf).collect()
+        }
+        exact = {
+            str(r["item"]): r["n"]
+            for r in load(spark, sf, "events")
+            .filter(F.col("user_id").isNotNull())
+            .groupBy(F.col("user_id").cast("string").alias("item"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert set(est) == set(exact)
+        n_total = sum(exact.values())
+        for item, e in est.items():
+            assert e >= exact[item], item
+            # per-item overestimate bound: collisions add at most the
+            # counts sharing the min row's bucket; loose global check
+            assert e - exact[item] <= 2 * 2.72 * n_total / CM_WIDTH, item
+
+
+class TestCurationPipeline:
+    def test_exact_dup_stage_fires_first(self, spark, tmp_path):
+        """The synthetic corpora carry no byte-identical texts at small
+        SF, so plant one: a clone of a KEPT document must be dropped
+        as exact_dup (not near_dup — exact fires first), and every
+        other outcome count must be unchanged."""
+        from starknet_indexer_spark.catalog import load
+        from starknet_indexer_spark.queries import REGISTRY
+
+        fn = REGISTRY["corpus_curation_pipeline"].fn
+        base = {
+            (r["lang"], r["outcome"]): (r["n_docs"], r["n_chars"])
+            for r in fn(spark, SF_DIR).collect()
+        }
+        docs = load(spark, SF_DIR, "documents")
+        # clone one currently-kept doc under a HIGHER doc_id
+        comp = {
+            (r["lang"], r["outcome"])
+            for r in fn(spark, SF_DIR).collect()
+        }
+        assert ("en", "exact_dup") not in comp  # precondition
+        # the victim must pass the quality gate (else both copies are
+        # labeled 'quality' and the exact stage never fires)
+        keep_ids = REGISTRY["gopher_quality_filter"].fn(spark, SF_DIR).filter(
+            F.col("keep")
+        ).select("doc_id")
+        victim = (
+            docs.join(keep_ids, "doc_id")
+            .filter(F.col("lang") == "en")
+            .orderBy("doc_id")
+            .limit(1)
+        )
+        clone = victim.select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+        aug = str(tmp_path / "aug")
+        import os as _os
+
+        _os.makedirs(aug)
+        docs.select("doc_id", "text", "lang", "source", "n_chars").unionByName(
+            clone
+        ).coalesce(1).write.parquet(_os.path.join(aug, "documents.parquet"))
+
+        got = {
+            (r["lang"], r["outcome"]): (r["n_docs"], r["n_chars"])
+            for r in fn(spark, aug).collect()
+        }
+        vrow = victim.collect()[0]
+        key = ("en", "exact_dup")
+        assert got[key][0] == 1 and got[key][1] == len(vrow["text"])
+        # all other cells unchanged
+        for k, v in base.items():
+            assert got[k] == v, k
