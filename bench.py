@@ -78,6 +78,7 @@ HEADLINE = [
     "setjoin_prefix_jaccard",
     "cm_count_estimates",
     "corpus_curation_pipeline",
+    "multimodal_binary_near_dup",
     "interval_attribution",
     "min_cost_supplier",
     "nation_trade_volume",

@@ -192,15 +192,17 @@ def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def simhash_fingerprint(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+def simhash_fingerprint_tokens(
+    docs: DataFrame, tokens: Column, id_col: str = "doc_id"
 ) -> DataFrame:
-    """32-bit SimHash per document: per-bit majority vote over the
-    32-bit md5 hashes of word tokens (multiplicity = weight). One
-    explode + one groupBy — a single shuffle on the document id, with
-    map-side partial aggregation doing most of the work."""
+    """32-bit SimHash per document over an arbitrary token-array
+    expression (word tokens, char n-grams of a binary payload's hex —
+    anything): per-bit majority vote over the 32-bit md5 hashes of the
+    tokens (multiplicity = weight). One explode + one groupBy — a
+    single shuffle on the document id, with map-side partial
+    aggregation doing most of the work."""
     toks = docs.select(
-        F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("token")
+        F.col(id_col), F.explode(tokens).alias("token")
     ).withColumn("th", md5_hash32_expr(F.col("token")))
     bit_votes = [
         F.sum(
@@ -214,6 +216,13 @@ def simhash_fingerprint(
         term = F.when(F.col(f"v_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("bigint")
         fp = term if fp is None else fp + term
     return votes.select(id_col, fp.alias("fingerprint"))
+
+
+def simhash_fingerprint(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Word-token SimHash (the text near-dup shape)."""
+    return simhash_fingerprint_tokens(docs, tokens_expr(F.col(text_col)), id_col)
 
 
 def simhash_bands(fps: DataFrame, id_col: str = "doc_id") -> DataFrame:

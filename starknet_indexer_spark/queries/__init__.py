@@ -114,6 +114,7 @@ DRIVER_PRIORITY = [
     "setjoin_prefix_jaccard",
     "cm_count_estimates",
     "corpus_curation_pipeline",
+    "multimodal_binary_near_dup",
 ]
 
 

@@ -156,3 +156,101 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         *[F.col("features")[i].alias(f"f{i}") for i in range(8)],
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary near-dup: SimHash over the payload's byte shingles
+# ---------------------------------------------------------------------------
+
+_BIN_GRAM = 8  # hex chars = 4 bytes per shingle
+
+
+def _binary_simhash_oracle() -> str:
+    from .pipeline_dedup import MAX_HAMMING, SIMHASH_BAND_BITS, SIMHASH_BITS, SIMHASH_N_BANDS
+
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v_{i} > 0 THEN {1 << i} ELSE 0 END)::BIGINT"
+        for i in range(SIMHASH_BITS)
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, fingerprint, {j} AS band, "
+        f"(fingerprint >> {j * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1}"
+        " AS band_val FROM fps"
+        for j in range(SIMHASH_N_BANDS)
+    )
+    return f"""
+    WITH media AS (
+      SELECT doc_id, hex(encode(text)) AS hx FROM documents
+    ),
+    toks AS (
+      SELECT doc_id,
+             [substr(hx, i, {_BIN_GRAM})
+              for i in range(1, GREATEST(length(hx) - {_BIN_GRAM - 1}, 0) + 1,
+                             {_BIN_GRAM})]
+               AS tokens
+      FROM media WHERE length(hx) >= {_BIN_GRAM}
+    ),
+    th AS (
+      SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
+      FROM (SELECT doc_id, UNNEST(tokens) AS token FROM toks)
+    ),
+    votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM th GROUP BY doc_id
+    ),
+    fps AS (SELECT doc_id, {fp} AS fingerprint FROM votes),
+    bands AS (
+{band_selects}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.fingerprint AS a_fp, b.fingerprint AS b_fp
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    )
+    SELECT a_id, b_id, bit_count(xor(a_fp, b_fp)) AS hamming
+    FROM pairs WHERE bit_count(xor(a_fp, b_fp)) <= {MAX_HAMMING}
+    """
+
+
+@register(
+    "multimodal_binary_near_dup",
+    oracle=_binary_simhash_oracle(),
+    doc="Near-duplicate detection over the OPAQUE binary media column "
+    "— the media analogue of text SimHash (the stand-in for image "
+    "perceptual-hash dedup; a real pHash replaces the shingle "
+    "fingerprint behind the same banding/verify plumbing): "
+    "non-overlapping 4-byte blocks of the payload's hex (block "
+    "fingerprinting — 8x fewer shingles than a dense slide; real "
+    "pHash works in the decoded pixel domain anyway) -> 32-bit "
+    "SimHash majority vote "
+    "(one map-side-combined shuffle) -> byte-band pigeonhole blocking "
+    "-> exact hamming verify on colliding pairs only. Everything is "
+    "JVM-side column work over BinaryType — no Python decode in the "
+    "pipeline; at 100 TB the fingerprint pass is scan-fused and the "
+    "only join touches band-colliding candidates.",
+)
+def multimodal_binary_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_fingerprint_tokens, simhash_near_pairs
+    from .pipeline_dedup import MAX_HAMMING
+
+    docs = load(spark, sf_dir, "documents")
+    hx = F.hex(media_expr(F.col("text")))
+    grams = F.when(
+        F.length(hx) >= _BIN_GRAM,
+        F.transform(
+            F.sequence(
+                F.lit(1), F.length(hx) - F.lit(_BIN_GRAM - 1), F.lit(_BIN_GRAM)
+            ),
+            lambda i: hx.substr(i, F.lit(_BIN_GRAM)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    fps = simhash_fingerprint_tokens(
+        docs.filter(F.length(hx) >= _BIN_GRAM), grams
+    )
+    return simhash_near_pairs(fps, MAX_HAMMING)
