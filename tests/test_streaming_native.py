@@ -511,3 +511,48 @@ class TestIntervalJoinValidation:
         with pytest.raises(ValueError, match="value"):
             interval_join(left, right, keys=["id"], left_ts="lts",
                           right_ts="rts", lower="-1 hour", upper="0 seconds")
+
+
+class TestExactDedupStream:
+    def test_duplicates_across_batches_dropped(self, spark, tmp_path):
+        """Rows redelivered in a later micro-batch (within the
+        watermark) must be dropped; the drained stream equals the
+        batch dropDuplicates result."""
+        from starknet_indexer_spark.streaming.dedup_exact import (
+            exact_dedup_stream,
+        )
+
+        ev = load(spark, SF_DIR, "events").select("event_id", "ts", "user_id")
+        feed = str(tmp_path / "feed")
+        mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+        first = ev.filter(F.col("event_id") <= mid)
+        second = ev.filter(F.col("event_id") > mid)
+        first.write.mode("append").parquet(feed)
+        # second chunk REDELIVERS half of the first (at-least-once)
+        second.unionByName(first.limit(100)).write.mode("append").parquet(feed)
+
+        stream = (
+            spark.readStream.schema(spark.read.parquet(feed).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(feed)
+        )
+        q = (
+            exact_dedup_stream(stream, ["event_id"], "ts", watermark="10 days")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dds_t")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(
+            r["event_id"] for r in spark.sql("SELECT event_id FROM dds_t").collect()
+        )
+        expect = sorted(
+            r["event_id"]
+            for r in ev.dropDuplicates(["event_id"]).select("event_id").collect()
+        )
+        assert got == expect
