@@ -165,17 +165,32 @@ def cm_estimate(
     sketch: DataFrame, items: DataFrame, item_col: str, depth: int, width: int
 ) -> DataFrame:
     """Point-count estimates for ``items`` from a CM sketch: each
-    item's estimate is min over hash rows of its cell count —
-    never an underestimate, overestimate bounded by collision mass.
-    The sketch (<= depth*width rows) broadcasts; the probe is a
-    map-side join per hash row + a min-aggregation per item."""
-    est = None
-    for i in range(depth):
-        probe = items.select(
-            F.col(item_col),
-            F.lit(i).alias("row"),
-            cm_bucket_expr(F.col(item_col), i, width).alias("bucket"),
-        ).join(F.broadcast(sketch), ["row", "bucket"])
-        cell = probe.select(item_col, F.col("cnt"))
-        est = cell if est is None else est.unionByName(cell)
-    return est.groupBy(item_col).agg(F.min("cnt").alias("est"))
+    item's estimate is min over hash rows of its cell count — never
+    an underestimate, overestimate bounded by collision mass. One
+    explode of per-row probe structs (mirroring cm_sketch's build
+    shape), one LEFT broadcast join against the tiny cell table, one
+    min-aggregation. The LEFT join + coalesce matter: a probed item
+    whose cell was never written has a TRUE count of 0 in that row,
+    and an inner join would either drop the item entirely or take the
+    min over only its non-empty cells — both wrong for items absent
+    from the sketched data."""
+    probes = items.select(
+        F.col(item_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        cm_bucket_expr(F.col(item_col), i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select(item_col, F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .select(item_col, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+        .groupBy(item_col)
+        .agg(F.min("cnt").alias("est"))
+    )

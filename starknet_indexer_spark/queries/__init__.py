@@ -104,12 +104,14 @@ DRIVER_PRIORITY = [
     "embedding_near_dup",
     "ngram_similar_pairs",
     "kmeans_cluster_assign",
-    # positions 51-53: the window is exactly 50, and the round-3 verdict
-    # made refreshing ALL 47 round-1-stale rows the top item — so the
-    # three queries registered late this round (each green against its
-    # DuckDB oracle in pytest at sf0.001 and in the local driver-sim at
-    # sf0.01) wait here and rotate to the FRONT in round 5, the same
-    # late-registration pattern rounds 2 and 3 used.
+    # positions 51-54: the window is exactly 50 — the front covers the 2
+    # verdict-mandated new queries + all 47 round-1-stale rows (the
+    # round-3 verdict's top item) + approx_quantiles_sampled at slot 50.
+    # The four queries below registered late this round (each green
+    # against its DuckDB oracle in pytest at sf0.001 and in the local
+    # driver-sim at sf0.01); they wait here and rotate to the FRONT in
+    # round 5 along with the 17 queries whose latest row is round 2 —
+    # the same late-registration pattern rounds 2 and 3 used.
     "approx_quantiles_sampled",
     "setjoin_prefix_jaccard",
     "cm_count_estimates",

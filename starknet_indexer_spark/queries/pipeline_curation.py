@@ -61,8 +61,8 @@ from .registry import register
     quality AS (
       SELECT doc_id,
              ((len(tokens) BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
-              AND (CAST(list_sum(list_transform(tokens, x -> length(x))) AS DOUBLE)
-                   / GREATEST(len(tokens), 1)
+              AND (ROUND(CAST(list_sum(list_transform(tokens, x -> length(x))) AS DOUBLE)
+                         / GREATEST(len(tokens), 1), 6)
                    BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN})
               AND len(list_filter(tokens,
                     x -> list_contains({list(GOPHER_STOPWORDS)!r}, x)))

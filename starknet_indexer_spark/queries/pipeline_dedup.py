@@ -39,6 +39,9 @@ from ..operators.dedup import (
 )
 from .registry import register
 
+# Threshold compared against the 6dp-ROUNDED jaccard on BOTH engines
+# (the Spark path filters F.round(jac, 6) — an unrounded oracle WHERE
+# would flip boundary pairs like raw 0.1999996 across engines)
 JACCARD_MIN = 0.2
 # strictly below SIMHASH_N_BANDS: pigeonhole makes the banded join
 # *exact* (zero false negatives), not just high-recall
@@ -115,9 +118,9 @@ def _minhash_oracle(band_cap: int | None = None) -> str:
     FROM cand c
     JOIN sh sa ON sa.doc_id = c.a_id
     JOIN sh sb ON sb.doc_id = c.b_id
-    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+    WHERE ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
           / (len(sa.shingles) + len(sb.shingles)
-             - len(list_intersect(sa.shingles, sb.shingles))) >= {JACCARD_MIN}
+             - len(list_intersect(sa.shingles, sb.shingles))), 6) >= {JACCARD_MIN}
     """
 
 
@@ -326,9 +329,9 @@ def _incremental_oracle() -> str:
     FROM cand c
     JOIN sh sc ON sc.doc_id = c.corpus_id
     JOIN sh sn ON sn.doc_id = c.new_id
-    WHERE CAST(len(list_intersect(sc.shingles, sn.shingles)) AS DOUBLE)
+    WHERE ROUND(CAST(len(list_intersect(sc.shingles, sn.shingles)) AS DOUBLE)
           / (len(sc.shingles) + len(sn.shingles)
-             - len(list_intersect(sc.shingles, sn.shingles))) >= {JACCARD_MIN}
+             - len(list_intersect(sc.shingles, sn.shingles))), 6) >= {JACCARD_MIN}
     """
 
 

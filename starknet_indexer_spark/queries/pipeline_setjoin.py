@@ -59,19 +59,25 @@ def prefix_candidates(
     # times downstream; a shuffle join here would be recomputed each
     # time) — at vocabularies beyond broadcast size, bucket-join
     # df and localCheckpoint ranked instead.
-    # set elements are 60-bit md5 hashes, not strings: the ordered
+    # Set elements are 60-bit md5 hashes, not strings: the ordered
     # arrays, the candidate join key, and the verify intersection all
-    # become int64 work (strings made the verify stage ~10x slower),
-    # and the hash is engine-portable so the oracle shares any
-    # collisions bit-for-bit (O(n^2/2^61) — see operators/sketches.py)
-    ex = toks.select(
-        "doc_id", F.size("toks").alias("n"), F.explode("toks").alias("token")
-    ).select("doc_id", "n", md5_hash60_expr(F.col("token")).alias("token"))
+    # become int64 work (strings made the verify stage ~10x slower).
+    # The DISTINCT after hashing makes the HASH SET the set being
+    # joined on BOTH engines — so if two distinct shingles of one doc
+    # ever collide (O(n^2/2^61)), sizes, intersections, and jaccards
+    # still agree bit-for-bit with the oracle (which dedups the same
+    # hashes), instead of Spark deduping while the oracle counts
+    # multiplicity.
+    ex = (
+        toks.select("doc_id", F.explode("toks").alias("tok"))
+        .select("doc_id", md5_hash60_expr(F.col("tok")).alias("token"))
+        .distinct()
+    )
     vocab = ex.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
 
     ranked = (
         ex.join(F.broadcast(vocab), "token")
-        .groupBy("doc_id", "n")
+        .groupBy("doc_id")
         .agg(
             F.sort_array(F.collect_list(F.struct("df", "token"))).alias("ordered"),
             # plain int64 array for the verify intersection:
@@ -79,6 +85,7 @@ def prefix_candidates(
             # specialized primitive hash-set path (~10x slower)
             F.sort_array(F.collect_list("token")).alias("hset"),
         )
+        .withColumn("n", F.size("hset"))
         .withColumn("prefix_len", F.col("n") - F.ceil(F.col("n") * F.lit(t)) + 1)
     )
     # ranked feeds FOUR subtrees (both candidate-join sides, both
@@ -162,15 +169,19 @@ def prefix_jaccard_pairs(
       FROM words WHERE len(tokens) >= 3
     ),
     ex AS (
-      SELECT doc_id,
-             ('0x' || substr(md5(UNNEST(toks)), 1, 15))::BIGINT AS token,
-             len(toks) AS n
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(UNNEST(toks)), 1, 15))::BIGINT AS token
       FROM toks WHERE len(toks) > 0
+    ),
+    sized AS (
+      SELECT doc_id, token,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n
+      FROM ex
     ),
     pair_inter AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
              a.n AS a_n, b.n AS b_n, COUNT(*) AS inter
-      FROM ex a JOIN ex b ON a.token = b.token AND a.doc_id < b.doc_id
+      FROM sized a JOIN sized b ON a.token = b.token AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id, a.n, b.n
     )
     SELECT a_id, b_id, CAST(inter AS BIGINT) AS inter,

@@ -620,11 +620,7 @@ class TestCurationPipeline:
         }
         docs = load(spark, SF_DIR, "documents")
         # clone one currently-kept doc under a HIGHER doc_id
-        comp = {
-            (r["lang"], r["outcome"])
-            for r in fn(spark, SF_DIR).collect()
-        }
-        assert ("en", "exact_dup") not in comp  # precondition
+        assert ("en", "exact_dup") not in base  # precondition
         # the victim must pass the quality gate (else both copies are
         # labeled 'quality' and the exact stage never fires)
         keep_ids = REGISTRY["gopher_quality_filter"].fn(spark, SF_DIR).filter(
@@ -658,3 +654,28 @@ class TestCurationPipeline:
         # all other cells unchanged
         for k, v in base.items():
             assert got[k] == v, k
+
+
+class TestCountMinAbsentItems:
+    def test_absent_item_estimates_zero(self, spark):
+        """Probing a key absent from the sketched data must yield
+        est=0 (its empty cells count), never a dropped row or a min
+        over only the non-empty cells."""
+        from starknet_indexer_spark.operators.sketches import (
+            cm_estimate,
+            cm_sketch,
+        )
+
+        data = spark.createDataFrame(
+            [("a",)] * 5 + [("b",)] * 2, "item string"
+        )
+        sketch = cm_sketch(data, F.col("item"), depth=3, width=8)
+        probes = spark.createDataFrame(
+            [("a",), ("zzz-never-seen",)], "item string"
+        )
+        got = {
+            r["item"]: r["est"]
+            for r in cm_estimate(sketch, probes, "item", 3, 8).collect()
+        }
+        assert got["a"] >= 5
+        assert got["zzz-never-seen"] == 0

@@ -537,7 +537,14 @@ class TestExactDedupStream:
             .parquet(feed)
         )
         q = (
-            exact_dedup_stream(stream, ["event_id"], "ts", watermark="10 days")
+            exact_dedup_stream(
+                stream, ["event_id"], "ts",
+                # span-covering horizon: the corpus covers ~30 days and
+                # maxFilesPerTrigger=1 gives no file-order guarantee, so
+                # any smaller watermark could mark legitimate rows late
+                # and turn this into a flaky ordering test
+                watermark="3650 days",
+            )
             .writeStream.outputMode("append")
             .format("memory")
             .queryName("dds_t")
