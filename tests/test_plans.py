@@ -201,6 +201,29 @@ class TestExecutionShape:
             # (10 scans serve 27 checks): 10 PK-group exchanges + 10
             # tiny 1-row agg exchanges + 7 parent-key dedups
             ("constraint_violations", 27),
+            # round-4 additions
+            # per-partition MG summaries are map-only; exchanges are
+            # the candidate distinct, the recount agg, and the 1-row
+            # total broadcast
+            ("heavy_hitters_mg", 3),
+            # the full IVF-PQ chain (14) + shortlist window + rerank
+            # agg; the exact-vector join sides are broadcast
+            ("ann_topk_ivfpq_rerank", 16),
+            # map-side hash-sample filter, then one grouped quantile agg
+            ("approx_quantiles_sampled", 1),
+            # visible plan hides the lazily-checkpointed ranked subtree
+            # (see pipeline_setjoin); the post-checkpoint stages add
+            # the candidate distinct + verify joins
+            ("setjoin_prefix_jaccard", 3),
+            # sketch build agg + probe estimate agg (cell table and
+            # probes join broadcast-side)
+            ("cm_count_estimates", 2),
+            # composed curation: quality flags are map-only; exchanges
+            # belong to the dedup pair graph, the exact-hash window,
+            # the component window, and the final accounting agg
+            ("corpus_curation_pipeline", 6),
+            # fingerprint vote agg + band candidate join + pair distinct
+            ("multimodal_binary_near_dup", 3),
         ],
     )
     def test_window_family_shuffle_budgets(self, spark, name, budget):
