@@ -79,6 +79,7 @@ HEADLINE = [
     "cm_count_estimates",
     "corpus_curation_pipeline",
     "multimodal_binary_near_dup",
+    "graph_pagerank",
     "interval_attribution",
     "min_cost_supplier",
     "nation_trade_volume",

@@ -34,6 +34,7 @@ from . import pipeline_pq  # noqa: E402,F401
 from . import profiling  # noqa: E402,F401
 from . import pipeline_setjoin  # noqa: E402,F401
 from . import pipeline_curation  # noqa: E402,F401
+from . import pipeline_graph  # noqa: E402,F401
 from . import integrity  # noqa: E402,F401
 from . import ekubo_views  # noqa: E402,F401
 
@@ -117,6 +118,7 @@ DRIVER_PRIORITY = [
     "cm_count_estimates",
     "corpus_curation_pipeline",
     "multimodal_binary_near_dup",
+    "graph_pagerank",
 ]
 
 

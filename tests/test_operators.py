@@ -679,3 +679,25 @@ class TestCountMinAbsentItems:
         }
         assert got["a"] >= 5
         assert got["zzz-never-seen"] == 0
+
+
+class TestPageRank:
+    def test_rank_semantics(self, spark):
+        """Total rank stays ~= SCALE (conserved up to integral-division
+        floor loss), every node gets at least the teleport share, and
+        a high-degree node outranks a low-degree one."""
+        from starknet_indexer_spark.queries import REGISTRY
+        from starknet_indexer_spark.queries.pipeline_graph import PR_SCALE
+
+        rows = REGISTRY["graph_pagerank"].fn(spark, SF_DIR).collect()
+        n = len(rows)
+        total = sum(r["rank"] for r in rows)
+        base = PR_SCALE // n
+        teleport_floor = (15 * base) // 100
+        # floors lose at most ~1 unit per division: n contribs + n mixes
+        assert PR_SCALE * 0.98 <= total <= PR_SCALE, (total, n)
+        assert all(r["rank"] >= teleport_floor for r in rows)
+        # degree correlates with rank: the max-degree node must not be
+        # ranked below the median
+        ranks = sorted(r["rank"] for r in rows)
+        assert max(r["rank"] for r in rows) > ranks[n // 2]

@@ -224,6 +224,10 @@ class TestExecutionShape:
             ("corpus_curation_pipeline", 6),
             # fingerprint vote agg + band candidate join + pair distinct
             ("multimodal_binary_near_dup", 3),
+            # 3 unrolled rounds over lazily-checkpointed edges/deg:
+            # per round one node join + one destination sum; the
+            # checkpointed subtrees are invisible to static inspection
+            ("graph_pagerank", 14),
         ],
     )
     def test_window_family_shuffle_budgets(self, spark, name, budget):
