@@ -47,78 +47,71 @@ from . import ekubo_views  # noqa: E402,F401
 # shapes keep their pytest oracles and round-1 CORRECTNESS rows; one
 # representative per operator family stays inside the window.
 DRIVER_PRIORITY = [
-    # round-4 front: freshness rotation (VERDICT r3 item 1). The ~50-query
-    # driver window covers (a) the two verdict-mandated queries new this round
-    # (batch heavy hitters, IVF-PQ rerank) and (b) all 47
-    # queries whose latest green hash row dates to round 1 — shared infra
-    # (catalog, session, registry) changed twice since, so re-verify them.
-    # Every other query keeps a green r2/r3 row (nothing older than 2 rounds
-    # after this rotation).
-    # -- new in round 4 (no prior driver row; verdict items 3 and 4)
-    "heavy_hitters_mg",
-    "ann_topk_ivfpq_rerank",
-    # -- latest driver row is round 1: refresh
-    "pricing_summary",
-    "filter_projection",
-    "dim_join_revenue",
-    "customers_without_orders",
-    "top_customers_per_nation",
-    "shipping_priority",
-    "local_supplier_volume",
-    "order_priority_distribution",
-    "min_cost_supplier",
-    "nation_trade_volume",
-    "part_value_share",
-    "customer_order_distribution",
-    "supplier_part_variety",
-    "large_volume_orders",
-    "idle_rich_customers",
-    "latest_event_per_user",
-    "latest_state_per_user",
-    "hourly_rollup",
-    "sliding_24h_stats",
-    "value_routing",
-    "bucket_ledger",
-    "realized_volatility",
-    "two_stage_price",
-    "median_value",
-    "global_top1",
-    "active_users_union",
-    "asof_latest_purchase",
-    "rolling_window_stats",
-    "json_props_extract",
-    "retention_cohorts",
-    "interval_intersect",
-    "hourly_net_flow",
-    "depth_levels",
-    "source_canonicalization",
-    "dedup_exact",
-    "text_token_stats",
-    "text_quality_score",
-    "lang_id",
-    "corpus_select",
-    "winnowing_fingerprint",
-    "doc_fingerprint",
-    "ann_topk_cosine",
-    "ann_topk_lsh",
-    "ann_topk_ivf",
-    "embedding_near_dup",
-    "ngram_similar_pairs",
-    "kmeans_cluster_assign",
-    # positions 51-54: the window is exactly 50 — the front covers the 2
-    # verdict-mandated new queries + all 47 round-1-stale rows (the
-    # round-3 verdict's top item) + approx_quantiles_sampled at slot 50.
-    # The four queries below registered late this round (each green
-    # against its DuckDB oracle in pytest at sf0.001 and in the local
-    # driver-sim at sf0.01); they wait here and rotate to the FRONT in
-    # round 5 along with the 17 queries whose latest row is round 2 —
-    # the same late-registration pattern rounds 2 and 3 used.
-    "approx_quantiles_sampled",
+    # round-5 front: freshness rotation (VERDICT r4 items 1 and 2). The
+    # ~50-query driver window covers, in priority order:
+    #   (a) the 5 queries registered late in round 4 that have NEVER had a
+    #       driver hash row (builder sim + pytest only until now),
+    #   (b) queries new in round 5 (registered below their module),
+    #   (c) the 17 queries whose latest green row dates to round 2 — the
+    #       ≤2-round freshness policy says rotate them forward now,
+    #   (d) the r3-latest rows most exposed to shared-infra churn since:
+    #       the 17 Ekubo views, the three former r1 failures, the LSH/
+    #       setjoin-adjacent dedup family, and ann_topk_ivfpq.
+    # Every query left outside the window keeps a green r3/r4 row, so
+    # after r5 no registered query's latest row is older than r3.
+    # -- (a) never driver-verified (registered late round 4)
     "setjoin_prefix_jaccard",
     "cm_count_estimates",
     "corpus_curation_pipeline",
     "multimodal_binary_near_dup",
     "graph_pagerank",
+    # -- (b) new in round 5
+    "setjoin_prefix_jaccard_capped",
+    # -- (c) latest driver row is round 2: refresh
+    "bigram_logprob_score",
+    "chunk_overlap",
+    "constraint_violations",
+    "engaged_non_buyers",
+    "gopher_quality_filter",
+    "length_bucket_histogram",
+    "random_projection_reduce",
+    "repetition_score",
+    "segment_dedup",
+    "semdedup_select",
+    "sequence_packing",
+    "source_mixing_sample",
+    "stratified_sample",
+    "tfidf_top_terms",
+    "train_val_test_split",
+    "unigram_logprob_score",
+    "word_entropy_quality",
+    # -- (d) r3 rows nearest the round-4/5 churn
+    "v01_pool_states",
+    "v02_tick_liquidity",
+    "v03_twamm_pool_states",
+    "v04_twamm_sale_rate_deltas",
+    "v05_limit_order_pool_states",
+    "v06_spline_pools",
+    "v07_last_24h_pool_stats",
+    "v08_token_registrations",
+    "v09_oracle_pool_states",
+    "v10_realized_volatility",
+    "v11_market_depth",
+    "v12_voting_weights",
+    "v13_hourly_volume",
+    "v14_hourly_revenue",
+    "v15_hourly_price",
+    "v16_hourly_tvl_delta",
+    "v17_staker_rewards",
+    "funnel_conversion",
+    "range_theta_join",
+    "time_weighted_balance",
+    "minhash_lsh_dedup",
+    "minhash_lsh_dedup_capped",
+    "decontamination_ngram",
+    "dedup_components",
+    "simhash_dedup",
+    "ann_topk_ivfpq",
 ]
 
 

@@ -2,8 +2,9 @@
 kernel.
 
 ``heavy_hitters_mg`` is the BATCH twin of the streaming operator in
-`streaming/heavy_hitters.py` — same ``mg_update`` kernel, driven here
-as the canonical two-stage batch pipeline:
+`streaming/heavy_hitters.py` — same weighted MG kernel
+(``mg_update_weighted`` over per-batch ``value_counts()`` pairs),
+driven here as the canonical two-stage batch pipeline:
 
 1. **Candidate generation, map-only**: each input partition runs its
    own MG(k) summary via ``mapInPandas`` (O(k) state per partition,
@@ -47,7 +48,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..operators.sketches import hash_sample_pred, hash_sample_pred_sql
-from ..streaming.heavy_hitters import mg_update
+from ..streaming.heavy_hitters import mg_update_weighted
 from .registry import register
 
 # 15 distinct items vs 9 counters: eviction is exercised at every SF,
@@ -100,9 +101,12 @@ def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
         for pdf in batches:
-            vals = pdf["item"].tolist()
-            if vals:
-                mg_update(counters, vals, k)
+            if len(pdf):
+                # value_counts() collapses the Arrow batch to (distinct
+                # item, count) pairs first, so the Python MG loop runs
+                # per distinct item rather than per row.
+                vc = pdf["item"].value_counts()
+                mg_update_weighted(counters, vc.index.tolist(), vc.to_numpy(), k)
         if counters:
             yield pd.DataFrame({"item": sorted(counters)})
 

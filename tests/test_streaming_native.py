@@ -430,6 +430,64 @@ class TestHeavyHittersStream:
             true = 400 if item == "hot" else 120 if item == "warm" else 1
             assert c <= true
 
+    def test_weighted_mg_bound_and_superset(self):
+        """The vectorized weighted update (value_counts pairs) keeps
+        the textbook bound AND surfaces every above-threshold item, on
+        adversarial batch splits of the same stream."""
+        import random
+        from collections import Counter
+
+        from starknet_indexer_spark.streaming.heavy_hitters import (
+            mg_update_weighted,
+        )
+
+        rng = random.Random(11)
+        stream = (
+            ["hot"] * 400
+            + ["warm"] * 120
+            + [f"cold{i}" for i in range(300)]
+        )
+        rng.shuffle(stream)
+        exact = Counter(stream)
+        n = len(stream)
+        k = 10
+        # Replay the stream as batches of varying size, each batch
+        # pre-aggregated to (item, count) pairs — the kernel's real
+        # call pattern under mapInPandas/applyInPandasWithState.
+        for batch_size in (1, 7, 64, len(stream)):
+            counters: dict = {}
+            for i in range(0, n, batch_size):
+                batch = Counter(stream[i : i + batch_size])
+                mg_update_weighted(
+                    counters, list(batch.keys()), list(batch.values()), k
+                )
+            assert len(counters) <= k
+            for item, true_n in exact.items():
+                got = counters.get(item, 0)
+                assert got <= true_n, (batch_size, item)
+                assert true_n - got <= n / (k + 1), (batch_size, item)
+                if true_n > n / (k + 1):
+                    assert item in counters, (batch_size, item)
+
+    def test_weighted_mg_matches_unit_arrivals_when_unweighted(self):
+        """Feeding all-ones weights one item at a time reproduces the
+        classic kernel exactly — the weighted form is a strict
+        generalization."""
+        import random
+
+        from starknet_indexer_spark.streaming.heavy_hitters import (
+            mg_update,
+            mg_update_weighted,
+        )
+
+        rng = random.Random(3)
+        stream = [f"i{rng.randrange(20)}" for _ in range(500)]
+        classic = mg_update({}, stream, 6)
+        weighted: dict = {}
+        for x in stream:
+            mg_update_weighted(weighted, [x], [1], 6)
+        assert weighted == classic
+
     def test_item_named_like_internal_sentinel_survives(self):
         """Items are arbitrary user strings — one spelled '__k__' (or
         any would-be sentinel) must keep an ordinary, correct count."""
