@@ -32,7 +32,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import runtime
-from .ingest import checkpoint_marker_ns, ingest_micro_batch, stored_schemas
+from .ingest import (
+    DEFAULT_MAX_FILES_PER_TRIGGER,
+    checkpoint_marker_ns,
+    ingest_micro_batch,
+    stored_schemas,
+)
 from .sources.feed import read_feed_stream
 
 ANALYTICAL_REFRESH_S = 300  # reference REFRESH_RATE_ANALYTICAL_VIEWS (.env.mainnet:21)
@@ -67,11 +72,12 @@ def run_indexer(
     checkpoint_dir: str,
     analytical_every_s: float = ANALYTICAL_REFRESH_S,
     trigger: dict | None = None,
-    # default None (unbounded): marker-carrying batches are split at
-    # invalidate boundaries and applied in file order
-    # (ingest._apply_marker_batch), so co-batching is ordering-safe;
-    # pass an int only to bound per-batch memory/latency
-    max_files_per_trigger: int | None = None,
+    # finite default: co-batching is ordering-safe at any size
+    # (marker-boundary splitting in ingest._apply_marker_batch), but
+    # the crash-replay duplicate window is one batch, so the daemon
+    # bounds it (see ingest.DEFAULT_MAX_FILES_PER_TRIGGER rationale);
+    # None = unbounded catch-up where that window is acceptable
+    max_files_per_trigger: int | None = DEFAULT_MAX_FILES_PER_TRIGGER,
     # table maintenance cadence: every maintenance_every_s seconds,
     # compact all NON-HEAD buckets (the head still receives appends)
     # and z-order the tables named in zorder_dims — small-file cleanup
@@ -131,9 +137,20 @@ def run_indexer(
                 cursor = read_cursor(tables_dir)
                 if cursor is not None:
                     # only buckets strictly below the live head — it
-                    # still receives appends this very loop
+                    # still receives appends this very loop.
+                    # zorder_dims tables are excluded from plain
+                    # compaction (z-order IS a compaction) and their
+                    # pass is incremental: the _zordered bucket marker
+                    # skips buckets untouched since the last tick, so
+                    # a steady-state tick rewrites only buckets that
+                    # newly went cold or were reorg-invalidated.
                     head = cursor // BLOCK_BUCKET_SIZE
-                    compact_all(spark, tables_dir, max_bucket=head - 1)
+                    compact_all(
+                        spark,
+                        tables_dir,
+                        max_bucket=head - 1,
+                        exclude=set(zorder_dims or ()),
+                    )
                     for table, dims in (zorder_dims or {}).items():
                         zorder_table(
                             spark,

@@ -1217,25 +1217,41 @@ def _prune_epoch_markers(ns_dir: str, committed_epoch: int) -> None:
                 pass
 
 
+# Default per-trigger file bound for the streaming ingest paths.
+# Finite on purpose: replay after a crash between a batch's partial
+# fact appends and its epoch-marker write re-appends that batch's
+# rows (the at-least-once window a non-transactional parquet sink
+# cannot close), so the batch size IS the duplicate blast radius.
+# 64 files/trigger keeps backlog catch-up within ~6% of unbounded
+# co-batching (SCALE.md §6f measures the 1 -> None win; the cost is
+# per-trigger scheduling overhead, amortized over 64 files) while
+# bounding a worst-case replay to one bounded batch instead of the
+# entire backlog. Markers stay ordering-safe at ANY batching because
+# ingest_micro_batch splits marker-carrying batches at marker
+# boundaries (_apply_marker_batch).
+DEFAULT_MAX_FILES_PER_TRIGGER = 64
+
+
 def stream_ingest(
     spark: SparkSession,
     feed_dir: str,
     tables_dir: str,
     checkpoint_dir: str,
     trigger: dict | None = None,
-    max_files_per_trigger: int | None = None,
+    max_files_per_trigger: int | None = DEFAULT_MAX_FILES_PER_TRIGGER,
 ):
     """readStream over the feed directory; each micro-batch runs the
     same ingest_batch and advances the cursor to its max finalized
     block — checkpoint-as-cursor (SURVEY §2.5 exactly-once row).
 
-    ``max_files_per_trigger`` defaults to None (unbounded batching):
-    in-band invalidate markers are safe under co-batching because
-    ``ingest_micro_batch`` splits a marker-carrying batch at marker
-    boundaries and applies the file-ordered segments sequentially
-    (_apply_marker_batch) — backlog catch-up batches hundreds of
-    files per trigger instead of one. Pass an int to bound per-batch
-    work (memory/latency), not for ordering.
+    ``max_files_per_trigger`` defaults to a finite bound
+    (DEFAULT_MAX_FILES_PER_TRIGGER): co-batching is ordering-safe at
+    any size (marker-boundary splitting), but a crash between a
+    batch's partial appends and its epoch marker replays the whole
+    batch, so an unbounded backlog batch would make the duplicate
+    window the entire backlog. Pass None for unbounded batching only
+    when that window is acceptable (e.g. a one-shot rebuild into an
+    empty table set), or a smaller int to tighten latency.
 
     Returns the StreamingQuery; callers stop it (tests use
     processAllAvailable)."""

@@ -68,6 +68,7 @@ def _rewrite_buckets(
     max_bucket: int | None,
     target_file_bytes: int,
     min_files: int,
+    done_marker: str | None = None,
 ) -> dict[str, tuple[int, int]]:
     """Shared per-bucket rewrite protocol (compaction and z-order use
     the same durability order; only the layout transform differs).
@@ -78,7 +79,18 @@ def _rewrite_buckets(
     (double-counted rows, string-typed bucket column) and would break
     the next pass's int() parse of bucket dir names.
     ``recover_bucket_swaps`` runs first, so a previous crash anywhere
-    in the protocol is repaired before new work starts."""
+    in the protocol is repaired before new work starts.
+
+    ``done_marker``: name of an underscore-prefixed flag file (hidden
+    from Spark/parquet data discovery, like ``_SUCCESS``) written into
+    each rewritten bucket AFTER its swap completes. A bucket already
+    carrying the marker is skipped — since non-head buckets only
+    change by whole-directory rewrite (reorg invalidation, another
+    maintenance pass), which deletes the marker, "marker present"
+    means "unchanged since this layout pass last ran". That keeps a
+    periodic maintenance loop from re-clustering every cold bucket on
+    every tick. Crash between swap and marker write just re-clusters
+    once — contents are unaffected."""
     out: dict[str, tuple[int, int]] = {}
     if not os.path.isdir(table_dir):
         return out
@@ -88,6 +100,8 @@ def _rewrite_buckets(
         if max_bucket is not None and bucket > max_bucket:
             continue
         bdir = os.path.join(table_dir, d)
+        if done_marker and os.path.exists(os.path.join(bdir, done_marker)):
+            continue
         files = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
         if len(files) < min_files:
             continue
@@ -102,6 +116,9 @@ def _rewrite_buckets(
         os.replace(bdir, trash)
         os.replace(staging, bdir)
         shutil.rmtree(trash, ignore_errors=True)
+        if done_marker:
+            with open(os.path.join(bdir, done_marker), "w"):
+                pass
         out[d] = (
             len(files),
             len([f for f in os.listdir(bdir) if f.endswith(".parquet")]),
@@ -130,11 +147,19 @@ def compact_table(
 
 
 def compact_all(
-    spark: SparkSession, tables_dir: str, max_bucket: int | None = None
+    spark: SparkSession,
+    tables_dir: str,
+    max_bucket: int | None = None,
+    exclude: set[str] | None = None,
 ) -> dict[str, dict]:
-    """Compact every stored table under the ingest root."""
+    """Compact every stored table under the ingest root. ``exclude``
+    names tables another layout pass owns (e.g. z-ordered tables —
+    z-ordering IS a compaction, so compacting first would be a wasted
+    full rewrite of the same buckets every tick)."""
     results = {}
     for name in sorted(os.listdir(tables_dir)):
+        if exclude and name in exclude:
+            continue
         p = os.path.join(tables_dir, name)
         if os.path.isdir(p):
             r = compact_table(spark, p, max_bucket=max_bucket)
@@ -168,6 +193,12 @@ def sort_layout(
     trash0 = table_dir.rstrip("/") + "._old"
     if not os.path.isdir(table_dir) and os.path.isdir(trash0):
         os.replace(trash0, table_dir)  # crash between the two swaps
+    elif os.path.isdir(trash0):
+        # Crash AFTER os.replace(staging, table_dir) but BEFORE the
+        # final rmtree: the swap completed, the trash copy is stale.
+        # Without this branch the next pass's os.replace(table_dir,
+        # trash) would hit the non-empty dir and raise ENOTEMPTY.
+        shutil.rmtree(trash0, ignore_errors=True)
     df = spark.read.parquet(table_dir)
     n = n_files or df.rdd.getNumPartitions()
     staging = table_dir.rstrip("/") + "._sorted"
@@ -246,10 +277,17 @@ def zorder_table(
     max_bucket: int | None = None,
     target_file_bytes: int = TARGET_FILE_BYTES,
     min_files: int = 1,
+    done_marker: str | None = "_zordered",
 ) -> dict[str, tuple[int, int]]:
     """Compaction with multi-dimensional clustering: rewrite each
     block bucket laid out by the Morton key of ``dims`` (list of
     (column, kind) with kind 'int' or 'hex').
+
+    ``done_marker`` (default ``_zordered``) makes the pass
+    incremental: a bucket that still carries the marker from a prior
+    pass is skipped, so a periodic maintenance loop only pays for
+    buckets rewritten since (new cold buckets, reorg-invalidated
+    ones). Pass ``None`` to force a full re-cluster.
 
     Ingest appends files in ARRIVAL order, so row-group min/max is
     tight on block_number and useless on every other column — a
@@ -296,7 +334,14 @@ def zorder_table(
         )
 
     return _rewrite_buckets(
-        spark, table_dir, "zorder", plan_fn, max_bucket, target_file_bytes, min_files
+        spark,
+        table_dir,
+        "zorder",
+        plan_fn,
+        max_bucket,
+        target_file_bytes,
+        min_files,
+        done_marker=done_marker,
     )
 
 

@@ -112,6 +112,27 @@ class TestSortLayout:
         # of row groups (allow slack for range-partitioner sampling)
         assert after < 0.3, (before, after)
 
+    def test_recovers_from_completed_swap_leftover(self, spark, tmp_path):
+        """Crash AFTER os.replace(staging, table) but BEFORE the final
+        rmtree leaves BOTH the table and ._old on disk. The next
+        sort_layout must clear the stale ._old instead of failing
+        ENOTEMPTY at its own os.replace(table, trash)."""
+        import os
+
+        from starknet_indexer_spark.maintenance import sort_layout
+
+        tdir = self._scattered_events(spark, tmp_path)
+        before_rows = _rows(spark.read.parquet(tdir))
+        # simulate the post-swap crash: a stale non-empty ._old next
+        # to a live table dir
+        trash = tdir + "._old"
+        os.makedirs(trash)
+        with open(os.path.join(trash, "stale.parquet"), "w") as f:
+            f.write("stale")
+        sort_layout(spark, tdir, ["user_id"], n_files=4)  # must not raise
+        assert _rows(spark.read.parquet(tdir)) == before_rows
+        assert not os.path.exists(trash)
+
 
 class TestSwapInCrashHygiene:
     def test_stale_trash_does_not_poison_refresh(self, spark, tmp_path):
@@ -210,6 +231,38 @@ class TestZorderCompaction:
         assert m_pool * 2 <= total, (m_pool, total)
         assert m_blk * 2 <= total, (m_blk, total)
         assert m_both <= m_pool and m_both <= m_blk, (m_both, m_pool, m_blk)
+
+    def test_zorder_marker_skips_unchanged_buckets(self, spark, tmp_path):
+        """Steady-state maintenance must be incremental: a second
+        z-order pass over untouched buckets rewrites NOTHING (the
+        _zordered marker), and a bucket rewritten since (reorg
+        invalidation deletes the marker with the dir) is re-clustered
+        while the others stay skipped."""
+        from starknet_indexer_spark.maintenance import zorder_table
+
+        dims = [("block_number", "int"), ("pool_key_hash", "hex")]
+        tdir = str(tmp_path / "zt")
+        # two block buckets: 0..19 -> bucket 0, 1000..1019 -> bucket 1
+        for base in (0, 10, 1000, 1010):
+            ingest_batch(
+                spark, make_raw_pools(spark, [base + j for j in range(10)]), tdir
+            )
+        swaps_dir = os.path.join(tdir, "swaps")
+        first = zorder_table(spark, swaps_dir, dims, target_file_bytes=12 * 1024)
+        assert sorted(first) == ["block_bucket=0", "block_bucket=1"]
+        second = zorder_table(spark, swaps_dir, dims, target_file_bytes=12 * 1024)
+        assert second == {}  # nothing changed -> nothing rewritten
+
+        # a reorg truncating into bucket 1 rewrites it (marker gone);
+        # only that bucket is re-clustered on the next pass
+        invalidate_from_block(spark, tdir, 1015)
+        third = zorder_table(spark, swaps_dir, dims, target_file_bytes=12 * 1024)
+        assert list(third) == ["block_bucket=1"], third
+        # done_marker=None forces the full re-cluster escape hatch
+        forced = zorder_table(
+            spark, swaps_dir, dims, target_file_bytes=12 * 1024, done_marker=None
+        )
+        assert sorted(forced) == ["block_bucket=0", "block_bucket=1"]
 
     def test_reorg_after_zorder(self, spark, tmp_path):
         """Invalidation must still truncate correctly on a z-ordered
