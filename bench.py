@@ -76,6 +76,7 @@ HEADLINE = [
     "heavy_hitters_mg",
     "approx_quantiles_sampled",
     "setjoin_prefix_jaccard",
+    "setjoin_prefix_jaccard_capped",
     "cm_count_estimates",
     "corpus_curation_pipeline",
     "multimodal_binary_near_dup",

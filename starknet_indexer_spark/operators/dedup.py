@@ -149,28 +149,35 @@ def minhash_bands(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def cap_hot_bands(
-    bands: DataFrame, max_bucket_size: int, id_col: str = "doc_id"
+    bands: DataFrame,
+    max_bucket_size: int,
+    id_col: str = "doc_id",
+    key_cols: tuple[str, ...] = ("band", "band_key"),
 ) -> DataFrame:
-    """Drop band buckets whose population exceeds ``max_bucket_size``.
+    """Drop blocking buckets whose population exceeds
+    ``max_bucket_size``. ``key_cols`` names the bucket key — LSH band
+    buckets by default; PPJoin prefix-token buckets pass
+    ``("token",)`` (pipeline_setjoin) — the capping rule is the same
+    for any blocking relation.
 
     Boilerplate text (license headers, templated pages) collapses into
-    a handful of band keys; one such mega-bucket of size m contributes
-    m^2/2 candidate pairs and a single straggler reduce task — the LSH
-    scale-killer at 100 TB. Capping trades bounded recall for a hard
-    O(cap^2) bound per bucket: a pair dropped here is one whose ONLY
-    collisions are inside mega-buckets, i.e. near-boilerplate — and a
-    pair of genuinely similar documents still collides in its other,
-    cooler bands (8 bands: boilerplate must dominate all 8 to lose the
-    pair entirely).
+    a handful of bucket keys; one such mega-bucket of size m
+    contributes m^2/2 candidate pairs and a single straggler reduce
+    task — the blocking-join scale-killer at 100 TB. Capping trades
+    bounded recall for a hard O(cap^2) bound per bucket: a pair
+    dropped here is one whose ONLY collisions are inside mega-buckets
+    — for LSH, near-boilerplate that still collides in its cooler
+    bands; for prefix tokens, pairs whose every shared rare token is
+    corpus-crowded.
 
-    One window count over the same (band, band_key) key the candidate
-    join shuffles on — no extra shuffle in the combined plan, Spark
-    reuses the exchange. Monotone: output pairs are always a subset of
-    the uncapped pairs (exactness-tested), and a corpus with no bucket
+    One window count over the same key the candidate join shuffles on
+    — no extra shuffle in the combined plan, Spark reuses the
+    exchange. Monotone: output pairs are always a subset of the
+    uncapped pairs (exactness-tested), and a corpus with no bucket
     above the cap is passed through unchanged."""
     from pyspark.sql.window import Window as W
 
-    w = W.partitionBy("band", "band_key")
+    w = W.partitionBy(*key_cols)
     return (
         bands.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
         .filter(F.col("__bucket_n") <= max_bucket_size)

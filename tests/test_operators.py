@@ -571,6 +571,63 @@ class TestPrefixSetJoin:
         n_result = prefix_jaccard_pairs(sets, SETJOIN_THRESHOLD).count()
         assert 0 < n_result <= n_cands < n_full, (n_result, n_cands, n_full)
 
+    def test_capped_prefix_join_subset_bound_and_passthrough(self, spark):
+        """Hot-token capping on the prefix relation must (a) return a
+        SUBSET of the uncapped pairs at any cap, (b) pass through
+        unchanged when no prefix-token bucket exceeds the cap, and
+        (c) bound per-token candidate work: with cap c no token can
+        contribute more than c*(c-1)/2 pairs, so a replication-style
+        mega-bucket is dropped rather than exploding quadratically."""
+        from starknet_indexer_spark.catalog import load
+        from starknet_indexer_spark.operators.dedup import (
+            tokens_expr,
+            word_shingles_expr,
+        )
+        from starknet_indexer_spark.queries.pipeline_setjoin import (
+            SETJOIN_THRESHOLD,
+            prefix_candidates,
+            prefix_jaccard_pairs,
+        )
+
+        docs = load(spark, SF_DIR, "documents")
+        sets = docs.select(
+            "doc_id", word_shingles_expr(tokens_expr(F.col("text"))).alias("toks")
+        )
+
+        def pairs(cap):
+            return {
+                (r["a_id"], r["b_id"])
+                for r in prefix_jaccard_pairs(
+                    sets, SETJOIN_THRESHOLD, max_token_bucket=cap
+                ).collect()
+            }
+
+        uncapped = pairs(None)
+        assert uncapped  # fixture has near-dup pairs
+        # (b) pass-through: sf0.001 prefix buckets are all tiny
+        assert pairs(10_000) == uncapped
+        # (a) subset at a cap small enough to bite: cap=1 keeps only
+        # tokens unique to ONE doc's prefix -> no candidates at all
+        assert pairs(1) == set()
+
+        # (c) replication mega-bucket: 6 copies of each doc make every
+        # prefix-token bucket a multiple of 6; cap=5 drops them all,
+        # while uncapped blocking explodes with the replica pairs
+        repl = (
+            sets.crossJoin(spark.range(6).select(F.col("id").alias("rep")))
+            .select(
+                (F.col("doc_id") + F.col("rep") * F.lit(1_000_000)).alias(
+                    "doc_id"
+                ),
+                "toks",
+            )
+        )
+        _r, cand_un = prefix_candidates(repl, SETJOIN_THRESHOLD, None)
+        _r, cand_cap = prefix_candidates(repl, SETJOIN_THRESHOLD, 5)
+        n_un, n_cap = cand_un.count(), cand_cap.count()
+        assert n_cap == 0, n_cap  # every bucket >= 6 > cap
+        assert n_un > 0
+
 
 class TestCountMinSketch:
     def test_never_underestimates_and_bounded(self, spark):
