@@ -77,6 +77,8 @@ HEADLINE = [
     "approx_quantiles_sampled",
     "setjoin_prefix_jaccard",
     "setjoin_prefix_jaccard_capped",
+    "bloom_decontamination",
+    "vocab_encode_ids",
     "cm_count_estimates",
     "corpus_curation_pipeline",
     "multimodal_binary_near_dup",

@@ -161,6 +161,64 @@ def cm_sketch(
     ).agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def bloom_build(
+    df: DataFrame, item: Column, k: int, m_bits: int
+) -> DataFrame:
+    """Build a Bloom filter over ``item`` as a relation of its SET BIT
+    positions: one ``bit`` BIGINT column, at most ``m_bits`` distinct
+    rows regardless of item cardinality. Bit positions reuse the
+    Count-Min bucket hash (``cm_bucket_expr`` — a Bloom filter is a CM
+    sketch with 1-bit cells and AND in place of min), so both engines
+    set exactly the same bits and even the false positives are shared
+    bit-for-bit — the property that makes an approximate membership
+    structure value-hash-checkable.
+
+    Scale shape: one map-side explode of k positions per row, one
+    distinct (map-side partially aggregated). The set-bits relation
+    broadcasts to probes; a dense bitset (the production form at
+    billions of members) is a trivial re-encoding of the same rows."""
+    rows = df.select(
+        F.explode(
+            F.array(*[cm_bucket_expr(item, i, m_bits) for i in range(k)])
+        ).alias("bit")
+    )
+    return rows.distinct()
+
+
+def bloom_probe_hits(
+    probes: DataFrame,
+    item: Column,
+    bits: DataFrame,
+    k: int,
+    m_bits: int,
+    out_col: str = "bloom_hit",
+) -> DataFrame:
+    """Append ``out_col`` (boolean: all k bit positions of ``item``
+    are set) to ``probes``. No false negatives — a member's bits were
+    all set at build time by construction; false positives occur when
+    all k positions collide with other members' bits, at the textbook
+    ``(1 - e^(-k*n/m))^k`` rate, deterministically shared across
+    engines. One explode + one LEFT broadcast join against the set-bit
+    relation + one count-matched==k aggregation keyed by the probe
+    row's original columns."""
+    cols = probes.columns
+    exploded = probes.select(
+        *cols,
+        F.explode(
+            F.array(*[cm_bucket_expr(item, i, m_bits) for i in range(k)])
+        ).alias("__bit"),
+    )
+    matched = exploded.join(
+        F.broadcast(bits.select(F.col("bit").alias("__bit"), F.lit(1).alias("__set"))),
+        "__bit",
+        "left",
+    )
+    return (
+        matched.groupBy(*cols)
+        .agg((F.count("__set") == k).alias(out_col))
+    )
+
+
 def cm_estimate(
     sketch: DataFrame, items: DataFrame, item_col: str, depth: int, width: int
 ) -> DataFrame:

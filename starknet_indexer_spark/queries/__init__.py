@@ -67,6 +67,8 @@ DRIVER_PRIORITY = [
     "graph_pagerank",
     # -- (b) new in round 5
     "setjoin_prefix_jaccard_capped",
+    "bloom_decontamination",
+    "vocab_encode_ids",
     # -- (c) latest driver row is round 2: refresh
     "bigram_logprob_score",
     "chunk_overlap",
@@ -111,7 +113,8 @@ DRIVER_PRIORITY = [
     "decontamination_ngram",
     "dedup_components",
     "simhash_dedup",
-    "ann_topk_ivfpq",
+    # (ann_topk_ivfpq holds its green r3 row and rotates in round 6 —
+    # trimmed so the front block stays exactly the ~50-query window)
 ]
 
 

@@ -479,6 +479,110 @@ def decontamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bloom membership screen: k hash rows over an m-bit space. At the
+# corpus sizes here (tens of thousands of train n-grams) m = 2^20
+# bits holds the false-positive rate near (1-e^(-kn/m))^k ~ 0.2%;
+# production sizes m to the train-set cardinality the same way.
+BLOOM_K = 4
+BLOOM_M_BITS = 1 << 20
+
+
+def _bloom_oracle() -> str:
+    from ..operators.sketches import cm_bucket_sql
+
+    def bucket(salt: int) -> str:
+        return cm_bucket_sql("CAST(gh AS VARCHAR)", salt, BLOOM_M_BITS)
+
+    bit_selects = "\n      UNION ALL\n".join(
+        f"      SELECT {bucket(i)} AS bit FROM train" for i in range(BLOOM_K)
+    )
+    probe_selects = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, gh, {bucket(i)} AS bit FROM ev"
+        for i in range(BLOOM_K)
+    )
+    return f"""
+    WITH toks AS ({_TOKS_SRC_SQL}),
+    ng AS (
+      SELECT doc_id, source,
+             list_distinct([{_NGRAM5_TERM}
+                            for i in range(1, len(tokens) - {DECONTAM_N - 2})]) AS grams
+      FROM toks WHERE len(tokens) >= {DECONTAM_N}
+    ),
+    g AS (
+      SELECT doc_id, source, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
+      FROM (SELECT doc_id, source, UNNEST(grams) AS gram FROM ng)
+    ),
+    train AS (SELECT DISTINCT gh FROM g WHERE source <> '{EVAL_SOURCE}'),
+    bits AS (
+      SELECT DISTINCT bit FROM (
+{bit_selects}
+      )
+    ),
+    ev AS (SELECT DISTINCT doc_id, gh FROM g WHERE source = '{EVAL_SOURCE}'),
+    probes AS (
+{probe_selects}
+    ),
+    hit AS (
+      SELECT p.doc_id, p.gh, COUNT(b.bit) AS nb
+      FROM probes p LEFT JOIN bits b ON b.bit = p.bit
+      GROUP BY p.doc_id, p.gh
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+           CAST(SUM(CASE WHEN nb = {BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom_hit
+    FROM hit GROUP BY doc_id
+    """
+
+
+@register(
+    "bloom_decontamination",
+    oracle=_bloom_oracle(),
+    doc=f"Bloom-filter decontamination screen: the constant-size "
+    f"membership path `decontamination_ngram`'s docstring names. The "
+    f"train split's distinct {DECONTAM_N}-gram hashes build a "
+    f"k={BLOOM_K}, m=2^20-bit Bloom filter (operators/sketches.py "
+    "bloom_build — a Count-Min sketch with 1-bit cells), and each "
+    "eval document reports how many of its distinct n-grams the "
+    "filter flags. No false negatives by construction (every exact "
+    "hit is flagged — pinned against the exact join in "
+    "tests/test_operators.py); false positives are deterministic "
+    "md5-collision artifacts both engines share bit-for-bit, so the "
+    "approximate answer itself value-hash-checks. Scale shape: the "
+    "filter is O(m) bits regardless of train cardinality — it "
+    "broadcasts where the exact train n-gram relation (the "
+    "decontamination join's build side) would need a shuffle join; "
+    "probing is map-only against the broadcast bit set.",
+)
+def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import bloom_build, bloom_probe_hits
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", tokens_expr(F.col("text")).alias("tokens"))
+    grams = (
+        toks.filter(F.size("tokens") >= DECONTAM_N)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.array_distinct(word_ngrams_expr(F.col("tokens"), DECONTAM_N))
+            ).alias("gram"),
+        )
+        .select("doc_id", "source", md5_hash60_expr(F.col("gram")).alias("gh"))
+    )
+    train = grams.filter(F.col("source") != EVAL_SOURCE).select("gh").distinct()
+    bits = bloom_build(train, F.col("gh").cast("string"), BLOOM_K, BLOOM_M_BITS)
+    ev = grams.filter(F.col("source") == EVAL_SOURCE).select("doc_id", "gh").distinct()
+    hits = bloom_probe_hits(
+        ev, F.col("gh").cast("string"), bits, BLOOM_K, BLOOM_M_BITS
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bloom_hit"),
+    )
+
+
 @register(
     "dedup_components",
     oracle=f"""

@@ -398,3 +398,94 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.lower(F.trim(F.col("text")))), 1, 16).alias("fingerprint"),
         F.length("text").alias("fp_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary construction + token-id encoding (tokenizer-prep step)
+# ---------------------------------------------------------------------------
+
+# vocabulary size; OOV encodes as id 0. 16 < the corpus's 31 distinct
+# tokens, so the frequency-rank boundary (ties broken by token) and
+# the OOV path are both exercised at every SF; production sets this
+# to the tokenizer's real vocab size — the plan shape is unchanged.
+VOCAB_V = 16
+
+
+@register(
+    "vocab_encode_ids",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(
+               string_split_regex(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+               x -> x <> '') AS tokens
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, i, tokens[i] AS token
+      FROM (SELECT doc_id, tokens,
+                   UNNEST(range(1, len(tokens) + 1)) AS i
+            FROM toks WHERE len(tokens) > 0)
+    ),
+    vocab AS (
+      SELECT token, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS id
+      FROM (SELECT token, COUNT(*) AS cnt FROM tok
+            GROUP BY token ORDER BY cnt DESC, token LIMIT {VOCAB_V})
+    ),
+    enc AS (
+      SELECT tok.doc_id, tok.i, COALESCE(v.id, 0) AS id
+      FROM tok LEFT JOIN vocab v ON v.token = tok.token
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY i)) AS ids_digest
+    FROM enc GROUP BY doc_id
+    """,
+    doc=f"Tokenizer-prep encoding: build a {VOCAB_V}-entry vocabulary "
+    "(top tokens by corpus frequency, ties by token — a deterministic "
+    "total order both engines share) and encode every document as its "
+    "position-ordered token-id sequence with OOV=0, reported as "
+    "(n_tokens, n_oov, md5 digest of the id sequence) so the exact "
+    "per-position encoding value-hash-checks. Scale shape: the "
+    "vocabulary is one map-side-combined count aggregation + a "
+    "VOCAB-sized sort (the corpus never sorts), then encoding is a "
+    "posexplode + broadcast join + one per-doc re-collect keyed on "
+    "the document — the id-mapping twin of what a real BPE pipeline "
+    "does with a broadcast merge table. Integer-exact end to end.",
+)
+def vocab_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.dedup import tokens_expr
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("tokens")).filter(
+        F.size("tokens") > 0
+    )
+    tok = toks.select("doc_id", F.posexplode("tokens").alias("i", "token"))
+    # the single-partition row_number window runs over the ALREADY
+    # limited VOCAB_V-row relation, never the corpus
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(VOCAB_V)
+        .select(
+            "token",
+            F.row_number()
+            .over(Window.orderBy(F.col("cnt").desc(), F.col("token")))
+            .alias("id"),
+        )
+    )
+    enc = tok.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id", "i", F.coalesce(F.col("id"), F.lit(0)).alias("id")
+    )
+    ids = F.transform(
+        F.sort_array(F.collect_list(F.struct("i", "id"))), lambda s: s["id"]
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("id") == 0, 1).otherwise(0)).cast("bigint").alias("n_oov"),
+        F.md5(F.concat_ws(",", ids.cast("array<string>"))).alias("ids_digest"),
+    )

@@ -629,6 +629,74 @@ class TestPrefixSetJoin:
         assert n_un > 0
 
 
+class TestBloomFilter:
+    def test_no_false_negatives_and_bounded_fp(self, spark):
+        """Every eval n-gram that EXACTLY appears in the train split
+        must be bloom-flagged (no false negatives); the extra flags
+        (false positives) must stay a small fraction at the chosen
+        k=4 / m=2^20 sizing."""
+        from starknet_indexer_spark.catalog import load
+        from starknet_indexer_spark.operators.dedup import (
+            md5_hash60_expr,
+            tokens_expr,
+            word_ngrams_expr,
+        )
+        from starknet_indexer_spark.queries import REGISTRY
+        from starknet_indexer_spark.queries.pipeline_dedup import (
+            DECONTAM_N,
+            EVAL_SOURCE,
+        )
+
+        sf = "/root/testdata/sf0.01"
+        docs = load(spark, sf, "documents")
+        grams = (
+            docs.select(
+                "doc_id", "source", tokens_expr(F.col("text")).alias("tokens")
+            )
+            .filter(F.size("tokens") >= DECONTAM_N)
+            .select(
+                "doc_id",
+                "source",
+                F.explode(
+                    F.array_distinct(word_ngrams_expr(F.col("tokens"), DECONTAM_N))
+                ).alias("gram"),
+            )
+            .select("doc_id", "source", md5_hash60_expr(F.col("gram")).alias("gh"))
+        )
+        train = grams.filter(F.col("source") != EVAL_SOURCE).select("gh").distinct()
+        ev = (
+            grams.filter(F.col("source") == EVAL_SOURCE)
+            .select("doc_id", "gh")
+            .distinct()
+        )
+        exact = {
+            r["doc_id"]: r["n_hit"]
+            for r in ev.join(train, "gh", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+            .collect()
+        }
+        bloom = {
+            r["doc_id"]: (r["n_ngrams"], r["n_bloom_hit"])
+            for r in REGISTRY["bloom_decontamination"].fn(spark, sf).collect()
+        }
+        assert set(exact) <= set(bloom)
+        total_grams = sum(n for n, _ in bloom.values())
+        total_exact = sum(exact.values())
+        total_bloom = sum(h for _, h in bloom.values())
+        for doc_id, (n, h) in bloom.items():
+            assert h >= exact.get(doc_id, 0), doc_id  # no false negatives
+            assert h <= n
+        # false positives exist in principle but must be rare at this
+        # sizing: < 2% of the non-member probes
+        fp = total_bloom - total_exact
+        assert 0 <= fp <= 0.02 * max(1, total_grams - total_exact), (
+            fp,
+            total_grams,
+            total_exact,
+        )
+
+
 class TestCountMinSketch:
     def test_never_underestimates_and_bounded(self, spark):
         """CM estimates must be >= exact counts for every item, and
