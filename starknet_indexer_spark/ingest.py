@@ -962,6 +962,73 @@ def checkpoint_marker_ns(checkpoint_dir: str) -> str:
     return f"ckpt-{digest}"
 
 
+# --- last-applied-tick manifest: cross-trigger-boundary marker safety --
+#
+# The file source admits feed files in mtime-ASCENDING order, so a
+# finite maxFilesPerTrigger can split an mtime-TIE group across two
+# micro-batches: on a coarse-mtime store a new-chain data file written
+# just AFTER its invalidate marker (same timestamp tick) may be
+# admitted into trigger N while the marker lands in trigger N+1 —
+# trigger N ingests the new-chain rows, trigger N+1's invalidation
+# deletes them, and the already-consumed feed files never replay:
+# silent data loss. Within ONE batch _apply_marker_batch already
+# orders same-tick data AFTER its marker; this manifest extends that
+# exact rule across batch boundaries: each batch records the file set
+# at its maximum applied data tick, and a later marker whose mtime
+# EQUALS that tick re-ingests those files (from the feed dir, by
+# recorded path) after its invalidation — the final state is
+# identical to the co-batched case, making trigger boundaries
+# semantically invisible. Re-ingest is replay-safe: it sits between
+# the invalidation and the epoch marker, so a crash anywhere replays
+# the whole idempotent sequence.
+
+
+def _tick_manifest_path(tables_dir: str, marker_ns: str | None) -> str:
+    return os.path.join(
+        tables_dir, "_applied_epochs", marker_ns or "default", "last_tick.json"
+    )
+
+
+def _load_tick_manifest(path: str):
+    """(tick datetime | None, file set) from the manifest, tolerant of
+    absence/corruption (absence just disables the tie repair)."""
+    import datetime as _dt
+
+    try:
+        with open(path) as f:
+            d = json.load(f)
+        return _dt.datetime.fromisoformat(d["mt"]), set(d["files"])
+    except (OSError, ValueError, KeyError, TypeError):
+        return None, set()
+
+
+def _write_tick_manifest(path: str, mt, files: set[str]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"mt": mt.isoformat(), "files": sorted(files)}, f)
+    os.replace(tmp, path)  # atomic: readers never see a torn manifest
+
+
+def _update_tick_manifest(path: str, per_file) -> None:
+    """Fold a batch's applied data files into the manifest: replace on
+    a newer tick, UNION on the same tick (consecutive batches can both
+    carry files of one tick), never regress. Idempotent under epoch
+    replay (same rows -> same manifest)."""
+    ticks = [r["mt"] for r in per_file if r["n_data"]]
+    if not ticks:
+        return
+    new_mt = max(ticks)
+    files = {r["__fp"] for r in per_file if r["n_data"] and r["mt"] == new_mt}
+    old_mt, old_files = _load_tick_manifest(path)
+    if old_mt is not None:
+        if old_mt > new_mt:
+            return
+        if old_mt == new_mt:
+            files |= old_files
+    _write_tick_manifest(path, new_mt, files)
+
+
 def ingest_micro_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -1020,16 +1087,37 @@ def ingest_micro_batch(
     is_data = (~is_invalidate) & (
         F.coalesce(F.col("finality"), F.lit("accepted")) != "pending"
     )
-    # ONE driver round-trip for the batch's control stats (previously
-    # three: invalidate min, emptiness probe, max-block cursor)
-    stats = batch_df.agg(
-        F.min(F.when(is_invalidate, F.col("block_number"))).alias("inv"),
-        F.max(F.when(is_data, F.col("block_number"))).alias("hi"),
-        F.count(F.when(is_data, F.lit(1))).alias("n_data"),
-    ).collect()[0]
-    inv_point, hi, n_data = stats["inv"], stats["hi"], stats["n_data"]
+    # ONE driver round-trip for the batch's control stats. With feed
+    # provenance the aggregation is per-file (it feeds the marker
+    # segmentation AND the last-tick manifest); the globals derive
+    # driver-side from the tiny per-file rows (<= maxFilesPerTrigger).
+    per_file = None
+    if FEED_FILE_COL in batch_df.columns:
+        per_file = (
+            batch_df.groupBy(F.col(FEED_FILE_COL).alias("__fp"))
+            .agg(
+                F.max(F.col(FEED_MTIME_COL)).alias("mt"),
+                F.min(F.when(is_invalidate, F.col("block_number"))).alias("inv"),
+                F.count(F.when(is_data, F.lit(1))).alias("n_data"),
+                F.max(F.when(is_data, F.col("block_number"))).alias("hi"),
+            )
+            .collect()
+        )
+        invs = [r["inv"] for r in per_file if r["inv"] is not None]
+        his = [r["hi"] for r in per_file if r["hi"] is not None]
+        inv_point = min(invs) if invs else None
+        hi = max(his) if his else None
+        n_data = sum(r["n_data"] for r in per_file)
+    else:
+        stats = batch_df.agg(
+            F.min(F.when(is_invalidate, F.col("block_number"))).alias("inv"),
+            F.max(F.when(is_data, F.col("block_number"))).alias("hi"),
+            F.count(F.when(is_data, F.lit(1))).alias("n_data"),
+        ).collect()[0]
+        inv_point, hi, n_data = stats["inv"], stats["hi"], stats["n_data"]
     if inv_point is None and n_data == 0:
         return None
+    manifest_path = _tick_manifest_path(tables_dir, marker_ns)
     if inv_point is None:
         # fast path (the overwhelmingly common batch): no control
         # messages, one ingest + cursor advance (provenance columns,
@@ -1041,6 +1129,8 @@ def ingest_micro_batch(
         )
         if hi is not None:
             write_cursor(tables_dir, int(hi))
+        if per_file is not None:
+            _update_tick_manifest(manifest_path, per_file)
     else:
         # marker batch: apply file-ordered segments so a multi-file
         # micro-batch with data on BOTH sides of an invalidate marker
@@ -1048,6 +1138,7 @@ def ingest_micro_batch(
         counts = _apply_marker_batch(
             spark, batch_df, tables_dir, is_invalidate, is_data,
             int(inv_point), int(n_data),
+            per_file=per_file, manifest_path=manifest_path,
         )
     if marker is not None:
         os.makedirs(os.path.dirname(marker), exist_ok=True)
@@ -1068,6 +1159,8 @@ def _apply_marker_batch(
     is_data: Column,
     inv_point: int,
     n_data: int,
+    per_file: list | None = None,
+    manifest_path: str | None = None,
 ) -> dict[str, int]:
     """Apply a micro-batch that contains invalidate marker(s), honoring
     in-feed message order even when the file source co-batched many
@@ -1089,9 +1182,15 @@ def _apply_marker_batch(
     (stale rows that the next invalidation sweeps) — never the
     reverse error of ingesting new-chain data and then deleting it.
     Among same-tick markers the deepest applies last so the cursor
-    lands at the deepest point. Coarse-mtime object stores should
-    keep feed files >= one timestamp tick apart at reorg boundaries
-    (local/HDFS mtimes are ns-resolution — a non-issue there).
+    lands at the deepest point. The same tie rule holds ACROSS
+    micro-batch boundaries (a finite maxFilesPerTrigger can admit a
+    same-tick data file one trigger before its marker): the last-tick
+    manifest re-ingests the earlier batch's same-tick files after
+    the marker's invalidation — see the manifest block above
+    ingest_micro_batch. Coarse-mtime object stores should still keep
+    feed files >= one timestamp tick apart at reorg boundaries when
+    possible (local/HDFS mtimes are ns-resolution — a non-issue
+    there); the manifest makes the tie safe, not free.
 
     Segments are selected by mtime RANGE predicates, never by file
     path lists — a marker late in a 10^5-file backlog must not embed
@@ -1131,16 +1230,17 @@ def _apply_marker_batch(
             write_cursor(tables_dir, int(hi))
         return counts or {}
 
-    per_file = (
-        meta.groupBy("__fp")
-        .agg(
-            F.max("__mt").alias("mt"),
-            F.min(F.when(is_invalidate, F.col("block_number"))).alias("inv"),
-            F.count(F.when(is_data, F.lit(1))).alias("n_data"),
-            F.max(F.when(is_data, F.col("block_number"))).alias("hi"),
+    if per_file is None:
+        per_file = (
+            meta.groupBy("__fp")
+            .agg(
+                F.max("__mt").alias("mt"),
+                F.min(F.when(is_invalidate, F.col("block_number"))).alias("inv"),
+                F.count(F.when(is_data, F.lit(1))).alias("n_data"),
+                F.max(F.when(is_data, F.col("block_number"))).alias("hi"),
+            )
+            .collect()
         )
-        .collect()
-    )
     # markers by (mt, -inv): data at a marker's exact tick segments
     # AFTER it (see docstring); among same-tick markers the deepest
     # applies last
@@ -1177,16 +1277,54 @@ def _apply_marker_batch(
         if seg_hi is not None:
             cursor = seg_hi
 
+    # cross-batch tie repair (see the last-tick manifest block above):
+    # data files at a marker's exact mtime tick that were ALREADY
+    # applied by an EARLIER micro-batch were ingested before the
+    # marker — the within-batch rule says same-tick data belongs
+    # AFTER it, and the invalidation below is about to delete their
+    # rows with no replay source. Re-ingest them from the feed dir by
+    # recorded path right after the tick's markers apply, restoring
+    # the exact co-batched final state. Files of the CURRENT batch
+    # are excluded — the segment loop applies them in order (this
+    # also makes epoch replay safe when the first attempt already
+    # folded this batch into the manifest before crashing).
+    manifest_mt, manifest_files = (
+        _load_tick_manifest(manifest_path) if manifest_path else (None, set())
+    )
+    batch_files = {r["__fp"] for r in per_file}
+
+    def repair_tick(mt) -> None:
+        nonlocal cursor
+        if manifest_mt is None or manifest_mt != mt:
+            return
+        files = sorted(manifest_files - batch_files)
+        if not files:
+            return
+        # the files were consumed moments ago (same mtime tick), so a
+        # read failure means feed retention broke the repair window —
+        # surface it rather than silently losing the new-chain rows
+        replay = spark.read.schema(RAW_SCHEMA).parquet(*files).filter(is_data)
+        for table, n in (ingest_batch(spark, replay, tables_dir) or {}).items():
+            counts[table] = counts.get(table, 0) + n
+        rep_hi = replay.agg(F.max("block_number")).collect()[0][0]
+        if rep_hi is not None:
+            cursor = int(rep_hi)
+
     prev_mt = None
-    for mt, inv in markers:
+    for i, (mt, inv) in enumerate(markers):
         apply_segment(prev_mt, mt)
         if os.path.isdir(tables_dir):
             invalidate_from_block(spark, tables_dir, inv + 1)
         cursor = inv
         prev_mt = mt
+        # repair once per tick, after the tick's LAST (deepest) marker
+        if i + 1 == len(markers) or markers[i + 1][0] != mt:
+            repair_tick(mt)
     apply_segment(prev_mt, None)
     if cursor is not None and os.path.isdir(tables_dir):
         write_cursor(tables_dir, cursor)
+    if manifest_path is not None:
+        _update_tick_manifest(manifest_path, per_file)
     return counts
 
 
@@ -1226,9 +1364,12 @@ def _prune_epoch_markers(ns_dir: str, committed_epoch: int) -> None:
 # co-batching (SCALE.md §6f measures the 1 -> None win; the cost is
 # per-trigger scheduling overhead, amortized over 64 files) while
 # bounding a worst-case replay to one bounded batch instead of the
-# entire backlog. Markers stay ordering-safe at ANY batching because
-# ingest_micro_batch splits marker-carrying batches at marker
-# boundaries (_apply_marker_batch).
+# entire backlog. Markers stay ordering-safe at ANY batching: within
+# a batch ingest_micro_batch splits at marker boundaries
+# (_apply_marker_batch), and across batch boundaries the last-tick
+# manifest repairs mtime-tie splits (a same-tick data file admitted
+# one trigger before its marker is re-ingested after the
+# invalidation — see the manifest block above ingest_micro_batch).
 DEFAULT_MAX_FILES_PER_TRIGGER = 64
 
 

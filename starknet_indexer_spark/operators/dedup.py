@@ -153,6 +153,7 @@ def cap_hot_bands(
     max_bucket_size: int,
     id_col: str = "doc_id",
     key_cols: tuple[str, ...] = ("band", "band_key"),
+    via: str = "window",
 ) -> DataFrame:
     """Drop blocking buckets whose population exceeds
     ``max_bucket_size``. ``key_cols`` names the bucket key — LSH band
@@ -170,11 +171,32 @@ def cap_hot_bands(
     bands; for prefix tokens, pairs whose every shared rare token is
     corpus-crowded.
 
-    One window count over the same key the candidate join shuffles on
-    — no extra shuffle in the combined plan, Spark reuses the
-    exchange. Monotone: output pairs are always a subset of the
+    ``via`` picks the physical strategy for the same logical filter:
+
+    - ``"window"``: one window count partitioned on ``key_cols``.
+      Right when the downstream candidate join SHUFFLES on the same
+      key (the LSH pipeline) — the window's exchange is the join's
+      exchange, so the cap is free.
+    - ``"antijoin"``: aggregate the (tiny, by definition) over-cap
+      key list and broadcast LEFT-ANTI join it out. Right when the
+      downstream join is BROADCAST-only (the prefix-token pipeline):
+      a window would force a full shuffle of a relation that
+      otherwise never shuffles; the anti-join costs one count
+      aggregation and keeps the broadcast-only shape.
+
+    Monotone either way: output pairs are always a subset of the
     uncapped pairs (exactness-tested), and a corpus with no bucket
     above the cap is passed through unchanged."""
+    if via == "antijoin":
+        hot = (
+            bands.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("__bucket_n"))
+            .filter(F.col("__bucket_n") > max_bucket_size)
+            .select(*key_cols)
+        )
+        return bands.join(F.broadcast(hot), list(key_cols), "left_anti")
+    if via != "window":
+        raise ValueError(f"unknown cap_hot_bands via={via!r} (use 'window' or 'antijoin')")
     from pyspark.sql.window import Window as W
 
     w = W.partitionBy(*key_cols)

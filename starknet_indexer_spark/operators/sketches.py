@@ -199,24 +199,39 @@ def bloom_probe_hits(
     all k positions collide with other members' bits, at the textbook
     ``(1 - e^(-k*n/m))^k`` rate, deterministically shared across
     engines. One explode + one LEFT broadcast join against the set-bit
-    relation + one count-matched==k aggregation keyed by the probe
-    row's original columns."""
+    relation + one aggregation keyed by the probe row's original
+    columns.
+
+    Output has ONE row per DISTINCT probe row (the aggregation groups
+    on the probe columns): duplicate input rows collapse, and the hit
+    test counts distinct MATCHED SALTS, so duplicates can never
+    manufacture a false negative (a count-of-matches test would see 2k
+    matches != k for a duplicated member row). Callers needing
+    multiplicity should carry a unique row id in ``probes``."""
     cols = probes.columns
-    exploded = probes.select(
-        *cols,
-        F.explode(
-            F.array(*[cm_bucket_expr(item, i, m_bits) for i in range(k)])
-        ).alias("__bit"),
+    salted = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("salt"),
+                    cm_bucket_expr(item, i, m_bits).alias("bit"),
+                )
+                for i in range(k)
+            ]
+        )
+    )
+    exploded = probes.select(*cols, salted.alias("__p")).select(
+        *cols, F.col("__p.salt").alias("__salt"), F.col("__p.bit").alias("__bit")
     )
     matched = exploded.join(
         F.broadcast(bits.select(F.col("bit").alias("__bit"), F.lit(1).alias("__set"))),
         "__bit",
         "left",
     )
-    return (
-        matched.groupBy(*cols)
-        .agg((F.count("__set") == k).alias(out_col))
+    hit_salts = F.count_distinct(
+        F.when(F.col("__set").isNotNull(), F.col("__salt"))
     )
+    return matched.groupBy(*cols).agg((hit_salts == k).alias(out_col))
 
 
 def cm_estimate(

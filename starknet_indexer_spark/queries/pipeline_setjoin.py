@@ -114,9 +114,18 @@ def prefix_candidates(
     ).select("doc_id", "n", F.col("p.token").alias("token"))
     if max_token_bucket is not None:
         # one row per (doc, prefix token), so bucket population ==
-        # docs carrying the token in their prefix; the window count
-        # keys on the same "token" the candidate join shuffles on
-        prefix = cap_hot_bands(prefix, max_token_bucket, key_cols=("token",))
+        # docs carrying the token in their prefix. via="antijoin":
+        # this pipeline's candidate join is broadcast-only, so the
+        # cap must not force a window shuffle of the prefix relation
+        # — the over-cap token list aggregates small and anti-joins
+        # broadcast-side, preserving the shuffle-free shape
+        prefix = cap_hot_bands(
+            prefix, max_token_bucket, key_cols=("token",), via="antijoin"
+        )
+        # both candidate-join sides consume the capped prefix; without
+        # materialization each side recomputes the over-cap aggregation
+        # + anti-join (same one-materialization pattern as `ranked`)
+        prefix = prefix.localCheckpoint(eager=False)
 
     # candidates: shared prefix token + size compatibility, exact-once
     a, b = prefix.alias("a"), prefix.alias("b")
@@ -182,10 +191,12 @@ def prefix_jaccard_pairs(
     )
 
 
-@register(
-    "setjoin_prefix_jaccard",
-    oracle=f"""
-    WITH words AS (
+# Shared oracle fragments: the shingle-hash-set derivation (words ->
+# toks -> ex) and the exact-Jaccard final SELECT are byte-identical in
+# both setjoin oracles; the PAIR DERIVATION in between deliberately
+# differs (full inverted index vs prefix+cap replica) — that
+# difference is the losslessness/capping proof.
+_SETJOIN_EX_SQL = """words AS (
       SELECT doc_id,
              list_filter(
                string_split_regex(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
@@ -202,7 +213,19 @@ def prefix_jaccard_pairs(
       SELECT DISTINCT doc_id,
              ('0x' || substr(md5(UNNEST(toks)), 1, 15))::BIGINT AS token
       FROM toks WHERE len(toks) > 0
-    ),
+    )"""
+
+_SETJOIN_FINAL_SQL = f"""SELECT a_id, b_id, CAST(inter AS BIGINT) AS inter,
+           ROUND(CAST(inter AS DOUBLE) / (a_n + b_n - inter), 6) AS jaccard
+    FROM pair_inter
+    WHERE CAST(inter AS DOUBLE) / (a_n + b_n - inter)
+          >= {SETJOIN_THRESHOLD}"""
+
+
+@register(
+    "setjoin_prefix_jaccard",
+    oracle=f"""
+    WITH {_SETJOIN_EX_SQL},
     sized AS (
       SELECT doc_id, token,
              COUNT(*) OVER (PARTITION BY doc_id) AS n
@@ -214,11 +237,7 @@ def prefix_jaccard_pairs(
       FROM sized a JOIN sized b ON a.token = b.token AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id, a.n, b.n
     )
-    SELECT a_id, b_id, CAST(inter AS BIGINT) AS inter,
-           ROUND(CAST(inter AS DOUBLE) / (a_n + b_n - inter), 6) AS jaccard
-    FROM pair_inter
-    WHERE CAST(inter AS DOUBLE) / (a_n + b_n - inter)
-          >= {SETJOIN_THRESHOLD}
+    {_SETJOIN_FINAL_SQL}
     """,
     doc=f"Exact shingle-set Jaccard >= {SETJOIN_THRESHOLD} join via "
     "prefix filtering: tokens globally ordered by ascending document "
@@ -245,24 +264,7 @@ def setjoin_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "setjoin_prefix_jaccard_capped",
     oracle=f"""
-    WITH words AS (
-      SELECT doc_id,
-             list_filter(
-               string_split_regex(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
-               x -> x <> '') AS tokens
-      FROM documents
-    ),
-    toks AS (
-      SELECT doc_id,
-             list_distinct([tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
-                            for i in range(1, len(tokens) - 1)]) AS toks
-      FROM words WHERE len(tokens) >= 3
-    ),
-    ex AS (
-      SELECT DISTINCT doc_id,
-             ('0x' || substr(md5(UNNEST(toks)), 1, 15))::BIGINT AS token
-      FROM toks WHERE len(toks) > 0
-    ),
+    WITH {_SETJOIN_EX_SQL},
     tdf AS (SELECT token, COUNT(*) AS df FROM ex GROUP BY token),
     ordered AS (
       SELECT e.doc_id, e.token,
@@ -294,11 +296,7 @@ def setjoin_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN ordered ob ON ob.doc_id = c.b_id AND ob.token = oa.token
       GROUP BY c.a_id, c.b_id
     )
-    SELECT a_id, b_id, CAST(inter AS BIGINT) AS inter,
-           ROUND(CAST(inter AS DOUBLE) / (a_n + b_n - inter), 6) AS jaccard
-    FROM pair_inter
-    WHERE CAST(inter AS DOUBLE) / (a_n + b_n - inter)
-          >= {SETJOIN_THRESHOLD}
+    {_SETJOIN_FINAL_SQL}
     """,
     doc=f"Prefix-filtered Jaccard >= {SETJOIN_THRESHOLD} join with "
     f"hot-token capping: prefix tokens carried by more than "

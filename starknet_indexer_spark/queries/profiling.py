@@ -92,7 +92,8 @@ def _items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "union, thresholded at count*(k+1) > n. The MG completeness "
     "bound makes the result order-invariant and exactly equal to the "
     "plain GROUP BY/HAVING oracle — the driver-checkable twin of "
-    "streaming/heavy_hitters.py (same mg_update kernel).",
+    "streaming/heavy_hitters.py (same mg_update_weighted kernel over "
+    "per-batch value_counts() pairs).",
 )
 def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = _items(spark, sf_dir)

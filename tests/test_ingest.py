@@ -306,6 +306,132 @@ class TestInBandInvalidate:
         assert read_cursor(tdir) == 1001
 
 
+class TestCrossBatchMarkerTie:
+    def test_same_tick_data_admitted_before_marker_is_reingested(
+        self, spark, tmp_path
+    ):
+        """The finite maxFilesPerTrigger hazard: on a coarse-mtime
+        store a NEW-CHAIN data file can share its invalidate marker's
+        mtime tick and be admitted one trigger EARLIER (tie order is
+        unspecified). Without repair the marker's invalidation deletes
+        the just-ingested new-chain rows and the consumed feed file
+        never replays — silent loss. The last-tick manifest must
+        re-ingest the earlier batch's same-tick file after the
+        invalidation, landing on the exact co-batched final state."""
+        import datetime
+
+        from starknet_indexer_spark.ingest import (
+            FEED_FILE_COL,
+            FEED_MTIME_COL,
+            ingest_micro_batch,
+        )
+
+        tdir = str(tmp_path / "tables")
+        feed = tmp_path / "feed"
+        t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+        t1 = datetime.datetime(2024, 1, 1, 0, 0, 1)  # the tie tick
+
+        def batch(df, path, mt):
+            return df.select(
+                "*",
+                F.lit(path).alias(FEED_FILE_COL),
+                F.lit(mt).cast("timestamp").alias(FEED_MTIME_COL),
+            )
+
+        # epoch 0: old chain at tick t0
+        old_path = str(feed / "old.parquet")
+        make_raw(spark, [995, 996, 1001, 1002, 1050]).coalesce(1).write.parquet(
+            old_path
+        )
+        ingest_micro_batch(
+            spark,
+            batch(spark.read.schema(RAW_SCHEMA).parquet(old_path), old_path, t0),
+            tdir,
+            epoch_id=0,
+            marker_ns="tie",
+        )
+
+        # epoch 1: the NEW-chain file (true order: AFTER the marker),
+        # same tick t1 as the marker, admitted one trigger early
+        new_path = str(feed / "new.parquet")
+        make_raw(spark, [1002, 1003]).coalesce(1).write.parquet(new_path)
+        ingest_micro_batch(
+            spark,
+            batch(spark.read.schema(RAW_SCHEMA).parquet(new_path), new_path, t1),
+            tdir,
+            epoch_id=1,
+            marker_ns="tie",
+        )
+
+        # epoch 2: the marker (last valid = 1001) arrives at tick t1
+        inv = spark.createDataFrame([invalidate_row(1001)], RAW_SCHEMA)
+        ingest_micro_batch(
+            spark,
+            batch(inv, str(feed / "marker.parquet"), t1),
+            tdir,
+            epoch_id=2,
+            marker_ns="tie",
+        )
+
+        # canonical chain survives: the invalidation swept old 1002/1050
+        # AND the early-ingested new rows, then the manifest re-ingested
+        # the same-tick new-chain file from the feed dir
+        got = sorted(
+            r["block_number"]
+            for r in spark.read.parquet(os.path.join(tdir, "swaps")).collect()
+        )
+        assert got == [995, 996, 1001, 1002, 1003]
+        assert read_cursor(tdir) == 1003
+
+    def test_strictly_older_data_is_not_reingested(self, spark, tmp_path):
+        """Old-chain data at a STRICTLY earlier tick than the marker is
+        genuinely pre-reorg: the invalidation must sweep it and the
+        manifest must NOT resurrect it."""
+        import datetime
+
+        from starknet_indexer_spark.ingest import (
+            FEED_FILE_COL,
+            FEED_MTIME_COL,
+            ingest_micro_batch,
+        )
+
+        tdir = str(tmp_path / "tables")
+        feed = tmp_path / "feed"
+        t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+        t1 = datetime.datetime(2024, 1, 1, 0, 0, 5)
+
+        def batch(df, path, mt):
+            return df.select(
+                "*",
+                F.lit(path).alias(FEED_FILE_COL),
+                F.lit(mt).cast("timestamp").alias(FEED_MTIME_COL),
+            )
+
+        old_path = str(feed / "old.parquet")
+        make_raw(spark, [995, 1002, 1050]).coalesce(1).write.parquet(old_path)
+        ingest_micro_batch(
+            spark,
+            batch(spark.read.schema(RAW_SCHEMA).parquet(old_path), old_path, t0),
+            tdir,
+            epoch_id=0,
+            marker_ns="tie2",
+        )
+        inv = spark.createDataFrame([invalidate_row(1001)], RAW_SCHEMA)
+        ingest_micro_batch(
+            spark,
+            batch(inv, str(feed / "marker.parquet"), t1),
+            tdir,
+            epoch_id=1,
+            marker_ns="tie2",
+        )
+        got = sorted(
+            r["block_number"]
+            for r in spark.read.parquet(os.path.join(tdir, "swaps")).collect()
+        )
+        assert got == [995]
+        assert read_cursor(tdir) == 1001
+
+
 class TestInvalidationCrashRecovery:
     def test_orphaned_staging_restored_on_next_invalidation(self, spark, tdir):
         """Crash window: survivors staged durably, boundary bucket

@@ -696,6 +696,29 @@ class TestBloomFilter:
             total_exact,
         )
 
+    def test_duplicate_probe_rows_cannot_false_negative(self, spark):
+        """A duplicated member probe row must still report hit=True:
+        the hit test counts distinct matched salts, not matched rows
+        (2k row-matches != k would silently flip a member to False)."""
+        from starknet_indexer_spark.operators.sketches import (
+            bloom_build,
+            bloom_probe_hits,
+        )
+
+        members = spark.createDataFrame([("a",), ("b",)], "item string")
+        bits = bloom_build(members, F.col("item"), k=4, m_bits=1 << 16)
+        probes = spark.createDataFrame(
+            [("a",), ("a",), ("zzz-nonmember",)], "item string"
+        )
+        got = {
+            r["item"]: r["bloom_hit"]
+            for r in bloom_probe_hits(
+                probes, F.col("item"), bits, k=4, m_bits=1 << 16
+            ).collect()
+        }
+        assert got["a"] is True
+        assert got["zzz-nonmember"] is False
+
 
 class TestCountMinSketch:
     def test_never_underestimates_and_bounded(self, spark):

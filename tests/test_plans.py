@@ -228,6 +228,21 @@ class TestExecutionShape:
             # per round one node join + one destination sum; the
             # checkpointed subtrees are invisible to static inspection
             ("graph_pagerank", 14),
+            # round-5 additions
+            # same budget as the uncapped join: the cap runs as a
+            # broadcast ANTI-join (via="antijoin"), not a window, so
+            # the broadcast-only candidate-join shape is preserved;
+            # the over-cap aggregation lives inside the lazily
+            # checkpointed capped-prefix subtree (visible plan: 1
+            # exchange, the candidate distinct)
+            ("setjoin_prefix_jaccard_capped", 3),
+            # train-gh distinct + set-bits distinct + per-(doc,gram)
+            # probe agg + per-doc rollup; the bit set joins broadcast
+            ("bloom_decontamination", 4),
+            # vocab count agg (top-V is TakeOrdered, no sort shuffle;
+            # rank window runs over the 16-row vocab) + per-doc
+            # re-collect; the id mapping joins broadcast
+            ("vocab_encode_ids", 2),
         ],
     )
     def test_window_family_shuffle_budgets(self, spark, name, budget):
