@@ -84,6 +84,16 @@ HEADLINE = [
     "multimodal_binary_near_dup",
     "graph_pagerank",
     "interval_attribution",
+    "market_share",
+    "product_type_profit",
+    "returned_item_revenue",
+    "priority_line_distribution",
+    "promo_revenue_share",
+    "top_supplier_revenue",
+    "small_quantity_order_revenue",
+    "disjunctive_predicate_revenue",
+    "part_promotion_suppliers",
+    "sole_return_blame_suppliers",
     "min_cost_supplier",
     "nation_trade_volume",
     "customer_order_distribution",

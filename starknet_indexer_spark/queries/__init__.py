@@ -19,6 +19,7 @@ from .registry import REGISTRY, Query, register  # noqa: F401
 # Import for side effect: each module registers its queries.
 from . import tpch  # noqa: E402,F401
 from . import tpch_extra  # noqa: E402,F401
+from . import tpch_full  # noqa: E402,F401
 from . import events_analytics  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 from . import pipeline_text  # noqa: E402,F401
@@ -69,6 +70,16 @@ DRIVER_PRIORITY = [
     "setjoin_prefix_jaccard_capped",
     "bloom_decontamination",
     "vocab_encode_ids",
+    "market_share",
+    "product_type_profit",
+    "returned_item_revenue",
+    "priority_line_distribution",
+    "promo_revenue_share",
+    "top_supplier_revenue",
+    "small_quantity_order_revenue",
+    "disjunctive_predicate_revenue",
+    "part_promotion_suppliers",
+    "sole_return_blame_suppliers",
     # -- (c) latest driver row is round 2: refresh
     "bigram_logprob_score",
     "chunk_overlap",
@@ -87,34 +98,25 @@ DRIVER_PRIORITY = [
     "train_val_test_split",
     "unigram_logprob_score",
     "word_entropy_quality",
-    # -- (d) r3 rows nearest the round-4/5 churn
+    # -- (d) r3 rows nearest the round-4/5 churn (the 10 late-round
+    # TPC-H additions above displaced 10 r3 rows from the window —
+    # those keep green r3 rows, within the ≤2-round policy at r5,
+    # and rotate to the front in round 6 along with ann_topk_ivfpq)
     "v01_pool_states",
     "v02_tick_liquidity",
     "v03_twamm_pool_states",
     "v04_twamm_sale_rate_deltas",
     "v05_limit_order_pool_states",
-    "v06_spline_pools",
     "v07_last_24h_pool_stats",
-    "v08_token_registrations",
-    "v09_oracle_pool_states",
     "v10_realized_volatility",
     "v11_market_depth",
-    "v12_voting_weights",
     "v13_hourly_volume",
     "v14_hourly_revenue",
     "v15_hourly_price",
     "v16_hourly_tvl_delta",
     "v17_staker_rewards",
-    "funnel_conversion",
-    "range_theta_join",
-    "time_weighted_balance",
-    "minhash_lsh_dedup",
     "minhash_lsh_dedup_capped",
-    "decontamination_ngram",
     "dedup_components",
-    "simhash_dedup",
-    # (ann_topk_ivfpq holds its green r3 row and rotates in round 6 —
-    # trimmed so the front block stays exactly the ~50-query window)
 ]
 
 

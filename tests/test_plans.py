@@ -243,6 +243,25 @@ class TestExecutionShape:
             # rank window runs over the 16-row vocab) + per-doc
             # re-collect; the id mapping joins broadcast
             ("vocab_encode_ids", 2),
+            # TPC-H completions (tpch_full.py): every dimension
+            # broadcasts, so each query's only shuffles are its
+            # aggregations (the 8-relation Q8 tree is ONE pass over
+            # lineitem + the year group)
+            ("market_share", 2),
+            ("product_type_profit", 2),
+            ("returned_item_revenue", 2),
+            ("priority_line_distribution", 2),
+            ("promo_revenue_share", 2),
+            # revenue agg + max + final (view-over-aggregate shape)
+            ("top_supplier_revenue", 4),
+            # per-part stats agg + final agg; stats broadcast back
+            ("small_quantity_order_revenue", 3),
+            ("disjunctive_predicate_revenue", 2),
+            # (supplier, part) agg + part totals + distinct
+            ("part_promotion_suppliers", 5),
+            # semi+anti self-joins broadcast at test SF (co-partition
+            # on l_orderkey at scale) + blame distinct + count agg
+            ("sole_return_blame_suppliers", 4),
         ],
     )
     def test_window_family_shuffle_budgets(self, spark, name, budget):
