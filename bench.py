@@ -107,6 +107,8 @@ HEADLINE = [
     "pii_redaction",
     "chunk_overlap",
     "tfidf_top_terms",
+    "bm25_topk",
+    "price_quantity_regression",
     # reference view library (Ekubo-shaped derivation + real view plan)
     "v01_pool_states",
     "v07_last_24h_pool_stats",

@@ -36,6 +36,8 @@ from . import profiling  # noqa: E402,F401
 from . import pipeline_setjoin  # noqa: E402,F401
 from . import pipeline_curation  # noqa: E402,F401
 from . import pipeline_graph  # noqa: E402,F401
+from . import retrieval  # noqa: E402,F401
+from . import olap  # noqa: E402,F401
 from . import integrity  # noqa: E402,F401
 from . import ekubo_views  # noqa: E402,F401
 
@@ -67,6 +69,8 @@ DRIVER_PRIORITY = [
     "multimodal_binary_near_dup",
     "graph_pagerank",
     # -- (b) new in round 5
+    "bm25_topk",
+    "price_quantity_regression",
     "setjoin_prefix_jaccard_capped",
     "bloom_decontamination",
     "vocab_encode_ids",
@@ -99,9 +103,11 @@ DRIVER_PRIORITY = [
     "unigram_logprob_score",
     "word_entropy_quality",
     # -- (d) r3 rows nearest the round-4/5 churn (the 10 late-round
-    # TPC-H additions above displaced 10 r3 rows from the window —
-    # those keep green r3 rows, within the ≤2-round policy at r5,
-    # and rotate to the front in round 6 along with ann_topk_ivfpq)
+    # TPC-H additions and the 2 session-2 round-5 queries above
+    # displaced 12 r3 rows from the window — those keep green r3
+    # rows, within the ≤2-round policy at r5, and rotate to the
+    # front in round 6 along with ann_topk_ivfpq,
+    # minhash_lsh_dedup_capped, and dedup_components)
     "v01_pool_states",
     "v02_tick_liquidity",
     "v03_twamm_pool_states",
@@ -115,8 +121,6 @@ DRIVER_PRIORITY = [
     "v15_hourly_price",
     "v16_hourly_tvl_delta",
     "v17_staker_rewards",
-    "minhash_lsh_dedup_capped",
-    "dedup_components",
 ]
 
 
