@@ -108,6 +108,7 @@ HEADLINE = [
     "chunk_overlap",
     "tfidf_top_terms",
     "bm25_topk",
+    "hybrid_rrf_retrieval",
     "price_quantity_regression",
     # reference view library (Ekubo-shaped derivation + real view plan)
     "v01_pool_states",

@@ -70,6 +70,7 @@ DRIVER_PRIORITY = [
     "graph_pagerank",
     # -- (b) new in round 5
     "bm25_topk",
+    "hybrid_rrf_retrieval",
     "price_quantity_regression",
     "setjoin_prefix_jaccard_capped",
     "bloom_decontamination",
@@ -103,10 +104,10 @@ DRIVER_PRIORITY = [
     "unigram_logprob_score",
     "word_entropy_quality",
     # -- (d) r3 rows nearest the round-4/5 churn (the 10 late-round
-    # TPC-H additions and the 2 session-2 round-5 queries above
-    # displaced 12 r3 rows from the window — those keep green r3
+    # TPC-H additions and the 3 session-2 round-5 queries above
+    # displaced 13 r3 rows from the window — those keep green r3
     # rows, within the ≤2-round policy at r5, and rotate to the
-    # front in round 6 along with ann_topk_ivfpq,
+    # front in round 6 along with ann_topk_ivfpq, v17_staker_rewards,
     # minhash_lsh_dedup_capped, and dedup_components)
     "v01_pool_states",
     "v02_tick_liquidity",
@@ -120,7 +121,6 @@ DRIVER_PRIORITY = [
     "v14_hourly_revenue",
     "v15_hourly_price",
     "v16_hourly_tvl_delta",
-    "v17_staker_rewards",
 ]
 
 

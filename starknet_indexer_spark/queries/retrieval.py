@@ -1,27 +1,32 @@
-"""Full-text retrieval over the documents corpus: BM25 ranking.
+"""Full-text and hybrid retrieval over the documents corpus.
 
 The reference indexer exposes its data through SQL views rather than a
-search endpoint, but a training-data engine needs lexical retrieval —
-for decontamination lookups, eval-set mining, and hybrid (BM25 +
-embedding) candidate generation. This module implements Okapi BM25 as
-a pure DataFrame plan:
+search endpoint, but a training-data engine needs retrieval — for
+decontamination lookups, eval-set mining, and RAG-style candidate
+generation. Two queries:
 
-- inverted-index shape: the exploded token stream is filtered to the
-  query vocabulary *inside the scan stage* (an `IN` literal list), so
-  the only fact-sized shuffle is the (doc_id, term) tf aggregate over
-  matched postings — at 100 TB the match stream is a tiny fraction of
-  the corpus, and everything downstream is posting-list-sized;
-- the document-frequency and query-term relations broadcast (vocab-
-  sized); corpus stats (N, total token count) broadcast as one row;
-- per-term partial scores are rounded to integer micro-units before
-  the per-(query, doc) sum, so the aggregate is order-insensitive and
-  engine-exact (registry.py determinism policy); `ln` is evaluated on
-  identical doubles on both engines (same precedent as the log2-based
-  perplexity proxies in pipeline_quality.py).
+- ``bm25_topk``: Okapi BM25 lexical ranking as a pure DataFrame plan
+  with an inverted-index shape;
+- ``hybrid_rrf_retrieval``: reciprocal-rank fusion of the BM25 ranks
+  with embedding-cosine ranks (the standard hybrid-search combiner,
+  Cormack et al.'s RRF with k=60) — integer-exact, so the fusion is
+  reproducible across engines and partitionings.
 
-BM25 parameters are the textbook defaults k1=1.2, b=0.75; idf is the
-Robertson–Sparck-Jones form ln((N - df + 0.5)/(df + 0.5) + 1) (the
-Lucene variant, always positive).
+Scale shape (both): the exploded token stream is filtered to the query
+vocabulary *inside the scan stage* (an `IN` literal list), so the only
+fact-sized shuffle is the (doc_id, term) tf aggregate over matched
+postings — at 100 TB the match stream is a tiny fraction of the
+corpus, and everything downstream is posting-list-sized. The document-
+frequency, query-term, and corpus-stats relations broadcast. The dense
+branch of the hybrid broadcasts the three query vectors over the
+embeddings scan (map-side dot products, then one per-query top-k
+window) — same shape as ann_topk_cosine.
+
+Determinism: per-term BM25 scores are rounded to integer micro-units
+before the per-(query, doc) sum; RRF contributions are integer
+floor-divisions of 1e9. All cross-engine float math (ln, the cosine)
+follows the precedent of pipeline_quality/pipeline_similarity: same
+IEEE double expression tree on both engines, rounded before ranking.
 """
 
 from __future__ import annotations
@@ -32,6 +37,7 @@ from pyspark.sql.window import Window as W
 
 from ..catalog import load
 from ..operators.dedup import tokens_expr
+from .pipeline_similarity import _dot, _with_norm
 from .registry import register
 
 # DuckDB mirror of operators.dedup.tokens_expr (same as pipeline_cleaning)
@@ -41,9 +47,13 @@ _TOKS = (
 )
 
 TOP_K = 10
+FUSE_N = 20  # per-source candidate depth feeding the fusion
+RRF_K = 60
 
 # Fixed benchmark queries (query_id, term). Terms come from the corpus
-# vocabulary so every query has matches at every SF.
+# vocabulary so every query has matches at every SF. The hybrid query
+# additionally uses embeddings.vec_id == query_id as the dense anchor
+# (vec_id indexes the embedded prefix of doc_id at every SF).
 _QUERY_TERMS: list[tuple[int, str]] = [
     (1, "customer"),
     (1, "order"),
@@ -56,15 +66,16 @@ _QUERY_TERMS: list[tuple[int, str]] = [
     (3, "scan"),
 ]
 
+_QUERY_IDS = sorted({q for q, _ in _QUERY_TERMS})
 _TERM_SET = sorted({t for _, t in _QUERY_TERMS})
 _QT_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _QUERY_TERMS)
 _IN_LIST = ", ".join(f"'{t}'" for t in _TERM_SET)
 
-
-@register(
-    "bm25_topk",
-    oracle=f"""
-    WITH qt(query_id, term) AS (VALUES {_QT_VALUES}),
+# Shared oracle fragment: CTE chain ending in `bm25_ranked`
+# (query_id, doc_id, n_terms_matched, score_micro, rank). Both
+# retrieval oracles build on this single definition.
+_BM25_CTES = f"""
+    qt(query_id, term) AS (VALUES {_QT_VALUES}),
     toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
     stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl FROM dl),
@@ -77,10 +88,10 @@ _IN_LIST = ", ".join(f"'{t}'" for t in _TERM_SET)
     dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
     scored AS (
       SELECT q.query_id, f.doc_id,
+             -- float literals are written 0.5e0 etc. so DuckDB binds
+             -- them as DOUBLE (bare 0.5 parses as DECIMAL and would
+             -- diverge from Spark's IEEE double sequence)
              CAST(ROUND(
-               -- float literals are written 0.5e0 etc. so DuckDB binds
-               -- them as DOUBLE (bare 0.5 parses as DECIMAL and would
-               -- diverge from Spark's IEEE double sequence)
                LN((s.n_docs - d.df + 0.5e0) / (d.df + 0.5e0) + 1)
                * ((f.tf * 2.2e0)
                   / (f.tf + 1.2e0 * (0.25e0 + (0.75e0 * l.dl * s.n_docs) / s.total_dl)))
@@ -91,36 +102,23 @@ _IN_LIST = ", ".join(f"'{t}'" for t in _TERM_SET)
       JOIN qt q USING (term)
       CROSS JOIN stats s
     ),
-    agg AS (
+    bm25_agg AS (
       SELECT query_id, doc_id,
              COUNT(*) AS n_terms_matched,
              CAST(SUM(score_micro) AS BIGINT) AS score_micro
       FROM scored GROUP BY query_id, doc_id
     ),
-    ranked AS (
+    bm25_ranked AS (
       SELECT *, ROW_NUMBER() OVER (
                PARTITION BY query_id
                ORDER BY score_micro DESC, doc_id ASC) AS rank
-      FROM agg
-    )
-    SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, n_terms_matched,
-           ROUND(CAST(score_micro AS DOUBLE) / 1000000, 6) AS score
-    FROM ranked WHERE rank <= {TOP_K}
-    """,
-    doc="Okapi BM25 top-10 per query over an inverted-index-shaped "
-    "plan: the token stream is filtered to the 9-term query "
-    "vocabulary before any shuffle, document frequency and the "
-    "query-term map broadcast, corpus stats (N, total_dl) broadcast "
-    "as one row. Per-term scores are fixed to integer micro-units "
-    "before the per-(query, doc) sum so the aggregate is order- "
-    "insensitive; the final top-k is one posting-sized window. The "
-    "static plan scans the (doc_id, text)-pruned corpus three times "
-    "(lengths/stats, postings, document frequency) — each pass is "
-    "map-only, and every shuffle after the matched-postings tf "
-    "aggregate is posting-list-sized; doc lengths ride the explode "
-    "(max(dl) per group), not a corpus-sized join.",
-)
-def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+      FROM bm25_agg
+    )"""
+
+
+def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, n_terms_matched, score_micro, rank) —
+    Spark twin of the ``bm25_ranked`` oracle CTE."""
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", tokens_expr(F.col("text")).alias("t")
     )
@@ -158,8 +156,33 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("score_micro").cast("long").alias("score_micro"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+    return agg.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+    WITH {_BM25_CTES}
+    SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, n_terms_matched,
+           ROUND(CAST(score_micro AS DOUBLE) / 1000000, 6) AS score
+    FROM bm25_ranked WHERE rank <= {TOP_K}
+    """,
+    doc="Okapi BM25 top-10 per query over an inverted-index-shaped "
+    "plan: the query-vocabulary filter sits inside the scan stage, "
+    "document frequency and the query-term map broadcast, corpus "
+    "stats (N, total_dl) broadcast as one row. Per-term scores are "
+    "fixed to integer micro-units before the per-(query, doc) sum so "
+    "the aggregate is order-insensitive; the final top-k is one "
+    "posting-sized window. The static plan scans the (doc_id, text)-"
+    "pruned corpus three times (lengths/stats, postings, document "
+    "frequency) — each pass is map-only, and every shuffle after the "
+    "matched-postings tf aggregate is posting-list-sized; doc "
+    "lengths ride the explode (max(dl) per group), not a corpus-"
+    "sized join.",
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        _bm25_ranked(spark, sf_dir)
         .filter(F.col("rank") <= TOP_K)
         .select(
             "query_id",
@@ -168,4 +191,98 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_terms_matched",
             F.round(F.col("score_micro").cast("double") / 1000000, 6).alias("score"),
         )
+    )
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    oracle=f"""
+    WITH {_BM25_CTES},
+    v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS en
+      FROM embeddings
+    ),
+    dq AS (
+      SELECT vec_id AS query_id, ev AS qv, en AS qn FROM v
+      WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})
+    ),
+    dsims AS (
+      SELECT dq.query_id, v.vec_id AS doc_id,
+             ROUND(list_dot_product(dq.qv, v.ev) / (dq.qn * v.en), 4) AS sim
+      FROM dq, v WHERE dq.query_id <> v.vec_id
+    ),
+    dense_ranked AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, doc_id ASC) AS rank
+      FROM dsims
+    ),
+    contributions AS (
+      SELECT query_id, doc_id, 1000000000 // ({RRF_K} + rank) AS rrf_ppb
+      FROM bm25_ranked WHERE rank <= {FUSE_N}
+      UNION ALL
+      SELECT query_id, doc_id, 1000000000 // ({RRF_K} + rank) AS rrf_ppb
+      FROM dense_ranked WHERE rank <= {FUSE_N}
+    ),
+    fused AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(rrf_ppb) AS BIGINT) AS rrf_ppb,
+             COUNT(*) AS n_sources
+      FROM contributions GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, rrf_ppb, n_sources
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_ppb DESC, doc_id ASC) AS rank
+      FROM fused
+    ) WHERE rank <= {TOP_K}
+    """,
+    doc="Hybrid retrieval: reciprocal-rank fusion (k=60) of BM25 "
+    "lexical ranks with embedding-cosine ranks, top-20 candidates "
+    "per source, fused top-10 per query. Contributions are integer "
+    "floor-divisions 1e9 div (60+rank), so the fusion sum is exact "
+    "and engine-identical — no float accumulation anywhere past the "
+    "per-source ranking. Docs outside the embedded prefix (or "
+    "missing a term match) simply lack that source's contribution, "
+    "which is RRF's point. Plan: the lexical branch is bm25_topk's "
+    "inverted-index shape; the dense branch broadcasts the 3 query "
+    "vectors over the embeddings scan (map-side dot products + one "
+    "top-k window); the fusion itself touches at most "
+    "2*FUSE_N*|queries| rows — driver-trivial at any corpus size.",
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lex = _bm25_ranked(spark, sf_dir).filter(F.col("rank") <= FUSE_N)
+    emb = load(spark, sf_dir, "embeddings")
+    dq = _with_norm(emb.filter(F.col("vec_id").isin(_QUERY_IDS)), "query_id", "qv", "qn")
+    cand = _with_norm(emb, "doc_id", "cv", "cn")
+    dsims = (
+        cand.crossJoin(F.broadcast(dq))
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4).alias(
+                "sim"
+            ),
+        )
+    )
+    wd = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("doc_id").asc())
+    dense = (
+        dsims.withColumn("rank", F.row_number().over(wd).cast("long"))
+        .filter(F.col("rank") <= FUSE_N)
+    )
+    rrf = F.expr(f"1000000000 div ({RRF_K} + rank)").alias("rrf_ppb")
+    contributions = lex.select("query_id", "doc_id", rrf).unionByName(
+        dense.select("query_id", "doc_id", rrf)
+    )
+    fused = contributions.groupBy("query_id", "doc_id").agg(
+        F.sum("rrf_ppb").cast("long").alias("rrf_ppb"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    wf = W.partitionBy("query_id").orderBy(F.col("rrf_ppb").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "doc_id", "rank", "rrf_ppb", "n_sources")
     )

@@ -139,6 +139,15 @@ class TestExecutionShape:
             ("word_entropy_quality", 2),
             # LM table agg + per-doc agg; corpus tokens never join-shuffle
             ("unigram_logprob_score", 3),
+            # one map-side-combined moments aggregate, nothing else
+            ("price_quantity_regression", 1),
+            # tf agg + df agg + stats agg + (query,doc) agg + top-k
+            # window + single-partition stats exchange; all but the tf
+            # aggregate are posting-list-sized
+            ("bm25_topk", 6),
+            # bm25 branch + dense top-k window + fusion agg + fused
+            # window; the dense cosine itself is broadcast-map-only
+            ("hybrid_rrf_retrieval", 9),
             ("source_mixing_sample", 1),
             ("length_bucket_histogram", 1),
             # corpus-wide segment window + per-doc reassembly
