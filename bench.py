@@ -110,6 +110,7 @@ HEADLINE = [
     "bm25_topk",
     "hybrid_rrf_retrieval",
     "price_quantity_regression",
+    "editdist_near_pairs",
     # reference view library (Ekubo-shaped derivation + real view plan)
     "v01_pool_states",
     "v07_last_24h_pool_stats",

@@ -34,6 +34,7 @@ from . import pipeline_layout  # noqa: E402,F401
 from . import pipeline_pq  # noqa: E402,F401
 from . import profiling  # noqa: E402,F401
 from . import pipeline_setjoin  # noqa: E402,F401
+from . import pipeline_editdist  # noqa: E402,F401
 from . import pipeline_curation  # noqa: E402,F401
 from . import pipeline_graph  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
@@ -72,6 +73,7 @@ DRIVER_PRIORITY = [
     "bm25_topk",
     "hybrid_rrf_retrieval",
     "price_quantity_regression",
+    "editdist_near_pairs",
     "setjoin_prefix_jaccard_capped",
     "bloom_decontamination",
     "vocab_encode_ids",
@@ -104,11 +106,12 @@ DRIVER_PRIORITY = [
     "unigram_logprob_score",
     "word_entropy_quality",
     # -- (d) r3 rows nearest the round-4/5 churn (the 10 late-round
-    # TPC-H additions and the 3 session-2 round-5 queries above
-    # displaced 13 r3 rows from the window — those keep green r3
+    # TPC-H additions and the 4 session-2 round-5 queries above
+    # displaced 14 r3 rows from the window — those keep green r3
     # rows, within the ≤2-round policy at r5, and rotate to the
-    # front in round 6 along with ann_topk_ivfpq, v17_staker_rewards,
-    # minhash_lsh_dedup_capped, and dedup_components)
+    # front in round 6 along with ann_topk_ivfpq, v16_hourly_tvl_delta,
+    # v17_staker_rewards, minhash_lsh_dedup_capped, and
+    # dedup_components)
     "v01_pool_states",
     "v02_tick_liquidity",
     "v03_twamm_pool_states",
@@ -120,7 +123,6 @@ DRIVER_PRIORITY = [
     "v13_hourly_volume",
     "v14_hourly_revenue",
     "v15_hourly_price",
-    "v16_hourly_tvl_delta",
 ]
 
 

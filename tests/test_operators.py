@@ -849,3 +849,38 @@ class TestPageRank:
         # ranked below the median
         ranks = sorted(r["rank"] for r in rows)
         assert max(r["rank"] for r in rows) > ranks[n // 2]
+
+
+class TestEditDistJoin:
+    def test_prefix_filter_lossless(self, spark):
+        """The q-gram prefix index + short-key branch must reproduce
+        the brute-force all-pairs Levenshtein join exactly (the
+        ED-Join mismatch bound covers lmax > SHORT_MAX; the all-pairs
+        branch covers the vacuous-count-bound regime below it)."""
+        from starknet_indexer_spark.queries.pipeline_editdist import (
+            MAX_DIST,
+            _distinct_keys,
+            editdist_near_pairs,
+        )
+
+        got = {
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in editdist_near_pairs(spark, SF_DIR).collect()
+        }
+        keys = _distinct_keys(spark, SF_DIR)
+        a = keys.select(
+            F.col("id").alias("id_a"), F.col("k").alias("ka")
+        )
+        b = keys.select(
+            F.col("id").alias("id_b"), F.col("k").alias("kb")
+        )
+        brute = (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .filter(F.levenshtein("ka", "kb") <= MAX_DIST)
+            .select(
+                "id_a", "id_b", F.levenshtein("ka", "kb").cast("long").alias("dist")
+            )
+        )
+        want = {(r["id_a"], r["id_b"], r["dist"]) for r in brute.collect()}
+        assert got == want
+        assert len(got) > 0  # the corpus must actually exercise the join

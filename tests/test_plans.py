@@ -148,6 +148,11 @@ class TestExecutionShape:
             # bm25 branch + dense top-k window + fusion agg + fused
             # window; the dense cosine itself is broadcast-map-only
             ("hybrid_rrf_retrieval", 9),
+            # keys/prefix are lazily localCheckpointed (multi-consumer
+            # relations), so the static plan shows only the shuffles
+            # past the checkpoints; everything is key-level, never a
+            # doc-level pair blow-up
+            ("editdist_near_pairs", 8),
             ("source_mixing_sample", 1),
             ("length_bucket_histogram", 1),
             # corpus-wide segment window + per-doc reassembly
