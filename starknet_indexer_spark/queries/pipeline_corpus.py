@@ -599,3 +599,76 @@ def corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shard").cast("bigint").alias("shard"),
         F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
     )
+
+
+# Weighted-sample weight: 1 + min(n_chars div 80, 7) -> 1..8 over the
+# corpus's 48..~550-char docs; longer docs proportionally likelier.
+WSAMPLE_K = 100
+
+
+@register(
+    "weighted_sample_topk",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             1 + LEAST(n_chars // 80, 7) AS weight,
+             GREATEST(
+               md5(CAST(doc_id AS VARCHAR) || ':1'),
+               CASE WHEN 1 + LEAST(n_chars // 80, 7) >= 2
+                    THEN md5(CAST(doc_id AS VARCHAR) || ':2') ELSE '' END,
+               CASE WHEN 1 + LEAST(n_chars // 80, 7) >= 3
+                    THEN md5(CAST(doc_id AS VARCHAR) || ':3') ELSE '' END,
+               CASE WHEN 1 + LEAST(n_chars // 80, 7) >= 4
+                    THEN md5(CAST(doc_id AS VARCHAR) || ':4') ELSE '' END,
+               CASE WHEN 1 + LEAST(n_chars // 80, 7) >= 5
+                    THEN md5(CAST(doc_id AS VARCHAR) || ':5') ELSE '' END,
+               CASE WHEN 1 + LEAST(n_chars // 80, 7) >= 6
+                    THEN md5(CAST(doc_id AS VARCHAR) || ':6') ELSE '' END,
+               CASE WHEN 1 + LEAST(n_chars // 80, 7) >= 7
+                    THEN md5(CAST(doc_id AS VARCHAR) || ':7') ELSE '' END,
+               CASE WHEN 1 + LEAST(n_chars // 80, 7) >= 8
+                    THEN md5(CAST(doc_id AS VARCHAR) || ':8') ELSE '' END
+             ) AS sample_key
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(weight AS BIGINT) AS weight, sample_key
+    FROM keyed
+    ORDER BY sample_key DESC, doc_id
+    LIMIT {WSAMPLE_K}
+    """,
+    doc=f"Exact-k weighted sampling WITHOUT replacement "
+    f"(Efraimidis-Spirakis): each doc gets key = max of w independent "
+    "md5 draws (max of w uniforms ~ u^(1/w), the E-S key), w = "
+    "1+min(n_chars div 80, 7); the global top-"
+    f"{WSAMPLE_K} by key is a weight-proportional WOR sample — "
+    "reproducible across runs, engines, and partitionings (no RNG "
+    "state). Complements source_mixing_sample (Bernoulli, "
+    "approximate rate) and stratified_sample (uniform per-stratum): "
+    "this is the exact-size, item-weighted variant a token-budgeted "
+    "corpus draw needs. Scale shape: the w draws are a STATIC "
+    "8-term greatest() unrolled in the scan (no explode, no "
+    "per-doc shuffle); the only distributed op is the final "
+    "top-k (TakeOrdered — never a global sort).",
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    wcol = (F.lit(1) + F.least(F.expr("n_chars div 80"), F.lit(7))).alias("weight")
+    terms = [F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":1")))]
+    for j in range(2, 9):
+        terms.append(
+            F.when(
+                F.col("weight") >= j,
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{j}"))),
+            ).otherwise(F.lit(""))
+        )
+    return (
+        docs.select("doc_id", "source", wcol, "n_chars")
+        .select(
+            "doc_id",
+            "source",
+            F.col("weight").cast("bigint").alias("weight"),
+            F.greatest(*terms).alias("sample_key"),
+        )
+        .orderBy(F.col("sample_key").desc(), "doc_id")
+        .limit(WSAMPLE_K)
+    )
