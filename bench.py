@@ -111,6 +111,11 @@ HEADLINE = [
     "hybrid_rrf_retrieval",
     "price_quantity_regression",
     "editdist_near_pairs",
+    "between_class_pca",
+    "bpe_train_merges",
+    "weighted_sample_topk",
+    "ks_drift_by_source",
+    "mmr_diverse_topk",
     # reference view library (Ekubo-shaped derivation + real view plan)
     "v01_pool_states",
     "v07_last_24h_pool_stats",

@@ -37,6 +37,10 @@ from . import pipeline_setjoin  # noqa: E402,F401
 from . import pipeline_editdist  # noqa: E402,F401
 from . import pipeline_curation  # noqa: E402,F401
 from . import pipeline_graph  # noqa: E402,F401
+from . import pipeline_pca  # noqa: E402,F401
+from . import pipeline_bpe  # noqa: E402,F401
+from . import pipeline_drift  # noqa: E402,F401
+from . import pipeline_mmr  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
 from . import olap  # noqa: E402,F401
 from . import integrity  # noqa: E402,F401
@@ -87,6 +91,11 @@ DRIVER_PRIORITY = [
     "disjunctive_predicate_revenue",
     "part_promotion_suppliers",
     "sole_return_blame_suppliers",
+    "between_class_pca",
+    "bpe_train_merges",
+    "weighted_sample_topk",
+    "ks_drift_by_source",
+    "mmr_diverse_topk",
     # -- (c) latest driver row is round 2: refresh
     "bigram_logprob_score",
     "chunk_overlap",
@@ -110,19 +119,15 @@ DRIVER_PRIORITY = [
     # displaced 14 r3 rows from the window — those keep green r3
     # rows, within the ≤2-round policy at r5, and rotate to the
     # front in round 6 along with ann_topk_ivfpq, v16_hourly_tvl_delta,
-    # v17_staker_rewards, minhash_lsh_dedup_capped, and
-    # dedup_components)
+    # v17_staker_rewards, minhash_lsh_dedup_capped, dedup_components,
+    # and the five v-views (v10/v11/v13/v14/v15) displaced by the
+    # session-3 round-5 queries above)
     "v01_pool_states",
     "v02_tick_liquidity",
     "v03_twamm_pool_states",
     "v04_twamm_sale_rate_deltas",
     "v05_limit_order_pool_states",
     "v07_last_24h_pool_stats",
-    "v10_realized_volatility",
-    "v11_market_depth",
-    "v13_hourly_volume",
-    "v14_hourly_revenue",
-    "v15_hourly_price",
 ]
 
 

@@ -1,0 +1,159 @@
+"""Distribution-drift monitoring: exact two-sample Kolmogorov-Smirnov
+statistic of every source slice against the rest of the corpus.
+
+A production training-data pipeline watches each ingested slice for
+distribution drift — "did src7's length profile move away from the
+corpus?" is the canonical data-quality alarm before a bad crawl batch
+poisons a mixing schedule. The KS D statistic is the standard
+nonparametric two-sample test, and it is EXACTLY computable from
+integer cumulative counts: for disjoint samples A (one source) and B
+(the rest), ``D = max_x |cdfA(x) - cdfB(x)|``, and multiplying out the
+denominators gives ``d_num = max_x |cumA(x)*nB - cumB(x)*nA|`` — pure
+integer arithmetic, value-hash reproducible, no floats anywhere.
+
+Scale shape: the ONLY corpus-sized stage is one map-side-combined
+``groupBy(source, n_chars)`` count. Everything after operates on the
+(#sources x #distinct-values) grid — bounded by data semantics (length
+values, label cardinalities), not corpus size. The grid is built with
+a broadcast cross join of two tiny aggregates, cumulative counts are
+per-source window sums over that grid, and the final argmax is a
+grouped aggregate over it. No corpus-sized shuffle, sort, or second
+scan. Products are computed in decimal(38,0)/HUGEINT so the counts
+can be web-scale; the emitted ``d_num`` is cast to BIGINT, which holds
+up to ~3e9 rows per slice (beyond that, emit the decimal directly —
+``d_ppm`` is scale-free either way).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import load
+from .registry import register
+
+D38 = "decimal(38,0)"
+
+
+@register(
+    "ks_drift_by_source",
+    oracle="""
+    WITH cnt AS (
+      SELECT source, n_chars, COUNT(*) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    xs AS (
+      SELECT n_chars, SUM(c) AS cg FROM cnt GROUP BY 1
+    ),
+    xg AS (
+      SELECT n_chars,
+             SUM(cg) OVER (ORDER BY n_chars
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum_g
+      FROM xs
+    ),
+    srcs AS (
+      SELECT source, SUM(c) AS n_s FROM cnt GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_s) AS n FROM srcs),
+    grid AS (
+      SELECT s.source, s.n_s, x.n_chars, x.cum_g, COALESCE(c.c, 0) AS c
+      FROM srcs s CROSS JOIN xg x
+      LEFT JOIN cnt c ON c.source = s.source AND c.n_chars = x.n_chars
+    ),
+    cum AS (
+      SELECT source, n_s, n_chars, cum_g,
+             SUM(c) OVER (PARTITION BY source ORDER BY n_chars
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum_s
+      FROM grid
+    ),
+    diffs AS (
+      SELECT source, n_s, (SELECT n FROM tot) - n_s AS n_r, n_chars,
+             ABS(CAST(cum_s AS HUGEINT) * ((SELECT n FROM tot) - n_s)
+                 - CAST(cum_g - cum_s AS HUGEINT) * n_s) AS d
+      FROM cum
+    ),
+    mx AS (
+      SELECT source, n_s, n_r, n_chars, d,
+             MAX(d) OVER (PARTITION BY source) AS d_num
+      FROM diffs
+    )
+    SELECT source,
+           CAST(n_s AS BIGINT) AS n_source,
+           CAST(n_r AS BIGINT) AS n_rest,
+           CAST(d_num AS BIGINT) AS d_num,
+           CAST((d_num * 1000000) // (CAST(n_s AS HUGEINT) * n_r)
+                AS BIGINT) AS d_ppm,
+           CAST(MIN(n_chars) AS BIGINT) AS ks_at
+    FROM mx WHERE d = d_num
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+    doc="Exact two-sample Kolmogorov-Smirnov drift monitor: for every "
+    "source slice vs the REST of the corpus (disjoint samples), "
+    "d_num = max_x |cum_s(x)*n_rest - cum_rest(x)*n_source| over the "
+    "n_chars length distribution — the KS D statistic with "
+    "denominators multiplied out, so the whole test is integer-exact "
+    "and value-hash checkable (d_ppm = D in parts-per-million via "
+    "truncating division; ks_at = smallest length achieving the "
+    "max). One corpus-sized map-side-combined groupBy(source, "
+    "n_chars); all remaining work is windows and joins on the "
+    "#sources x #distinct-lengths grid, which is bounded by value "
+    "semantics, not corpus size. Products in decimal(38,0)/HUGEINT.",
+)
+def ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("source", "n_chars")
+    # The one corpus-sized pass (map-side combined; ~sources*lengths rows out).
+    cnt = docs.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    xs = cnt.groupBy("n_chars").agg(F.sum("c").alias("cg"))
+    xg = xs.select(
+        "n_chars",
+        F.sum("cg")
+        .over(W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum_g"),
+    )
+    srcs = cnt.groupBy("source").agg(F.sum("c").alias("n_s"))
+    tot = srcs.agg(F.sum("n_s").alias("n"))
+    grid = (
+        srcs.crossJoin(F.broadcast(xg))
+        .join(cnt, ["source", "n_chars"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    cum = grid.select(
+        "source",
+        "n_s",
+        "n_chars",
+        "cum_g",
+        F.sum("c")
+        .over(
+            W.partitionBy("source")
+            .orderBy("n_chars")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("cum_s"),
+    )
+    diffs = cum.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_s",
+        (F.col("n") - F.col("n_s")).alias("n_r"),
+        "n_chars",
+        F.abs(
+            F.col("cum_s").cast(D38) * (F.col("n") - F.col("n_s")).cast(D38)
+            - (F.col("cum_g") - F.col("cum_s")).cast(D38) * F.col("n_s").cast(D38)
+        ).alias("d"),
+    )
+    mx = diffs.withColumn("d_num", F.max("d").over(W.partitionBy("source")))
+    return (
+        mx.filter(F.col("d") == F.col("d_num"))
+        .groupBy(
+            "source",
+            F.col("n_s").cast("bigint").alias("n_source"),
+            F.col("n_r").cast("bigint").alias("n_rest"),
+            F.col("d_num").cast("bigint").alias("d_num"),
+            F.expr("CAST((d_num * 1000000) div (CAST(n_s AS decimal(38,0)) * n_r) AS BIGINT)").alias(
+                "d_ppm"
+            ),
+        )
+        .agg(F.min("n_chars").cast("bigint").alias("ks_at"))
+    )

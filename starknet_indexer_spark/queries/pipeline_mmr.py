@@ -1,0 +1,243 @@
+"""Maximal Marginal Relevance (MMR) diverse top-k: greedy re-ranking
+of an exact-cosine shortlist so the selected set trades relevance
+against redundancy.
+
+MMR (Carbonell & Goldstein 1998) is the standard diversity-aware
+selection used on top of retrieval: after ANN produces a relevance
+shortlist, pick k items greedily by ``lambda*rel - (1-lambda)*
+max_sim_to_already_selected``. It is the retrieval-side twin of
+SemDeDup's "don't keep near-copies" rule and the last missing member
+of the retrieval family (bm25_topk = lexical, ann_* = dense,
+hybrid_rrf_retrieval = fusion, this = diversification).
+
+Exactness: similarities are quantized ONCE to 1e-4 units
+(``ROUND(cos*10000, 0)`` -> BIGINT, the same rounded-double parity
+every ann_* query already relies on), and the MMR score is then pure
+integer arithmetic — ``7*rel4 - 3*maxsim4`` (lambda = 0.7 in tenths)
+— with ties broken on neighbor_id, so the greedy trajectory is
+totally ordered and both engines walk it identically.
+
+Scale shape: the ONLY corpus-sized stage is the shortlist build —
+the same broadcast-queries map-side cosine scan + per-query top-N
+window as ann_topk_cosine (at real scale you'd feed the IVF-PQ
+shortlist instead; the MMR stage is identical). Everything after
+operates on queries x N shortlist rows (200 here): the pairwise
+similarity relation is shortlist x shortlist WITHIN a query, and
+each greedy round is a broadcast-sized join + argmax. Rounds touch
+no corpus data at all.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import load
+from .registry import register
+from .pipeline_similarity import N_QUERIES, _dot, _with_norm
+
+MMR_SHORT_N = 20  # relevance shortlist depth per query
+MMR_K = 5  # selected set size
+MMR_LAMBDA_TENTHS = 7  # lambda = 0.7: score = 7*rel4 - 3*maxsim4
+
+
+def _oracle() -> str:
+    lam, com = MMR_LAMBDA_TENTHS, 10 - MMR_LAMBDA_TENTHS
+    rounds = []
+    for r in range(2, MMR_K + 1):
+        rounds.append(
+            f"""
+    m{r} AS (
+      SELECT s.query_id, s.neighbor_id, s.rel4, MAX(p.sim4) AS ms
+      FROM short s
+      JOIN sel{r - 1} t ON t.query_id = s.query_id
+      JOIN ps p ON p.query_id = s.query_id
+              AND p.a_id = s.neighbor_id AND p.b_id = t.neighbor_id
+      LEFT JOIN sel{r - 1} e ON e.query_id = s.query_id
+                            AND e.neighbor_id = s.neighbor_id
+      WHERE e.neighbor_id IS NULL
+      GROUP BY 1, 2, 3
+    ),
+    pick{r} AS (
+      SELECT query_id, neighbor_id, rel4, {lam} * rel4 - {com} * ms AS score
+      FROM (
+        SELECT query_id, neighbor_id, rel4, ms,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY {lam} * rel4 - {com} * ms DESC, neighbor_id
+               ) AS rn
+        FROM m{r}
+      ) WHERE rn = 1
+    ),
+    sel{r} AS (
+      SELECT query_id, neighbor_id FROM sel{r - 1}
+      UNION ALL
+      SELECT query_id, neighbor_id FROM pick{r}
+    )"""
+        )
+    selects = " UNION ALL ".join(
+        [
+            f"SELECT query_id, neighbor_id, 1 AS mmr_rank, rel4, score FROM pick1"
+        ]
+        + [
+            f"SELECT query_id, neighbor_id, {r} AS mmr_rank, rel4, score"
+            f" FROM pick{r}"
+            for r in range(2, MMR_K + 1)
+        ]
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (
+      SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn
+      FROM embeddings
+    ),
+    short AS (
+      SELECT query_id, cand_id AS neighbor_id, cv, cn, rel4 FROM (
+        SELECT q.query_id, c.cand_id, c.cv, c.cn,
+               CAST(ROUND(list_dot_product(q.qv, c.cv) / (q.qn * c.cn)
+                          * 10000, 0) AS BIGINT) AS rel4,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY CAST(ROUND(list_dot_product(q.qv, c.cv)
+                               / (q.qn * c.cn) * 10000, 0) AS BIGINT) DESC,
+                          c.cand_id
+               ) AS rn
+        FROM q, c WHERE q.query_id <> c.cand_id
+      ) WHERE rn <= {MMR_SHORT_N}
+    ),
+    ps AS (
+      SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+             CAST(ROUND(list_dot_product(a.cv, b.cv) / (a.cn * b.cn)
+                        * 10000, 0) AS BIGINT) AS sim4
+      FROM short a JOIN short b
+        ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+    ),
+    pick1 AS (
+      SELECT query_id, neighbor_id, rel4, {lam} * rel4 AS score
+      FROM (
+        SELECT query_id, neighbor_id, rel4,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY rel4 DESC, neighbor_id) AS rn
+        FROM short
+      ) WHERE rn = 1
+    ),
+    sel1 AS (SELECT query_id, neighbor_id FROM pick1),
+    {",".join(rounds)}
+    SELECT query_id, neighbor_id, CAST(mmr_rank AS BIGINT) AS mmr_rank,
+           rel4, CAST(score AS BIGINT) AS score
+    FROM ({selects})
+    """
+
+
+def _argmax(df: DataFrame, order_col: str) -> DataFrame:
+    w = W.partitionBy("query_id").orderBy(
+        F.col(order_col).desc(), F.col("neighbor_id")
+    )
+    return df.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    ).drop("rn")
+
+
+@register(
+    "mmr_diverse_topk",
+    oracle=_oracle(),
+    doc=f"Maximal-marginal-relevance diverse top-{MMR_K}: greedy "
+    "selection over a per-query exact-cosine shortlist of "
+    f"{MMR_SHORT_N}, score = {MMR_LAMBDA_TENTHS}*rel4 - "
+    f"{10 - MMR_LAMBDA_TENTHS}*max_sim4_to_selected with similarities "
+    "quantized once to 1e-4-unit BIGINTs, so the greedy trajectory is "
+    "integer-exact with neighbor_id tie-breaks and both engines pick "
+    "identical sets. The corpus-sized work is exactly the "
+    "ann_topk_cosine shortlist scan (broadcast queries, map-side "
+    "cosine, per-query top-N window — swap in the IVF-PQ shortlist at "
+    "real scale); the pairwise-similarity relation and every greedy "
+    "round live on queries x shortlist rows only.",
+)
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lam, com = MMR_LAMBDA_TENTHS, 10 - MMR_LAMBDA_TENTHS
+    emb = load(spark, sf_dir, "embeddings")
+    q = _with_norm(emb.filter(F.col("vec_id") < N_QUERIES), "query_id", "qv", "qn")
+    c = _with_norm(emb, "cand_id", "cv", "cn")
+    rel4 = (
+        F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")) * 10000, 0)
+        .cast("bigint")
+        .alias("rel4")
+    )
+    wq = W.partitionBy("query_id")
+    short = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", F.col("cand_id").alias("neighbor_id"), "cv", "cn", rel4)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                wq.orderBy(F.col("rel4").desc(), F.col("neighbor_id"))
+            ),
+        )
+        .filter(F.col("rn") <= MMR_SHORT_N)
+        .drop("rn")
+        .localCheckpoint(eager=False)  # feeds ps + every greedy round
+    )
+    pa = short.select("query_id", F.col("neighbor_id").alias("a_id"), "cv", "cn")
+    pb = short.select(
+        "query_id",
+        F.col("neighbor_id").alias("b_id"),
+        F.col("cv").alias("bv"),
+        F.col("cn").alias("bn"),
+    )
+    ps = (
+        pa.join(pb, "query_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "query_id",
+            "a_id",
+            "b_id",
+            F.round(
+                _dot(F.col("cv"), F.col("bv")) / (F.col("cn") * F.col("bn")) * 10000,
+                0,
+            )
+            .cast("bigint")
+            .alias("sim4"),
+        )
+        .localCheckpoint(eager=False)  # consumed by every greedy round
+    )
+    slim = short.select("query_id", "neighbor_id", "rel4")
+    pick = _argmax(slim, "rel4").select(
+        "query_id", "neighbor_id", "rel4", (F.lit(lam) * F.col("rel4")).alias("score")
+    )
+    outs = [pick.withColumn("mmr_rank", F.lit(1))]
+    sel = pick.select("query_id", "neighbor_id")
+    for r in range(2, MMR_K + 1):
+        ms = (
+            slim.join(sel, ["query_id", "neighbor_id"], "left_anti")
+            .join(
+                ps.join(
+                    sel.withColumnRenamed("neighbor_id", "b_id"),
+                    ["query_id", "b_id"],
+                ).select("query_id", F.col("a_id").alias("neighbor_id"), "sim4"),
+                ["query_id", "neighbor_id"],
+            )
+            .groupBy("query_id", "neighbor_id", "rel4")
+            .agg(F.max("sim4").alias("ms"))
+            .withColumn("score", F.lit(lam) * F.col("rel4") - F.lit(com) * F.col("ms"))
+        )
+        pick = _argmax(ms, "score").select("query_id", "neighbor_id", "rel4", "score")
+        outs.append(pick.withColumn("mmr_rank", F.lit(r)))
+        sel = sel.unionByName(
+            pick.select("query_id", "neighbor_id")
+        ).localCheckpoint(eager=False)
+    return reduce(DataFrame.unionByName, outs).select(
+        "query_id",
+        "neighbor_id",
+        F.col("mmr_rank").cast("bigint").alias("mmr_rank"),
+        "rel4",
+        F.col("score").cast("bigint").alias("score"),
+    )
