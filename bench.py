@@ -116,6 +116,7 @@ HEADLINE = [
     "weighted_sample_topk",
     "ks_drift_by_source",
     "mmr_diverse_topk",
+    "pmi_collocations",
     # reference view library (Ekubo-shaped derivation + real view plan)
     "v01_pool_states",
     "v07_last_24h_pool_stats",

@@ -96,6 +96,7 @@ DRIVER_PRIORITY = [
     "weighted_sample_topk",
     "ks_drift_by_source",
     "mmr_diverse_topk",
+    "pmi_collocations",
     # -- (c) latest driver row is round 2: refresh
     "bigram_logprob_score",
     "chunk_overlap",
@@ -120,13 +121,12 @@ DRIVER_PRIORITY = [
     # rows, within the ≤2-round policy at r5, and rotate to the
     # front in round 6 along with ann_topk_ivfpq, v16_hourly_tvl_delta,
     # v17_staker_rewards, minhash_lsh_dedup_capped, dedup_components,
-    # and the five v-views (v10/v11/v13/v14/v15) displaced by the
+    # and the six v-views (v05/v10/v11/v13/v14/v15) displaced by the
     # session-3 round-5 queries above)
     "v01_pool_states",
     "v02_tick_liquidity",
     "v03_twamm_pool_states",
     "v04_twamm_sale_rate_deltas",
-    "v05_limit_order_pool_states",
     "v07_last_24h_pool_stats",
 ]
 

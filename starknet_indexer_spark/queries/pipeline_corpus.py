@@ -672,3 +672,108 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sample_key").desc(), "doc_id")
         .limit(WSAMPLE_K)
     )
+
+
+# Collocation mining: pairs must occur at least this often, and the
+# top-k by integer-scaled lift is emitted.
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+
+
+@register(
+    "pmi_collocations",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    uni AS (
+      SELECT t.tok AS tok, COUNT(*) AS c
+      FROM toks, UNNEST(tokens) AS t(tok)
+      GROUP BY 1
+    ),
+    n AS (SELECT SUM(c) AS n FROM uni),
+    bg AS (
+      SELECT b.bigram AS bigram, COUNT(*) AS c_xy
+      FROM (
+        SELECT [tokens[i] || ' ' || tokens[i+1]
+                for i in range(1, len(tokens))] AS bigrams
+        FROM toks WHERE len(tokens) >= 2
+      ), UNNEST(bigrams) AS b(bigram)
+      GROUP BY 1
+    ),
+    m AS (SELECT SUM(c_xy) AS m FROM bg),
+    sp AS (
+      SELECT split_part(bigram, ' ', 1) AS left_tok,
+             split_part(bigram, ' ', 2) AS right_tok, c_xy
+      FROM bg WHERE c_xy >= {PMI_MIN_COUNT}
+    )
+    SELECT left_tok, right_tok,
+           CAST(c_xy AS BIGINT) AS pair_count,
+           CAST(ux.c AS BIGINT) AS left_count,
+           CAST(uy.c AS BIGINT) AS right_count,
+           CAST((CAST(c_xy AS HUGEINT) * (SELECT n FROM n) * (SELECT n FROM n)
+                 * 1000000)
+                // (CAST((SELECT m FROM m) AS HUGEINT) * ux.c * uy.c)
+                AS BIGINT) AS lift_ppm
+    FROM sp
+    JOIN uni ux ON ux.tok = sp.left_tok
+    JOIN uni uy ON uy.tok = sp.right_tok
+    ORDER BY lift_ppm DESC, left_tok, right_tok
+    LIMIT {PMI_TOP_K}
+    """,
+    doc=f"PMI-style collocation mining (word2vec-phrases / NLTK "
+    "collocations family): for every adjacent word pair seen >= "
+    f"{PMI_MIN_COUNT} times, the pointwise-mutual-information LIFT "
+    "p(xy)/(p(x)p(y)) = (c_xy*N*N)/(M*c_x*c_y) as an integer "
+    "parts-per-million via truncating division — rank-equivalent to "
+    "PMI (log is monotone) with none of the float, so the top-"
+    f"{PMI_TOP_K} is value-hash exact. Two corpus-sized map-side-"
+    "combined aggs (unigram + bigram counts); everything after joins "
+    "vocabulary-sized relations (unigram side broadcast) and the "
+    "final top-k is a TakeOrdered, not a global sort. The HUGEINT/"
+    "decimal(38,0) product holds to N ~ 1e8 tokens at 1e6 scaling; "
+    "beyond that, renormalize counts (divide all by a common power "
+    "of two) before the ratio, same bound discipline as "
+    "ks_drift_by_source.",
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    D38 = "decimal(38,0)"
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(tokens_expr(F.col("text")).alias("tokens"))
+    uni = (
+        toks.select(F.explode("tokens").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = uni.agg(F.sum("c").alias("n"))
+    bg = (
+        toks.filter(F.size("tokens") >= 2)
+        .select(F.explode(word_ngrams_expr(F.col("tokens"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    m = bg.agg(F.sum("c_xy").alias("m"))
+    sp = bg.filter(F.col("c_xy") >= PMI_MIN_COUNT).select(
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("left_tok"),
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("right_tok"),
+        "c_xy",
+    )
+    ux = uni.select(F.col("tok").alias("left_tok"), F.col("c").alias("cx"))
+    uy = uni.select(F.col("tok").alias("right_tok"), F.col("c").alias("cy"))
+    return (
+        sp.join(F.broadcast(ux), "left_tok")
+        .join(F.broadcast(uy), "right_tok")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "left_tok",
+            "right_tok",
+            F.col("c_xy").cast("bigint").alias("pair_count"),
+            F.col("cx").cast("bigint").alias("left_count"),
+            F.col("cy").cast("bigint").alias("right_count"),
+            F.expr(
+                "CAST((CAST(c_xy AS decimal(38,0)) * n * n * 1000000)"
+                " div (CAST(m AS decimal(38,0)) * cx * cy) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.col("lift_ppm").desc(), "left_tok", "right_tok")
+        .limit(PMI_TOP_K)
+    )
