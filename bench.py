@@ -117,6 +117,8 @@ HEADLINE = [
     "ks_drift_by_source",
     "mmr_diverse_topk",
     "pmi_collocations",
+    "tvd_drift_by_source",
+    "scd2_user_state",
     # reference view library (Ekubo-shaped derivation + real view plan)
     "v01_pool_states",
     "v07_last_24h_pool_stats",

@@ -41,6 +41,7 @@ from . import pipeline_pca  # noqa: E402,F401
 from . import pipeline_bpe  # noqa: E402,F401
 from . import pipeline_drift  # noqa: E402,F401
 from . import pipeline_mmr  # noqa: E402,F401
+from . import scd  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
 from . import olap  # noqa: E402,F401
 from . import integrity  # noqa: E402,F401
@@ -97,6 +98,8 @@ DRIVER_PRIORITY = [
     "ks_drift_by_source",
     "mmr_diverse_topk",
     "pmi_collocations",
+    "tvd_drift_by_source",
+    "scd2_user_state",
     # -- (c) latest driver row is round 2: refresh
     "bigram_logprob_score",
     "chunk_overlap",
@@ -121,12 +124,10 @@ DRIVER_PRIORITY = [
     # rows, within the ≤2-round policy at r5, and rotate to the
     # front in round 6 along with ann_topk_ivfpq, v16_hourly_tvl_delta,
     # v17_staker_rewards, minhash_lsh_dedup_capped, dedup_components,
-    # and the six v-views (v05/v10/v11/v13/v14/v15) displaced by the
-    # session-3 round-5 queries above)
+    # and the eight v-views (v03/v04/v05/v10/v11/v13/v14/v15)
+    # displaced by the session-3 round-5 queries above)
     "v01_pool_states",
     "v02_tick_liquidity",
-    "v03_twamm_pool_states",
-    "v04_twamm_sale_rate_deltas",
     "v07_last_24h_pool_stats",
 ]
 

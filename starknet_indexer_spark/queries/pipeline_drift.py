@@ -157,3 +157,81 @@ def ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.min("n_chars").cast("bigint").alias("ks_at"))
     )
+
+
+@register(
+    "tvd_drift_by_source",
+    oracle="""
+    WITH cnt AS (
+      SELECT source, lang, COUNT(*) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    langs AS (SELECT lang, SUM(c) AS cg FROM cnt GROUP BY 1),
+    srcs AS (SELECT source, SUM(c) AS n_s FROM cnt GROUP BY 1),
+    tot AS (SELECT SUM(n_s) AS n FROM srcs),
+    grid AS (
+      SELECT s.source, s.n_s, l.lang, l.cg, COALESCE(c.c, 0) AS c
+      FROM srcs s CROSS JOIN langs l
+      LEFT JOIN cnt c ON c.source = s.source AND c.lang = l.lang
+    ),
+    terms AS (
+      SELECT source, n_s, (SELECT n FROM tot) - n_s AS n_r,
+             ABS(CAST(c AS HUGEINT) * ((SELECT n FROM tot) - n_s)
+                 - CAST(cg - c AS HUGEINT) * n_s) AS t
+      FROM grid
+    )
+    SELECT source,
+           CAST(n_s AS BIGINT) AS n_source,
+           CAST(n_r AS BIGINT) AS n_rest,
+           CAST(SUM(t) AS BIGINT) AS tvd_num,
+           CAST((SUM(t) * 1000000)
+                // (2 * CAST(n_s AS HUGEINT) * n_r) AS BIGINT) AS tvd_ppm
+    FROM terms
+    GROUP BY source, n_s, n_r
+    """,
+    doc="Categorical-distribution drift monitor: exact total variation "
+    "distance of every source slice's language mix vs the rest of the "
+    "corpus — TVD = (1/2) sum_x |p_s(x) - p_rest(x)|, with "
+    "denominators multiplied out (tvd_num = sum_x |c_s*n_rest - "
+    "c_rest*n_source|, tvd_ppm via truncating division) so the whole "
+    "statistic is integer arithmetic, the categorical complement to "
+    "ks_drift_by_source's continuous CDF test. One corpus-sized "
+    "map-side-combined groupBy(source, lang); everything after lives "
+    "on the sources x categories grid (broadcast cross join), bounded "
+    "by category cardinality, not corpus size. HUGEINT/decimal(38,0) "
+    "products; emitted BIGINTs hold to ~3e9 rows/slice.",
+)
+def tvd_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("source", "lang")
+    cnt = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    langs = cnt.groupBy("lang").agg(F.sum("c").alias("cg"))
+    srcs = cnt.groupBy("source").agg(F.sum("c").alias("n_s"))
+    tot = srcs.agg(F.sum("n_s").alias("n"))
+    grid = (
+        srcs.crossJoin(F.broadcast(langs))
+        .join(cnt, ["source", "lang"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    term = F.abs(
+        F.col("c").cast(D38) * (F.col("n") - F.col("n_s")).cast(D38)
+        - (F.col("cg") - F.col("c")).cast(D38) * F.col("n_s").cast(D38)
+    )
+    return (
+        grid.groupBy(
+            "source",
+            F.col("n_s").cast("bigint").alias("n_source"),
+            (F.col("n") - F.col("n_s")).cast("bigint").alias("n_rest"),
+        )
+        .agg(F.sum(term).alias("tvd"))
+        .select(
+            "source",
+            "n_source",
+            "n_rest",
+            F.col("tvd").cast("bigint").alias("tvd_num"),
+            F.expr(
+                "CAST((tvd * 1000000) div (CAST(2 AS decimal(38,0))"
+                " * n_source * n_rest) AS BIGINT)"
+            ).alias("tvd_ppm"),
+        )
+    )

@@ -9,7 +9,11 @@ from __future__ import annotations
 import numpy as np
 import pyarrow.parquet as pq
 
-from starknet_indexer_spark.queries.pipeline_drift import ks_drift_by_source
+from starknet_indexer_spark.queries.pipeline_drift import (
+    ks_drift_by_source,
+    tvd_drift_by_source,
+)
+from starknet_indexer_spark.queries.scd import scd2_user_state
 from starknet_indexer_spark.queries.pipeline_mmr import (
     MMR_K,
     MMR_LAMBDA_TENTHS,
@@ -57,6 +61,60 @@ class TestKsReference:
             assert int(row["d_num"]) == d_num, src
             assert int(row["ks_at"]) == ks_at, src
             assert int(row["d_ppm"]) == d_num * 1_000_000 // (n_s * n_r)
+
+
+class TestTvdReference:
+    def test_matches_numpy_total_variation(self, spark):
+        out = (
+            tvd_drift_by_source(spark, SF_DIR)
+            .toPandas()
+            .set_index("source")
+            .sort_index()
+        )
+        docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+        n = len(docs)
+        langs = sorted(docs["lang"].unique())
+        for src, grp in docs.groupby("source"):
+            n_s = len(grp)
+            n_r = n - n_s
+            tvd_num = 0
+            for lg in langs:
+                c = int((grp["lang"] == lg).sum())
+                cg = int((docs["lang"] == lg).sum())
+                tvd_num += abs(c * n_r - (cg - c) * n_s)
+            row = out.loc[src]
+            assert int(row["tvd_num"]) == tvd_num, src
+            assert int(row["tvd_ppm"]) == tvd_num * 1_000_000 // (2 * n_s * n_r)
+            # TVD in [0, 1]: tvd_num <= 2 * n_s * n_r
+            assert 0 <= int(row["tvd_ppm"]) <= 1_000_000
+
+
+class TestScd2Invariants:
+    def test_intervals_partition_history(self, spark):
+        out = scd2_user_state(spark, SF_DIR).toPandas()
+        ev = pq.read_table(f"{SF_DIR}/events.parquet").to_pandas()
+        for uid, grp in out.groupby("user_id"):
+            grp = grp.sort_values("valid_from").reset_index(drop=True)
+            # exactly one open (current) interval, and it is the last
+            assert int(grp["is_current"].sum()) == 1
+            assert bool(grp["is_current"].iloc[-1])
+            # intervals chain: each valid_to equals the next valid_from
+            assert (
+                grp["valid_to"].iloc[:-1].to_numpy()
+                == grp["valid_from"].iloc[1:].to_numpy()
+            ).all()
+            # adjacent versions actually change state
+            assert (
+                grp["event_type"].iloc[:-1].to_numpy()
+                != grp["event_type"].iloc[1:].to_numpy()
+            ).all()
+            # replaying the raw history through the intervals gives the
+            # same state at every event of this user
+            h = ev[ev["user_id"] == uid].sort_values("event_id")
+            idx = grp["valid_from"].searchsorted(h["event_id"], side="right") - 1
+            assert (
+                grp["event_type"].to_numpy()[idx] == h["event_type"].to_numpy()
+            ).all()
 
 
 class TestMmrReference:
