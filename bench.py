@@ -119,6 +119,7 @@ HEADLINE = [
     "pmi_collocations",
     "tvd_drift_by_source",
     "scd2_user_state",
+    "postings_index",
     # reference view library (Ekubo-shaped derivation + real view plan)
     "v01_pool_states",
     "v07_last_24h_pool_stats",

@@ -204,6 +204,14 @@ def ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tvd_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("source", "lang")
     cnt = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    return tvd_from_counts(cnt)
+
+
+def tvd_from_counts(cnt: DataFrame) -> DataFrame:
+    """TVD drift of each source vs rest-of-corpus from a (source,
+    lang, c) count relation — shared by the batch query above and the
+    streaming monitor (streaming/drift.py), which maintains the count
+    relation incrementally and re-derives drift from it per batch."""
     langs = cnt.groupBy("lang").agg(F.sum("c").alias("cg"))
     srcs = cnt.groupBy("source").agg(F.sum("c").alias("n_s"))
     tot = srcs.agg(F.sum("n_s").alias("n"))

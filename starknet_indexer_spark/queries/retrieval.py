@@ -286,3 +286,48 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "doc_id", "rank", "rrf_ppb", "n_sources")
     )
+
+
+@register(
+    "postings_index",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS tokens FROM documents
+    ),
+    px AS (
+      SELECT doc_id, t.i AS pos, tokens[t.i] AS term
+      FROM toks, UNNEST(range(1, len(tokens) + 1)) AS t(i)
+    )
+    SELECT term, doc_id,
+           CAST(COUNT(*) AS BIGINT) AS tf,
+           string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions_csv
+    FROM px
+    GROUP BY 1, 2
+    """,
+    doc="Positional inverted-index construction — the foundational "
+    "retrieval artifact (feeds BM25 scoring, phrase queries, and "
+    "proximity ranking): one posexplode of the shared tokenizer, then "
+    "a single (term, doc_id)-keyed map-side-combined agg emitting "
+    "term frequency and the sorted position list (joined to a CSV "
+    "string so the value hash is order-stable — collect_list alone "
+    "is partition-order nondeterministic, sort_array pins it). At "
+    "scale this is the canonical build: one shuffle keyed on "
+    "(term, doc_id) whose skew is bounded by per-doc term counts, "
+    "ready to be written bucketed by term for co-located query-time "
+    "joins.",
+)
+def postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    px = docs.select(
+        "doc_id",
+        F.posexplode(tokens_expr(F.col("text"))).alias("i0", "term"),
+    ).select("doc_id", (F.col("i0") + 1).alias("pos"), "term")
+    return px.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("pos")), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("positions_csv"),
+    )

@@ -1,0 +1,90 @@
+"""Streaming drift monitor (streaming/drift.py): the maintained count
+state must make drift_table value-identical to the batch
+tvd_drift_by_source computation over the union of all batches, and the
+staging-swap state write must self-heal from both mid-swap crash
+positions.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from starknet_indexer_spark.catalog import load
+from starknet_indexer_spark.queries.pipeline_drift import tvd_from_counts
+from starknet_indexer_spark.streaming import drift
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return load(spark, SF_DIR, "documents").select("doc_id", "source", "lang")
+
+
+def _want(spark):
+    cnt = _docs(spark).groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    return tvd_from_counts(cnt)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+class TestDriftMonitor:
+    def test_incremental_equals_recompute(self, spark, tmp_path):
+        state = str(tmp_path / "drift")
+        docs = _docs(spark)
+        for lo, hi in ((0, 15), (15, 30), (30, 10**9)):
+            drift.apply_batch(
+                spark,
+                docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+                state,
+            )
+        assert _rows(drift.drift_table(spark, state)) == _rows(_want(spark))
+
+    def test_streaming_equals_recompute(self, spark, tmp_path):
+        feed = str(tmp_path / "feed")
+        state = str(tmp_path / "sdrift")
+        ckpt = str(tmp_path / "ckpt")
+        docs = _docs(spark)
+        chunks = [
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            for lo, hi in ((0, 20), (20, 40), (40, 10**9))
+        ]
+        chunks[0].write.mode("append").parquet(feed)
+        q = drift.stream_monitor(spark, feed, state, ckpt)
+        try:
+            q.processAllAvailable()
+            for c in chunks[1:]:
+                c.write.mode("append").parquet(feed)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        assert _rows(drift.drift_table(spark, state)) == _rows(_want(spark))
+
+    def test_alert_threshold(self, spark, tmp_path):
+        state = str(tmp_path / "adrift")
+        drift.apply_batch(spark, _docs(spark), state)
+        d = drift.drift_table(spark, state).collect()
+        thr = sorted(r["tvd_ppm"] for r in d)[len(d) // 2]  # median cut
+        got = drift.alerts(spark, state, threshold_ppm=thr)
+        assert _rows(got) == _rows(
+            drift.drift_table(spark, state).filter(F.col("tvd_ppm") >= thr)
+        )
+
+    def test_crash_recovery_both_branches(self, spark, tmp_path):
+        state = str(tmp_path / "rdrift")
+        docs = _docs(spark)
+        drift.apply_batch(spark, docs, state)
+        want = _rows(drift.drift_table(spark, state))
+        live = os.path.join(state, "counts")
+        trash = os.path.join(state, "counts._old")
+        # crash between the two os.replace calls: live gone, _old holds state
+        os.replace(live, trash)
+        assert _rows(drift.drift_table(spark, state)) == want
+        # crash after the swap completed: both live and stale _old exist
+        shutil.copytree(live, trash)
+        assert _rows(drift.drift_table(spark, state)) == want
+        assert not os.path.isdir(trash)
