@@ -138,8 +138,14 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     outs: list[DataFrame] = []
     for r in range(1, BPE_MERGES + 1):
+        # size >= 2 guard: a word whose symbols collapsed to ONE token
+        # contributes no pairs. DuckDB's range(1,1) is empty, but Spark's
+        # sequence(1, 0) infers a NEGATIVE step and yields [1, 0], whose
+        # element_at(syms, 0) then throws under ANSI — the filter makes
+        # both engines see the same (empty) pair set.
         pairs = (
-            w.select(
+            w.filter(F.size("syms") >= 2)
+            .select(
                 "cnt",
                 F.explode(
                     F.expr(

@@ -84,7 +84,9 @@ D38 = "decimal(38,0)"
            CAST(n_s AS BIGINT) AS n_source,
            CAST(n_r AS BIGINT) AS n_rest,
            CAST(d_num AS BIGINT) AS d_num,
-           CAST((d_num * 1000000) // (CAST(n_s AS HUGEINT) * n_r)
+           -- GREATEST guard: n_r = 0 (single-source corpus) makes every
+           -- diff 0, so 0 // 1 = 0 rather than a division error
+           CAST((d_num * 1000000) // GREATEST(CAST(n_s AS HUGEINT) * n_r, 1)
                 AS BIGINT) AS d_ppm,
            CAST(MIN(n_chars) AS BIGINT) AS ks_at
     FROM mx WHERE d = d_num
@@ -151,9 +153,11 @@ def ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_s").cast("bigint").alias("n_source"),
             F.col("n_r").cast("bigint").alias("n_rest"),
             F.col("d_num").cast("bigint").alias("d_num"),
-            F.expr("CAST((d_num * 1000000) div (CAST(n_s AS decimal(38,0)) * n_r) AS BIGINT)").alias(
-                "d_ppm"
-            ),
+            F.expr(
+                "CAST((d_num * 1000000) div greatest("
+                "CAST(n_s AS decimal(38,0)) * n_r, CAST(1 AS decimal(38,0))"
+                ") AS BIGINT)"
+            ).alias("d_ppm"),
         )
         .agg(F.min("n_chars").cast("bigint").alias("ks_at"))
     )
@@ -184,8 +188,10 @@ def ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_s AS BIGINT) AS n_source,
            CAST(n_r AS BIGINT) AS n_rest,
            CAST(SUM(t) AS BIGINT) AS tvd_num,
+           -- GREATEST guard: n_r = 0 => every term is 0, so 0 // 1 = 0
            CAST((SUM(t) * 1000000)
-                // (2 * CAST(n_s AS HUGEINT) * n_r) AS BIGINT) AS tvd_ppm
+                // GREATEST(2 * CAST(n_s AS HUGEINT) * n_r, 1) AS BIGINT)
+             AS tvd_ppm
     FROM terms
     GROUP BY source, n_s, n_r
     """,
@@ -238,8 +244,8 @@ def tvd_from_counts(cnt: DataFrame) -> DataFrame:
             "n_rest",
             F.col("tvd").cast("bigint").alias("tvd_num"),
             F.expr(
-                "CAST((tvd * 1000000) div (CAST(2 AS decimal(38,0))"
-                " * n_source * n_rest) AS BIGINT)"
+                "CAST((tvd * 1000000) div greatest(CAST(2 AS decimal(38,0))"
+                " * n_source * n_rest, CAST(1 AS decimal(38,0))) AS BIGINT)"
             ).alias("tvd_ppm"),
         )
     )

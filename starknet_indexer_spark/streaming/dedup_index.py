@@ -41,6 +41,7 @@ from ..operators.dedup import (
     word_shingles_expr,
 )
 from ..queries.pipeline_dedup import JACCARD_MIN
+from .epochs import epoch_idempotent
 
 _BANDS = "bands"
 _SHINGLES = "shingles"
@@ -144,26 +145,13 @@ def stream_dedup_index(
     reader = reader.schema(schema if schema is not None else spark.read.parquet(feed_dir).schema)
     stream = reader.option("maxFilesPerTrigger", str(max_files_per_trigger)).parquet(feed_dir)
 
-    def process(batch_df: DataFrame, epoch_id: int) -> None:
-        # foreachBatch is at-least-once: skip a fully-applied epoch on
-        # redelivery (checkpoint commit failed after the appends) so
-        # pairs stay exactly-once discovered and the index holds one
-        # row set per doc. The crash-mid-apply window is the
-        # multi-file transactionality a table format closes — see
-        # stream_maintain's note.
-        from ..ingest import checkpoint_marker_ns
-
-        ns = checkpoint_marker_ns(checkpoint_dir)
-        marker = os.path.join(index_dir, "_applied_epochs", ns, str(epoch_id))
-        if os.path.exists(marker):
-            return
-        if batch_df.isEmpty():
-            return
-        apply_batch(spark, batch_df, index_dir, pairs_dir)
-        os.makedirs(os.path.dirname(marker), exist_ok=True)
-        with open(marker, "w") as f:
-            f.write("applied")
-
+    # at-least-once redelivery guard so pairs stay exactly-once
+    # discovered and the index holds one row set per doc
+    process = epoch_idempotent(
+        index_dir,
+        checkpoint_dir,
+        lambda batch_df, _epoch: apply_batch(spark, batch_df, index_dir, pairs_dir),
+    )
     return (
         stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)

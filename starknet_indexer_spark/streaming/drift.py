@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries.pipeline_drift import tvd_from_counts
+from .epochs import epoch_idempotent
 
 DEFAULT_ALERT_PPM = 200_000  # alert when TVD >= 0.2
 
@@ -108,20 +109,11 @@ def stream_monitor(
         schema if schema is not None else spark.read.parquet(feed_dir).schema
     )
     stream = reader.parquet(feed_dir).select("source", "lang")
-
-    def process(batch_df: DataFrame, epoch_id: int) -> None:
-        from ..ingest import checkpoint_marker_ns
-
-        ns = checkpoint_marker_ns(checkpoint_dir)
-        marker = os.path.join(state_dir, "_applied_epochs", ns, str(epoch_id))
-        if os.path.exists(marker):
-            return
-        if not batch_df.isEmpty():
-            apply_batch(spark, batch_df, state_dir)
-        os.makedirs(os.path.dirname(marker), exist_ok=True)
-        with open(marker, "w") as f:
-            f.write("applied")
-
+    process = epoch_idempotent(
+        state_dir,
+        checkpoint_dir,
+        lambda batch_df, _epoch: apply_batch(spark, batch_df, state_dir),
+    )
     return (
         stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)

@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..views.tick_liquidity import tick_liquidity_deltas
+from .epochs import epoch_idempotent
 
 N_BUCKETS = 16
 _KEY = ["pool_key_hash", "tick"]
@@ -143,20 +144,11 @@ def stream_maintain(
         reader = reader.schema(spark.read.parquet(feed_dir).schema)
     stream = reader.parquet(feed_dir)
 
-    def process(batch_df: DataFrame, epoch_id: int) -> None:
-        from ..ingest import checkpoint_marker_ns
-
-        ns = checkpoint_marker_ns(checkpoint_dir)
-        marker = os.path.join(state_dir, "_applied_epochs", ns, str(epoch_id))
-        if os.path.exists(marker):
-            return  # replayed epoch — already merged
-        if batch_df.isEmpty():
-            return
-        apply_batch(spark, batch_df, state_dir)
-        os.makedirs(os.path.dirname(marker), exist_ok=True)
-        with open(marker, "w") as f:
-            f.write("applied")
-
+    process = epoch_idempotent(
+        state_dir,
+        checkpoint_dir,
+        lambda batch_df, _epoch: apply_batch(spark, batch_df, state_dir),
+    )
     return (
         stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)

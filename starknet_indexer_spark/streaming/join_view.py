@@ -34,6 +34,8 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .epochs import epoch_idempotent
+
 N_BUCKETS = 16
 
 
@@ -58,13 +60,6 @@ class JoinViewMaintainer:
         self.view_dir = os.path.join(state_dir, "view")
 
     # -- state I/O ----------------------------------------------------
-    def _read_side(self, spark: SparkSession, side_dir: str) -> DataFrame | None:
-        if not os.path.isdir(side_dir) or not any(
-            d.startswith("bucket=") for d in os.listdir(side_dir)
-        ):
-            return None
-        return spark.read.parquet(side_dir).drop("bucket")
-
     def read_view(self, spark: SparkSession) -> DataFrame | None:
         if not os.path.isdir(self.view_dir):
             return None
@@ -108,6 +103,14 @@ class JoinViewMaintainer:
     ) -> None:
         """Emit dV for one batch of appends and fold the deltas into
         the side states. Either side may be absent/empty."""
+        # Pin each delta: its plan is consumed up to three times (bucket
+        # probe, view write, state append), and a non-deterministic
+        # input (sample/limit/rand) re-evaluated per consumer would
+        # break the disjointness that makes pairs exactly-once.
+        if left_delta is not None:
+            left_delta = left_delta.localCheckpoint(eager=True)
+        if right_delta is not None:
+            right_delta = right_delta.localCheckpoint(eager=True)
         if left_delta is not None and right_delta is not None:
             overlap = (set(left_delta.columns) & set(right_delta.columns)) - {
                 self.key
@@ -164,9 +167,14 @@ def stream_maintain(
     same residual crash window as streaming/incremental.py)."""
     overlap = set(left_cols) & set(right_cols)
     if overlap or key in left_cols or key in right_cols:
+        problems = []
+        if overlap:
+            problems.append(f"columns in both sides: {sorted(overlap)}")
+        if key in left_cols or key in right_cols:
+            problems.append(f"key {key!r} listed as a payload column")
         raise ValueError(
-            f"side payload columns must be disjoint and exclude the key; "
-            f"overlap={sorted(overlap)}"
+            "side payload columns must be disjoint and exclude the key; "
+            + "; ".join(problems)
         )
     maintainer = JoinViewMaintainer(state_dir, key)
     reader = spark.readStream
@@ -179,24 +187,15 @@ def stream_maintain(
         part = batch_df.filter(F.col(side_col) == side).select(key, *cols)
         return part if not part.isEmpty() else None
 
-    def process(batch_df: DataFrame, epoch_id: int) -> None:
-        from ..ingest import checkpoint_marker_ns
+    def body(batch_df: DataFrame, _epoch: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)  # split scans twice
+        maintainer.apply_batch(
+            spark,
+            left_delta=split(batch_df, "left", left_cols),
+            right_delta=split(batch_df, "right", right_cols),
+        )
 
-        ns = checkpoint_marker_ns(checkpoint_dir)
-        marker = os.path.join(state_dir, "_applied_epochs", ns, str(epoch_id))
-        if os.path.exists(marker):
-            return
-        if not batch_df.isEmpty():
-            batch_df = batch_df.localCheckpoint(eager=True)  # split scans twice
-            maintainer.apply_batch(
-                spark,
-                left_delta=split(batch_df, "left", left_cols),
-                right_delta=split(batch_df, "right", right_cols),
-            )
-        os.makedirs(os.path.dirname(marker), exist_ok=True)
-        with open(marker, "w") as f:
-            f.write("applied")
-
+    process = epoch_idempotent(state_dir, checkpoint_dir, body)
     return (
         stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)

@@ -88,6 +88,19 @@ class TestJoinViewDelta:
         with pytest.raises(ValueError, match="disjoint"):
             m.apply_batch(spark, left_delta=_facts(spark), right_delta=df)
 
+    def test_nondeterministic_delta_stays_consistent(self, spark, tmp_path):
+        """Deltas are pinned (localCheckpoint) before their three
+        consumers, so even a sampled (re-evaluation-unstable) delta
+        yields a view equal to the join of the persisted side states."""
+        m = JoinViewMaintainer(str(tmp_path / "jvnd"), key="user_id")
+        m.apply_batch(spark, right_delta=_dims(spark))
+        m.apply_batch(spark, left_delta=_facts(spark).sample(0.5, seed=None))
+        left_state = spark.read.parquet(m.left_dir).drop("bucket")
+        right_state = spark.read.parquet(m.right_dir).drop("bucket")
+        want = left_state.join(right_state, "user_id")
+        got = m.read_view(spark)
+        assert _pairs(got) == _pairs(want)
+
 
 class TestJoinViewStreaming:
     def test_tagged_changefeed_equals_recompute(self, spark, tmp_path):
@@ -134,7 +147,7 @@ class TestJoinViewStreaming:
         assert _pairs(m.read_view(spark)) == _pairs(want)
 
     def test_side_column_validation(self, spark, tmp_path):
-        with pytest.raises(ValueError, match="disjoint"):
+        with pytest.raises(ValueError, match=r"columns in both sides.*'a'"):
             stream_maintain(
                 spark,
                 str(tmp_path / "nofeed"),
@@ -143,4 +156,16 @@ class TestJoinViewStreaming:
                 key="user_id",
                 left_cols=["a"],
                 right_cols=["a"],
+            )
+        # the key-in-payload case must be named, not reported as an
+        # empty overlap
+        with pytest.raises(ValueError, match="key 'user_id' listed"):
+            stream_maintain(
+                spark,
+                str(tmp_path / "nofeed"),
+                str(tmp_path / "s"),
+                str(tmp_path / "c"),
+                key="user_id",
+                left_cols=["user_id", "b"],
+                right_cols=["x"],
             )

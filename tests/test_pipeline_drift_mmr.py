@@ -89,6 +89,24 @@ class TestTvdReference:
             assert 0 <= int(row["tvd_ppm"]) <= 1_000_000
 
 
+class TestDriftSingleSourceGuard:
+    def test_single_source_yields_zero_ppm_not_division_error(self, spark):
+        """n_rest = 0 (one source holds every row) must produce tvd_ppm
+        = 0, not DIVIDE_BY_ZERO — the streaming monitor hits this on an
+        early single-source feed."""
+        from starknet_indexer_spark.queries.pipeline_drift import tvd_from_counts
+
+        cnt = spark.createDataFrame(
+            [("only_src", "en", 7), ("only_src", "fr", 3)],
+            "source string, lang string, c long",
+        )
+        rows = tvd_from_counts(cnt).collect()
+        assert len(rows) == 1
+        assert rows[0]["n_rest"] == 0
+        assert rows[0]["tvd_num"] == 0
+        assert rows[0]["tvd_ppm"] == 0
+
+
 class TestScd2Invariants:
     def test_intervals_partition_history(self, spark):
         out = scd2_user_state(spark, SF_DIR).toPandas()

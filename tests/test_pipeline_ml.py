@@ -61,6 +61,38 @@ class TestBpeFold:
             assert got[i] == _ref_merge(syms, x, y), (syms, x, y)
 
 
+class TestBpeSingleSymbolWords:
+    def test_collapsed_word_does_not_crash_pair_explode(self, spark, tmp_path):
+        """A word whose symbols merge down to ONE token must contribute
+        no pairs: Spark's sequence(1, 0) yields [1, 0] (negative-step
+        inference), and without the size>=2 guard element_at(syms, 0)
+        throws under ANSI. Corpus engineered so ('a', '</w>') wins the
+        first merge, collapsing the word 'a' to a 1-element array."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq_w
+
+        from starknet_indexer_spark.queries.pipeline_bpe import bpe_train_merges
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": range(4),
+                "text": ["a a a a a a a a b"] * 4,
+                "lang": ["en"] * 4,
+                "source": ["s"] * 4,
+                "n_chars": [17] * 4,
+            }
+        )
+        pq_w.write_table(pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet"))
+        out = bpe_train_merges(spark, str(tmp_path)).collect()
+        got = {r["merge_rank"]: (r["left_sym"], r["right_sym"]) for r in out}
+        assert got[1] == ("a", "</w>")  # collapses 'a' to one symbol
+        # round 2 still runs on the collapsed vocabulary (no crash);
+        # rounds 3-4 have no pairs left and emit nothing — the same
+        # merges-exhausted behavior as the DuckDB oracle (empty bN).
+        assert got == {1: ("a", "</w>"), 2: ("b", "</w>")}
+
+
 class TestPcaDirection:
     def test_matches_numpy_dominant_eigenvector(self, spark):
         out = between_class_pca(spark, SF_DIR).toPandas()
