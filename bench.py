@@ -120,6 +120,7 @@ HEADLINE = [
     "tvd_drift_by_source",
     "scd2_user_state",
     "postings_index",
+    "phrase_match",
     # reference view library (Ekubo-shaped derivation + real view plan)
     "v01_pool_states",
     "v07_last_24h_pool_stats",

@@ -101,6 +101,7 @@ DRIVER_PRIORITY = [
     "tvd_drift_by_source",
     "scd2_user_state",
     "postings_index",
+    "phrase_match",
     # -- (c) latest driver row is round 2: refresh
     "bigram_logprob_score",
     "chunk_overlap",
@@ -125,9 +126,9 @@ DRIVER_PRIORITY = [
     # rows, within the ≤2-round policy at r5, and rotate to the
     # front in round 6 along with ann_topk_ivfpq, v16_hourly_tvl_delta,
     # v17_staker_rewards, minhash_lsh_dedup_capped, dedup_components,
-    # and the nine v-views (v02/v03/v04/v05/v10/v11/v13/v14/v15)
-    # displaced by the session-3 round-5 queries above)
-    "v01_pool_states",
+    # and the ten v-views (v01/v02/v03/v04/v05/v10/v11/v13/v14/v15)
+    # displaced by the session-3 round-5 queries above — all keep
+    # green r3 rows, within the ≤2-round policy at r5)
     "v07_last_24h_pool_stats",
 ]
 

@@ -331,3 +331,77 @@ def postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("positions_csv"),
     )
+
+
+# Fixed benchmark phrases (phrase_id, first term, second term) from the
+# corpus template vocabulary so matches exist at every SF; the last one
+# is deliberately rare to exercise the empty/sparse-match path.
+_PHRASES: list[tuple[int, str, str]] = [
+    (1, "order", "fast"),
+    (2, "window", "join"),
+    (3, "stream", "column"),
+    (4, "data", "slow"),
+    (5, "slow", "window"),
+]
+_PHRASE_VALUES = ", ".join(f"({i}, '{a}', '{b}')" for i, a, b in _PHRASES)
+_PHRASE_TERMS = sorted({t for _, a, b in _PHRASES for t in (a, b)})
+_PHRASE_IN = ", ".join(f"'{t}'" for t in _PHRASE_TERMS)
+
+
+@register(
+    "phrase_match",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS tokens FROM documents
+    ),
+    px AS (
+      SELECT doc_id, t.i AS pos, tokens[t.i] AS term
+      FROM toks, UNNEST(range(1, len(tokens) + 1)) AS t(i)
+      WHERE tokens[t.i] IN ({_PHRASE_IN})
+    ),
+    ph(phrase_id, t1, t2) AS (VALUES {_PHRASE_VALUES})
+    SELECT ph.phrase_id, a.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(a.pos) AS BIGINT) AS first_pos
+    FROM ph
+    JOIN px a ON a.term = ph.t1
+    JOIN px b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+             AND b.term = ph.t2
+    GROUP BY 1, 2
+    """,
+    doc="Exact phrase search over the positional index: a phrase "
+    '"t1 t2" matches where t1\'s postings and t2\'s postings intersect '
+    "at adjacent positions — the positional-join evaluation every "
+    "phrase/proximity query engine runs on a postings_index artifact. "
+    "The term-set filter is pushed into the scan (only postings of "
+    "the phrases' vocabulary are materialized, the same inverted-"
+    "index discipline as bm25_topk), the phrase table is a broadcast "
+    "VALUES relation, and the positional self-join shuffles on "
+    "(doc_id, pos) — bounded by the filtered postings, not the "
+    "corpus.",
+)
+def phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    px = (
+        docs.select(
+            "doc_id",
+            F.posexplode(tokens_expr(F.col("text"))).alias("i0", "term"),
+        )
+        .select("doc_id", (F.col("i0") + 1).alias("pos"), "term")
+        .filter(F.col("term").isin(_PHRASE_TERMS))
+    )
+    ph = spark.createDataFrame(_PHRASES, "phrase_id long, t1 string, t2 string")
+    a = px.select("doc_id", F.col("pos").alias("pos_a"), F.col("term").alias("t1"))
+    b = px.select(
+        "doc_id", F.col("pos").alias("pos_b"), F.col("term").alias("t2")
+    )
+    return (
+        a.join(F.broadcast(ph), "t1")
+        .join(b, ["doc_id", "t2"])
+        .filter(F.col("pos_b") == F.col("pos_a") + 1)
+        .groupBy("phrase_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.min("pos_a").cast("bigint").alias("first_pos"),
+        )
+    )
