@@ -121,6 +121,7 @@ HEADLINE = [
     "scd2_user_state",
     "postings_index",
     "phrase_match",
+    "skipgram_pairs",
     # reference view library (Ekubo-shaped derivation + real view plan)
     "v01_pool_states",
     "v07_last_24h_pool_stats",

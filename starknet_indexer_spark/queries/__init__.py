@@ -102,6 +102,7 @@ DRIVER_PRIORITY = [
     "scd2_user_state",
     "postings_index",
     "phrase_match",
+    "skipgram_pairs",
     # -- (c) latest driver row is round 2: refresh
     "bigram_logprob_score",
     "chunk_overlap",
@@ -126,10 +127,10 @@ DRIVER_PRIORITY = [
     # rows, within the ≤2-round policy at r5, and rotate to the
     # front in round 6 along with ann_topk_ivfpq, v16_hourly_tvl_delta,
     # v17_staker_rewards, minhash_lsh_dedup_capped, dedup_components,
-    # and the ten v-views (v01/v02/v03/v04/v05/v10/v11/v13/v14/v15)
-    # displaced by the session-3 round-5 queries above — all keep
-    # green r3 rows, within the ≤2-round policy at r5)
-    "v07_last_24h_pool_stats",
+    # and all 17 v-views, displaced by the session-3 round-5 queries
+    # above — every displaced query keeps a green r3 row, within the
+    # ≤2-round policy at r5. The window is now exactly: 5 never-
+    # verified + 28 new-in-round-5 + 17 r2-stale refreshes.)
 ]
 
 

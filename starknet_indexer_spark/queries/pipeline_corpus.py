@@ -777,3 +777,66 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift_ppm").desc(), "left_tok", "right_tok")
         .limit(PMI_TOP_K)
     )
+
+
+SKIPGRAM_WINDOW = 4  # max distance between center and context token
+SKIPGRAM_TOP_K = 100
+
+
+def _skipgram_oracle() -> str:
+    offsets = " UNION ALL ".join(
+        f"""
+      SELECT p.pr[1] AS left_tok, p.pr[2] AS right_tok
+      FROM toks, UNNEST(
+        [[tokens[i], tokens[i + {j}]] for i in range(1, len(tokens) - {j - 1})]
+      ) AS p(pr)"""
+        for j in range(1, SKIPGRAM_WINDOW + 1)
+    )
+    return f"""
+    WITH toks AS ({_TOKS_SQL}),
+    pairs AS ({offsets})
+    SELECT left_tok, right_tok, CAST(COUNT(*) AS BIGINT) AS pair_count
+    FROM pairs
+    GROUP BY 1, 2
+    ORDER BY pair_count DESC, left_tok, right_tok
+    LIMIT {SKIPGRAM_TOP_K}
+    """
+
+
+@register(
+    "skipgram_pairs",
+    oracle=_skipgram_oracle(),
+    doc=f"Skip-gram co-occurrence extraction (the word2vec/fastText "
+    f"training-pair op): every (center, context) token pair within "
+    f"distance {SKIPGRAM_WINDOW}, counted corpus-wide, top-"
+    f"{SKIPGRAM_TOP_K} by exact count with lexicographic tie-break. "
+    "Pair generation is MAP-ONLY array math — one zip of two shifted "
+    "slices per offset (the word_ngrams_expr discipline: zip_with "
+    "walks each slice once; a positional self-join would shuffle the "
+    "token stream once per offset instead) — so the only shuffle is "
+    "the single map-side-combined pair count, and the top-k is a "
+    "TakeOrdered. Output volume is window x corpus tokens, the same "
+    "shape every embedding-training data loader materializes.",
+)
+def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(tokens_expr(F.col("text")).alias("tokens"))
+    per_offset = []
+    for j in range(1, SKIPGRAM_WINDOW + 1):
+        length = F.greatest(F.size("tokens") - j, F.lit(0))
+        pairs = F.zip_with(
+            F.slice(F.col("tokens"), 1, length),
+            F.slice(F.col("tokens"), j + 1, length),
+            lambda a, b: F.struct(a.alias("left_tok"), b.alias("right_tok")),
+        )
+        per_offset.append(toks.select(F.explode(pairs).alias("pr")))
+    from functools import reduce as _reduce
+
+    allp = _reduce(DataFrame.unionByName, per_offset)
+    return (
+        allp.select("pr.left_tok", "pr.right_tok")
+        .groupBy("left_tok", "right_tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "left_tok", "right_tok")
+        .limit(SKIPGRAM_TOP_K)
+    )
