@@ -821,18 +821,23 @@ def _skipgram_oracle() -> str:
 def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(tokens_expr(F.col("text")).alias("tokens"))
-    per_offset = []
-    for j in range(1, SKIPGRAM_WINDOW + 1):
+
+    def offset_pairs(j: int) -> F.Column:
         length = F.greatest(F.size("tokens") - j, F.lit(0))
-        pairs = F.zip_with(
+        return F.zip_with(
             F.slice(F.col("tokens"), 1, length),
             F.slice(F.col("tokens"), j + 1, length),
             lambda a, b: F.struct(a.alias("left_tok"), b.alias("right_tok")),
         )
-        per_offset.append(toks.select(F.explode(pairs).alias("pr")))
-    from functools import reduce as _reduce
 
-    allp = _reduce(DataFrame.unionByName, per_offset)
+    # all offsets in ONE projection over ONE scan — a union of
+    # per-offset branches would re-scan and re-tokenize the corpus
+    # once per offset (Catalyst does not dedupe scans across a Union)
+    allp = toks.select(
+        F.explode(
+            F.concat(*[offset_pairs(j) for j in range(1, SKIPGRAM_WINDOW + 1)])
+        ).alias("pr")
+    )
     return (
         allp.select("pr.left_tok", "pr.right_tok")
         .groupBy("left_tok", "right_tok")

@@ -288,16 +288,32 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "postings_index",
-    oracle=f"""
+# Shared (doc_id, pos, term) 1-based positional relation — the Spark
+# builder and the oracle CTE fragment used by postings_index and
+# phrase_match (a tokenizer/position-base change happens in one place).
+def _positions(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.posexplode(tokens_expr(F.col("text"))).alias("i0", "term"),
+    ).select("doc_id", (F.col("i0") + 1).alias("pos"), "term")
+
+
+def _px_ctes(where: str = "") -> str:
+    return f"""
     WITH toks AS (
       SELECT doc_id, {_TOKS} AS tokens FROM documents
     ),
     px AS (
       SELECT doc_id, t.i AS pos, tokens[t.i] AS term
       FROM toks, UNNEST(range(1, len(tokens) + 1)) AS t(i)
-    )
+      {where}
+    )"""
+
+
+@register(
+    "postings_index",
+    oracle=f"""
+    {_px_ctes()}
     SELECT term, doc_id,
            CAST(COUNT(*) AS BIGINT) AS tf,
            string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions_csv
@@ -317,11 +333,7 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "joins.",
 )
 def postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    px = docs.select(
-        "doc_id",
-        F.posexplode(tokens_expr(F.col("text"))).alias("i0", "term"),
-    ).select("doc_id", (F.col("i0") + 1).alias("pos"), "term")
+    px = _positions(load(spark, sf_dir, "documents"))
     return px.groupBy("term", "doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf"),
         F.array_join(
@@ -351,14 +363,7 @@ _PHRASE_IN = ", ".join(f"'{t}'" for t in _PHRASE_TERMS)
 @register(
     "phrase_match",
     oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, {_TOKS} AS tokens FROM documents
-    ),
-    px AS (
-      SELECT doc_id, t.i AS pos, tokens[t.i] AS term
-      FROM toks, UNNEST(range(1, len(tokens) + 1)) AS t(i)
-      WHERE tokens[t.i] IN ({_PHRASE_IN})
-    ),
+    {_px_ctes(f"WHERE tokens[t.i] IN ({_PHRASE_IN})")},
     ph(phrase_id, t1, t2) AS (VALUES {_PHRASE_VALUES})
     SELECT ph.phrase_id, a.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_occurrences,
@@ -381,14 +386,8 @@ _PHRASE_IN = ", ".join(f"'{t}'" for t in _PHRASE_TERMS)
     "corpus.",
 )
 def phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    px = (
-        docs.select(
-            "doc_id",
-            F.posexplode(tokens_expr(F.col("text"))).alias("i0", "term"),
-        )
-        .select("doc_id", (F.col("i0") + 1).alias("pos"), "term")
-        .filter(F.col("term").isin(_PHRASE_TERMS))
+    px = _positions(load(spark, sf_dir, "documents")).filter(
+        F.col("term").isin(_PHRASE_TERMS)
     )
     ph = spark.createDataFrame(_PHRASES, "phrase_id long, t1 string, t2 string")
     a = px.select("doc_id", F.col("pos").alias("pos_a"), F.col("term").alias("t1"))

@@ -36,13 +36,19 @@ from .epochs import epoch_idempotent
 DEFAULT_ALERT_PPM = 200_000  # alert when TVD >= 0.2
 
 
-def _recover(state_dir: str) -> None:
+def recover(state_dir: str) -> None:
     """Heal a crash mid-swap: if the live dir is missing but the
     ``._old`` generation exists, the crash landed between the two
     os.replace calls — restore the old generation. If BOTH exist, the
     crash landed after the swap completed — the old generation is
     superseded trash (the same two branches as
-    maintenance.recover_bucket_swaps)."""
+    maintenance.recover_bucket_swaps).
+
+    Called by the WRITER (apply_batch entry) and at process startup —
+    deliberately NOT by the read path: a reader running destructive
+    recovery would race a live writer mid-swap (restoring the old
+    generation between the writer's two os.replace calls makes the
+    second replace fail on a non-empty destination)."""
     live = os.path.join(state_dir, "counts")
     trash = os.path.join(state_dir, "counts._old")
     if os.path.isdir(trash):
@@ -53,7 +59,6 @@ def _recover(state_dir: str) -> None:
 
 
 def read_counts(spark: SparkSession, state_dir: str) -> DataFrame | None:
-    _recover(state_dir)
     live = os.path.join(state_dir, "counts")
     if not os.path.isdir(live):
         return None
@@ -73,8 +78,9 @@ def alerts(spark: SparkSession, state_dir: str, threshold_ppm: int = DEFAULT_ALE
 
 def apply_batch(spark: SparkSession, batch: DataFrame, state_dir: str) -> None:
     """Fold one batch of (source, lang) rows into the count state."""
+    recover(state_dir)  # single-writer: heal any mid-swap crash first
     delta = batch.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
-    old = read_counts(spark, state_dir)  # also heals any mid-swap crash
+    old = read_counts(spark, state_dir)
     merged = (
         delta
         if old is None

@@ -106,11 +106,15 @@ class JoinViewMaintainer:
         # Pin each delta: its plan is consumed up to three times (bucket
         # probe, view write, state append), and a non-deterministic
         # input (sample/limit/rand) re-evaluated per consumer would
-        # break the disjointness that makes pairs exactly-once.
+        # break the disjointness that makes pairs exactly-once. Lazy
+        # checkpoints still evaluate the plan exactly once (at the
+        # first action — the bucket probe) and every later consumer
+        # reuses the materialized blocks, without the extra eager job
+        # per delta per micro-batch.
         if left_delta is not None:
-            left_delta = left_delta.localCheckpoint(eager=True)
+            left_delta = left_delta.localCheckpoint(eager=False)
         if right_delta is not None:
-            right_delta = right_delta.localCheckpoint(eager=True)
+            right_delta = right_delta.localCheckpoint(eager=False)
         if left_delta is not None and right_delta is not None:
             overlap = (set(left_delta.columns) & set(right_delta.columns)) - {
                 self.key
@@ -188,7 +192,9 @@ def stream_maintain(
         return part if not part.isEmpty() else None
 
     def body(batch_df: DataFrame, _epoch: int) -> None:
-        batch_df = batch_df.localCheckpoint(eager=True)  # split scans twice
+        # no extra pin: the foreachBatch frame is already materialized
+        # (LogicalRDD) and deterministic; apply_batch lazily pins the
+        # split deltas before their multi-consumer use
         maintainer.apply_batch(
             spark,
             left_delta=split(batch_df, "left", left_cols),

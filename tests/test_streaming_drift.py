@@ -81,10 +81,16 @@ class TestDriftMonitor:
         want = _rows(drift.drift_table(spark, state))
         live = os.path.join(state, "counts")
         trash = os.path.join(state, "counts._old")
-        # crash between the two os.replace calls: live gone, _old holds state
+        # crash between the two os.replace calls: live gone, _old holds
+        # state — recovery runs on the WRITER path (apply_batch entry /
+        # startup), never on reads (a reading recoverer would race a
+        # live writer mid-swap)
         os.replace(live, trash)
+        assert drift.read_counts(spark, state) is None  # reads don't heal
+        drift.recover(state)
         assert _rows(drift.drift_table(spark, state)) == want
         # crash after the swap completed: both live and stale _old exist
         shutil.copytree(live, trash)
+        drift.recover(state)
         assert _rows(drift.drift_table(spark, state)) == want
         assert not os.path.isdir(trash)
