@@ -122,6 +122,7 @@ HEADLINE = [
     "postings_index",
     "phrase_match",
     "skipgram_pairs",
+    "weighted_sample_per_source",
     # reference view library (Ekubo-shaped derivation + real view plan)
     "v01_pool_states",
     "v07_last_24h_pool_stats",

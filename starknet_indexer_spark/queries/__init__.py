@@ -131,6 +131,9 @@ DRIVER_PRIORITY = [
     # above — every displaced query keeps a green r3 row, within the
     # ≤2-round policy at r5. The window is now exactly: 5 never-
     # verified + 28 new-in-round-5 + 17 r2-stale refreshes.)
+    # -- position 51: first of the round-6 rotation (registered after
+    # the window filled; builder sim MATCH at sf0.001/0.01/0.1)
+    "weighted_sample_per_source",
 ]
 
 

@@ -845,3 +845,77 @@ def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pair_count").desc(), "left_tok", "right_tok")
         .limit(SKIPGRAM_TOP_K)
     )
+
+
+WSAMPLE_PER_SOURCE_K = 10
+
+
+def _es_key_sql() -> str:
+    """The Efraimidis-Spirakis max-of-w md5 key, shared verbatim with
+    weighted_sample_topk's oracle."""
+    cases = ",\n               ".join(
+        f"CASE WHEN 1 + LEAST(n_chars // 80, 7) >= {j}"
+        f"\n                    THEN md5(CAST(doc_id AS VARCHAR) || ':{j}') ELSE '' END"
+        for j in range(2, 9)
+    )
+    return f"""GREATEST(
+               md5(CAST(doc_id AS VARCHAR) || ':1'),
+               {cases}
+             )"""
+
+
+@register(
+    "weighted_sample_per_source",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             1 + LEAST(n_chars // 80, 7) AS weight,
+             {_es_key_sql()} AS sample_key
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, weight, sample_key,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY sample_key DESC, doc_id) AS rk
+      FROM keyed
+    )
+    SELECT source, doc_id, CAST(weight AS BIGINT) AS weight,
+           CAST(rk AS BIGINT) AS rank_in_source
+    FROM ranked WHERE rk <= {WSAMPLE_PER_SOURCE_K}
+    """,
+    doc=f"Per-source exact-k weighted sampling without replacement: the "
+    "same Efraimidis-Spirakis max-of-w md5 keys as "
+    f"weighted_sample_topk, but drawn top-{WSAMPLE_PER_SOURCE_K} "
+    "WITHIN each source — the balanced, token-budget-per-slice corpus "
+    "draw a mixing schedule needs (stratified_sample is the uniform "
+    "variant; this one is item-weighted within stratum). One "
+    "source-keyed window over the scan's static key expression; "
+    "source is high-cardinality at web scale so the single shuffle "
+    "has no skew hot-spot, and per-partition top-k means no global "
+    "sort.",
+)
+def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    wcol = (F.lit(1) + F.least(F.expr("n_chars div 80"), F.lit(7))).alias("weight")
+    terms = [F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":1")))]
+    for j in range(2, 9):
+        terms.append(
+            F.when(
+                F.col("weight") >= j,
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{j}"))),
+            ).otherwise(F.lit(""))
+        )
+    keyed = docs.select("doc_id", "source", wcol).select(
+        "doc_id", "source", "weight", F.greatest(*terms).alias("sample_key")
+    )
+    w = W.partitionBy("source").orderBy(F.col("sample_key").desc(), "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= WSAMPLE_PER_SOURCE_K)
+        .select(
+            "source",
+            "doc_id",
+            F.col("weight").cast("bigint").alias("weight"),
+            F.col("rk").cast("bigint").alias("rank_in_source"),
+        )
+    )
