@@ -1293,7 +1293,7 @@ def _apply_marker_batch(
     )
     batch_files = {r["__fp"] for r in per_file}
 
-    def repair_tick(mt) -> None:
+    def repair_tick(mt, inv) -> None:
         nonlocal cursor
         if manifest_mt is None or manifest_mt != mt:
             return
@@ -1302,13 +1302,23 @@ def _apply_marker_batch(
             return
         # the files were consumed moments ago (same mtime tick), so a
         # read failure means feed retention broke the repair window —
-        # surface it rather than silently losing the new-chain rows
-        replay = spark.read.schema(RAW_SCHEMA).parquet(*files).filter(is_data)
+        # surface it rather than silently losing the new-chain rows.
+        # Replay ONLY the rows the invalidation just deleted
+        # (block_number > inv): rows at or below inv in these files
+        # survived invalidate_from_block(inv + 1), so re-ingesting
+        # them would duplicate surviving rows.
+        replay = (
+            spark.read.schema(RAW_SCHEMA)
+            .parquet(*files)
+            .filter(is_data & (F.col("block_number") > F.lit(int(inv))))
+        )
         for table, n in (ingest_batch(spark, replay, tables_dir) or {}).items():
             counts[table] = counts.get(table, 0) + n
         rep_hi = replay.agg(F.max("block_number")).collect()[0][0]
         if rep_hi is not None:
-            cursor = int(rep_hi)
+            # never regress below the invalidation point the segment
+            # loop just recorded
+            cursor = max(cursor, int(rep_hi)) if cursor is not None else int(rep_hi)
 
     prev_mt = None
     for i, (mt, inv) in enumerate(markers):
@@ -1319,7 +1329,7 @@ def _apply_marker_batch(
         prev_mt = mt
         # repair once per tick, after the tick's LAST (deepest) marker
         if i + 1 == len(markers) or markers[i + 1][0] != mt:
-            repair_tick(mt)
+            repair_tick(mt, inv)
     apply_segment(prev_mt, None)
     if cursor is not None and os.path.isdir(tables_dir):
         write_cursor(tables_dir, cursor)

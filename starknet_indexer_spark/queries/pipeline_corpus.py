@@ -24,7 +24,7 @@ aggregation, and every window partitions by a high-cardinality key
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
@@ -606,29 +606,43 @@ def corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 WSAMPLE_K = 100
 
 
+def _es_key_sql() -> str:
+    """The Efraimidis-Spirakis max-of-w md5 key (DuckDB dialect).
+
+    The SINGLE definition both weighted samplers' oracles are built
+    from — a weight-formula change lands in both or neither."""
+    cases = ",\n               ".join(
+        f"CASE WHEN 1 + LEAST(n_chars // 80, 7) >= {j}"
+        f"\n                    THEN md5(CAST(doc_id AS VARCHAR) || ':{j}') ELSE '' END"
+        for j in range(2, 9)
+    )
+    return f"""GREATEST(
+               md5(CAST(doc_id AS VARCHAR) || ':1'),
+               {cases}
+             )"""
+
+
+def _es_sample_key_col() -> Column:
+    """Spark twin of :func:`_es_key_sql`; expects ``doc_id`` and
+    ``weight`` columns in scope."""
+    terms = [F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":1")))]
+    for j in range(2, 9):
+        terms.append(
+            F.when(
+                F.col("weight") >= j,
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{j}"))),
+            ).otherwise(F.lit(""))
+        )
+    return F.greatest(*terms)
+
+
 @register(
     "weighted_sample_topk",
     oracle=f"""
     WITH keyed AS (
       SELECT doc_id, source,
              1 + LEAST(n_chars // 80, 7) AS weight,
-             GREATEST(
-               md5(CAST(doc_id AS VARCHAR) || ':1'),
-               CASE WHEN 1 + LEAST(n_chars // 80, 7) >= 2
-                    THEN md5(CAST(doc_id AS VARCHAR) || ':2') ELSE '' END,
-               CASE WHEN 1 + LEAST(n_chars // 80, 7) >= 3
-                    THEN md5(CAST(doc_id AS VARCHAR) || ':3') ELSE '' END,
-               CASE WHEN 1 + LEAST(n_chars // 80, 7) >= 4
-                    THEN md5(CAST(doc_id AS VARCHAR) || ':4') ELSE '' END,
-               CASE WHEN 1 + LEAST(n_chars // 80, 7) >= 5
-                    THEN md5(CAST(doc_id AS VARCHAR) || ':5') ELSE '' END,
-               CASE WHEN 1 + LEAST(n_chars // 80, 7) >= 6
-                    THEN md5(CAST(doc_id AS VARCHAR) || ':6') ELSE '' END,
-               CASE WHEN 1 + LEAST(n_chars // 80, 7) >= 7
-                    THEN md5(CAST(doc_id AS VARCHAR) || ':7') ELSE '' END,
-               CASE WHEN 1 + LEAST(n_chars // 80, 7) >= 8
-                    THEN md5(CAST(doc_id AS VARCHAR) || ':8') ELSE '' END
-             ) AS sample_key
+             {_es_key_sql()} AS sample_key
       FROM documents
     )
     SELECT doc_id, source, CAST(weight AS BIGINT) AS weight, sample_key
@@ -653,21 +667,13 @@ WSAMPLE_K = 100
 def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     wcol = (F.lit(1) + F.least(F.expr("n_chars div 80"), F.lit(7))).alias("weight")
-    terms = [F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":1")))]
-    for j in range(2, 9):
-        terms.append(
-            F.when(
-                F.col("weight") >= j,
-                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{j}"))),
-            ).otherwise(F.lit(""))
-        )
     return (
         docs.select("doc_id", "source", wcol, "n_chars")
         .select(
             "doc_id",
             "source",
             F.col("weight").cast("bigint").alias("weight"),
-            F.greatest(*terms).alias("sample_key"),
+            _es_sample_key_col().alias("sample_key"),
         )
         .orderBy(F.col("sample_key").desc(), "doc_id")
         .limit(WSAMPLE_K)
@@ -850,20 +856,6 @@ def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 WSAMPLE_PER_SOURCE_K = 10
 
 
-def _es_key_sql() -> str:
-    """The Efraimidis-Spirakis max-of-w md5 key, shared verbatim with
-    weighted_sample_topk's oracle."""
-    cases = ",\n               ".join(
-        f"CASE WHEN 1 + LEAST(n_chars // 80, 7) >= {j}"
-        f"\n                    THEN md5(CAST(doc_id AS VARCHAR) || ':{j}') ELSE '' END"
-        for j in range(2, 9)
-    )
-    return f"""GREATEST(
-               md5(CAST(doc_id AS VARCHAR) || ':1'),
-               {cases}
-             )"""
-
-
 @register(
     "weighted_sample_per_source",
     oracle=f"""
@@ -897,16 +889,8 @@ def _es_key_sql() -> str:
 def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     wcol = (F.lit(1) + F.least(F.expr("n_chars div 80"), F.lit(7))).alias("weight")
-    terms = [F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":1")))]
-    for j in range(2, 9):
-        terms.append(
-            F.when(
-                F.col("weight") >= j,
-                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{j}"))),
-            ).otherwise(F.lit(""))
-        )
     keyed = docs.select("doc_id", "source", wcol).select(
-        "doc_id", "source", "weight", F.greatest(*terms).alias("sample_key")
+        "doc_id", "source", "weight", _es_sample_key_col().alias("sample_key")
     )
     w = W.partitionBy("source").orderBy(F.col("sample_key").desc(), "doc_id")
     return (

@@ -76,9 +76,38 @@ def alerts(spark: SparkSession, state_dir: str, threshold_ppm: int = DEFAULT_ALE
     return None if d is None else d.filter(F.col("tvd_ppm") >= threshold_ppm)
 
 
-def apply_batch(spark: SparkSession, batch: DataFrame, state_dir: str) -> None:
-    """Fold one batch of (source, lang) rows into the count state."""
+def _applied_epoch_token(counts_dir: str) -> str | None:
+    """The epoch token recorded inside the live count state, if any.
+
+    Stored as ``_epoch`` inside the parquet directory: Spark ignores
+    underscore-prefixed files, and because the token is written into
+    STAGING before the swap, ``os.replace`` is the atomic commit point
+    for (counts, epoch) together — a crash between the swap and the
+    outer epoch-marker write can no longer double-apply the batch."""
+    try:
+        with open(os.path.join(counts_dir, "_epoch")) as f:
+            return f.read().strip()
+    except OSError:
+        return None
+
+
+def apply_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    epoch_token: str | None = None,
+) -> None:
+    """Fold one batch of (source, lang) rows into the count state.
+
+    ``epoch_token`` (checkpoint-namespace-qualified epoch id) makes the
+    fold idempotent on its own: if the live state already records this
+    token, the batch was fully committed by a previous attempt whose
+    crash landed after the swap but before the caller's epoch marker —
+    skip instead of double-counting."""
     recover(state_dir)  # single-writer: heal any mid-swap crash first
+    live = os.path.join(state_dir, "counts")
+    if epoch_token is not None and _applied_epoch_token(live) == epoch_token:
+        return
     delta = batch.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
     old = read_counts(spark, state_dir)
     merged = (
@@ -89,9 +118,11 @@ def apply_batch(spark: SparkSession, batch: DataFrame, state_dir: str) -> None:
         .agg(F.sum("c").alias("c"))
     )
     staging = os.path.join(state_dir, "counts._staging")
-    live = os.path.join(state_dir, "counts")
     shutil.rmtree(staging, ignore_errors=True)
     merged.write.mode("overwrite").parquet(staging)
+    if epoch_token is not None:
+        with open(os.path.join(staging, "_epoch"), "w") as f:
+            f.write(epoch_token)
     trash = os.path.join(state_dir, "counts._old")
     shutil.rmtree(trash, ignore_errors=True)
     if os.path.isdir(live):
@@ -115,11 +146,14 @@ def stream_monitor(
         schema if schema is not None else spark.read.parquet(feed_dir).schema
     )
     stream = reader.parquet(feed_dir).select("source", "lang")
-    process = epoch_idempotent(
-        state_dir,
-        checkpoint_dir,
-        lambda batch_df, _epoch: apply_batch(spark, batch_df, state_dir),
-    )
+
+    def _fold(batch_df, epoch_id):
+        from ..ingest import checkpoint_marker_ns
+
+        token = f"{checkpoint_marker_ns(checkpoint_dir)}:{epoch_id}"
+        apply_batch(spark, batch_df, state_dir, epoch_token=token)
+
+    process = epoch_idempotent(state_dir, checkpoint_dir, _fold)
     return (
         stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)

@@ -38,16 +38,22 @@ def epoch_idempotent(
     without re-checking emptiness)."""
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        from ..ingest import checkpoint_marker_ns
+        from ..ingest import _prune_epoch_markers, checkpoint_marker_ns
 
         ns = checkpoint_marker_ns(checkpoint_dir)
-        marker = os.path.join(marker_root, "_applied_epochs", ns, str(epoch_id))
+        ns_dir = os.path.join(marker_root, "_applied_epochs", ns)
+        marker = os.path.join(ns_dir, str(epoch_id))
         if os.path.exists(marker):
             return
         if not batch_df.isEmpty():
             body(batch_df, epoch_id)
-        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        os.makedirs(ns_dir, exist_ok=True)
         with open(marker, "w") as f:
             f.write("applied")
+        # keep the marker dir O(tail): replay never reaches back past
+        # the last uncommitted checkpoint offset, so markers far below
+        # the committed epoch are dead weight (same policy as
+        # ingest._prune_epoch_markers for the ingest sink)
+        _prune_epoch_markers(ns_dir, epoch_id)
 
     return process

@@ -383,6 +383,109 @@ class TestCrossBatchMarkerTie:
         assert got == [995, 996, 1001, 1002, 1003]
         assert read_cursor(tdir) == 1003
 
+    def test_surviving_rows_in_same_tick_file_are_not_duplicated(
+        self, spark, tmp_path
+    ):
+        """A same-tick earlier-trigger file can mix rows at or below the
+        invalidation point (which survive invalidate_from_block(inv+1))
+        with new-chain rows above it. The repair replay must re-ingest
+        ONLY the rows the invalidation deleted (block > inv) — replaying
+        the whole file would duplicate the surviving rows."""
+        import datetime
+
+        from starknet_indexer_spark.ingest import (
+            FEED_FILE_COL,
+            FEED_MTIME_COL,
+            ingest_micro_batch,
+        )
+
+        tdir = str(tmp_path / "tables")
+        feed = tmp_path / "feed"
+        t1 = datetime.datetime(2024, 1, 1, 0, 0, 1)
+
+        def batch(df, path, mt):
+            return df.select(
+                "*",
+                F.lit(path).alias(FEED_FILE_COL),
+                F.lit(mt).cast("timestamp").alias(FEED_MTIME_COL),
+            )
+
+        # epoch 0: one file at the tie tick mixing pre-reorg-surviving
+        # rows (995, 1001) with new-chain rows (1002, 1003)
+        mixed_path = str(feed / "mixed.parquet")
+        make_raw(spark, [995, 1001, 1002, 1003]).coalesce(1).write.parquet(mixed_path)
+        ingest_micro_batch(
+            spark,
+            batch(spark.read.schema(RAW_SCHEMA).parquet(mixed_path), mixed_path, t1),
+            tdir,
+            epoch_id=0,
+            marker_ns="tie3",
+        )
+        # epoch 1: the marker (last valid = 1001) at the same tick
+        inv = spark.createDataFrame([invalidate_row(1001)], RAW_SCHEMA)
+        ingest_micro_batch(
+            spark,
+            batch(inv, str(feed / "marker.parquet"), t1),
+            tdir,
+            epoch_id=1,
+            marker_ns="tie3",
+        )
+        got = sorted(
+            r["block_number"]
+            for r in spark.read.parquet(os.path.join(tdir, "swaps")).collect()
+        )
+        # each block exactly once: 995/1001 survived invalidation and
+        # were NOT re-ingested; 1002/1003 were deleted and replayed
+        assert got == [995, 1001, 1002, 1003]
+        assert read_cursor(tdir) == 1003
+
+    def test_repair_replay_cannot_regress_cursor(self, spark, tmp_path):
+        """A same-tick file whose rows all sit at or below the
+        invalidation point yields an empty repair replay; the cursor
+        must hold at inv, not regress to the file's max block."""
+        import datetime
+
+        from starknet_indexer_spark.ingest import (
+            FEED_FILE_COL,
+            FEED_MTIME_COL,
+            ingest_micro_batch,
+        )
+
+        tdir = str(tmp_path / "tables")
+        feed = tmp_path / "feed"
+        t1 = datetime.datetime(2024, 1, 1, 0, 0, 1)
+
+        def batch(df, path, mt):
+            return df.select(
+                "*",
+                F.lit(path).alias(FEED_FILE_COL),
+                F.lit(mt).cast("timestamp").alias(FEED_MTIME_COL),
+            )
+
+        low_path = str(feed / "low.parquet")
+        make_raw(spark, [995, 996]).coalesce(1).write.parquet(low_path)
+        ingest_micro_batch(
+            spark,
+            batch(spark.read.schema(RAW_SCHEMA).parquet(low_path), low_path, t1),
+            tdir,
+            epoch_id=0,
+            marker_ns="tie4",
+        )
+        inv = spark.createDataFrame([invalidate_row(1001)], RAW_SCHEMA)
+        ingest_micro_batch(
+            spark,
+            batch(inv, str(feed / "marker.parquet"), t1),
+            tdir,
+            epoch_id=1,
+            marker_ns="tie4",
+        )
+        got = sorted(
+            r["block_number"]
+            for r in spark.read.parquet(os.path.join(tdir, "swaps")).collect()
+        )
+        assert got == [995, 996]
+        assert read_cursor(tdir) == 1001
+
     def test_strictly_older_data_is_not_reingested(self, spark, tmp_path):
         """Old-chain data at a STRICTLY earlier tick than the marker is
         genuinely pre-reorg: the invalidation must sweep it and the

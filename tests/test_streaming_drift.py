@@ -94,3 +94,22 @@ class TestDriftMonitor:
         drift.recover(state)
         assert _rows(drift.drift_table(spark, state)) == want
         assert not os.path.isdir(trash)
+
+    def test_epoch_token_closes_post_swap_replay_window(self, spark, tmp_path):
+        """Crash after the counts swap but before the outer epoch marker
+        write: foreachBatch replays the epoch. Because the epoch token is
+        committed atomically WITH the counts (written into staging before
+        os.replace), the replay short-circuits instead of double-counting."""
+        state = str(tmp_path / "edrift")
+        docs = _docs(spark)
+        drift.apply_batch(spark, docs, state, epoch_token="ns1:7")
+        # compare raw COUNTS: a uniform double-apply would leave the
+        # drift table unchanged (proportions survive scaling) but
+        # corrupt the counts — the sufficient statistic is the bar
+        want = _rows(drift.read_counts(spark, state))
+        # marker was never written -> epoch 7 redelivered verbatim
+        drift.apply_batch(spark, docs, state, epoch_token="ns1:7")
+        assert _rows(drift.read_counts(spark, state)) == want
+        # a genuinely new epoch still applies
+        drift.apply_batch(spark, docs, state, epoch_token="ns1:8")
+        assert _rows(drift.read_counts(spark, state)) != want
