@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import datetime
 import os
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -85,12 +86,29 @@ def run_indexer(
     # for its analytical refresh. None (default) = never.
     maintenance_every_s: float | None = None,
     zorder_dims: dict[str, list[tuple[str, str]]] | None = None,
+    # liveness watchdog (reference src/index.ts:26-46, NO_BLOCKS_TIMEOUT_MS):
+    # if no feed rows arrive for this many seconds the query is stopped
+    # so the orchestrator can restart the process against a healthy
+    # feed. None/0 = disabled, like the reference's default. on_stall
+    # (if given) fires once, just before the stop.
+    no_progress_timeout_s: float | None = None,
+    on_stall=None,
 ):
     """Start the full pipeline; returns the StreamingQuery. Callers
-    stop it (tests drive it with processAllAvailable)."""
-    state = {"last_analytical": None, "last_maintenance": None}
+    stop it (tests drive it with processAllAvailable). A
+    watchdog-stopped query reports ``query.stalled == True``."""
+    state = {
+        "last_analytical": None,
+        "last_maintenance": None,
+        "last_progress": time.monotonic(),
+    }
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if no_progress_timeout_s and not batch_df.isEmpty():
+            # any received feed row (data or invalidate marker) is
+            # evidence of a live upstream — reset the no-blocks timer,
+            # mirroring the reference's per-block resetNoBlocksTimer
+            state["last_progress"] = time.monotonic()
         # shared per-batch semantics (finality filter, epoch-replay
         # skip, ingest, cursor) live in ingest.ingest_micro_batch —
         # ONE copy for the bare stream and the daemon; markers are
@@ -167,4 +185,23 @@ def run_indexer(
     )
     if trigger:
         writer = writer.trigger(**trigger)
-    return writer.start()
+    query = writer.start()
+    query.stalled = False
+
+    if no_progress_timeout_s and no_progress_timeout_s > 0:
+
+        def watch() -> None:
+            poll = min(1.0, no_progress_timeout_s / 4)
+            while query.isActive:
+                if time.monotonic() - state["last_progress"] > no_progress_timeout_s:
+                    query.stalled = True
+                    if on_stall is not None:
+                        on_stall()
+                    query.stop()
+                    return
+                time.sleep(poll)
+
+        threading.Thread(
+            target=watch, name="no-progress-watchdog", daemon=True
+        ).start()
+    return query

@@ -161,3 +161,69 @@ def test_daemon_maintenance_compacts_and_zorders_cold_buckets(spark, tmp_path):
     rows_after = sorted(map(str, spark.read.parquet(os.path.join(tdir, "swaps")).collect()))
     assert len(rows_after) == len(rows_before) + 1  # one swap row per block
     assert set(rows_before) <= set(rows_after)
+
+
+@pytest.mark.slow
+def test_daemon_no_progress_watchdog_stops_stalled_query(spark, tmp_path):
+    """Reference src/index.ts:26-46 parity: with NO_BLOCKS_TIMEOUT set,
+    a feed that stops producing rows must terminate the indexer (so the
+    orchestrator restarts it) instead of idling forever."""
+    import time as _time
+
+    feed = str(tmp_path / "feed")
+    # schema inference needs one file; it holds ZERO rows, so the
+    # watchdog never sees progress
+    spark.createDataFrame([], RAW_SCHEMA).coalesce(1).write.parquet(feed)
+    fired = []
+    q = run_indexer(
+        spark,
+        feed,
+        str(tmp_path / "tables"),
+        str(tmp_path / "views"),
+        str(tmp_path / "ckpt"),
+        trigger={"processingTime": "1 seconds"},
+        no_progress_timeout_s=4,
+        on_stall=lambda: fired.append(True),
+    )
+    deadline = _time.monotonic() + 60
+    try:
+        while q.isActive and _time.monotonic() < deadline:
+            _time.sleep(0.5)
+        assert not q.isActive, "watchdog did not stop a stalled query"
+        assert q.stalled and fired == [True]
+    finally:
+        if q.isActive:
+            q.stop()
+
+
+@pytest.mark.slow
+def test_daemon_watchdog_does_not_stop_live_feed(spark, tmp_path):
+    """A feed that keeps delivering rows resets the timer: the query
+    must still be alive well past the timeout after steady progress."""
+    import time as _time
+
+    feed = str(tmp_path / "feed")
+    _batch1(spark).write.mode("append").parquet(feed)
+    q = run_indexer(
+        spark,
+        feed,
+        str(tmp_path / "tables"),
+        str(tmp_path / "views"),
+        str(tmp_path / "ckpt"),
+        analytical_every_s=0,
+        trigger={"processingTime": "1 seconds"},
+        no_progress_timeout_s=30,
+    )
+    try:
+        t0 = _time.monotonic()
+        block = 3
+        # keep feeding one block every ~2s for ~12s
+        while _time.monotonic() - t0 < 12:
+            _batch2(spark).withColumn(
+                "block_number", F.lit(block).cast("long")
+            ).write.mode("append").parquet(feed)
+            block += 1
+            _time.sleep(2)
+        assert q.isActive and not q.stalled
+    finally:
+        q.stop()
