@@ -611,12 +611,25 @@ def _envelope_cols(df: DataFrame) -> list:
     ]
 
 
-def ingest_batch(spark: SparkSession, raw: DataFrame, tables_dir: str) -> dict[str, int]:
+def ingest_batch(
+    spark: SparkSession,
+    raw: DataFrame,
+    tables_dir: str,
+    write_root: str | None = None,
+) -> dict[str, int]:
     """Decode and append one batch of raw messages. Returns rows
     appended per table. Idempotence contract: the caller replays whole
     blocks only after invalidating them (reference does the same:
-    deleteOldBlockNumbers before re-insert, src/index.ts:202-206)."""
+    deleteOldBlockNumbers before re-insert, src/index.ts:202-206).
+
+    ``write_root`` redirects every file WRITE to a staging root with
+    the live table layout while all idempotence reads (blocks
+    anti-join, pool_keys upsert) still consult ``tables_dir`` — the
+    prepare phase of the two-phase commit in ``ingest_micro_batch``.
+    Default (None) writes straight to the live tables."""
     os.makedirs(tables_dir, exist_ok=True)
+    if write_root is None:
+        write_root = tables_dir
     counts: dict[str, int] = {}
 
     # One physical read of the micro-batch: the per-family loop below
@@ -659,7 +672,7 @@ def ingest_batch(spark: SparkSession, raw: DataFrame, tables_dir: str) -> dict[s
         if counts["blocks"] > 0:
             blocks.repartition("block_bucket").write.mode("append").partitionBy(
                 "block_bucket"
-            ).parquet(blocks_path)
+            ).parquet(_table_dir(write_root, "blocks"))
         blocks.unpersist()
 
         # One aggregation tells us which of the ~20 event families this
@@ -714,14 +727,14 @@ def ingest_batch(spark: SparkSession, raw: DataFrame, tables_dir: str) -> dict[s
             # moves only this family's already-filtered rows.
             stored.repartition("block_bucket").write.mode("append").partitionBy(
                 "block_bucket"
-            ).parquet(_table_dir(tables_dir, table))
+            ).parquet(_table_dir(write_root, table))
             family_counts[table] = n
             for side_name, builder in SIDE_TABLES.get(event_type, ()):
                 side = builder(decoded)
                 if not side.isEmpty():
                     side.repartition("block_bucket").write.mode("append").partitionBy(
                         "block_bucket"
-                    ).parquet(_table_dir(tables_dir, side_name))
+                    ).parquet(_table_dir(write_root, side_name))
                     family_counts[side_name] = side.count()
             return family_counts, family_pool_keys
 
@@ -778,7 +791,7 @@ def ingest_batch(spark: SparkSession, raw: DataFrame, tables_dir: str) -> dict[s
             pool_key_batches.extend(family_pool_keys)
 
         if pool_key_batches:
-            upsert_pool_keys(spark, pool_key_batches, tables_dir)
+            upsert_pool_keys(spark, pool_key_batches, tables_dir, write_dir=write_root)
     finally:
         # release even when a per-family decode/write throws —
         # a long-lived streaming session must not accumulate
@@ -788,11 +801,16 @@ def ingest_batch(spark: SparkSession, raw: DataFrame, tables_dir: str) -> dict[s
 
 
 def upsert_pool_keys(
-    spark: SparkSession, batches: list[DataFrame], tables_dir: str
+    spark: SparkSession,
+    batches: list[DataFrame],
+    tables_dir: str,
+    write_dir: str | None = None,
 ) -> None:
     """Dimension upsert (S8): INSERT ... ON CONFLICT DO NOTHING becomes
     dedupe + anti-join against the existing dimension + append. The
-    dimension is tiny relative to facts, so the anti-join broadcasts."""
+    dimension is tiny relative to facts, so the anti-join broadcasts.
+    ``write_dir`` stages the append under a different root (2PC
+    prepare) while the anti-join still reads the live dimension."""
     new_keys = batches[0]
     for b in batches[1:]:
         new_keys = new_keys.unionByName(b)
@@ -812,7 +830,9 @@ def upsert_pool_keys(
     if new_keys.count() > 0:
         new_keys.select(
             "key_hash", "token0", "token1", "fee", "tick_spacing", "extension"
-        ).write.mode("append").parquet(path)
+        ).write.mode("append").parquet(
+            path if write_dir is None else _table_dir(write_dir, "pool_keys")
+        )
 
 
 def twamm_order_key_to_pool_key(df: DataFrame) -> DataFrame:
@@ -932,6 +952,120 @@ def invalidate_from_block(spark: SparkSession, tables_dir: str, block_number: in
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Two-phase commit for multi-table fact appends (S7 atomicity)
+# ---------------------------------------------------------------------------
+#
+# A micro-batch appends to MANY table directories (facts, side tables,
+# blocks, pool_keys). Plain parquet appends are not transactional: a
+# crash mid-ingest used to leave some tables holding the batch's rows
+# with no epoch marker, so the at-least-once replay double-appended the
+# already-written tables. The fix is a roll-forward transaction:
+#
+#   1. PREPARE  — ingest_batch writes every file under
+#                 tables_dir/_txn/<ns>/<epoch>/ with the live layout
+#                 (idempotence reads still hit the live tables);
+#   2. COMMIT   — one atomic os.replace publishes MANIFEST.json
+#                 (file list + per-table counts + cursor hi);
+#   3. PUBLISH  — each staged file is renamed into its live table dir
+#                 under a DETERMINISTIC name (txn-<epoch>-<relpath
+#                 hash>), so a replayed publish skips files already
+#                 moved — per-file renames are atomic, determinism
+#                 makes the whole publish idempotent;
+#   4. the epoch marker is written, then the txn dir is removed.
+#
+# Replay semantics: no manifest -> the live tables were never touched,
+# delete the partial stage and re-prepare; manifest present -> the
+# transaction is committed, roll FORWARD (never re-run Spark jobs) and
+# take counts/cursor from the manifest. The txn dir outlives the
+# publish until the epoch marker lands, so no crash point can lose or
+# duplicate rows. This closes the crash-mid-apply window that the
+# epoch marker alone could not (the "table-format transactionality"
+# caveat the marker docstring used to carry).
+
+
+def _txn_dir(tables_dir: str, marker_ns: str | None, epoch_id: int) -> str:
+    return os.path.join(
+        tables_dir, "_txn", marker_ns or "default", str(epoch_id)
+    )
+
+
+def _txn_manifest_path(txn_dir: str) -> str:
+    return os.path.join(txn_dir, "MANIFEST.json")
+
+
+def _stage_files(txn_dir: str) -> list[str]:
+    """Relative paths of every staged parquet file (commit-log entries;
+    _SUCCESS and committer temp files are not data)."""
+    out: list[str] = []
+    for root, _dirs, files in os.walk(txn_dir):
+        for fname in files:
+            if fname.endswith(".parquet") and not fname.startswith((".", "_")):
+                out.append(
+                    os.path.relpath(os.path.join(root, fname), txn_dir)
+                )
+    return sorted(out)
+
+
+def commit_txn(
+    txn_dir: str, counts: dict[str, int], cursor_hi: int | None
+) -> None:
+    """The commit point: stage a manifest JSON, then one os.replace."""
+    tmp = _txn_manifest_path(txn_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"files": _stage_files(txn_dir), "counts": counts, "hi": cursor_hi},
+            f,
+        )
+    os.replace(tmp, _txn_manifest_path(txn_dir))
+
+
+def load_txn_manifest(txn_dir: str) -> dict | None:
+    try:
+        with open(_txn_manifest_path(txn_dir)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def publish_txn(tables_dir: str, txn_dir: str, manifest: dict) -> None:
+    """Roll the committed transaction into the live tables. Idempotent:
+    deterministic target names let a replayed publish skip files a
+    previous attempt already moved."""
+    epoch_tag = os.path.basename(txn_dir)
+    ns_tag = os.path.basename(os.path.dirname(txn_dir))
+    for rel in manifest["files"]:
+        subdir = os.path.dirname(rel)
+        h = hashlib.md5(rel.encode()).hexdigest()[:16]
+        tgt_dir = os.path.join(tables_dir, subdir)
+        tgt = os.path.join(tgt_dir, f"txn-{ns_tag}-{epoch_tag}-{h}.parquet")
+        if os.path.exists(tgt):
+            continue
+        src_path = os.path.join(txn_dir, rel)
+        os.makedirs(tgt_dir, exist_ok=True)
+        os.replace(src_path, tgt)
+
+
+def _prune_txn_dirs(tables_dir: str, marker_ns: str | None, epoch_id: int) -> None:
+    """Remove leftover txn dirs of OTHER epochs in this namespace whose
+    epoch marker already landed (crash between marker write and the
+    txn-dir cleanup, with the checkpoint commit then succeeding so the
+    epoch never replays). One listdir; no-op in the common case."""
+    ns_root = os.path.join(tables_dir, "_txn", marker_ns or "default")
+    try:
+        entries = os.listdir(ns_root)
+    except OSError:
+        return
+    for entry in entries:
+        if not entry.isdigit() or int(entry) == epoch_id:
+            continue
+        marker = os.path.join(
+            tables_dir, "_applied_epochs", marker_ns or "default", entry
+        )
+        if os.path.exists(marker):
+            shutil.rmtree(os.path.join(ns_root, entry), ignore_errors=True)
+
+
 def checkpoint_query_id(checkpoint_dir: str) -> str | None:
     """The streaming query id persisted in the checkpoint's metadata
     file — stable across restarts of the SAME checkpoint, regenerated
@@ -1045,8 +1179,11 @@ def ingest_micro_batch(
     a redelivered batch would double-append every fact row (blocks and
     pool_keys alone are anti-join-guarded). The marker closes the
     common replay case — checkpoint commit failed after a successful
-    apply; the crash-mid-apply window that remains is the multi-file
-    transactionality a table format (Delta/Iceberg) closes.
+    apply. The crash-MID-apply window is closed on the fast path by
+    the two-phase commit above (stage under _txn, atomic manifest,
+    deterministic roll-forward publish); the marker-batch path keeps
+    the documented one-batch window, bounded by
+    DEFAULT_MAX_FILES_PER_TRIGGER.
 
     In-band reorg handling (reference: the stream's `invalidate`
     message, src/index.ts:162-184 — delete blocks above the
@@ -1118,15 +1255,34 @@ def ingest_micro_batch(
     if inv_point is None and n_data == 0:
         return None
     manifest_path = _tick_manifest_path(tables_dir, marker_ns)
+    txn = None
     if inv_point is None:
         # fast path (the overwhelmingly common batch): no control
         # messages, one ingest + cursor advance (provenance columns,
         # if the stream reader attached them, are not stored)
-        counts = ingest_batch(
-            spark,
-            batch_df.filter(is_data).drop(FEED_FILE_COL, FEED_MTIME_COL),
-            tables_dir,
-        )
+        data = batch_df.filter(is_data).drop(FEED_FILE_COL, FEED_MTIME_COL)
+        if epoch_id is not None:
+            # two-phase commit: prepare under _txn, publish after the
+            # atomic manifest write (see the txn helpers above). A
+            # replayed epoch whose previous attempt crashed mid-apply
+            # rolls FORWARD from the manifest instead of re-running the
+            # ingest against half-updated tables.
+            txn = _txn_dir(tables_dir, marker_ns, epoch_id)
+            _prune_txn_dirs(tables_dir, marker_ns, epoch_id)
+            man = load_txn_manifest(txn)
+            if man is None:
+                # no commit point reached: the live tables are
+                # untouched; drop any partial stage and re-prepare
+                shutil.rmtree(txn, ignore_errors=True)
+                counts = ingest_batch(spark, data, tables_dir, write_root=txn)
+                commit_txn(txn, counts, int(hi) if hi is not None else None)
+                man = load_txn_manifest(txn)
+            else:
+                counts = {k: int(v) for k, v in man["counts"].items()}
+                hi = man["hi"]
+            publish_txn(tables_dir, txn, man)
+        else:
+            counts = ingest_batch(spark, data, tables_dir)
         if hi is not None:
             write_cursor(tables_dir, int(hi))
         if per_file is not None:
@@ -1145,6 +1301,10 @@ def ingest_micro_batch(
         with open(marker, "w") as f:
             f.write("applied")
         _prune_epoch_markers(os.path.dirname(marker), epoch_id)
+    if txn is not None:
+        # only after the marker lands: the manifest must survive every
+        # crash point before it so replay can still roll forward
+        shutil.rmtree(txn, ignore_errors=True)
     # counts == {} for an invalidate-only batch (NOT None) so the
     # daemon still refreshes its views off the truncated tables
     # instead of treating the batch as a no-op

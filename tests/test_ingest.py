@@ -1172,3 +1172,117 @@ class TestMarkerMtimeTies:
         q.awaitTermination(120)
         assert q.exception() is None
         assert not os.path.isdir(os.path.join(b, "swaps"))
+
+
+class TestTwoPhaseCommit:
+    """Crash-injection coverage for the fast-path fact-append 2PC:
+    whatever point the process dies at, replaying the epoch lands on
+    exactly the clean single-ingest state — no lost rows, no
+    duplicates."""
+
+    def _reference_state(self, spark, tmp_path):
+        ref = str(tmp_path / "ref")
+        ingest_batch(spark, make_raw(spark, [1, 2, 1500]), ref)
+        return ref
+
+    def _assert_equal_tables(self, spark, got_dir, want_dir):
+        for t in ("swaps", "staker_staked", "blocks", "pool_keys"):
+            got = sorted(
+                map(str, spark.read.parquet(os.path.join(got_dir, t)).collect())
+            )
+            want = sorted(
+                map(str, spark.read.parquet(os.path.join(want_dir, t)).collect())
+            )
+            assert got == want, t
+
+    def test_crash_during_prepare_leaves_live_untouched_then_replays(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import starknet_indexer_spark.ingest as ing
+
+        tdir = str(tmp_path / "tables")
+        raw = make_raw(spark, [1, 2, 1500])
+
+        def boom(*a, **k):
+            raise RuntimeError("crash before commit point")
+
+        monkeypatch.setattr(ing, "commit_txn", boom)
+        with pytest.raises(RuntimeError):
+            ing.ingest_micro_batch(spark, raw, tdir, epoch_id=0, marker_ns="t2pc_a")
+        # no commit -> live tables never touched by this batch
+        assert not os.path.isdir(os.path.join(tdir, "swaps"))
+        monkeypatch.undo()
+        counts = ing.ingest_micro_batch(
+            spark, raw, tdir, epoch_id=0, marker_ns="t2pc_a"
+        )
+        assert counts and counts["swaps"] == 3
+        self._assert_equal_tables(spark, tdir, self._reference_state(spark, tmp_path))
+        assert read_cursor(tdir) == 1500
+        # txn dir cleaned up after the marker landed
+        assert not os.path.isdir(os.path.join(tdir, "_txn", "t2pc_a", "0"))
+
+    def test_crash_mid_publish_rolls_forward_without_duplicates(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import starknet_indexer_spark.ingest as ing
+
+        tdir = str(tmp_path / "tables")
+        raw = make_raw(spark, [1, 2, 1500])
+        real_publish = ing.publish_txn
+
+        def partial_publish(tables_dir, txn_dir, manifest):
+            # move only the first staged file, then die — the worst
+            # case: live state is neither old nor new
+            cut = dict(manifest)
+            cut["files"] = manifest["files"][:1]
+            real_publish(tables_dir, txn_dir, cut)
+            raise RuntimeError("crash mid-publish")
+
+        monkeypatch.setattr(ing, "publish_txn", partial_publish)
+        with pytest.raises(RuntimeError):
+            ing.ingest_micro_batch(spark, raw, tdir, epoch_id=0, marker_ns="t2pc_b")
+        monkeypatch.undo()
+        counts = ing.ingest_micro_batch(
+            spark, raw, tdir, epoch_id=0, marker_ns="t2pc_b"
+        )
+        # replay rolled forward from the manifest (no Spark re-ingest)
+        assert counts and counts["swaps"] == 3
+        self._assert_equal_tables(spark, tdir, self._reference_state(spark, tmp_path))
+        assert read_cursor(tdir) == 1500
+
+    def test_crash_after_marker_prunes_txn_dir_on_next_batch(
+        self, spark, tmp_path
+    ):
+        import starknet_indexer_spark.ingest as ing
+
+        tdir = str(tmp_path / "tables")
+        ing.ingest_micro_batch(
+            spark, make_raw(spark, [1]), tdir, epoch_id=0, marker_ns="t2pc_c"
+        )
+        # simulate: epoch 0's txn dir survived (crash between marker
+        # write and cleanup, checkpoint then committed -> no replay)
+        leftover = os.path.join(tdir, "_txn", "t2pc_c", "0")
+        os.makedirs(leftover, exist_ok=True)
+        ing.ingest_micro_batch(
+            spark, make_raw(spark, [2]), tdir, epoch_id=1, marker_ns="t2pc_c"
+        )
+        assert not os.path.isdir(leftover)
+
+    def test_replayed_epoch_after_success_is_skipped(self, spark, tmp_path):
+        import starknet_indexer_spark.ingest as ing
+
+        tdir = str(tmp_path / "tables")
+        raw = make_raw(spark, [1, 2])
+        c1 = ing.ingest_micro_batch(spark, raw, tdir, epoch_id=5, marker_ns="t2pc_d")
+        assert c1
+        rows1 = sorted(
+            map(str, spark.read.parquet(os.path.join(tdir, "swaps")).collect())
+        )
+        assert (
+            ing.ingest_micro_batch(spark, raw, tdir, epoch_id=5, marker_ns="t2pc_d")
+            is None
+        )
+        rows2 = sorted(
+            map(str, spark.read.parquet(os.path.join(tdir, "swaps")).collect())
+        )
+        assert rows1 == rows2
