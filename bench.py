@@ -123,6 +123,8 @@ HEADLINE = [
     "phrase_match",
     "skipgram_pairs",
     "weighted_sample_per_source",
+    "approx_percentile_pinned",
+    "approx_percentile_by_type_pinned",
     # reference view library (Ekubo-shaped derivation + real view plan)
     "v01_pool_states",
     "v07_last_24h_pool_stats",

@@ -237,3 +237,176 @@ def cm_count_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = cm_sketch(items, F.col("item"), CM_DEPTH, CM_WIDTH)
     distinct_items = items.distinct()
     return cm_estimate(sketch, distinct_items, "item", CM_DEPTH, CM_WIDTH)
+
+
+# ---------------------------------------------------------------------------
+# Approx-percentile twins with PINNED error bounds
+# ---------------------------------------------------------------------------
+#
+# Spark's percentile_approx (Greenwald-Khanna) is the right tool for
+# quantiles at 100 TB — one pass, O(accuracy * log n) state, mergeable
+# partial sketches — but its output is not reproducible cross-engine,
+# so it cannot be value-hash-checked directly. The twin pattern pins
+# the sketch's CONTRACT instead (same device as ann_topk_ivfpq_rerank's
+# recall >= 0.85 pin): the query recomputes the returned value's true
+# rank against the data and emits within_bound = "rank error <= n/ACC
+# (+1 boundary slack)"; the oracle emits the exact quantile_cont values
+# with within_bound = TRUE. A sketch that violates its guarantee (or a
+# broken bound derivation) flips the boolean and fails the value hash —
+# the approximate path stays honest while the hashed output stays
+# engine-portable.
+
+PCT_ACC = 100  # GK accuracy parameter -> rank error <= n/PCT_ACC (1%)
+PCT_QS = [0.25, 0.50, 0.75, 0.90, 0.99]
+PCT_GROUP_QS = [0.50, 0.90]
+
+
+def _pct_oracle_global() -> str:
+    vals = ", ".join(f"({i + 1}, {q}e0)" for i, q in enumerate(PCT_QS))
+    arr = ", ".join(f"{q}e0" for q in PCT_QS)
+    return f"""
+    WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+    qa AS (
+      SELECT quantile_cont(value, [{arr}]) AS arr,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM v
+    )
+    SELECT qs.q AS q,
+           ROUND(arr[qs.i], 4) AS exact_value,
+           n AS n,
+           TRUE AS within_bound
+    FROM qa, (VALUES {vals}) AS qs(i, q)
+    """
+
+
+@register(
+    "approx_percentile_pinned",
+    oracle=_pct_oracle_global(),
+    doc="Global value quantiles via percentile_approx (Greenwald-"
+    f"Khanna, accuracy={PCT_ACC}) with the sketch's rank-error "
+    "guarantee PINNED: the plan recomputes each approximate answer's "
+    "true rank (count of strictly-smaller / smaller-or-equal rows in "
+    "ONE conditional-sum pass over the scan) and asserts it lies "
+    f"within ceil(q*n) +/- (n/{PCT_ACC} + 1). Exact percentile ships "
+    "alongside for the hash. Scale shape: the sketch pass is one "
+    "map-side-mergeable agg; the verification pass is one more scan "
+    "with a broadcast of a single sketch row — no sort, no per-key "
+    "state. At 100 TB you run the sketch alone; the pinned twin is "
+    "the correctness harness proving the sketch stays in contract.",
+)
+def approx_percentile_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull()).select("value")
+    qlist = ", ".join(f"{q}D" for q in PCT_QS)
+    sketch = ev.agg(
+        F.expr(f"approx_percentile(value, array({qlist}), {PCT_ACC})").alias("pa"),
+        F.expr(f"percentile(value, array({qlist}))").alias("pe"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    lt_le = ev.crossJoin(F.broadcast(sketch)).agg(
+        F.first("pa").alias("pa"),
+        F.first("pe").alias("pe"),
+        F.first("n").alias("n"),
+        *[
+            F.sum((F.col("value") < F.get("pa", i)).cast("long")).alias(f"lt{i}")
+            for i in range(len(PCT_QS))
+        ],
+        *[
+            F.sum((F.col("value") <= F.get("pa", i)).cast("long")).alias(f"le{i}")
+            for i in range(len(PCT_QS))
+        ],
+    )
+    eps = F.col("n") / PCT_ACC + 1
+    rows = [
+        F.struct(
+            F.lit(q).alias("q"),
+            F.round(F.get("pe", i), 4).alias("exact_value"),
+            F.col("n").cast("bigint").alias("n"),
+            (
+                (F.col(f"lt{i}") <= F.ceil(F.lit(q) * F.col("n")) + eps)
+                & (F.col(f"le{i}") >= F.ceil(F.lit(q) * F.col("n")) - eps)
+            ).alias("within_bound"),
+        )
+        for i, q in enumerate(PCT_QS)
+    ]
+    return lt_le.select(F.inline(F.array(*rows)))
+
+
+def _pct_oracle_groups() -> str:
+    vals = ", ".join(f"({i + 1}, {q}e0)" for i, q in enumerate(PCT_GROUP_QS))
+    arr = ", ".join(f"{q}e0" for q in PCT_GROUP_QS)
+    return f"""
+    WITH v AS (
+      SELECT event_type, value FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    qa AS (
+      SELECT event_type,
+             quantile_cont(value, [{arr}]) AS arr,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM v GROUP BY event_type
+    )
+    SELECT qa.event_type AS event_type,
+           qs.q AS q,
+           ROUND(arr[qs.i], 4) AS exact_value,
+           n AS n,
+           TRUE AS within_bound
+    FROM qa, (VALUES {vals}) AS qs(i, q)
+    """
+
+
+@register(
+    "approx_percentile_by_type_pinned",
+    oracle=_pct_oracle_groups(),
+    doc="Per-event-type median and p90 via grouped percentile_approx "
+    f"(accuracy={PCT_ACC}) with the same pinned rank-error contract "
+    "as approx_percentile_pinned, exercising the GROUPED sketch path "
+    "(one mergeable sketch per key). Verification joins the tiny "
+    "per-type sketch row set back over the scan as a broadcast and "
+    "recomputes ranks with conditional sums — one extra scan, one "
+    "partial-aggregated shuffle on the group key, no sort. The "
+    "grouped variant matters at scale: per-key GK sketches merge "
+    "map-side, so a 100 TB groupBy-quantile never shuffles raw rows.",
+)
+def approx_percentile_by_type_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", "value")
+    )
+    qlist = ", ".join(f"{q}D" for q in PCT_GROUP_QS)
+    sketch = ev.groupBy("event_type").agg(
+        F.expr(f"approx_percentile(value, array({qlist}), {PCT_ACC})").alias("pa"),
+        F.expr(f"percentile(value, array({qlist}))").alias("pe"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    lt_le = (
+        ev.join(F.broadcast(sketch), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("pa").alias("pa"),
+            F.first("pe").alias("pe"),
+            F.first("n").alias("n"),
+            *[
+                F.sum((F.col("value") < F.get("pa", i)).cast("long")).alias(f"lt{i}")
+                for i in range(len(PCT_GROUP_QS))
+            ],
+            *[
+                F.sum((F.col("value") <= F.get("pa", i)).cast("long")).alias(f"le{i}")
+                for i in range(len(PCT_GROUP_QS))
+            ],
+        )
+    )
+    eps = F.col("n") / PCT_ACC + 1
+    rows = [
+        F.struct(
+            F.lit(q).alias("q"),
+            F.round(F.get("pe", i), 4).alias("exact_value"),
+            F.col("n").cast("bigint").alias("n"),
+            (
+                (F.col(f"lt{i}") <= F.ceil(F.lit(q) * F.col("n")) + eps)
+                & (F.col(f"le{i}") >= F.ceil(F.lit(q) * F.col("n")) - eps)
+            ).alias("within_bound"),
+        )
+        for i, q in enumerate(PCT_GROUP_QS)
+    ]
+    return lt_le.select("event_type", F.inline(F.array(*rows)))
