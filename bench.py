@@ -125,6 +125,7 @@ HEADLINE = [
     "weighted_sample_per_source",
     "approx_percentile_pinned",
     "approx_percentile_by_type_pinned",
+    "minhash_lsh_dedup_silver",
     # reference view library (Ekubo-shaped derivation + real view plan)
     "v01_pool_states",
     "v07_last_24h_pool_stats",

@@ -124,6 +124,29 @@ def _minhash_oracle(band_cap: int | None = None) -> str:
     """
 
 
+def _verify_candidates(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of LSH candidate pairs against the
+    shingle relation — the one verify stage shared by the re-deriving,
+    capped, and silver-reading variants. The pair join is the pruner:
+    only candidate-matched shingle rows are read, and AQE broadcasts
+    the tiny candidate side."""
+    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh"))
+    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    jac = inter.cast("double") / (F.size("a_sh") + F.size("b_sh") - inter)
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            inter.alias("inter"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_MIN)
+    )
+
+
 @register(
     "minhash_lsh_dedup",
     oracle=_minhash_oracle(),
@@ -161,21 +184,33 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shingle relation occurs. In a deployed pipeline `sh` is a
     # materialized silver table (shingles computed once at ingest) —
     # re-deriving it here keeps the query self-contained on raw text.
-    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh"))
-    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh"))
-    inter = F.size(F.array_intersect("a_sh", "b_sh"))
-    jac = inter.cast("double") / (F.size("a_sh") + F.size("b_sh") - inter)
-    return (
-        cand.join(sa, "a_id")
-        .join(sb, "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            inter.alias("inter"),
-            F.round(jac, 6).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= JACCARD_MIN)
-    )
+    return _verify_candidates(cand, sh)
+
+
+@register(
+    "minhash_lsh_dedup_silver",
+    oracle=_minhash_oracle(),
+    doc="MinHash+LSH near-dup detection reading the MATERIALIZED "
+    "silver relations (silver.ensure_silver: doc_shingles + "
+    "minhash_bands, built once at ingest) instead of re-deriving the "
+    "tokenize->shingle->hash->signature chain from raw text. Same "
+    "output and oracle as minhash_lsh_dedup — the derivation lives in "
+    "ONE place (silver.build_silver_relations) so the two cannot "
+    "diverge. This is the deployed shape: at 100 TB the shingle/band "
+    "chain is ingest work paid once per novel document "
+    "(materialize_silver incremental mode), and every dedup query "
+    "starts from the clustered band relation. Bench delta vs the "
+    "re-deriving twin is recorded in SCALE.md.",
+)
+def minhash_lsh_dedup_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..silver import ensure_silver
+
+    root = ensure_silver(spark, sf_dir)
+    sh = spark.read.parquet(os.path.join(root, "doc_shingles"))
+    bands = spark.read.parquet(os.path.join(root, "minhash_bands"))
+    return _verify_candidates(lsh_candidate_pairs(bands), sh)
 
 
 # Tight enough to bite on the sf corpora (their hottest band buckets
@@ -212,21 +247,7 @@ def minhash_lsh_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = hs.select("doc_id", *minhash_signature_exprs(F.col("h")))
     cand = lsh_candidate_pairs(cap_hot_bands(minhash_bands(sigs), BAND_CAP))
 
-    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh"))
-    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh"))
-    inter = F.size(F.array_intersect("a_sh", "b_sh"))
-    jac = inter.cast("double") / (F.size("a_sh") + F.size("b_sh") - inter)
-    return (
-        cand.join(sa, "a_id")
-        .join(sb, "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            inter.alias("inter"),
-            F.round(jac, 6).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= JACCARD_MIN)
-    )
+    return _verify_candidates(cand, sh)
 
 
 def _simhash_oracle() -> str:

@@ -1,0 +1,76 @@
+"""Silver-layer materialization: silver == recompute equivalence and
+incremental (ingest-time) maintenance semantics."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from starknet_indexer_spark import silver
+from starknet_indexer_spark.catalog import load
+from starknet_indexer_spark.operators.dedup import N_BANDS
+from starknet_indexer_spark.queries.pipeline_dedup import (
+    minhash_lsh_dedup,
+    minhash_lsh_dedup_silver,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(map(str, df.collect()))
+
+
+class TestSilverEquivalence:
+    def test_silver_query_equals_rederiving_query(self, spark):
+        got = minhash_lsh_dedup_silver(spark, SF)
+        want = minhash_lsh_dedup(spark, SF)
+        assert _rows(got) == _rows(want)
+
+    def test_ensure_silver_is_cached_and_complete(self, spark):
+        root = silver.ensure_silver(spark, SF)
+        assert os.path.exists(os.path.join(root, "_SILVER_READY"))
+        # second call returns the same build without rebuilding
+        mtime = os.path.getmtime(os.path.join(root, "_SILVER_READY"))
+        assert silver.ensure_silver(spark, SF) == root
+        assert os.path.getmtime(os.path.join(root, "_SILVER_READY")) == mtime
+        sh = spark.read.parquet(os.path.join(root, "doc_shingles"))
+        bands = spark.read.parquet(os.path.join(root, "minhash_bands"))
+        n = sh.count()
+        assert n > 0
+        # exactly one band row per (doc, band)
+        assert bands.count() == n * N_BANDS
+        assert bands.select("doc_id", "band").distinct().count() == n * N_BANDS
+
+
+class TestIncrementalMaintenance:
+    def test_incremental_build_equals_one_shot(self, spark, tmp_path):
+        docs = load(spark, SF, "documents")
+        inc_dir = str(tmp_path / "inc")
+        full_dir = str(tmp_path / "full")
+
+        first = docs.filter(F.col("doc_id") % 2 == 0)
+        c1 = silver.materialize_silver(spark, first, inc_dir)
+        assert c1["doc_shingles"] > 0
+        # second batch OVERLAPS the first (re-delivered docs) — only
+        # novel ones may be written
+        c2 = silver.materialize_silver(spark, docs, inc_dir)
+        silver.materialize_silver(spark, docs, full_dir, incremental=False)
+
+        for t in ("doc_shingles", "minhash_bands"):
+            got = _rows(spark.read.parquet(os.path.join(inc_dir, t)))
+            want = _rows(spark.read.parquet(os.path.join(full_dir, t)))
+            assert got == want, t
+        assert c1["doc_shingles"] + c2["doc_shingles"] == (
+            spark.read.parquet(os.path.join(full_dir, "doc_shingles")).count()
+        )
+
+    def test_reingest_is_a_noop(self, spark, tmp_path):
+        docs = load(spark, SF, "documents")
+        d = str(tmp_path / "noop")
+        silver.materialize_silver(spark, docs, d)
+        before = spark.read.parquet(os.path.join(d, "doc_shingles")).count()
+        again = silver.materialize_silver(spark, docs, d)
+        assert again == {"doc_shingles": 0, "minhash_bands": 0}
+        assert spark.read.parquet(os.path.join(d, "doc_shingles")).count() == before
