@@ -126,6 +126,8 @@ HEADLINE = [
     "approx_percentile_pinned",
     "approx_percentile_by_type_pinned",
     "minhash_lsh_dedup_silver",
+    "grouping_sets_revenue",
+    "ohlc_hourly",
     # reference view library (Ekubo-shaped derivation + real view plan)
     "v01_pool_states",
     "v07_last_24h_pool_stats",

@@ -107,3 +107,127 @@ def price_quantity_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("intercept"),
     )
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+    WITH j AS (
+      SELECT n.n_name AS n_name,
+             CAST(year(o.o_orderdate) AS INT) AS o_year,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT COALESCE(n_name, 'ALL') AS nation,
+           COALESCE(CAST(o_year AS VARCHAR), 'ALL') AS order_year,
+           CAST(GROUPING(n_name, o_year) AS BIGINT) AS gid,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM j GROUP BY CUBE(n_name, o_year)
+    """,
+    doc="Multi-level OLAP aggregate: revenue by (nation, year), "
+    "(nation), (year), and grand total in ONE pass via CUBE — Spark "
+    "expands the grouping sets inside a single shuffle (each input "
+    "row contributes to all 4 grouping-set partials map-side) instead "
+    "of a union of 4 scans. grouping_id() disambiguates rolled-up "
+    "NULLs from data NULLs; revenue stays in integer cents so every "
+    "level is partial-aggregation-order exact. At 100 TB a cube over "
+    "k low-cardinality dims costs one scan + one shuffle of "
+    "2^k-expanded partials — the standard dashboard-rollup shape.",
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            F.round(F.col("o_totalprice") * 100).cast(D38).alias("cents"),
+        )
+    )
+    return (
+        j.cube("n_name", "o_year")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("o_year").cast("string"), F.lit("ALL")).alias(
+                "order_year"
+            ),
+            "gid",
+            "revenue_cents",
+            "n_orders",
+        )
+    )
+
+
+@register(
+    "ohlc_hourly",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, value,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             (epoch_us(ts) - epoch_us(date_trunc('hour', ts))) * 1000000
+               + event_id AS ordk
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+    )
+    SELECT event_type, hour,
+           arg_min(value, ordk) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ordk) AS close,
+           CAST(SUM(cents) AS BIGINT) AS volume_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM e GROUP BY event_type, hour
+    """,
+    doc="OHLC time-series downsampling: per (event_type, hour) candle "
+    "with open/close = value at the first/last (ts, event_id) — "
+    "min_by/max_by over a struct ordering key, so ties are "
+    "deterministic — high/low = plain min/max, volume in integer "
+    "cents. The canonical market-data resample (the reference's "
+    "hourly price/volume views are this shape over swaps, "
+    "src/dao.ts:845-933) as ONE hash aggregate: no window, no sort, "
+    "no self-join — at 100 TB it is a single map-side-combined "
+    "shuffle on (series, bucket). The ordering key folds "
+    "(offset-in-hour micros, event_id) into one BIGINT because DuckDB "
+    "arg_min cannot order by a struct; the fold is collision-free "
+    "while per-bucket event_id stays below 1e6 (test corpora max "
+    "1e5) — production would widen to DECIMAL.",
+)
+def ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hour"),
+            "ts",
+            "event_id",
+            "value",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    ordk = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("hour"))
+    ) * F.lit(1000000).cast("long") + F.col("event_id")
+    return ev.groupBy("event_type", "hour").agg(
+        F.min_by("value", ordk).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", ordk).alias("close"),
+        F.sum("cents").cast("bigint").alias("volume_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
