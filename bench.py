@@ -128,6 +128,7 @@ HEADLINE = [
     "minhash_lsh_dedup_silver",
     "grouping_sets_revenue",
     "ohlc_hourly",
+    "hll_distinct_pinned",
     # reference view library (Ekubo-shaped derivation + real view plan)
     "v01_pool_states",
     "v07_last_24h_pool_stats",
