@@ -101,14 +101,33 @@ def run_indexer(
         "last_analytical": None,
         "last_maintenance": None,
         "last_progress": time.monotonic(),
+        "in_batch": False,
     }
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        if no_progress_timeout_s and not batch_df.isEmpty():
-            # any received feed row (data or invalidate marker) is
-            # evidence of a live upstream — reset the no-blocks timer,
-            # mirroring the reference's per-block resetNoBlocksTimer
-            state["last_progress"] = time.monotonic()
+        had_rows = False
+        if no_progress_timeout_s:
+            # the watchdog measures FEED liveness, not batch duration:
+            # suspend it while a batch is processing (a slow boot
+            # refresh or maintenance tick must not read as a stall),
+            # and reset the timer on any received feed row (data or
+            # invalidate marker — the reference's per-block
+            # resetNoBlocksTimer) both at entry and, via the finally
+            # below, when the batch finishes. EMPTY batches never
+            # reset it: a dead feed still fires empty triggers.
+            state["in_batch"] = True
+            had_rows = not batch_df.isEmpty()
+            if had_rows:
+                state["last_progress"] = time.monotonic()
+        try:
+            _process_inner(batch_df, epoch_id)
+        finally:
+            if no_progress_timeout_s:
+                if had_rows:
+                    state["last_progress"] = time.monotonic()
+                state["in_batch"] = False
+
+    def _process_inner(batch_df: DataFrame, epoch_id: int) -> None:
         # shared per-batch semantics (finality filter, epoch-replay
         # skip, ingest, cursor) live in ingest.ingest_micro_batch —
         # ONE copy for the bare stream and the daemon; markers are
@@ -193,11 +212,19 @@ def run_indexer(
         def watch() -> None:
             poll = min(1.0, no_progress_timeout_s / 4)
             while query.isActive:
-                if time.monotonic() - state["last_progress"] > no_progress_timeout_s:
+                if (
+                    not state["in_batch"]
+                    and time.monotonic() - state["last_progress"]
+                    > no_progress_timeout_s
+                ):
                     query.stalled = True
-                    if on_stall is not None:
-                        on_stall()
-                    query.stop()
+                    try:
+                        if on_stall is not None:
+                            on_stall()
+                    finally:
+                        # a raising callback must not leave the stalled
+                        # query running with a dead watchdog
+                        query.stop()
                     return
                 time.sleep(poll)
 

@@ -1062,7 +1062,12 @@ def _prune_txn_dirs(tables_dir: str, marker_ns: str | None, epoch_id: int) -> No
         marker = os.path.join(
             tables_dir, "_applied_epochs", marker_ns or "default", entry
         )
-        if os.path.exists(marker):
+        # marker present: published + marked, only cleanup was missed.
+        # Epoch far below the marker-pruning horizon: its marker may
+        # have been pruned before we got here, and replay can never
+        # reach back that far — reclaim either way (otherwise a
+        # staged copy of a whole batch leaks forever).
+        if os.path.exists(marker) or int(entry) < epoch_id - _EPOCH_MARKER_TAIL:
             shutil.rmtree(os.path.join(ns_root, entry), ignore_errors=True)
 
 

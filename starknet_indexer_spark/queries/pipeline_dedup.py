@@ -159,32 +159,21 @@ def _verify_candidates(cand: DataFrame, sh: DataFrame) -> DataFrame:
     "ingest rather than re-derived per query.",
 )
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("tokens"))
-    sh = toks.filter(F.size("tokens") >= 3).select(
-        "doc_id", word_shingles_expr(F.col("tokens")).alias("shingles")
-    )
-    # materialize the shingle relation ONCE (lazy localCheckpoint):
-    # three consumers read it (signatures + both verify sides), and
-    # without the checkpoint each re-derives the full
-    # regex->split->zip_with chain from the parquet scan — measured
-    # ~20% of steady wall time at sf0.1. This is the query-local form
-    # of the "shingles are a materialized silver table at deployment"
-    # note below.
-    sh = sh.localCheckpoint(eager=False)
-    hs = sh.select(
-        "doc_id", F.transform("shingles", md5_hash60_expr).alias("h")
-    )
-    sigs = hs.select("doc_id", *minhash_signature_exprs(F.col("h")))
-    cand = lsh_candidate_pairs(minhash_bands(sigs))
+    # the tokenize->shingle->hash->signature->band chain is silver.
+    # build_silver_relations — ONE definition shared with the silver
+    # materializer and the capped variant, so the re-deriving and
+    # silver-reading twins cannot diverge. (The shingle relation is
+    # lazily localCheckpointed inside: three consumers — signatures +
+    # both verify sides — read one materialization; re-deriving the
+    # regex chain per consumer measured ~20% of steady wall at sf0.1.)
+    from ..silver import build_silver_relations
 
+    sh, bands = build_silver_relations(load(spark, sf_dir, "documents"))
     # Verify stage joins the shingle relation twice. The pair join
     # itself is the pruner: only rows matching a candidate id are kept,
     # and AQE broadcasts the (tiny) candidate side, so no shuffle of
-    # the shingle relation occurs. In a deployed pipeline `sh` is a
-    # materialized silver table (shingles computed once at ingest) —
-    # re-deriving it here keeps the query self-contained on raw text.
-    return _verify_candidates(cand, sh)
+    # the shingle relation occurs.
+    return _verify_candidates(lsh_candidate_pairs(bands), sh)
 
 
 @register(
@@ -235,19 +224,12 @@ BAND_CAP = 3
     "tests/test_operators.py).",
 )
 def minhash_lsh_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("tokens"))
-    sh = toks.filter(F.size("tokens") >= 3).select(
-        "doc_id", word_shingles_expr(F.col("tokens")).alias("shingles")
-    )
-    # single materialization for the three consumers (see
-    # minhash_lsh_dedup)
-    sh = sh.localCheckpoint(eager=False)
-    hs = sh.select("doc_id", F.transform("shingles", md5_hash60_expr).alias("h"))
-    sigs = hs.select("doc_id", *minhash_signature_exprs(F.col("h")))
-    cand = lsh_candidate_pairs(cap_hot_bands(minhash_bands(sigs), BAND_CAP))
+    from ..silver import build_silver_relations
 
-    return _verify_candidates(cand, sh)
+    sh, bands = build_silver_relations(load(spark, sf_dir, "documents"))
+    return _verify_candidates(
+        lsh_candidate_pairs(cap_hot_bands(bands, BAND_CAP)), sh
+    )
 
 
 def _simhash_oracle() -> str:

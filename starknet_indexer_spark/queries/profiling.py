@@ -410,3 +410,55 @@ def approx_percentile_by_type_pinned(spark: SparkSession, sf_dir: str) -> DataFr
         for i, q in enumerate(PCT_GROUP_QS)
     ]
     return lt_le.select("event_type", F.inline(F.array(*rows)))
+
+
+# HyperLogLog++ pinned twin: relative standard deviation passed to
+# approx_count_distinct, and the sigma multiple the pin allows. 5 sigma
+# over the sketch's own rsd never fires on a healthy implementation
+# (and the small-cardinality sparse regime is exact), while a broken
+# sketch or a silent precision regression flips the boolean and fails
+# the driver hash.
+HLL_RSD = 0.02
+HLL_SIGMA = 5
+
+
+@register(
+    "hll_distinct_pinned",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           TRUE AS within_bound
+    FROM events
+    WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="Distinct users per event type via HyperLogLog++ "
+    f"(approx_count_distinct, rsd={HLL_RSD}) with the sketch's error "
+    f"contract PINNED: |approx - exact| <= {HLL_SIGMA} x rsd x exact "
+    "(+2 absolute slack for the tiny-cardinality boundary). Exact "
+    "distinct ships alongside as the hash anchor; the oracle emits "
+    "the exact counts with within_bound TRUE — same device as the "
+    "approx-percentile twins. Completes the sketch family (KMV "
+    "hash-threshold, Misra-Gries, Count-Min, Bloom, GK percentile, "
+    "HLL). At 100 TB only the HLL branch runs — mergeable fixed-size "
+    "registers, no distinct shuffle; the exact branch here is the "
+    "correctness harness.",
+)
+def hll_distinct_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
+    g = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", HLL_RSD).alias("approx"),
+        F.count_distinct("user_id").cast("bigint").alias("exact_distinct"),
+    )
+    tol = F.greatest(
+        F.lit(HLL_SIGMA * HLL_RSD) * F.col("exact_distinct"), F.lit(2.0)
+    )
+    return g.select(
+        "event_type",
+        "exact_distinct",
+        (F.abs(F.col("approx") - F.col("exact_distinct")) <= tol).alias(
+            "within_bound"
+        ),
+    )

@@ -88,11 +88,18 @@ def materialize_silver(
     n_sh = sh.count()
     if n_sh == 0:
         return {"doc_shingles": 0, "minhash_bands": 0}
+    # WRITE ORDER IS THE CRASH CONTRACT: the incremental anti-join
+    # keys on doc_shingles, so doc_shingles is the commit point and
+    # must land LAST. Bands-first means a crash between the two
+    # appends leaves band rows whose doc re-derives (and re-appends
+    # bands) on retry — duplicate band rows, which the candidate join
+    # dedupes (lsh_candidate_pairs is DISTINCT over pairs). The
+    # reverse order would lose band rows with no self-heal: docs
+    # classified as present while their buckets never materialized.
+    # Cluster the band relation on its join key so every LSH bucket is
+    # physically co-located for the candidate self-join.
+    bands.repartition("band_key").write.mode("append").parquet(bands_path)
     sh.write.mode("append").parquet(sh_path)
-    # cluster the band relation on its join key so every LSH bucket is
-    # physically co-located for the candidate self-join
-    bands = bands.repartition("band_key")
-    bands.write.mode("append").parquet(bands_path)
     # band rows written this call = docs written x N_BANDS (each doc
     # emits exactly one row per band) — no extra job needed
     from .operators.dedup import N_BANDS

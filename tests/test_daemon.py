@@ -227,3 +227,75 @@ def test_daemon_watchdog_does_not_stop_live_feed(spark, tmp_path):
         assert q.isActive and not q.stalled
     finally:
         q.stop()
+
+
+@pytest.mark.slow
+def test_daemon_watchdog_ignores_slow_batch_processing(spark, tmp_path, monkeypatch):
+    """The watchdog measures feed liveness, not batch duration: a batch
+    whose processing (boot refresh / maintenance) exceeds the timeout
+    must NOT be read as a stall while the feed is healthy."""
+    import time as _time
+
+    from starknet_indexer_spark import daemon as daemon_mod
+    from starknet_indexer_spark import runtime as runtime_mod
+
+    real_refresh = runtime_mod.refresh_operational
+    slept = []
+
+    def slow_refresh(tables, views_dir):
+        if not slept:
+            slept.append(True)
+            _time.sleep(8)  # > timeout, inside one batch
+        return real_refresh(tables, views_dir)
+
+    monkeypatch.setattr(runtime_mod, "refresh_operational", slow_refresh)
+    feed = str(tmp_path / "feed")
+    _batch1(spark).write.mode("append").parquet(feed)
+    q = daemon_mod.run_indexer(
+        spark,
+        feed,
+        str(tmp_path / "tables"),
+        str(tmp_path / "views"),
+        str(tmp_path / "ckpt"),
+        analytical_every_s=0,
+        trigger={"processingTime": "1 seconds"},
+        no_progress_timeout_s=4,
+    )
+    try:
+        deadline = _time.monotonic() + 30
+        while not slept and _time.monotonic() < deadline:
+            _time.sleep(0.5)
+        _time.sleep(9)  # let the slow batch finish under the watchdog
+        assert q.isActive and not q.stalled, "slow batch misread as stall"
+    finally:
+        q.stop()
+
+
+@pytest.mark.slow
+def test_daemon_watchdog_stops_query_even_if_on_stall_raises(spark, tmp_path):
+    import time as _time
+
+    feed = str(tmp_path / "feed")
+    spark.createDataFrame([], RAW_SCHEMA).coalesce(1).write.parquet(feed)
+
+    def bad_callback():
+        raise RuntimeError("metrics push failed")
+
+    q = run_indexer(
+        spark,
+        feed,
+        str(tmp_path / "tables"),
+        str(tmp_path / "views"),
+        str(tmp_path / "ckpt"),
+        trigger={"processingTime": "1 seconds"},
+        no_progress_timeout_s=4,
+        on_stall=bad_callback,
+    )
+    deadline = _time.monotonic() + 60
+    try:
+        while q.isActive and _time.monotonic() < deadline:
+            _time.sleep(0.5)
+        assert not q.isActive and q.stalled
+    finally:
+        if q.isActive:
+            q.stop()

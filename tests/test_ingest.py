@@ -1286,3 +1286,23 @@ class TestTwoPhaseCommit:
             map(str, spark.read.parquet(os.path.join(tdir, "swaps")).collect())
         )
         assert rows1 == rows2
+
+    def test_orphan_txn_dir_without_marker_pruned_past_horizon(
+        self, spark, tmp_path
+    ):
+        """An orphan whose epoch marker was itself pruned must still be
+        reclaimed once it falls below the marker-pruning horizon —
+        otherwise a staged copy of a whole batch leaks forever."""
+        import starknet_indexer_spark.ingest as ing
+
+        tdir = str(tmp_path / "tables")
+        orphan = os.path.join(tdir, "_txn", "t2pc_e", "3")
+        os.makedirs(orphan, exist_ok=True)
+        recent = os.path.join(tdir, "_txn", "t2pc_e", "90")
+        os.makedirs(recent, exist_ok=True)
+        cur = 3 + ing._EPOCH_MARKER_TAIL + 1
+        ing.ingest_micro_batch(
+            spark, make_raw(spark, [1]), tdir, epoch_id=cur, marker_ns="t2pc_e"
+        )
+        assert not os.path.isdir(orphan)  # below horizon: reclaimed
+        assert os.path.isdir(recent)  # above horizon, no marker: kept

@@ -74,3 +74,38 @@ class TestIncrementalMaintenance:
         again = silver.materialize_silver(spark, docs, d)
         assert again == {"doc_shingles": 0, "minhash_bands": 0}
         assert spark.read.parquet(os.path.join(d, "doc_shingles")).count() == before
+
+    def test_crash_between_band_and_shingle_appends_self_heals(
+        self, spark, tmp_path
+    ):
+        """Write order contract: bands land BEFORE doc_shingles, so a
+        crash between the two appends leaves orphan band rows whose
+        docs re-derive on retry (anti-join keys on doc_shingles).
+        Duplicate band rows are benign — the candidate join is
+        DISTINCT over pairs — while the reverse order would silently
+        lose buckets."""
+        import os as _os
+
+        from starknet_indexer_spark.operators.dedup import (
+            lsh_candidate_pairs,
+        )
+        from starknet_indexer_spark.queries.pipeline_dedup import (
+            _verify_candidates,
+        )
+
+        docs = load(spark, SF, "documents")
+        d = str(tmp_path / "crash")
+        first = docs.filter(F.col("doc_id") % 2 == 0)
+        second = docs.filter(F.col("doc_id") % 2 == 1)
+        silver.materialize_silver(spark, first, d)
+        # simulate the crash: batch 2's BANDS committed, shingles not
+        sh2, bands2 = silver.build_silver_relations(second)
+        bands2.write.mode("append").parquet(_os.path.join(d, "minhash_bands"))
+        # retry the ingest of the full corpus — batch-2 docs are
+        # re-derived (absent from doc_shingles) and bands re-appended
+        silver.materialize_silver(spark, docs, d)
+        sh = spark.read.parquet(_os.path.join(d, "doc_shingles"))
+        bands = spark.read.parquet(_os.path.join(d, "minhash_bands"))
+        got = _verify_candidates(lsh_candidate_pairs(bands), sh)
+        want = minhash_lsh_dedup(spark, SF)
+        assert _rows(got) == _rows(want)
