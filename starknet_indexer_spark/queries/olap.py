@@ -204,30 +204,10 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "1e5) — production would widen to DECIMAL.",
 )
 def ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = (
-        load(spark, sf_dir, "events")
-        .filter(
-            F.col("value").isNotNull()
-            & F.col("event_type").isNotNull()
-            & F.col("ts").isNotNull()
-        )
-        .select(
-            "event_type",
-            F.date_trunc("hour", "ts").alias("hour"),
-            "ts",
-            "event_id",
-            "value",
-            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
-        )
-    )
-    ordk = (
-        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("hour"))
-    ) * F.lit(1000000).cast("long") + F.col("event_id")
-    return ev.groupBy("event_type", "hour").agg(
-        F.min_by("value", ordk).alias("open"),
-        F.max("value").alias("high"),
-        F.min("value").alias("low"),
-        F.max_by("value", ordk).alias("close"),
-        F.sum("cents").cast("bigint").alias("volume_cents"),
-        F.count(F.lit(1)).cast("bigint").alias("n_events"),
-    )
+    # the candle algebra lives in operators/timeseries.py — ONE
+    # definition shared with the streaming incremental view
+    # (streaming/ohlc.py), whose equivalence tests pin
+    # incremental == this batch recompute
+    from ..operators.timeseries import ohlc_candles
+
+    return ohlc_candles(load(spark, sf_dir, "events"))
