@@ -11,13 +11,13 @@ Spark has no triggers. The equivalent is a MERGE per micro-batch:
     state(pool, tick)  <-  state ⟗ batch_deltas, summed, zero-net dropped
 
 State layout for 100 TB: parquet partitioned by
-``bucket = pmod(xxhash64(pool_key_hash), N_BUCKETS)``. A micro-batch
-touches only the buckets its pools hash into, so the merge reads and
-rewrites a bounded slice of state — the parquet analogue of a Delta
-MERGE touching matched files only. The full outer join is per-bucket
-and both sides are partitioned by the same key, so at scale the join
-shuffles only the (small) batch side once bucket pruning has done its
-work.
+``bucket = pmod(xxhash64(pool_key_hash), N_BUCKETS)`` inside
+generation directories (streaming/state_table.py). A micro-batch
+touches only the buckets its pools hash into — the merge reads and
+rewrites a bounded slice of state while unaffected buckets carry
+forward as hardlinks, and one atomic CURRENT-pointer replace publishes
+the generation: the parquet analogue of a Delta MERGE, commit point
+included.
 """
 
 from __future__ import annotations
@@ -29,9 +29,16 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..views.tick_liquidity import tick_liquidity_deltas
+from . import state_table
 from .epochs import epoch_idempotent
 
 N_BUCKETS = 16
+
+_EMPTY_DDL = (
+    "pool_key_hash decimal(38,0), tick int,"
+    " net_liquidity_delta_diff decimal(38,0),"
+    " total_liquidity_on_tick decimal(38,0)"
+)
 _KEY = ["pool_key_hash", "tick"]
 _MEASURES = ["net_liquidity_delta_diff", "total_liquidity_on_tick"]
 
@@ -47,76 +54,53 @@ def read_state(spark: SparkSession, state_dir: str) -> DataFrame:
     nonzero (the reference trigger does the same, deleting only on
     total zero, src/dao.ts:535-561) so a later delta at that tick
     resumes from the true running total instead of from scratch."""
-    if not os.path.isdir(state_dir) or not any(
-        d.startswith("bucket=") for d in os.listdir(state_dir)
-    ):
-        schema = "pool_key_hash decimal(38,0), tick int, net_liquidity_delta_diff decimal(38,0), total_liquidity_on_tick decimal(38,0)"
-        return spark.createDataFrame([], schema)
     return (
-        spark.read.parquet(state_dir)
-        .drop("bucket")
+        state_table.read_state(spark, state_dir, _EMPTY_DDL)
+        .select(*_KEY, *_MEASURES)
         .filter(F.col("net_liquidity_delta_diff") != 0)
     )
 
 
-def apply_batch(spark: SparkSession, position_updates: DataFrame, state_dir: str) -> None:
-    """MERGE one batch of position_updates into the state table."""
-    deltas = tick_liquidity_deltas(position_updates).withColumn(
-        "bucket", _bucket(F.col("pool_key_hash"))
+def _merge(rows: DataFrame) -> DataFrame:
+    """Sum partials per key; drop rows carrying NO information (both
+    measures zero). Deleting on net-zero alone would forget a live
+    total: net can cross zero while positions still reference the
+    tick, and a later delta must resume from the accumulated total
+    (reference trigger deletes on TOTAL zero, src/dao.ts:535-561; the
+    view's net!=0 filter is applied by read_state when serving)."""
+    merged = rows.groupBy(*_KEY).agg(
+        *[F.sum(m).alias(m) for m in _MEASURES]
     )
-    deltas = deltas.cache()
-    affected = [r["bucket"] for r in deltas.select("bucket").distinct().collect()]
-    if not affected:
-        deltas.unpersist()
-        return
+    return merged.filter(
+        (F.col("net_liquidity_delta_diff") != 0)
+        | (F.col("total_liquidity_on_tick") != 0)
+    )
 
-    have_state = os.path.isdir(state_dir) and any(
-        d == f"bucket={b}" for b in affected for d in os.listdir(state_dir)
-    )
-    if have_state:
-        state = spark.read.parquet(state_dir).filter(F.col("bucket").isin(affected))
-        merged = (
-            state.select(*_KEY, *_MEASURES)
-            .unionByName(deltas.select(*_KEY, *_MEASURES))
-            .groupBy(*_KEY)
-            .agg(*[F.sum(m).alias(m) for m in _MEASURES])
-        )
-    else:
-        merged = deltas.select(*_KEY, *_MEASURES)
-    # state retention: drop a row only when it carries NO information
-    # (both measures zero). Deleting on net-zero alone would forget a
-    # live total: net can cross zero while positions still reference
-    # the tick, and a later delta must resume from the accumulated
-    # total (reference trigger deletes on TOTAL zero,
-    # src/dao.ts:535-561; the view's net!=0 filter is applied by
-    # read_state when serving).
-    merged = (
-        merged.filter(
-            (F.col("net_liquidity_delta_diff") != 0)
-            | (F.col("total_liquidity_on_tick") != 0)
-        )
-        .withColumn("bucket", _bucket(F.col("pool_key_hash")))
-        .cache()
-    )
-    survivors = {r["bucket"] for r in merged.select("bucket").distinct().collect()}
 
-    # rewrite affected buckets via staging dir + atomic-ish swap: write
-    # everything first, move partition dirs into place only after the
-    # full write succeeded (Delta would make this a single txn)
-    staging = state_dir + "._staging"
-    shutil.rmtree(staging, ignore_errors=True)
-    if survivors:
-        merged.write.mode("overwrite").partitionBy("bucket").parquet(staging)
-    os.makedirs(state_dir, exist_ok=True)
-    for b in affected:
-        live = os.path.join(state_dir, f"bucket={b}")
-        shutil.rmtree(live, ignore_errors=True)
-        staged = os.path.join(staging, f"bucket={b}")
-        if os.path.isdir(staged):
-            os.replace(staged, live)
-    shutil.rmtree(staging, ignore_errors=True)
-    merged.unpersist()
-    deltas.unpersist()
+def apply_batch(
+    spark: SparkSession,
+    position_updates: DataFrame,
+    state_dir: str,
+    epoch_token: str | None = None,
+) -> None:
+    """MERGE one batch of position_updates into the state table.
+
+    Commits go through streaming/state_table.py: merged affected
+    buckets land in a new generation (unaffected buckets hardlinked
+    forward) published by one atomic CURRENT-pointer replace — the
+    original per-bucket rmtree+rename swap had an unrecoverable
+    mid-swap data-loss window (see state_table's module docstring)."""
+    state_table.merge_batch(
+        spark,
+        state_dir,
+        tick_liquidity_deltas(position_updates),
+        _merge,
+        _KEY,
+        _MEASURES,
+        _bucket(F.col("pool_key_hash")),
+        _EMPTY_DDL,
+        token=epoch_token,
+    )
 
 
 def stream_maintain(
@@ -133,10 +117,11 @@ def stream_maintain(
     fails AFTER process() succeeded, the same epoch is re-delivered on
     restart — and an additive merge would double-count it. An
     epoch-marker file written after each successful apply makes the
-    common replay case a no-op. The remaining window (crash between
-    the bucket swap and the marker write) is the multi-file
-    transactionality a table format (Delta/Iceberg MERGE) closes; with
-    plain parquet directories it is documented, not eliminated."""
+    common replay case a no-op, and the epoch token committed INSIDE
+    the state generation (state_table) closes the residual crash
+    window between the generation flip and the marker write — the
+    multi-file transactionality a table format would provide, done
+    with a metadata pointer over plain parquet."""
     reader = spark.readStream
     if schema is not None:
         reader = reader.schema(schema)
@@ -144,11 +129,13 @@ def stream_maintain(
         reader = reader.schema(spark.read.parquet(feed_dir).schema)
     stream = reader.parquet(feed_dir)
 
-    process = epoch_idempotent(
-        state_dir,
-        checkpoint_dir,
-        lambda batch_df, _epoch: apply_batch(spark, batch_df, state_dir),
-    )
+    def _fold(batch_df, epoch_id):
+        from ..ingest import checkpoint_marker_ns
+
+        token = f"{checkpoint_marker_ns(checkpoint_dir)}:{epoch_id}"
+        apply_batch(spark, batch_df, state_dir, epoch_token=token)
+
+    process = epoch_idempotent(state_dir, checkpoint_dir, _fold)
     return (
         stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)

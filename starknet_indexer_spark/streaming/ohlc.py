@@ -15,19 +15,16 @@ no late-data cliff: a late row for ANY historical hour merges exactly
 (the ordering keys make open/close order-independent), which a
 recompute-the-tail scheme only gets within its window.
 
-State layout mirrors streaming/incremental.py: parquet partitioned by
-``bucket = pmod(xxhash64(event_type, hour), N_BUCKETS)``; a batch
-rewrites only affected buckets via staging + per-bucket os.replace.
-Equivalence (tests/test_streaming_ohlc.py): after any batch split,
-``read_state`` equals the batch ``ohlc_hourly`` over the union — the
-merge-algebra identity pinned end to end. Epoch markers make
-at-least-once replay a no-op (shared epochs.epoch_idempotent).
+State commits go through streaming/state_table.py (generation dirs,
+bucket = pmod(xxhash64(event_type, hour), N_BUCKETS), hardlinked
+unaffected buckets, one atomic CURRENT-pointer flip — see that module
+for the crash analysis). Equivalence (tests/test_streaming_ohlc.py):
+after any batch split, ``read_state`` equals the batch ``ohlc_hourly``
+over the union — the merge-algebra identity pinned end to end. Epoch
+markers + the in-generation token make at-least-once replay a no-op.
 """
 
 from __future__ import annotations
-
-import os
-import shutil
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,9 +36,16 @@ from ..operators.timeseries import (
     ohlc_merge,
     unit_candles,
 )
+from . import state_table
 from .epochs import epoch_idempotent
 
 N_BUCKETS = 16
+
+_EMPTY_DDL = (
+    "event_type string, hour timestamp, open_ordk bigint, open double,"
+    " high double, low double, close_ordk bigint, close double,"
+    " volume_cents bigint, n_events bigint"
+)
 
 
 def _bucket(*cols) -> Column:
@@ -51,57 +55,35 @@ def _bucket(*cols) -> Column:
 def read_state(spark: SparkSession, state_dir: str) -> DataFrame:
     """The maintained candle table, public columns (equals the batch
     ohlc_hourly over every row folded in so far)."""
-    if not os.path.isdir(state_dir) or not any(
-        d.startswith("bucket=") for d in os.listdir(state_dir)
-    ):
-        schema = (
-            "event_type string, hour timestamp, open double, high double,"
-            " low double, close double, volume_cents bigint, n_events bigint"
-        )
-        return spark.createDataFrame([], schema)
-    return spark.read.parquet(state_dir).select(*OHLC_KEY, *OHLC_PUBLIC_COLS)
-
-
-def apply_batch(spark: SparkSession, events: DataFrame, state_dir: str) -> None:
-    """Fold one batch of event rows into the candle state."""
-    partial = ohlc_merge(unit_candles(events)).withColumn(
-        "bucket", _bucket(*OHLC_KEY)
+    return state_table.read_state(spark, state_dir, _EMPTY_DDL).select(
+        *OHLC_KEY, *OHLC_PUBLIC_COLS
     )
-    partial = partial.cache()
-    affected = [r["bucket"] for r in partial.select("bucket").distinct().collect()]
-    if not affected:
-        partial.unpersist()
-        return
 
-    have_state = os.path.isdir(state_dir) and any(
-        d == f"bucket={b}" for b in affected for d in os.listdir(state_dir)
+
+def apply_batch(
+    spark: SparkSession,
+    events: DataFrame,
+    state_dir: str,
+    epoch_token: str | None = None,
+) -> None:
+    """Fold one batch of event rows into the candle state.
+
+    State commits go through streaming/state_table.py: the merged
+    affected buckets land in a new generation (unaffected buckets
+    hardlinked forward) and one atomic CURRENT-pointer replace
+    publishes them — no crash point can lose a bucket or double-apply
+    a replayed epoch (the token commits with the generation)."""
+    state_table.merge_batch(
+        spark,
+        state_dir,
+        ohlc_merge(unit_candles(events)),
+        ohlc_merge,
+        OHLC_KEY,
+        OHLC_STATE_COLS,
+        _bucket(*OHLC_KEY),
+        _EMPTY_DDL,
+        token=epoch_token,
     )
-    if have_state:
-        state = spark.read.parquet(state_dir).filter(F.col("bucket").isin(affected))
-        merged = ohlc_merge(
-            state.select(*OHLC_KEY, *OHLC_STATE_COLS).unionByName(
-                partial.select(*OHLC_KEY, *OHLC_STATE_COLS)
-            )
-        )
-    else:
-        merged = partial.select(*OHLC_KEY, *OHLC_STATE_COLS)
-    merged = merged.withColumn("bucket", _bucket(*OHLC_KEY)).cache()
-
-    # rewrite affected buckets via staging + per-bucket swap (same
-    # pattern and rationale as streaming/incremental.py)
-    staging = state_dir + "._staging"
-    shutil.rmtree(staging, ignore_errors=True)
-    merged.write.mode("overwrite").partitionBy("bucket").parquet(staging)
-    os.makedirs(state_dir, exist_ok=True)
-    for b in affected:
-        live = os.path.join(state_dir, f"bucket={b}")
-        shutil.rmtree(live, ignore_errors=True)
-        staged = os.path.join(staging, f"bucket={b}")
-        if os.path.isdir(staged):
-            os.replace(staged, live)
-    shutil.rmtree(staging, ignore_errors=True)
-    merged.unpersist()
-    partial.unpersist()
 
 
 def stream_maintain(
@@ -119,11 +101,14 @@ def stream_maintain(
         schema if schema is not None else spark.read.parquet(feed_dir).schema
     )
     stream = reader.parquet(feed_dir)
-    process = epoch_idempotent(
-        state_dir,
-        checkpoint_dir,
-        lambda batch_df, _epoch: apply_batch(spark, batch_df, state_dir),
-    )
+
+    def _fold(batch_df, epoch_id):
+        from ..ingest import checkpoint_marker_ns
+
+        token = f"{checkpoint_marker_ns(checkpoint_dir)}:{epoch_id}"
+        apply_batch(spark, batch_df, state_dir, epoch_token=token)
+
+    process = epoch_idempotent(state_dir, checkpoint_dir, _fold)
     return (
         stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)

@@ -1,0 +1,228 @@
+"""Generation-pointer state table: atomic multi-bucket commits for
+maintained streaming state.
+
+The bucket-pruned maintained states (tick ledger, OHLC candles) merge a
+micro-batch into a handful of affected buckets. The original per-bucket
+``rmtree(live); os.replace(staged, live)`` swap had an unrecoverable
+window: a crash between the delete and the rename left the bucket's
+ONLY copy inside the staging dir, which the next attempt's
+``rmtree(staging)`` destroyed — the replayed epoch then re-merged the
+batch against EMPTY bucket state, silently losing everything
+accumulated before it. No per-bucket trash protocol fixes this: an
+additive merge needs all-or-nothing visibility across every affected
+bucket, or a replay double-applies the buckets that swapped before the
+crash.
+
+This module is the table-format answer (a metadata pointer), in plain
+files:
+
+- state lives under ``state_dir/gen-<N>/bucket=<b>/...``;
+- a commit builds ``gen-<N+1>`` OFF TO THE SIDE: merged affected
+  buckets are written by Spark, unaffected buckets are HARDLINKED from
+  gen-<N> (one link syscall per file, no data copy), and the epoch
+  token is placed inside the new generation;
+- the single atomic commit point is ``os.replace`` of the ``CURRENT``
+  pointer file;
+- recovery is trivial because every crash point leaves CURRENT
+  pointing at a complete old generation: orphan higher generations are
+  deleted at the next writer entry, and a replay of an epoch whose
+  flip DID land short-circuits on the token stored inside the live
+  generation.
+
+Single-writer per state_dir (one streaming query), like every
+maintained state in this package. Readers always resolve CURRENT to a
+complete, immutable generation — no torn reads while a writer builds
+the next one.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_CURRENT = "CURRENT"
+_TOKEN = "_epoch"
+
+
+def _gen_path(state_dir: str, gen: int) -> str:
+    return os.path.join(state_dir, f"gen-{gen}")
+
+
+def current_gen(state_dir: str) -> int | None:
+    try:
+        with open(os.path.join(state_dir, _CURRENT)) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def current_gen_dir(state_dir: str) -> str | None:
+    gen = current_gen(state_dir)
+    if gen is None:
+        return None
+    d = _gen_path(state_dir, gen)
+    return d if os.path.isdir(d) else None
+
+
+def applied_token(state_dir: str) -> str | None:
+    """Epoch token committed with the live generation (replay guard)."""
+    d = current_gen_dir(state_dir)
+    if d is None:
+        return None
+    try:
+        with open(os.path.join(d, _TOKEN)) as f:
+            return f.read().strip()
+    except OSError:
+        return None
+
+
+def read_state(spark: SparkSession, state_dir: str, empty_ddl: str) -> DataFrame:
+    """Current generation as a DataFrame (typed-empty when absent)."""
+    d = current_gen_dir(state_dir)
+    if d is None or not any(e.startswith("bucket=") for e in os.listdir(d)):
+        return spark.createDataFrame([], empty_ddl)
+    return spark.read.parquet(d)
+
+
+def recover(state_dir: str) -> None:
+    """Writer-entry cleanup: delete generations the CURRENT pointer
+    does not reference — half-built higher generations from a crashed
+    commit, and superseded lower ones whose GC was interrupted."""
+    gen = current_gen(state_dir)
+    try:
+        entries = os.listdir(state_dir)
+    except OSError:
+        return
+    for entry in entries:
+        if not entry.startswith("gen-"):
+            continue
+        try:
+            n = int(entry[4:])
+        except ValueError:
+            continue
+        if gen is None or n != gen:
+            shutil.rmtree(os.path.join(state_dir, entry), ignore_errors=True)
+
+
+def _link_tree(src: str, dst: str) -> None:
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        tgt_root = os.path.join(dst, rel) if rel != "." else dst
+        os.makedirs(tgt_root, exist_ok=True)
+        for fname in files:
+            os.link(os.path.join(root, fname), os.path.join(tgt_root, fname))
+
+
+def commit_generation(
+    state_dir: str,
+    merged: DataFrame,
+    affected: list[int] | None = None,
+    token: str | None = None,
+) -> None:
+    """Publish ``merged`` (must carry a ``bucket`` column holding ONLY
+    the affected buckets' rows) as the next generation.
+
+    ``affected`` lists every bucket the merge REPLACES — including
+    buckets whose merged result is empty (all keys dropped): those
+    must vanish, not carry forward. Buckets outside ``affected`` are
+    hardlinked from the live generation (no data copy); the os.replace
+    of CURRENT is the only commit point. ``affected=None`` means the
+    merge replaces nothing (token-only commit): every old bucket
+    carries forward."""
+    recover(state_dir)
+    old_gen = current_gen(state_dir)
+    new_gen = 0 if old_gen is None else old_gen + 1
+    new_dir = _gen_path(state_dir, new_gen)
+    shutil.rmtree(new_dir, ignore_errors=True)
+
+    # 1. Spark writes the merged affected buckets into the new gen
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(new_dir)
+    replaced = {f"bucket={b}" for b in (affected or [])}
+    replaced |= {e for e in os.listdir(new_dir) if e.startswith("bucket=")}
+    # 2. carry unaffected buckets forward by hardlink (no data copy)
+    if old_gen is not None:
+        old_dir = _gen_path(state_dir, old_gen)
+        for entry in os.listdir(old_dir):
+            if entry.startswith("bucket=") and entry not in replaced:
+                _link_tree(
+                    os.path.join(old_dir, entry), os.path.join(new_dir, entry)
+                )
+    # 3. the epoch token commits WITH the data (underscore-prefixed:
+    # invisible to parquet readers)
+    if token is not None:
+        with open(os.path.join(new_dir, _TOKEN), "w") as f:
+            f.write(token)
+
+    # 4. THE commit point
+    os.makedirs(state_dir, exist_ok=True)
+    tmp = os.path.join(state_dir, _CURRENT + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(str(new_gen))
+    os.replace(tmp, os.path.join(state_dir, _CURRENT))
+
+    # 5. GC the superseded generation (files survive via hardlinks)
+    if old_gen is not None:
+        shutil.rmtree(_gen_path(state_dir, old_gen), ignore_errors=True)
+
+
+def merge_batch(
+    spark: SparkSession,
+    state_dir: str,
+    batch_partials: DataFrame,
+    merge_fn,
+    key_cols: list[str],
+    state_cols: list[str],
+    bucket_expr,
+    empty_ddl: str,
+    token: str | None = None,
+) -> None:
+    """The shared maintained-state fold: short-circuit replayed epochs,
+    merge the batch's partials with the affected buckets of the live
+    generation via ``merge_fn``, and commit the next generation.
+
+    ``batch_partials`` must already be aggregated per key (one row per
+    key) and is evaluated twice (affected-bucket collect + merge) — the
+    caller is responsible for it being cheap or pinned."""
+    if token is not None and applied_token(state_dir) == token:
+        return  # crash landed after the flip but before the epoch marker
+    # TYPE-STABLE BUCKETING: xxhash64 hashes the physical type, not the
+    # value — xxhash64(9004 as BIGINT) != xxhash64(9004 as
+    # DECIMAL(38,0)). The state's types are fixed by empty_ddl (union
+    # coercion pins them from the first commit), so the batch partials
+    # MUST be cast to the same schema before the bucket hash or a
+    # type-drifting input computes different buckets than the state it
+    # needs to merge with — silent state loss.
+    target = spark.createDataFrame([], empty_ddl).schema
+    partial = batch_partials.select(
+        *[F.col(f.name).cast(f.dataType) for f in target]
+    ).withColumn("bucket", bucket_expr)
+    partial = partial.cache()
+    try:
+        affected = [
+            r["bucket"] for r in partial.select("bucket").distinct().collect()
+        ]
+        if not affected:
+            # nothing to fold, but the token must still commit or the
+            # NEXT batch would misread a replay of this one as new
+            if token is not None and current_gen(state_dir) is not None:
+                state = read_state(spark, state_dir, empty_ddl)
+                commit_generation(
+                    state_dir,
+                    state.filter(F.lit(False)),
+                    affected=None,
+                    token=token,
+                )
+            return
+        state = read_state(spark, state_dir, empty_ddl + ", bucket int")
+        live_part = state.filter(F.col("bucket").isin(affected))
+        merged = merge_fn(
+            live_part.select(*key_cols, *state_cols).unionByName(
+                partial.select(*key_cols, *state_cols)
+            )
+        ).withColumn("bucket", bucket_expr)
+        commit_generation(state_dir, merged, affected=affected, token=token)
+    finally:
+        partial.unpersist()

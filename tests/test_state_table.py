@@ -1,0 +1,93 @@
+"""Generation-pointer state table: crash-point and replay semantics.
+
+The OHLC candle state is the vehicle (smallest merge_fn); the
+protocol under test is streaming/state_table.py itself.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from starknet_indexer_spark.catalog import load
+from starknet_indexer_spark.operators.timeseries import ohlc_candles
+from starknet_indexer_spark.streaming import ohlc, state_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(map(str, df.collect()))
+
+
+def _halves(spark):
+    ev = load(spark, SF, "events")
+    return ev, ev.filter(F.col("event_id") % 2 == 0), ev.filter(
+        F.col("event_id") % 2 == 1
+    )
+
+
+class TestCrashPoints:
+    def test_half_built_generation_is_discarded_and_replay_lands_clean(
+        self, spark, tmp_path
+    ):
+        """Crash DURING the next generation's build: CURRENT still
+        points at the old generation, so the replay re-merges against
+        intact state and the orphan dir is removed."""
+        ev, first, second = _halves(spark)
+        state = str(tmp_path / "s")
+        ohlc.apply_batch(spark, first, state, epoch_token="ns:0")
+        gen0 = state_table.current_gen(state)
+        # simulate: a crashed attempt left a half-built higher gen
+        orphan = os.path.join(state, f"gen-{gen0 + 1}")
+        os.makedirs(os.path.join(orphan, "bucket=0"), exist_ok=True)
+        with open(os.path.join(orphan, "junk"), "w") as f:
+            f.write("partial")
+        ohlc.apply_batch(spark, second, state, epoch_token="ns:1")
+        assert _rows(ohlc.read_state(spark, state)) == _rows(ohlc_candles(ev))
+        # the orphan generation number was rebuilt (or removed), never served
+        assert state_table.current_gen(state) == gen0 + 1
+
+    def test_replay_after_flip_but_before_marker_short_circuits(
+        self, spark, tmp_path
+    ):
+        """Crash between the CURRENT flip and the caller's epoch
+        marker: the token committed inside the generation makes the
+        redelivered epoch a no-op instead of a double-count."""
+        ev, first, second = _halves(spark)
+        state = str(tmp_path / "s")
+        ohlc.apply_batch(spark, first, state, epoch_token="ns:0")
+        ohlc.apply_batch(spark, second, state, epoch_token="ns:1")
+        want = _rows(ohlc.read_state(spark, state))
+        ohlc.apply_batch(spark, second, state, epoch_token="ns:1")  # replay
+        assert _rows(ohlc.read_state(spark, state)) == want
+        # volume/n_events would have doubled on a real double-apply
+        assert state_table.applied_token(state) == "ns:1"
+
+    def test_interrupted_gc_of_old_generation_is_cleaned(self, spark, tmp_path):
+        ev, first, second = _halves(spark)
+        state = str(tmp_path / "s")
+        ohlc.apply_batch(spark, first, state)
+        ohlc.apply_batch(spark, second, state)
+        cur = state_table.current_gen(state)
+        # simulate: GC of the superseded generation was interrupted
+        stale = os.path.join(state, f"gen-{cur - 1}")
+        os.makedirs(os.path.join(stale, "bucket=3"), exist_ok=True)
+        state_table.recover(state)
+        assert not os.path.isdir(stale)
+        assert _rows(ohlc.read_state(spark, state)) == _rows(ohlc_candles(ev))
+
+    def test_reader_is_never_torn_by_a_writer_in_progress(self, spark, tmp_path):
+        """A reader resolving CURRENT mid-build sees the complete old
+        generation — the new one is invisible until the flip."""
+        ev, first, second = _halves(spark)
+        state = str(tmp_path / "s")
+        ohlc.apply_batch(spark, first, state)
+        before = _rows(ohlc.read_state(spark, state))
+        gen = state_table.current_gen(state)
+        # writer starts building gen+1 (not flipped)
+        building = os.path.join(state, f"gen-{gen + 1}")
+        shutil.copytree(state_table.current_gen_dir(state), building)
+        assert _rows(ohlc.read_state(spark, state)) == before
