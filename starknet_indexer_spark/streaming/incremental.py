@@ -22,15 +22,11 @@ included.
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..views.tick_liquidity import tick_liquidity_deltas
 from . import state_table
-from .epochs import epoch_idempotent
 
 N_BUCKETS = 16
 
@@ -113,31 +109,18 @@ def stream_maintain(
     """Structured Streaming driver: position_updates rows arriving in
     ``feed_dir`` are merged into the ledger per micro-batch.
 
-    foreachBatch is at-least-once: if the streaming checkpoint commit
-    fails AFTER process() succeeded, the same epoch is re-delivered on
-    restart — and an additive merge would double-count it. An
-    epoch-marker file written after each successful apply makes the
-    common replay case a no-op, and the epoch token committed INSIDE
-    the state generation (state_table) closes the residual crash
-    window between the generation flip and the marker write — the
-    multi-file transactionality a table format would provide, done
-    with a metadata pointer over plain parquet."""
-    reader = spark.readStream
-    if schema is not None:
-        reader = reader.schema(schema)
-    else:
-        reader = reader.schema(spark.read.parquet(feed_dir).schema)
-    stream = reader.parquet(feed_dir)
-
-    def _fold(batch_df, epoch_id):
-        from ..ingest import checkpoint_marker_ns
-
-        token = f"{checkpoint_marker_ns(checkpoint_dir)}:{epoch_id}"
-        apply_batch(spark, batch_df, state_dir, epoch_token=token)
-
-    process = epoch_idempotent(state_dir, checkpoint_dir, _fold)
-    return (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
+    foreachBatch is at-least-once: the epoch marker makes the common
+    replay a no-op, and the epoch token committed INSIDE the state
+    generation (state_table) closes the residual window between the
+    generation flip and the marker write. Scaffolding shared via
+    state_table.stream_maintain_with."""
+    return state_table.stream_maintain_with(
+        spark,
+        feed_dir,
+        state_dir,
+        checkpoint_dir,
+        lambda batch_df, token: apply_batch(
+            spark, batch_df, state_dir, epoch_token=token
+        ),
+        schema=schema,
     )

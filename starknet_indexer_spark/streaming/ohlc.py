@@ -37,7 +37,6 @@ from ..operators.timeseries import (
     unit_candles,
 )
 from . import state_table
-from .epochs import epoch_idempotent
 
 N_BUCKETS = 16
 
@@ -94,23 +93,15 @@ def stream_maintain(
     schema=None,
 ):
     """Structured Streaming driver: event rows arriving in feed_dir
-    fold into the candle state per micro-batch, epoch-marker
-    idempotent."""
-    reader = spark.readStream
-    reader = reader.schema(
-        schema if schema is not None else spark.read.parquet(feed_dir).schema
-    )
-    stream = reader.parquet(feed_dir)
-
-    def _fold(batch_df, epoch_id):
-        from ..ingest import checkpoint_marker_ns
-
-        token = f"{checkpoint_marker_ns(checkpoint_dir)}:{epoch_id}"
-        apply_batch(spark, batch_df, state_dir, epoch_token=token)
-
-    process = epoch_idempotent(state_dir, checkpoint_dir, _fold)
-    return (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
+    fold into the candle state per micro-batch, epoch-marker + token
+    idempotent (shared state_table.stream_maintain_with scaffolding)."""
+    return state_table.stream_maintain_with(
+        spark,
+        feed_dir,
+        state_dir,
+        checkpoint_dir,
+        lambda batch_df, token: apply_batch(
+            spark, batch_df, state_dir, epoch_token=token
+        ),
+        schema=schema,
     )

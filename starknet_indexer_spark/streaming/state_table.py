@@ -30,9 +30,11 @@ files:
   generation.
 
 Single-writer per state_dir (one streaming query), like every
-maintained state in this package. Readers always resolve CURRENT to a
-complete, immutable generation — no torn reads while a writer builds
-the next one.
+maintained state in this package. Readers resolve CURRENT to a
+complete, immutable generation; GC keeps a one-generation grace
+window, so a lazy reader survives one concurrent commit — readers more
+than one commit behind can race the GC (the bounded, documented
+contract; a retention count would widen it).
 """
 
 from __future__ import annotations
@@ -52,11 +54,41 @@ def _gen_path(state_dir: str, gen: int) -> str:
 
 
 def current_gen(state_dir: str) -> int | None:
+    """Generation the CURRENT pointer names; None ONLY when the pointer
+    genuinely does not exist. Any other read failure propagates — a
+    transient OSError misread as "no state" would send recover()'s
+    cleanup after the LIVE generation, the exact loss class this module
+    exists to prevent. Corrupt content likewise raises (operator
+    intervention beats a silent wipe)."""
     try:
         with open(os.path.join(state_dir, _CURRENT)) as f:
-            return int(f.read().strip())
-    except (OSError, ValueError):
+            raw = f.read().strip()
+    except FileNotFoundError:
+        _check_legacy_layout(state_dir)
         return None
+    try:
+        return int(raw)
+    except ValueError:
+        raise RuntimeError(
+            f"corrupt state-table pointer {state_dir}/{_CURRENT}: {raw!r}"
+        ) from None
+
+
+def _check_legacy_layout(state_dir: str) -> None:
+    """A state_dir holding top-level ``bucket=`` dirs but no CURRENT is
+    the pre-generation layout: silently serving it as EMPTY would
+    abandon all accumulated state while the checkpoint replays nothing.
+    Refuse loudly; migration is one commit of the old data as gen-0."""
+    try:
+        entries = os.listdir(state_dir)
+    except OSError:
+        return
+    if any(e.startswith("bucket=") for e in entries):
+        raise RuntimeError(
+            f"{state_dir} holds pre-generation-layout state (top-level"
+            " bucket= dirs, no CURRENT pointer); migrate it by"
+            " committing the old data as a generation before serving"
+        )
 
 
 def current_gen_dir(state_dir: str) -> str | None:
@@ -103,7 +135,11 @@ def recover(state_dir: str) -> None:
             n = int(entry[4:])
         except ValueError:
             continue
-        if gen is None or n != gen:
+        if gen is None or n > gen or n < gen - 1:
+            # delete half-built higher generations and anything beyond
+            # the one-generation grace window; gen-1 is KEPT so a
+            # reader that resolved CURRENT just before the last flip
+            # can finish its scan (see commit_generation step 5)
             shutil.rmtree(os.path.join(state_dir, entry), ignore_errors=True)
 
 
@@ -156,16 +192,34 @@ def commit_generation(
         with open(os.path.join(new_dir, _TOKEN), "w") as f:
             f.write(token)
 
-    # 4. THE commit point
+    # 4. THE commit point — fsync'd write-then-rename: without the
+    # fsyncs a power loss can journal the rename but not the file
+    # data, leaving a durable EMPTY pointer (which current_gen treats
+    # as corruption, not as "no state")
     os.makedirs(state_dir, exist_ok=True)
     tmp = os.path.join(state_dir, _CURRENT + ".tmp")
     with open(tmp, "w") as f:
         f.write(str(new_gen))
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, os.path.join(state_dir, _CURRENT))
+    try:
+        dfd = os.open(state_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass  # directory fsync is best-effort on non-POSIX stores
 
-    # 5. GC the superseded generation (files survive via hardlinks)
-    if old_gen is not None:
-        shutil.rmtree(_gen_path(state_dir, old_gen), ignore_errors=True)
+    # 5. GC with a ONE-GENERATION grace window: the immediately
+    # superseded generation survives until the NEXT commit so a
+    # reader that resolved CURRENT just before this flip can finish
+    # scanning it (carried buckets cost nothing — hardlinks). Readers
+    # more than one commit behind still race the GC; that bound is
+    # the documented contract for the single-writer + lazy-reader mix.
+    if old_gen is not None and old_gen >= 1:
+        shutil.rmtree(_gen_path(state_dir, old_gen - 1), ignore_errors=True)
 
 
 def merge_batch(
@@ -208,7 +262,11 @@ def merge_batch(
             # nothing to fold, but the token must still commit or the
             # NEXT batch would misread a replay of this one as new
             if token is not None and current_gen(state_dir) is not None:
-                state = read_state(spark, state_dir, empty_ddl)
+                # bucket column included: a live generation can hold
+                # ZERO bucket dirs (every key zeroed out), and the
+                # empty-DDL fallback must still satisfy the
+                # partitionBy("bucket") write below
+                state = read_state(spark, state_dir, empty_ddl + ", bucket int")
                 commit_generation(
                     state_dir,
                     state.filter(F.lit(False)),
@@ -226,3 +284,35 @@ def merge_batch(
         commit_generation(state_dir, merged, affected=affected, token=token)
     finally:
         partial.unpersist()
+
+
+def stream_maintain_with(
+    spark: SparkSession,
+    feed_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    apply_fn,
+    schema=None,
+):
+    """Shared Structured Streaming driver for token-committed maintained
+    states: schema fallback, checkpoint-namespaced epoch token, and the
+    epoch-marker wrapper in ONE place. ``apply_fn(batch_df, token)``
+    folds the batch (token = "<checkpoint-ns>:<epoch>")."""
+    from ..ingest import checkpoint_marker_ns
+    from .epochs import epoch_idempotent
+
+    reader = spark.readStream
+    reader = reader.schema(
+        schema if schema is not None else spark.read.parquet(feed_dir).schema
+    )
+    stream = reader.parquet(feed_dir)
+
+    def _fold(batch_df, epoch_id):
+        apply_fn(batch_df, f"{checkpoint_marker_ns(checkpoint_dir)}:{epoch_id}")
+
+    process = epoch_idempotent(state_dir, checkpoint_dir, _fold)
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

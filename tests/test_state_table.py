@@ -66,18 +66,60 @@ class TestCrashPoints:
         # volume/n_events would have doubled on a real double-apply
         assert state_table.applied_token(state) == "ns:1"
 
-    def test_interrupted_gc_of_old_generation_is_cleaned(self, spark, tmp_path):
+    def test_gc_keeps_one_grace_generation_and_cleans_beyond(
+        self, spark, tmp_path
+    ):
+        """The immediately superseded generation survives one commit
+        (reader grace window); anything older is reclaimed."""
         ev, first, second = _halves(spark)
         state = str(tmp_path / "s")
         ohlc.apply_batch(spark, first, state)
         ohlc.apply_batch(spark, second, state)
         cur = state_table.current_gen(state)
-        # simulate: GC of the superseded generation was interrupted
-        stale = os.path.join(state, f"gen-{cur - 1}")
+        grace = os.path.join(state, f"gen-{cur - 1}")
+        assert os.path.isdir(grace)  # kept for lazy readers
+        # simulate: GC beyond the grace window was interrupted
+        stale = os.path.join(state, f"gen-{cur - 2}")
         os.makedirs(os.path.join(stale, "bucket=3"), exist_ok=True)
         state_table.recover(state)
         assert not os.path.isdir(stale)
+        assert os.path.isdir(grace)
         assert _rows(ohlc.read_state(spark, state)) == _rows(ohlc_candles(ev))
+
+    def test_reader_survives_one_concurrent_commit(self, spark, tmp_path):
+        """A lazy DataFrame resolved against CURRENT before a commit
+        still collects correctly afterward — the grace window keeps its
+        generation on disk."""
+        ev, first, second = _halves(spark)
+        state = str(tmp_path / "s")
+        ohlc.apply_batch(spark, first, state)
+        lazy = ohlc.read_state(spark, state)  # resolves gen-0 path
+        ohlc.apply_batch(spark, second, state)  # commit gen-1
+        # the reader's plan still scans gen-0, which the grace window kept
+        from starknet_indexer_spark.operators.timeseries import ohlc_candles as bc
+
+        assert _rows(lazy) == _rows(bc(first))
+
+    def test_corrupt_pointer_raises_instead_of_wiping(self, spark, tmp_path):
+        import pytest
+
+        ev, first, _second = _halves(spark)
+        state = str(tmp_path / "s")
+        ohlc.apply_batch(spark, first, state)
+        with open(os.path.join(state, "CURRENT"), "w") as f:
+            f.write("")  # truncated by a power loss (pre-fsync era)
+        with pytest.raises(RuntimeError, match="corrupt"):
+            state_table.current_gen(state)
+        # and crucially: recover() was never reached, generations intact
+        assert any(e.startswith("gen-") for e in os.listdir(state))
+
+    def test_legacy_layout_refused_loudly(self, spark, tmp_path):
+        import pytest
+
+        state = str(tmp_path / "legacy")
+        os.makedirs(os.path.join(state, "bucket=0"), exist_ok=True)
+        with pytest.raises(RuntimeError, match="pre-generation-layout"):
+            state_table.current_gen(state)
 
     def test_reader_is_never_torn_by_a_writer_in_progress(self, spark, tmp_path):
         """A reader resolving CURRENT mid-build sees the complete old
