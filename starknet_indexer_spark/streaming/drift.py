@@ -31,7 +31,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries.pipeline_drift import tvd_from_counts
-from .epochs import epoch_idempotent
 
 DEFAULT_ALERT_PPM = 200_000  # alert when TVD >= 0.2
 
@@ -139,23 +138,20 @@ def stream_monitor(
     schema=None,
 ):
     """Structured Streaming driver: document rows arriving in feed_dir
-    update the count state per micro-batch (epoch-marker idempotent,
-    same at-least-once pattern as streaming/incremental.py)."""
-    reader = spark.readStream
-    reader = reader.schema(
-        schema if schema is not None else spark.read.parquet(feed_dir).schema
-    )
-    stream = reader.parquet(feed_dir).select("source", "lang")
+    update the count state per micro-batch (epoch-marker + in-state
+    token idempotent; scaffolding shared via
+    state_table.stream_maintain_with — the drift state itself stays a
+    single-directory staging swap, already atomic on its own)."""
+    from .state_table import stream_maintain_with
 
-    def _fold(batch_df, epoch_id):
-        from ..ingest import checkpoint_marker_ns
-
-        token = f"{checkpoint_marker_ns(checkpoint_dir)}:{epoch_id}"
-        apply_batch(spark, batch_df, state_dir, epoch_token=token)
-
-    process = epoch_idempotent(state_dir, checkpoint_dir, _fold)
-    return (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
+    return stream_maintain_with(
+        spark,
+        feed_dir,
+        state_dir,
+        checkpoint_dir,
+        lambda batch_df, token: apply_batch(
+            spark, batch_df, state_dir, epoch_token=token
+        ),
+        schema=schema,
+        select_cols=["source", "lang"],
     )

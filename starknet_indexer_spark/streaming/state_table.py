@@ -293,11 +293,14 @@ def stream_maintain_with(
     checkpoint_dir: str,
     apply_fn,
     schema=None,
+    select_cols=None,
 ):
     """Shared Structured Streaming driver for token-committed maintained
     states: schema fallback, checkpoint-namespaced epoch token, and the
     epoch-marker wrapper in ONE place. ``apply_fn(batch_df, token)``
-    folds the batch (token = "<checkpoint-ns>:<epoch>")."""
+    folds the batch (token = "<checkpoint-ns>:<epoch>").
+    ``select_cols`` projects in the STREAM plan so column pruning
+    reaches the scan."""
     from ..ingest import checkpoint_marker_ns
     from .epochs import epoch_idempotent
 
@@ -306,6 +309,8 @@ def stream_maintain_with(
         schema if schema is not None else spark.read.parquet(feed_dir).schema
     )
     stream = reader.parquet(feed_dir)
+    if select_cols:
+        stream = stream.select(*select_cols)
 
     def _fold(batch_df, epoch_id):
         apply_fn(batch_df, f"{checkpoint_marker_ns(checkpoint_dir)}:{epoch_id}")
