@@ -55,8 +55,18 @@ def _passed(rec: object) -> bool:
     )
 
 
-def load_verified_rounds(root: str | None = None) -> dict[str, int]:
-    """Latest round with a passing driver row, per query name."""
+def load_verified_rounds(
+    root: str | None = None, up_to: int | None = None
+) -> dict[str, int]:
+    """Latest round with a passing driver row, per query name.
+
+    ``up_to`` bounds the evidence rounds consumed (inclusive).  The
+    committed ``DRIVER_PRIORITY`` records the round it was generated
+    from (``queries.EVIDENCE_ROUND``); pinning the contract test to that
+    round means the driver landing a NEW ``CORRECTNESS_r{N+1}.json``
+    does not retroactively turn the suite red — the list and the bump
+    regenerate together in the next builder commit.
+    """
     root = root or repo_root()
     latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
@@ -64,6 +74,8 @@ def load_verified_rounds(root: str | None = None) -> dict[str, int]:
         if not m:
             continue
         rn = int(m.group(1))
+        if up_to is not None and rn > up_to:
+            continue
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -94,13 +106,26 @@ def compute_priority(
     return ranked[:window]
 
 
+def latest_evidence_round(root: str | None = None) -> int:
+    """Highest N among the committed CORRECTNESS_r{N}.json files."""
+    root = root or repo_root()
+    rounds = [
+        int(m.group(1))
+        for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", path))
+    ]
+    return max(rounds, default=0)
+
+
 def main() -> None:
     from . import REGISTRY
 
-    rounds = load_verified_rounds()
+    ev = latest_evidence_round()
+    rounds = load_verified_rounds(up_to=ev)
     front = compute_priority(list(REGISTRY), rounds)
     print(f"# recommended DRIVER_PRIORITY front {len(front)} "
           f"(never-verified first, then stalest round first)")
+    print(f"EVIDENCE_ROUND = {ev}")
     for name in front:
         rn = rounds.get(name)
         tag = "never" if rn is None else f"r{rn}"

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import os
 
-from starknet_indexer_spark.queries import DRIVER_PRIORITY, REGISTRY
+from starknet_indexer_spark.queries import DRIVER_PRIORITY, EVIDENCE_ROUND, REGISTRY
 from starknet_indexer_spark.queries.rotation import (
     WINDOW,
     compute_priority,
@@ -23,7 +23,9 @@ def test_driver_priority_matches_computed_window():
     If this fails after registering a new query, regenerate with
     `python -m starknet_indexer_spark.queries.rotation` and paste.
     """
-    expected = compute_priority(list(REGISTRY), load_verified_rounds())
+    expected = compute_priority(
+        list(REGISTRY), load_verified_rounds(up_to=EVIDENCE_ROUND)
+    )
     assert DRIVER_PRIORITY == expected
 
 
@@ -36,7 +38,7 @@ def test_window_size_and_membership():
 
 def test_never_verified_queries_lead_the_window():
     """Tier 0 (no passing driver row anywhere) must precede all tier 1."""
-    rounds = load_verified_rounds()
+    rounds = load_verified_rounds(up_to=EVIDENCE_ROUND)
     tiers = [0 if n not in rounds else 1 for n in DRIVER_PRIORITY]
     assert tiers == sorted(tiers)
 
@@ -49,7 +51,7 @@ def test_no_registered_query_falls_too_stale():
     window always absorbs the stalest evidence first, so anything left
     outside is at least as fresh as (window max staleness - 1).
     """
-    rounds = load_verified_rounds()
+    rounds = load_verified_rounds(up_to=EVIDENCE_ROUND)
     if not rounds:  # fresh clone without evidence files
         return
     inside = [rounds.get(n, 0) for n in DRIVER_PRIORITY]
@@ -68,8 +70,10 @@ def test_no_registered_query_falls_too_stale():
 
 def test_correctness_evidence_exists():
     root = repo_root()
-    assert os.path.exists(os.path.join(root, "CORRECTNESS_r05.json"))
-    rounds = load_verified_rounds()
+    assert os.path.exists(
+        os.path.join(root, f"CORRECTNESS_r{EVIDENCE_ROUND:02d}.json")
+    ), "EVIDENCE_ROUND points at an uncommitted evidence file"
+    rounds = load_verified_rounds(up_to=EVIDENCE_ROUND)
     # every registered query except at most the trailing-new tier has a row
     covered = sum(1 for n in REGISTRY if n in rounds)
     assert covered >= 150
