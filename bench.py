@@ -153,6 +153,16 @@ def main(diff_against: str | None = None) -> None:
     # the timed sf run reuses the compiled classes exactly as the
     # daemon's second refresh would).
     spark.range(1000).selectExpr("sum(id)").collect()
+    # Cold reproducibility (ADVICE r6): silver-backed queries must pay
+    # their first-refresh materialization inside THIS run's cold
+    # timing, never reuse a previous bench invocation's /tmp cache.
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    _shutil.rmtree(
+        os.path.join(_tempfile.gettempdir(), "spark_graft_silver"),
+        ignore_errors=True,
+    )
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir.rstrip('/')}/{t}.parquet").count()

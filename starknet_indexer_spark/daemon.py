@@ -65,6 +65,26 @@ def load_tables(spark: SparkSession, tables_dir: str) -> dict[str, DataFrame]:
     return out
 
 
+def _watchdog_should_stop(state: dict, timeout_s: float, now: float) -> bool:
+    """Liveness decision for the no-progress watchdog (unit-testable).
+
+    Three suspensions, each a distinct failure mode we must NOT flag:
+    - not booted: the first trigger (planning + backlog file listing)
+      has not reached foreachBatch yet — a healthy cold boot against a
+      large backlog can legitimately take longer than the timeout;
+    - in_batch: a batch is processing — batch duration is not feed
+      stall;
+    - fresh progress: the last non-empty batch is within the bound
+      (empty batches never refresh last_progress — a dead feed still
+      fires empty triggers).
+    """
+    return (
+        state["booted"]
+        and not state["in_batch"]
+        and now - state["last_progress"] > timeout_s
+    )
+
+
 def run_indexer(
     spark: SparkSession,
     feed_dir: str,
@@ -102,11 +122,21 @@ def run_indexer(
         "last_maintenance": None,
         "last_progress": time.monotonic(),
         "in_batch": False,
+        # cold boot: planning + backlog file-listing happen INSIDE the
+        # first trigger, before foreachBatch ever runs. The watchdog
+        # stays suspended until the first batch entry so a healthy but
+        # large backlog is never misread as a stall (the first trigger
+        # counts as progress); from then on, empty triggers still never
+        # reset the timer (a dead feed keeps firing empty triggers).
+        "booted": False,
     }
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         had_rows = False
         if no_progress_timeout_s:
+            if not state["booted"]:
+                state["booted"] = True
+                state["last_progress"] = time.monotonic()
             # the watchdog measures FEED liveness, not batch duration:
             # suspend it while a batch is processing (a slow boot
             # refresh or maintenance tick must not read as a stall),
@@ -212,10 +242,8 @@ def run_indexer(
         def watch() -> None:
             poll = min(1.0, no_progress_timeout_s / 4)
             while query.isActive:
-                if (
-                    not state["in_batch"]
-                    and time.monotonic() - state["last_progress"]
-                    > no_progress_timeout_s
+                if _watchdog_should_stop(
+                    state, no_progress_timeout_s, time.monotonic()
                 ):
                     query.stalled = True
                     try:

@@ -1010,22 +1010,61 @@ def _stage_files(txn_dir: str) -> list[str]:
 def commit_txn(
     txn_dir: str, counts: dict[str, int], cursor_hi: int | None
 ) -> None:
-    """The commit point: stage a manifest JSON, then one os.replace."""
+    """The commit point: stage a manifest JSON, then one os.replace.
+
+    The tmp file is fsync'd before the rename (plus a best-effort
+    directory fsync after): without it a power loss can journal the
+    rename while losing the file data, leaving a DURABLE empty manifest
+    — which must read as corruption, never as "no commit reached",
+    because the replay's no-manifest branch rmtree's the stage and
+    re-runs ingest on top of files publish_txn may already have moved
+    (a double-append). Mirrors state_table.commit_generation's CURRENT
+    pointer discipline."""
     tmp = _txn_manifest_path(txn_dir) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(
             {"files": _stage_files(txn_dir), "counts": counts, "hi": cursor_hi},
             f,
         )
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, _txn_manifest_path(txn_dir))
+    try:
+        dfd = os.open(txn_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass  # directory fsync is best-effort on non-POSIX stores
+
+
+class CorruptTxnManifest(RuntimeError):
+    """A MANIFEST.json exists but cannot be parsed. The transaction MAY
+    have published files into the live tables, so neither roll-forward
+    nor re-prepare is safe automatically — operator intervention
+    required (same policy as state_table's corrupt CURRENT pointer)."""
 
 
 def load_txn_manifest(txn_dir: str) -> dict | None:
+    """None = no commit reached (manifest absent); corrupt = fatal."""
+    path = _txn_manifest_path(txn_dir)
     try:
-        with open(_txn_manifest_path(txn_dir)) as f:
-            return json.load(f)
-    except (OSError, ValueError):
+        with open(path) as f:
+            raw = f.read()
+    except FileNotFoundError:
         return None
+    try:
+        man = json.loads(raw)
+        if not isinstance(man, dict) or "files" not in man:
+            raise ValueError("manifest missing 'files'")
+        return man
+    except ValueError as exc:
+        raise CorruptTxnManifest(
+            f"unparseable transaction manifest at {path}: {exc}; "
+            "the commit point WAS reached — inspect the stage and live "
+            "tables before resuming (do not delete the txn dir blindly)"
+        ) from exc
 
 
 def publish_txn(tables_dir: str, txn_dir: str, manifest: dict) -> None:

@@ -107,14 +107,40 @@ def materialize_silver(
     return {"doc_shingles": n_sh, "minhash_bands": n_sh * N_BANDS}
 
 
+def _corpus_digest(path: str) -> str:
+    """Content digest of documents.parquet (file or part-file dir).
+
+    The cache key must be CONTENT-derived (ADVICE r6): a replaced
+    corpus with identical mtime/size must miss, and a bench 'cold'
+    run must not silently reuse a previous invocation's build for a
+    byte-identical corpus only when the bytes really are identical.
+    Test corpora are MBs, so a full streaming hash is cheap; this
+    helper is test-scope — at production scale silver is materialized
+    at ingest (materialize_silver), not cached in /tmp."""
+    h = hashlib.sha256()
+    files = (
+        sorted(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        if os.path.isdir(path)
+        else [path]
+    )
+    for fp in files:
+        h.update(os.path.basename(fp).encode())
+        with open(fp, "rb") as f:
+            while chunk := f.read(1 << 20):
+                h.update(chunk)
+    return h.hexdigest()
+
+
 def _silver_cache_dir(sf_dir: str) -> str:
     """Content-keyed cache location for a test-corpus silver build:
-    path + documents.parquet (mtime, size) + derivation version."""
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    key = hashlib.md5(
-        f"{os.path.realpath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}:"
-        f"{SILVER_VERSION}".encode()
-    ).hexdigest()[:16]
+    sha256(documents.parquet bytes) + derivation version."""
+    digest = _corpus_digest(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(f"{digest}:{SILVER_VERSION}".encode()).hexdigest()[:16]
     return os.path.join(tempfile.gettempdir(), "spark_graft_silver", key)
 
 

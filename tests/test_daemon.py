@@ -299,3 +299,32 @@ def test_daemon_watchdog_stops_query_even_if_on_stall_raises(spark, tmp_path):
     finally:
         if q.isActive:
             q.stop()
+
+
+def test_watchdog_decision_suspends_cold_boot_and_batches():
+    """ADVICE r6: a cold boot whose first trigger (listing a large
+    backlog) outlasts the timeout must not read as a stall; neither
+    must an in-flight batch; a booted, idle, stale state must."""
+    from starknet_indexer_spark.daemon import _watchdog_should_stop
+
+    stale = {"booted": False, "in_batch": False, "last_progress": 0.0}
+    # pre-boot: arbitrarily old last_progress never stops the query
+    assert not _watchdog_should_stop(stale, timeout_s=1.0, now=1e9)
+    # booted but mid-batch: suspended regardless of staleness
+    assert not _watchdog_should_stop(
+        {"booted": True, "in_batch": True, "last_progress": 0.0},
+        timeout_s=1.0,
+        now=1e9,
+    )
+    # booted, idle, fresh: alive
+    assert not _watchdog_should_stop(
+        {"booted": True, "in_batch": False, "last_progress": 99.5},
+        timeout_s=1.0,
+        now=100.0,
+    )
+    # booted, idle, stale: stop
+    assert _watchdog_should_stop(
+        {"booted": True, "in_batch": False, "last_progress": 0.0},
+        timeout_s=1.0,
+        now=100.0,
+    )

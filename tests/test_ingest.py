@@ -1268,6 +1268,49 @@ class TestTwoPhaseCommit:
         )
         assert not os.path.isdir(leftover)
 
+    def test_corrupt_manifest_is_fatal_not_reprepare(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A present-but-unparseable MANIFEST.json (power loss journaled
+        the rename but dropped the file data) must STOP the replay, not
+        fall into the no-commit branch — that branch rmtree's the stage
+        and re-ingests on top of files publish_txn may already have
+        moved (double-append)."""
+        import starknet_indexer_spark.ingest as ing
+
+        tdir = str(tmp_path / "tables")
+        raw = make_raw(spark, [1, 2, 1500])
+
+        def no_publish(*a, **k):
+            raise RuntimeError("crash before publish")
+
+        monkeypatch.setattr(ing, "publish_txn", no_publish)
+        with pytest.raises(RuntimeError):
+            ing.ingest_micro_batch(spark, raw, tdir, epoch_id=0, marker_ns="t2pc_f")
+        monkeypatch.undo()
+        txn = os.path.join(tdir, "_txn", "t2pc_f", "0")
+        man_path = os.path.join(txn, "MANIFEST.json")
+        assert os.path.exists(man_path)
+        staged_before = sorted(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(txn)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        with open(man_path, "w") as f:
+            f.write("")  # durable empty manifest after power loss
+        with pytest.raises(ing.CorruptTxnManifest):
+            ing.ingest_micro_batch(spark, raw, tdir, epoch_id=0, marker_ns="t2pc_f")
+        # the stage was NOT wiped and the live tables NOT re-ingested
+        staged_after = sorted(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(txn)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        assert staged_after == staged_before
+        assert not os.path.isdir(os.path.join(tdir, "swaps"))
+
     def test_replayed_epoch_after_success_is_skipped(self, spark, tmp_path):
         import starknet_indexer_spark.ingest as ing
 

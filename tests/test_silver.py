@@ -109,3 +109,26 @@ class TestIncrementalMaintenance:
         got = _verify_candidates(lsh_candidate_pairs(bands), sh)
         want = minhash_lsh_dedup(spark, SF)
         assert _rows(got) == _rows(want)
+
+
+def test_cache_key_is_content_derived(tmp_path):
+    """ADVICE r6: a replaced corpus with identical path/mtime/size must
+    MISS the silver cache — the key derives from file bytes."""
+    import os
+
+    from starknet_indexer_spark.silver import _silver_cache_dir
+
+    a = tmp_path / "sfA"
+    b = tmp_path / "sfB"
+    for d, payload in ((a, b"PAR1-contentA"), (b, b"PAR1-contentB")):
+        d.mkdir()
+        (d / "documents.parquet").write_bytes(payload)  # same length
+    same_mtime = (1_700_000_000, 1_700_000_000)
+    os.utime(a / "documents.parquet", same_mtime)
+    os.utime(b / "documents.parquet", same_mtime)
+    assert _silver_cache_dir(str(a)) != _silver_cache_dir(str(b))
+    # identical bytes under a DIFFERENT path hit the same cache entry
+    c = tmp_path / "sfC"
+    c.mkdir()
+    (c / "documents.parquet").write_bytes(b"PAR1-contentA")
+    assert _silver_cache_dir(str(c)) == _silver_cache_dir(str(a))
