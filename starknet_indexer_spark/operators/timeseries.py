@@ -16,10 +16,15 @@ That second identity is what the streaming view relies on (state ∪
 batch partials → merged state) and what the equivalence tests pin
 against the batch query.
 
-The ordering key folds (offset-in-hour microseconds, event_id) into one
-BIGINT because DuckDB's arg_min cannot order by a struct and the oracle
-must replay the identical tiebreak; collision-free while per-bucket
-event_id stays below 1e6 (test corpora max 1e5).
+The ordering key is a STRUCT (offset-in-hour microseconds, event_id):
+Spark's min/min_by order structs lexicographically, so the key is exact
+for any event_id — no fold, no collision bound. This kernel is also the
+production streaming state (streaming/ohlc.py), where a folded BIGINT
+key would silently misorder open/close once event_id reached 1e6. Only
+the DuckDB test oracle folds the pair into one BIGINT (arg_min there
+cannot order by a struct); that fold is collision-free below event_id
+1e6 and the test corpora stay under 1e5 — a Spark-vs-Spark regression
+test pins the kernel itself at event_id >= 1e12.
 """
 
 from __future__ import annotations
@@ -57,9 +62,10 @@ def unit_candles(events: DataFrame) -> DataFrame:
         "value",
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
     )
-    ordk = (
-        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("hour"))
-    ) * F.lit(1000000).cast("long") + F.col("event_id")
+    ordk = F.struct(
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("hour"))).alias("off"),
+        F.col("event_id").cast("bigint").alias("eid"),
+    )
     return e.select(
         "event_type",
         "hour",

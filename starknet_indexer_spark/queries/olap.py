@@ -197,11 +197,11 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hourly price/volume views are this shape over swaps, "
     "src/dao.ts:845-933) as ONE hash aggregate: no window, no sort, "
     "no self-join — at 100 TB it is a single map-side-combined "
-    "shuffle on (series, bucket). The ordering key folds "
-    "(offset-in-hour micros, event_id) into one BIGINT because DuckDB "
-    "arg_min cannot order by a struct; the fold is collision-free "
-    "while per-bucket event_id stays below 1e6 (test corpora max "
-    "1e5) — production would widen to DECIMAL.",
+    "shuffle on (series, bucket). The Spark kernel orders by a STRUCT "
+    "(offset-in-hour micros, event_id) — exact for any event_id; only "
+    "this DuckDB oracle folds the pair into one BIGINT (arg_min there "
+    "cannot order by a struct), collision-free below event_id 1e6 "
+    "(test corpora max 1e5).",
 )
 def ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the candle algebra lives in operators/timeseries.py — ONE

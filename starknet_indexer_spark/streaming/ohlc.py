@@ -41,8 +41,10 @@ from . import state_table
 N_BUCKETS = 16
 
 _EMPTY_DDL = (
-    "event_type string, hour timestamp, open_ordk bigint, open double,"
-    " high double, low double, close_ordk bigint, close double,"
+    "event_type string, hour timestamp,"
+    " open_ordk struct<off:bigint,eid:bigint>, open double,"
+    " high double, low double,"
+    " close_ordk struct<off:bigint,eid:bigint>, close double,"
     " volume_cents bigint, n_events bigint"
 )
 

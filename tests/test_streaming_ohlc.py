@@ -85,3 +85,55 @@ class TestStreaming:
         want = _rows(ohlc.read_state(spark, state))
         process(ev, 0)  # at-least-once redelivery
         assert _rows(ohlc.read_state(spark, state)) == want
+
+
+def test_ordering_key_exact_beyond_fold_bound(spark):
+    """ADVICE r6: the production kernel must order (ts, event_id)
+    exactly for event_ids far beyond the 1e6 bound of the BIGINT fold
+    the DuckDB oracle uses. Rows share one timestamp so event_id alone
+    decides open/close; ids straddle 1e12 in an order the old fold
+    (offset_us * 1e6 + event_id) would scramble."""
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1, 12, 30, 0)
+    rows = [
+        # (event_id, value) — open must be the SMALLEST id's value,
+        # close the largest, regardless of magnitude
+        (3_000_000_000_017, 50.0),
+        (999_999, 10.0),
+        (1_000_001, 20.0),
+        (3_000_000_000_018, 60.0),
+    ]
+    events = spark.createDataFrame(
+        [(i, "swap", ts, v) for i, v in rows],
+        "event_id bigint, event_type string, ts timestamp, value double",
+    )
+    got = ohlc_candles(events).collect()
+    assert len(got) == 1
+    c = got[0]
+    assert c["open"] == 10.0 and c["close"] == 60.0
+    assert c["high"] == 60.0 and c["low"] == 10.0 and c["n_events"] == 4
+
+    # and the algebra still merges exactly when the partials split the
+    # id range across batches (the streaming state path)
+    from starknet_indexer_spark.operators.timeseries import (
+        OHLC_KEY,
+        OHLC_PUBLIC_COLS,
+        ohlc_merge,
+        unit_candles,
+    )
+
+    lo = events.filter(F.col("event_id") < 2_000_000_000_000)
+    hi = events.filter(F.col("event_id") >= 2_000_000_000_000)
+    merged = (
+        ohlc_merge(
+            ohlc_merge(unit_candles(lo)).unionByName(
+                ohlc_merge(unit_candles(hi))
+            )
+        )
+        .select(*OHLC_KEY, *OHLC_PUBLIC_COLS)
+        .collect()
+    )
+    assert [r.asDict() for r in merged] == [
+        r.asDict() for r in ohlc_candles(events).collect()
+    ]
