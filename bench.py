@@ -320,9 +320,44 @@ def main(diff_against: str | None = None) -> None:
         except (SystemExit, OSError, ValueError) as exc:
             compact["diff_error"] = f"{type(exc).__name__}: {exc}"[:200]
 
-    print(json.dumps(compact, separators=(",", ":")))
+    # The driver records only the last ~2000 bytes of stdout and
+    # json-parses the final line; every BENCH_r01–r06 landed
+    # "parsed": null because the full per-query map outgrew that
+    # window (truncated at the FRONT, so the line never parses).
+    # Budget the line: keep the SLOWEST queries (the informative
+    # ones), drop the fastest until it fits, and say how many were
+    # omitted — the full map is always in BENCH_DETAIL.json.
+    print(compact_stdout_line(compact, timings))
     # propagate the regression gate (same contract as --compare)
     return diff_rc
+
+
+def compact_stdout_line(compact: dict, timings: dict, budget: int = 1800) -> str:
+    """Render the one-line stdout JSON within ``budget`` bytes.
+
+    The driver records only the last ~2000 bytes of stdout and
+    json-parses the final line; every BENCH_r01–r06 landed
+    "parsed": null because the full per-query map outgrew that window
+    (truncated at the FRONT, so the line never parses). Keep the
+    SLOWEST queries (the informative ones), drop the fastest until the
+    line fits, and record how many were omitted — the full map is
+    always in BENCH_DETAIL.json."""
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) <= budget:
+        return line
+    ranked = sorted(timings, key=timings.get)  # fastest first
+    q = dict(timings)
+    compact = dict(compact)
+    compact["detail"] = "BENCH_DETAIL.json"
+    compact["n_queries"] = len(timings)
+    for omitted, name in enumerate(ranked, start=1):
+        q.pop(name)
+        compact["queries"] = q
+        compact["queries_omitted_fastest"] = omitted
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) <= budget:
+            break
+    return line
 
 
 def compare(baseline_path: str, current_path: str | None = None,
