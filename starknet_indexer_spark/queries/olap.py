@@ -211,3 +211,140 @@ def ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.timeseries import ohlc_candles
 
     return ohlc_candles(load(spark, sf_dir, "events"))
+
+
+# --- truncated dyadic EWMA ------------------------------------------------
+#: alpha = 1/2 decay, truncated at EWMA_K lags: weight 2^(EWMA_K - d)
+#: for distance d makes every weight a power of two, so numerator and
+#: denominator are EXACT BIGINTs on both engines (no float recursion —
+#: the classic EWMA recurrence is order-dependent in float and cannot
+#: be value-hash-checked; the truncated dyadic form is the operator's
+#: exact, distributable definition, with the first EWMA_K rows per
+#: series using their available prefix)
+EWMA_K = 20
+
+
+@register(
+    "ewma_hourly_close",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, ts, event_id, date_trunc('hour', ts) AS hour,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+    ),
+    w AS (
+      SELECT cur.event_type, cur.hour, cur.ts, cur.event_id,
+             CAST(SUM(prev.cents *
+                      CAST(POWER(CAST(2 AS DOUBLE),
+                                 {EWMA_K} - (cur.rn - prev.rn)) AS BIGINT))
+                  AS BIGINT) AS num,
+             CAST(SUM(CAST(POWER(CAST(2 AS DOUBLE),
+                                 {EWMA_K} - (cur.rn - prev.rn)) AS BIGINT))
+                  AS BIGINT) AS den
+      FROM e cur JOIN e prev
+        ON prev.event_type = cur.event_type
+       AND prev.rn BETWEEN cur.rn - {EWMA_K} AND cur.rn
+      GROUP BY cur.event_type, cur.hour, cur.ts, cur.event_id
+    )
+    SELECT event_type, hour,
+           arg_max(CAST(ROUND(1000000 * (CAST(num AS DOUBLE)
+                                         / CAST(den AS DOUBLE))) AS BIGINT),
+                   (epoch_us(ts) - epoch_us(hour)) * 1000000 + event_id)
+             AS close_ewma_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM w GROUP BY event_type, hour
+    """,
+    doc="Exponentially-weighted moving average, hourly closing value "
+    "per event_type: alpha=1/2 EWMA over the last 20 ticks (truncated "
+    "dyadic form — every weight a power of two, so numerator and "
+    "denominator sum EXACTLY as BIGINTs; the float recurrence is "
+    "order-dependent and unverifiable). The lag join is BANDED: each "
+    "row joins only its own and the previous rn-band of its series "
+    "(bounded 2K candidates per row, never a per-key cross product), "
+    "the same interval-banding that keeps range joins linear at "
+    "100 TB. Per-hour close picked by max_by over the (offset, "
+    "event_id) struct key on Spark; the oracle folds it to BIGINT "
+    "(valid under 1e6 test ids).",
+)
+def ewma_hourly_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    e = (
+        ev.filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.date_trunc("hour", "ts").alias("hour"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("event_type").orderBy("ts", "event_id")
+            ),
+        )
+    )
+    # banded self-join: current row explodes into (its band, next band)
+    # so a prev row in band b matches every cur row within K rows ahead
+    cur = e.select(
+        F.col("event_type"),
+        F.col("hour"),
+        F.col("ts"),
+        F.col("event_id"),
+        F.col("rn"),
+        F.explode(
+            F.array(
+                (F.col("rn") / EWMA_K).cast("bigint"),
+                (F.col("rn") / EWMA_K).cast("bigint") - 1,
+            )
+        ).alias("band"),
+    )
+    prev = e.select(
+        F.col("event_type").alias("p_type"),
+        F.col("rn").alias("p_rn"),
+        F.col("cents").alias("p_cents"),
+        (F.col("rn") / EWMA_K).cast("bigint").alias("p_band"),
+    )
+    weight = F.pow(F.lit(2.0), F.lit(EWMA_K) - (F.col("rn") - F.col("p_rn"))).cast(
+        "bigint"
+    )
+    joined = (
+        cur.join(
+            prev,
+            (F.col("p_type") == F.col("event_type"))
+            & (F.col("p_band") == F.col("band"))
+            & (F.col("p_rn") >= F.col("rn") - EWMA_K)
+            & (F.col("p_rn") <= F.col("rn")),
+        )
+        .groupBy("event_type", "hour", "ts", "event_id")
+        .agg(
+            F.sum(F.col("p_cents") * weight).cast("bigint").alias("num"),
+            F.sum(weight).cast("bigint").alias("den"),
+        )
+    )
+    ewma_micro = F.round(
+        F.lit(1000000)
+        * (F.col("num").cast("double") / F.col("den").cast("double"))
+    ).cast("bigint")
+    ordk = F.struct(
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("hour"))).alias("off"),
+        F.col("event_id").cast("bigint").alias("eid"),
+    )
+    return (
+        joined.select("event_type", "hour", ewma_micro.alias("em"), ordk.alias("k"))
+        .groupBy("event_type", "hour")
+        .agg(
+            F.max_by("em", "k").alias("close_ewma_micro"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+        .select("event_type", "hour", "close_ewma_micro", "n_rows")
+    )

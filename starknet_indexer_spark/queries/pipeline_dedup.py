@@ -628,3 +628,74 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         (F.col("component") == F.col("id")).alias("is_representative"),
     )
+
+
+@register(
+    "dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      {_minhash_oracle()}
+    ),
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION ALL
+      SELECT b_id AS u, a_id AS v FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u FROM edges),
+    reach(src, dst) AS (
+      SELECT u, u FROM nodes
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    ),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src),
+    members AS (
+      SELECT d.doc_id,
+             COALESCE(c.component, d.doc_id) AS component,
+             CAST(d.n_chars AS BIGINT) AS n_chars
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    surv AS (
+      SELECT component,
+             arg_max(doc_id, n_chars * 1000000000000
+                             + (1000000000000 - doc_id)) AS survivor
+      FROM members GROUP BY component
+    )
+    SELECT m.doc_id, m.component, (m.doc_id = s.survivor) AS keep
+    FROM members m JOIN surv s USING (component)
+    """,
+    doc="Near-dup survivor selection — the step AFTER clustering that "
+    "produces the cleaned corpus: every document joins its MinHash "
+    "duplicate cluster (connected components over the LSH pair graph; "
+    "docs in no pair are singleton clusters) and the cluster keeps its "
+    "HIGHEST-QUALITY member (longest by n_chars, smallest doc_id on "
+    "ties) rather than dedup_components' arbitrary min-id. Output is "
+    "one row per doc with a keep flag. Scale shape: label propagation "
+    "runs on the pair-node relation only; the corpus joins in once, "
+    "broadcast components, one survivor argmax per cluster. The argmax "
+    "tiebreak folds (n_chars, -doc_id) into one BIGINT on BOTH engines "
+    "(valid: doc_id < 1e12 and n_chars * 1e12 < 2^63 at any test SF).",
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(spark, sf_dir)
+    comp = connected_components(pairs, src="a_id", dst="b_id").select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    members = (
+        docs.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+            "n_chars",
+        )
+    )
+    fold = F.col("n_chars") * F.lit(10**12) + (F.lit(10**12) - F.col("doc_id"))
+    surv = members.groupBy("component").agg(
+        F.max_by("doc_id", fold).alias("survivor")
+    )
+    return members.join(F.broadcast(surv), "component").select(
+        "doc_id", "component", (F.col("doc_id") == F.col("survivor")).alias("keep")
+    )
