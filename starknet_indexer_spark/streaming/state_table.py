@@ -31,10 +31,12 @@ files:
 
 Single-writer per state_dir (one streaming query), like every
 maintained state in this package. Readers resolve CURRENT to a
-complete, immutable generation; GC keeps a one-generation grace
-window, so a lazy reader survives one concurrent commit — readers more
-than one commit behind can race the GC (the bounded, documented
-contract; a retention count would widen it).
+complete, immutable generation; GC keeps a ``retention``-generation
+grace window (default 1), so a lazy reader survives that many
+concurrent commits — readers further behind can race the GC (the
+bounded, documented contract; raise ``retention`` to widen it, each
+extra generation costing only hardlinks + the buckets that round
+actually rewrote).
 """
 
 from __future__ import annotations
@@ -47,10 +49,11 @@ from pyspark.sql import functions as F
 
 _CURRENT = "CURRENT"
 _TOKEN = "_epoch"
+_GEN_PREFIX = "gen-"
 
 
 def _gen_path(state_dir: str, gen: int) -> str:
-    return os.path.join(state_dir, f"gen-{gen}")
+    return os.path.join(state_dir, f"{_GEN_PREFIX}{gen}")
 
 
 def current_gen(state_dir: str) -> int | None:
@@ -119,27 +122,29 @@ def read_state(spark: SparkSession, state_dir: str, empty_ddl: str) -> DataFrame
     return spark.read.parquet(d)
 
 
-def recover(state_dir: str) -> None:
+def recover(state_dir: str, retention: int = 1) -> None:
     """Writer-entry cleanup: delete generations the CURRENT pointer
     does not reference — half-built higher generations from a crashed
-    commit, and superseded lower ones whose GC was interrupted."""
+    commit, and superseded ones below the ``retention`` grace window
+    whose GC was interrupted."""
     gen = current_gen(state_dir)
     try:
         entries = os.listdir(state_dir)
     except OSError:
         return
+    keep_floor = None if gen is None else gen - max(1, int(retention))
     for entry in entries:
-        if not entry.startswith("gen-"):
+        if not entry.startswith(_GEN_PREFIX):
             continue
         try:
-            n = int(entry[4:])
+            n = int(entry[len(_GEN_PREFIX):])
         except ValueError:
             continue
-        if gen is None or n > gen or n < gen - 1:
+        if gen is None or n > gen or n < keep_floor:
             # delete half-built higher generations and anything beyond
-            # the one-generation grace window; gen-1 is KEPT so a
-            # reader that resolved CURRENT just before the last flip
-            # can finish its scan (see commit_generation step 5)
+            # the retention grace window; the retained generations are
+            # KEPT so a reader that resolved CURRENT up to `retention`
+            # flips ago can finish its scan (commit_generation step 5)
             shutil.rmtree(os.path.join(state_dir, entry), ignore_errors=True)
 
 
@@ -157,6 +162,7 @@ def commit_generation(
     merged: DataFrame,
     affected: list[int] | None = None,
     token: str | None = None,
+    retention: int = 1,
 ) -> None:
     """Publish ``merged`` (must carry a ``bucket`` column holding ONLY
     the affected buckets' rows) as the next generation.
@@ -167,8 +173,9 @@ def commit_generation(
     hardlinked from the live generation (no data copy); the os.replace
     of CURRENT is the only commit point. ``affected=None`` means the
     merge replaces nothing (token-only commit): every old bucket
-    carries forward."""
-    recover(state_dir)
+    carries forward. ``retention`` is the GC grace window: how many
+    superseded generations stay on disk for lazy readers."""
+    recover(state_dir, retention=retention)
     old_gen = current_gen(state_dir)
     new_gen = 0 if old_gen is None else old_gen + 1
     new_dir = _gen_path(state_dir, new_gen)
@@ -212,14 +219,23 @@ def commit_generation(
     except OSError:
         pass  # directory fsync is best-effort on non-POSIX stores
 
-    # 5. GC with a ONE-GENERATION grace window: the immediately
-    # superseded generation survives until the NEXT commit so a
-    # reader that resolved CURRENT just before this flip can finish
-    # scanning it (carried buckets cost nothing — hardlinks). Readers
-    # more than one commit behind still race the GC; that bound is
-    # the documented contract for the single-writer + lazy-reader mix.
-    if old_gen is not None and old_gen >= 1:
-        shutil.rmtree(_gen_path(state_dir, old_gen - 1), ignore_errors=True)
+    # 5. GC with a RETENTION-generation grace window (default 1): the
+    # ``retention`` most recently superseded generations survive so a
+    # reader that resolved CURRENT up to that many commits ago can
+    # finish scanning (carried buckets cost nothing — hardlinks).
+    # Readers further behind still race the GC; that bound is the
+    # documented contract for the single-writer + lazy-reader mix.
+    # Sweep everything below the window, not just one index, so a
+    # retention LOWERED between runs cannot strand old generations.
+    floor = new_gen - max(1, int(retention))
+    for entry in os.listdir(state_dir):
+        if entry.startswith(_GEN_PREFIX):
+            try:
+                gen_no = int(entry[len(_GEN_PREFIX):])
+            except ValueError:
+                continue
+            if gen_no < floor:
+                shutil.rmtree(os.path.join(state_dir, entry), ignore_errors=True)
 
 
 def merge_batch(
@@ -232,6 +248,7 @@ def merge_batch(
     bucket_expr,
     empty_ddl: str,
     token: str | None = None,
+    retention: int = 1,
 ) -> None:
     """The shared maintained-state fold: short-circuit replayed epochs,
     merge the batch's partials with the affected buckets of the live
@@ -272,6 +289,7 @@ def merge_batch(
                     state.filter(F.lit(False)),
                     affected=None,
                     token=token,
+                    retention=retention,
                 )
             return
         state = read_state(spark, state_dir, empty_ddl + ", bucket int")
@@ -281,7 +299,9 @@ def merge_batch(
                 partial.select(*key_cols, *state_cols)
             )
         ).withColumn("bucket", bucket_expr)
-        commit_generation(state_dir, merged, affected=affected, token=token)
+        commit_generation(
+            state_dir, merged, affected=affected, token=token, retention=retention
+        )
     finally:
         partial.unpersist()
 

@@ -133,3 +133,37 @@ class TestCrashPoints:
         building = os.path.join(state, f"gen-{gen + 1}")
         shutil.copytree(state_table.current_gen_dir(state), building)
         assert _rows(ohlc.read_state(spark, state)) == before
+
+
+def test_retention_widens_the_gc_grace_window(spark, tmp_path):
+    """retention=N keeps the N most recently superseded generations on
+    disk across commits (lazy readers up to N flips behind stay safe),
+    and LOWERING retention sweeps the now-out-of-window ones."""
+    import os
+
+    from starknet_indexer_spark.streaming import state_table as st
+
+    d = str(tmp_path / "state")
+    ddl = "k bigint, v bigint"
+
+    def commit(i, retention):
+        merged = spark.createDataFrame([(i, i)], ddl).withColumn(
+            "bucket", F.lit(0)
+        )
+        st.commit_generation(d, merged, affected=[0], retention=retention)
+
+    for i in range(4):
+        commit(i, retention=3)
+    gens = sorted(e for e in os.listdir(d) if e.startswith("gen-"))
+    assert gens == ["gen-0", "gen-1", "gen-2", "gen-3"]
+    # a 5th commit pushes gen-0 out of the 3-generation window
+    commit(4, retention=3)
+    gens = sorted(e for e in os.listdir(d) if e.startswith("gen-"))
+    assert gens == ["gen-1", "gen-2", "gen-3", "gen-4"]
+    # lowering retention back to 1 sweeps everything below the window
+    commit(5, retention=1)
+    gens = sorted(e for e in os.listdir(d) if e.startswith("gen-"))
+    assert gens == ["gen-4", "gen-5"]
+    # state content is the live generation's, regardless of retention
+    got = st.read_state(spark, d, ddl).select("k", "v").collect()
+    assert [(r["k"], r["v"]) for r in got] == [(5, 5)]
