@@ -43,7 +43,10 @@ from .registry import register
 BPE_MERGES = 4
 
 
-def _oracle() -> str:
+def _oracle_with_block() -> str:
+    """Shared WITH-prefix: word counts, w0..wR merge rounds, b1..bR
+    argmax pairs, and the per-doc word stream (used by the encode
+    query; DuckDB ignores unreferenced CTEs)."""
     rounds = []
     for r in range(1, BPE_MERGES + 1):
         rounds.append(
@@ -67,24 +70,27 @@ def _oracle() -> str:
       FROM w{r - 1} w CROSS JOIN b{r} b
     )"""
         )
+    return f"""
+    WITH docw AS (
+      SELECT doc_id, t.w AS word
+      FROM documents,
+           UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS t(w)
+    ),
+    words AS (SELECT word, COUNT(*) AS cnt FROM docw GROUP BY 1),
+    w0 AS (
+      SELECT word, cnt, str_split(word, '') || ['</w>'] AS syms FROM words
+    ),
+    {",".join(rounds)}
+    """
+
+
+def _oracle() -> str:
     selects = " UNION ALL ".join(
         f"SELECT {r} AS merge_rank, x AS left_sym, y AS right_sym,"
         f" x || y AS merged, CAST(cnt AS BIGINT) AS pair_count FROM b{r}"
         for r in range(1, BPE_MERGES + 1)
     )
-    return f"""
-    WITH words AS (
-      SELECT t.w AS word, COUNT(*) AS cnt
-      FROM documents,
-           UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS t(w)
-      GROUP BY 1
-    ),
-    w0 AS (
-      SELECT word, cnt, str_split(word, '') || ['</w>'] AS syms FROM words
-    ),
-    {",".join(rounds)}
-    {selects}
-    """
+    return _oracle_with_block() + selects
 
 
 def _fold_merge() -> F.Column:
@@ -120,6 +126,13 @@ def _fold_merge() -> F.Column:
     "array rewrite.",
 )
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs, _w = _train(spark, sf_dir)
+    return reduce(DataFrame.unionByName, outs)
+
+
+def _train(spark: SparkSession, sf_dir: str):
+    """(per-round merge DataFrames, final encoded distinct-word
+    relation) — shared by merge training and corpus encoding."""
     docs = load(spark, sf_dir, "documents").select("text")
     words = (
         docs.select(
@@ -181,4 +194,50 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("word", "cnt", _fold_merge().alias("syms"))
             .localCheckpoint(eager=False)
         )
-    return reduce(DataFrame.unionByName, outs)
+    return outs, w
+
+
+@register(
+    "bpe_encode_stats",
+    oracle=_oracle_with_block()
+    + f"""
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(w.syms)) AS BIGINT) AS n_tokens,
+           CAST(SUM(len(w.word)) * 1000000
+                // SUM(len(w.syms)) AS BIGINT) AS chars_per_token_ppm
+    FROM docw d JOIN w{BPE_MERGES} w USING (word)
+    GROUP BY d.doc_id
+    """,
+    doc="BPE corpus encoding: tokenize every document with the "
+    f"{BPE_MERGES}-merge vocabulary learned by bpe_train_merges (same "
+    "shared training rounds) and report per-doc token counts plus "
+    "compression fertility (chars per token, ppm). The encoding "
+    "never refolds per occurrence: each DISTINCT word is encoded once "
+    "in the vocabulary-sized relation, then broadcast-joined back onto "
+    "the doc-word stream — at 100 TB the corpus is touched twice "
+    "(word count + final join), everything else is vocab-sized. The "
+    "per-doc token count is what a token-budgeted pretraining mix "
+    "actually samples on.",
+)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _outs, w = _train(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docw = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("word"),
+    )
+    enc = w.select("word", F.size("syms").alias("n_syms"), F.length("word").alias("n_chars"))
+    return (
+        docw.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_syms").cast("bigint").alias("n_tokens"),
+            F.expr(
+                "CAST(SUM(n_chars) * 1000000 DIV SUM(n_syms) AS BIGINT)"
+            ).alias("chars_per_token_ppm"),
+        )
+    )
