@@ -129,6 +129,13 @@ HEADLINE = [
     "grouping_sets_revenue",
     "ohlc_hourly",
     "hll_distinct_pinned",
+    # round-7 additions: selection / survivor / encoding / profiling ops
+    "dsir_importance_weights",
+    "hard_negative_mining",
+    "dedup_survivors",
+    "ewma_hourly_close",
+    "table_profile",
+    "bpe_encode_stats",
     # reference view library (Ekubo-shaped derivation + real view plan)
     "v01_pool_states",
     "v07_last_24h_pool_stats",
