@@ -134,7 +134,6 @@ HEADLINE = [
     "hard_negative_mining",
     "dedup_survivors",
     "ewma_hourly_close",
-    "table_profile",
     "bpe_encode_stats",
     # reference view library (Ekubo-shaped derivation + real view plan)
     "v01_pool_states",

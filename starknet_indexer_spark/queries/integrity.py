@@ -111,63 +111,3 @@ def constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         part = audit_table(t[table], table, cols, fks_by_child.get(table))
         out = part if out is None else out.unionByName(part)
     return out
-
-
-_PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
-
-
-@register(
-    "table_profile",
-    oracle=f"""
-    WITH agg AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-             {', '.join(
-                 f'CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS nn_{c}, '
-                 f'CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd_{c}'
-                 for c in _PROFILE_COLS
-             )}
-      FROM events
-    )
-    {' UNION ALL '.join(
-        f"SELECT '{c}' AS column_name, n_rows, nn_{c} AS n_nulls,"
-        f" nd_{c} AS n_distinct,"
-        f" CAST(nn_{c} * 1000000 // n_rows AS BIGINT) AS null_ppm FROM agg"
-        for c in _PROFILE_COLS
-    )}
-    """,
-    doc="One-pass column profiling of the events fact table (the "
-    "data-quality summary every pipeline run records): per column, "
-    "null count, exact distinct count, and null rate in ppm. ONE scan "
-    "produces a single aggregate row (Spark plans the multi-column "
-    "COUNT DISTINCT via Expand — still one pass over the input, one "
-    "shuffle), then a 6-row stack unpivots it; nothing is collected. "
-    "At 100 TB swap exact COUNT DISTINCT for the registered HLL/KMV "
-    "twins (hll_distinct_pinned) per the documented sketch policy.",
-)
-def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
-    ev = load(spark, sf_dir, "events")
-    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
-    for c in _PROFILE_COLS:
-        aggs.append(
-            (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"nn_{c}")
-        )
-        aggs.append(F.count_distinct(F.col(c)).cast("bigint").alias(f"nd_{c}"))
-    one = ev.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', nn_{c}, nd_{c}" for c in _PROFILE_COLS
-    )
-    return one.select(
-        "n_rows",
-        F.expr(
-            f"stack({len(_PROFILE_COLS)}, {stack_args})"
-            " AS (column_name, n_nulls, n_distinct)"
-        ),
-    ).select(
-        "column_name",
-        "n_rows",
-        "n_nulls",
-        "n_distinct",
-        F.expr("CAST(n_nulls * 1000000 DIV n_rows AS BIGINT)").alias("null_ppm"),
-    )
