@@ -699,3 +699,104 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return members.join(F.broadcast(surv), "component").select(
         "doc_id", "component", (F.col("doc_id") == F.col("survivor")).alias("keep")
     )
+
+
+#: repeated-span detection granularity (tokens per window) — the
+#: "~50-token duplicate span" idea of Lee et al. 2022 at a test-corpus
+#: scale where 8-token spans actually repeat
+SPAN_N = 8
+
+
+@register(
+    "repeated_span_fraction",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    occ AS (
+      SELECT doc_id, t.i AS i,
+             ('0x' || substr(md5(array_to_string(tokens[t.i:t.i + {SPAN_N - 1}],
+                                                 ' ')), 1, 15))::BIGINT AS gh
+      FROM toks, UNNEST(range(1, len(tokens) - {SPAN_N - 2})) AS t(i)
+      WHERE len(tokens) >= {SPAN_N}
+    ),
+    dup AS (
+      SELECT gh FROM occ GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    covered AS (
+      SELECT DISTINCT o.doc_id, p.pos
+      FROM occ o JOIN dup USING (gh),
+           UNNEST(range(o.i, o.i + {SPAN_N})) AS p(pos)
+    ),
+    perdoc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_tokens
+      FROM covered GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.tokens) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(p.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+           CAST(COALESCE(p.n_dup_tokens, 0) * 1000000
+                // len(t.tokens) AS BIGINT) AS dup_ppm
+    FROM toks t LEFT JOIN perdoc p USING (doc_id)
+    WHERE len(t.tokens) >= {SPAN_N}
+    """,
+    doc="Substring-level duplication metric (Lee et al. 2022, "
+    "'Deduplicating Training Data Makes Language Models Better'): for "
+    f"every document, the fraction of token positions covered by a "
+    f"{SPAN_N}-token span that also appears in ANOTHER document — the "
+    "signal substring-level dedup cuts on, complementing doc-level "
+    "MinHash (a doc can be 30% boilerplate yet no near-dup of "
+    "anything). Shape: hashed span occurrences are one map-side "
+    "projection off the token arrays (no self-join); cross-doc spans "
+    "come from one span-keyed agg; coverage is a bounded x8 position "
+    "explode + DISTINCT — corpus-linear throughout, the suffix-array "
+    "equivalent for a fixed window size.",
+)
+def repeated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokens_expr(F.col("text")).alias("tokens")
+    ).filter(F.size("tokens") >= SPAN_N)
+    occ = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(tokens) - {SPAN_N - 1}), i ->"
+                f" struct(i AS i, array_join(slice(tokens, i, {SPAN_N}), ' ')"
+                " AS gram))"
+            )
+        ).alias("o"),
+    ).select(
+        "doc_id",
+        F.col("o.i").alias("i"),
+        md5_hash60_expr(F.col("o.gram")).alias("gh"),
+    )
+    dup = (
+        occ.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    covered = (
+        occ.join(dup, "gh")
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(i, i + {SPAN_N - 1})")).alias("pos"),
+        )
+        .distinct()
+    )
+    perdoc = covered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_tokens")
+    )
+    return (
+        toks.join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("tokens").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("n_dup_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_tokens"),
+            F.expr(
+                "CAST(COALESCE(n_dup_tokens, 0) * 1000000"
+                " DIV size(tokens) AS BIGINT)"
+            ).alias("dup_ppm"),
+        )
+    )

@@ -129,3 +129,131 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select("node", "rank")
+
+
+#: kNN graph parameters: nodes are the first TRI_NODES vectors, each
+#: contributing directed edges to its TRI_K nearest neighbors (within
+#: the node set) by rounded cosine; symmetrized + deduped before
+#: counting
+TRI_NODES = 500
+TRI_K = 3
+
+
+def _knn_edges_sql() -> str:
+    return f"""
+      v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ev,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                 AS en
+        FROM embeddings WHERE vec_id < {TRI_NODES}
+      ),
+      sims AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               ROUND(list_dot_product(a.ev, b.ev) / (a.en * b.en), 4) AS sim
+        FROM v a, v b WHERE a.vec_id <> b.vec_id
+      ),
+      knn AS (
+        SELECT src, dst FROM (
+          SELECT src, dst,
+                 ROW_NUMBER() OVER (PARTITION BY src
+                                    ORDER BY sim DESC, dst) AS rnk
+          FROM sims
+        ) WHERE rnk <= {TRI_K}
+      ),
+      edges AS (
+        SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        FROM knn
+      )
+    """
+
+
+@register(
+    "knn_graph_triangles",
+    oracle=f"""
+    WITH {_knn_edges_sql()},
+    tris AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.v
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    pernode AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        SELECT a AS node FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris
+      ) GROUP BY node
+    )
+    SELECT p.node, p.n_triangles, CAST(d.degree AS BIGINT) AS degree
+    FROM pernode p
+    JOIN (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+      ) GROUP BY node
+    ) d USING (node)
+    """,
+    doc="Triangle counting on the symmetrized kNN similarity graph "
+    "(the clustering-coefficient / community-density signal used to "
+    "audit embedding-space structure before semantic dedup): each "
+    "node's nearest-neighbor edges are symmetrized into a canonical "
+    "u<v edge list, and triangles are counted by the ORIENTED "
+    "two-join (e1.v=e2.u closing wedge checked against e3) — every "
+    "triangle a<b<c is generated exactly once, so no /6 correction "
+    "and no per-key cross product: per-edge work is bounded by the "
+    "oriented out-degree (<= kNN fan-in), the standard arboricity "
+    "bound that keeps distributed triangle counting linear-ish at "
+    "scale. Brute-force kNN derivation is the baseline; the IVF/LSH "
+    "candidate stages are the documented scale path.",
+)
+def knn_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline_similarity import _dot, _with_norm
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < TRI_NODES)
+    a = _with_norm(emb, "src", "av", "an")
+    b = _with_norm(emb, "dst", "bv", "bn")
+    sims = (
+        a.crossJoin(b)
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.round(
+                _dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 4
+            ).alias("sim"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("src").orderBy(F.col("sim").desc(), F.col("dst"))
+    knn = sims.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= TRI_K
+    )
+    edges = (
+        knn.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # consumed 4x (3 joins + degree)
+    )
+    e1 = edges
+    e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("c2"))
+    e3 = edges.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tris = (
+        e1.join(e2, F.col("v") == F.col("b2"))
+        .join(e3, (F.col("a3") == F.col("u")) & (F.col("c3") == F.col("c2")))
+        .select(F.col("u").alias("a"), F.col("v").alias("b"), F.col("c2").alias("c"))
+    )
+    pernode = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    return pernode.join(deg, "node").select("node", "n_triangles", "degree")
