@@ -135,6 +135,8 @@ HEADLINE = [
     "dedup_survivors",
     "ewma_hourly_close",
     "bpe_encode_stats",
+    "knn_graph_triangles",
+    "repeated_span_fraction",
     # reference view library (Ekubo-shaped derivation + real view plan)
     "v01_pool_states",
     "v07_last_24h_pool_stats",
