@@ -164,13 +164,9 @@ def main(diff_against: str | None = None) -> None:
     # Cold reproducibility (ADVICE r6): silver-backed queries must pay
     # their first-refresh materialization inside THIS run's cold
     # timing, never reuse a previous bench invocation's /tmp cache.
-    import shutil as _shutil
-    import tempfile as _tempfile
+    from starknet_indexer_spark.silver import clear_cache
 
-    _shutil.rmtree(
-        os.path.join(_tempfile.gettempdir(), "spark_graft_silver"),
-        ignore_errors=True,
-    )
+    clear_cache()
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir.rstrip('/')}/{t}.parquet").count()

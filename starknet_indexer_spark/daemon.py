@@ -124,19 +124,32 @@ def run_indexer(
         "in_batch": False,
         # cold boot: planning + backlog file-listing happen INSIDE the
         # first trigger, before foreachBatch ever runs. The watchdog
-        # stays suspended until the first batch entry so a healthy but
-        # large backlog is never misread as a stall (the first trigger
-        # counts as progress); from then on, empty triggers still never
-        # reset the timer (a dead feed keeps firing empty triggers).
+        # stays suspended until boot completes — the first batch entry,
+        # OR (for a feed with no new files at all, where the file
+        # source never plans a micro-batch and foreachBatch is never
+        # invoked) the first QueryIdleEvent, which Spark posts when a
+        # trigger finishes with no data, i.e. strictly after the
+        # listing. Either way a healthy-but-large backlog is never
+        # misread as a stall, and a feed that is dead FROM THE START
+        # still boots the timer; from then on, empty triggers never
+        # reset it.
         "booted": False,
     }
+
+    def _boot(now: float) -> None:
+        # order matters: the watchdog gates on `booted`, so
+        # last_progress must be fresh BEFORE booted flips or a poll
+        # landing between the two assignments would see a stale timer
+        # on a healthy boot
+        state["last_progress"] = now
+        state["booted"] = True
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         had_rows = False
         if no_progress_timeout_s:
+            state["in_batch"] = True
             if not state["booted"]:
-                state["booted"] = True
-                state["last_progress"] = time.monotonic()
+                _boot(time.monotonic())
             # the watchdog measures FEED liveness, not batch duration:
             # suspend it while a batch is processing (a slow boot
             # refresh or maintenance tick must not read as a stall),
@@ -145,7 +158,6 @@ def run_indexer(
             # resetNoBlocksTimer) both at entry and, via the finally
             # below, when the batch finishes. EMPTY batches never
             # reset it: a dead feed still fires empty triggers.
-            state["in_batch"] = True
             had_rows = not batch_df.isEmpty()
             if had_rows:
                 state["last_progress"] = time.monotonic()
@@ -238,23 +250,59 @@ def run_indexer(
     query.stalled = False
 
     if no_progress_timeout_s and no_progress_timeout_s > 0:
+        # Boot signal #2: a file source that finds NO new files never
+        # plans a micro-batch, so foreachBatch alone would leave
+        # `booted` False forever and the watchdog disarmed — a feed
+        # dead from the start (or a restart against a caught-up
+        # checkpoint) must still stall out. Spark posts QueryIdleEvent
+        # when a trigger completes with no data available — strictly
+        # AFTER the backlog listing, so it cannot fire mid-listing on
+        # a healthy cold boot.
+        from pyspark.sql.streaming.listener import StreamingQueryListener
+
+        class _BootListener(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                pass
+
+            def onQueryIdle(self, event):
+                if str(event.id) == str(query.id) and not state["booted"]:
+                    _boot(time.monotonic())
+
+            def onQueryTerminated(self, event):
+                pass
+
+        listener = _BootListener()
+        try:
+            spark.streams.addListener(listener)
+        except Exception:  # noqa: BLE001 — watchdog still arms via foreachBatch
+            listener = None
 
         def watch() -> None:
             poll = min(1.0, no_progress_timeout_s / 4)
-            while query.isActive:
-                if _watchdog_should_stop(
-                    state, no_progress_timeout_s, time.monotonic()
-                ):
-                    query.stalled = True
+            try:
+                while query.isActive:
+                    if _watchdog_should_stop(
+                        state, no_progress_timeout_s, time.monotonic()
+                    ):
+                        query.stalled = True
+                        try:
+                            if on_stall is not None:
+                                on_stall()
+                        finally:
+                            # a raising callback must not leave the
+                            # stalled query running with a dead watchdog
+                            query.stop()
+                        return
+                    time.sleep(poll)
+            finally:
+                if listener is not None:
                     try:
-                        if on_stall is not None:
-                            on_stall()
-                    finally:
-                        # a raising callback must not leave the stalled
-                        # query running with a dead watchdog
-                        query.stop()
-                    return
-                time.sleep(poll)
+                        spark.streams.removeListener(listener)
+                    except Exception:  # noqa: BLE001 — best-effort cleanup
+                        pass
 
         threading.Thread(
             target=watch, name="no-progress-watchdog", daemon=True

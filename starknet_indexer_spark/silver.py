@@ -45,6 +45,15 @@ from .operators.dedup import (
 )
 
 SILVER_VERSION = "v1"  # bump when the shingle/band derivation changes
+#: /tmp cache root for test-corpus silver builds (ONE definition —
+#: bench.py clears it via clear_cache(); a drifting literal there would
+#: silently reintroduce stale cold timings)
+SILVER_CACHE_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_silver")
+
+
+def clear_cache() -> None:
+    """Remove every cached test-corpus silver build (cold-timing reset)."""
+    shutil.rmtree(SILVER_CACHE_ROOT, ignore_errors=True)
 
 
 def build_silver_relations(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -141,7 +150,7 @@ def _silver_cache_dir(sf_dir: str) -> str:
     sha256(documents.parquet bytes) + derivation version."""
     digest = _corpus_digest(os.path.join(sf_dir, "documents.parquet"))
     key = hashlib.md5(f"{digest}:{SILVER_VERSION}".encode()).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), "spark_graft_silver", key)
+    return os.path.join(SILVER_CACHE_ROOT, key)
 
 
 def ensure_silver(spark: SparkSession, sf_dir: str) -> str:

@@ -61,6 +61,52 @@ def read_state(spark: SparkSession, state_dir: str) -> DataFrame:
     )
 
 
+def migrate_legacy_ordk_state(spark: SparkSession, state_dir: str) -> bool:
+    """One-time upgrade of a state_dir written by the pre-struct kernel.
+
+    The old ordering key folded (offset_us, event_id) into ONE BIGINT as
+    ``offset_us * 1e6 + event_id`` (valid only below event_id 1e6 — the
+    reason the kernel moved to a struct). The fold is invertible inside
+    its validity range, so instead of crash-looping on the
+    unionByName type mismatch (bigint vs struct) the first post-upgrade
+    batch converts the live generation in place: ``off = ordk div 1e6``,
+    ``eid = ordk % 1e6``, committed as a new generation carrying the
+    SAME epoch token (replay semantics unchanged). Returns True when a
+    migration ran."""
+    d = state_table.current_gen_dir(state_dir)
+    if d is None:
+        return False
+    df = spark.read.parquet(d)
+    if dict(df.dtypes).get("open_ordk") != "bigint":
+        return False
+
+    def unfold(col: str):
+        # integer DIV, not float division: a double quotient near the
+        # boundary could truncate off-by-one after the cast
+        return F.struct(
+            F.expr(f"{col} DIV 1000000").cast("bigint").alias("off"),
+            F.pmod(F.col(col), F.lit(1_000_000)).cast("bigint").alias("eid"),
+        )
+
+    conv = df.select(
+        *OHLC_KEY,
+        unfold("open_ordk").alias("open_ordk"),
+        "open",
+        "high",
+        "low",
+        unfold("close_ordk").alias("close_ordk"),
+        "close",
+        "volume_cents",
+        "n_events",
+        "bucket",
+    )
+    affected = [r["bucket"] for r in df.select("bucket").distinct().collect()]
+    state_table.commit_generation(
+        state_dir, conv, affected=affected, token=state_table.applied_token(state_dir)
+    )
+    return True
+
+
 def apply_batch(
     spark: SparkSession,
     events: DataFrame,
@@ -74,6 +120,7 @@ def apply_batch(
     hardlinked forward) and one atomic CURRENT-pointer replace
     publishes them — no crash point can lose a bucket or double-apply
     a replayed epoch (the token commits with the generation)."""
+    migrate_legacy_ordk_state(spark, state_dir)
     state_table.merge_batch(
         spark,
         state_dir,

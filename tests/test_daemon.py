@@ -328,3 +328,47 @@ def test_watchdog_decision_suspends_cold_boot_and_batches():
         timeout_s=1.0,
         now=100.0,
     )
+
+
+@pytest.mark.slow
+def test_daemon_watchdog_stalls_feed_with_no_batches_at_all(spark, tmp_path):
+    """Round-7 review finding: a file source that finds NO new files
+    never plans a micro-batch, so foreachBatch alone never arms the
+    watchdog. Restarting against a caught-up checkpoint with a dead
+    feed must still stall out (boot signal = QueryIdleEvent)."""
+    import time as _time
+
+    feed = str(tmp_path / "feed")
+    tables = str(tmp_path / "tables")
+    views = str(tmp_path / "views")
+    ckpt = str(tmp_path / "ckpt")
+    _batch1(spark).write.mode("append").parquet(feed)
+    # first run catches the checkpoint up past every feed file
+    q1 = run_indexer(
+        spark, feed, tables, views, ckpt,
+        trigger={"availableNow": True},
+    )
+    q1.awaitTermination(120)
+    assert not q1.isActive
+    # quicker idle events for the test (default throttle is 10s)
+    spark.conf.set("spark.sql.streaming.noDataProgressEventInterval", "1000ms")
+    fired = []
+    q2 = run_indexer(
+        spark, feed, tables, views, ckpt,
+        trigger={"processingTime": "1 seconds"},
+        no_progress_timeout_s=4,
+        on_stall=lambda: fired.append(True),
+    )
+    deadline = _time.monotonic() + 90
+    try:
+        while q2.isActive and _time.monotonic() < deadline:
+            _time.sleep(0.5)
+        assert not q2.isActive, (
+            "watchdog never armed: no micro-batch ran and the idle "
+            "boot signal did not fire"
+        )
+        assert q2.stalled and fired == [True]
+    finally:
+        spark.conf.unset("spark.sql.streaming.noDataProgressEventInterval")
+        if q2.isActive:
+            q2.stop()

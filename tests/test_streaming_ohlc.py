@@ -137,3 +137,53 @@ def test_ordering_key_exact_beyond_fold_bound(spark):
     assert [r.asDict() for r in merged] == [
         r.asDict() for r in ohlc_candles(events).collect()
     ]
+
+
+def test_legacy_bigint_ordk_state_migrates_in_place(spark, tmp_path):
+    """Round-7 review finding: a state_dir written by the pre-struct
+    kernel (BIGINT folded ordering keys) must not crash-loop the
+    stream on a type mismatch — the fold is invertible below 1e6, so
+    the first post-upgrade batch converts it and merging continues
+    exactly."""
+    from starknet_indexer_spark.streaming import state_table
+
+    ev = _events(spark)
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    state = str(tmp_path / "candles")
+
+    # build the LEGACY generation: the current kernel's candles with
+    # both ordering keys folded back to the old BIGINT form
+    from starknet_indexer_spark.operators.timeseries import (
+        OHLC_KEY,
+        ohlc_merge,
+        unit_candles,
+    )
+
+    def fold(col):
+        return (
+            F.col(col)["off"] * F.lit(1_000_000).cast("long") + F.col(col)["eid"]
+        ).cast("bigint")
+
+    legacy = ohlc_merge(unit_candles(first)).select(
+        *OHLC_KEY,
+        fold("open_ordk").alias("open_ordk"),
+        "open",
+        "high",
+        "low",
+        fold("close_ordk").alias("close_ordk"),
+        "close",
+        "volume_cents",
+        "n_events",
+    ).withColumn("bucket", ohlc._bucket(*OHLC_KEY))
+    affected = [r["bucket"] for r in legacy.select("bucket").distinct().collect()]
+    state_table.commit_generation(state, legacy, affected=affected, token="e0")
+
+    # the next batch under the NEW kernel migrates then merges
+    ohlc.apply_batch(spark, second, state, epoch_token="e1")
+    got = _rows(ohlc.read_state(spark, state))
+    want = _rows(ohlc_candles(ev))
+    assert got == want
+    # replay of the same epoch is still a no-op after migration
+    ohlc.apply_batch(spark, second, state, epoch_token="e1")
+    assert _rows(ohlc.read_state(spark, state)) == want
