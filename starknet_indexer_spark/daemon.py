@@ -291,6 +291,13 @@ def run_indexer(
                         try:
                             if on_stall is not None:
                                 on_stall()
+                        except Exception:  # noqa: BLE001
+                            # the callback's failure must neither mask
+                            # the stop (finally below) nor escape the
+                            # thread (it would only produce an
+                            # unhandled-thread-exception warning after
+                            # the stop already happened)
+                            pass
                         finally:
                             # a raising callback must not leave the
                             # stalled query running with a dead watchdog
