@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import datetime
 import os
+import logging
 import threading
 import time
 
@@ -294,10 +295,13 @@ def run_indexer(
                         except Exception:  # noqa: BLE001
                             # the callback's failure must neither mask
                             # the stop (finally below) nor escape the
-                            # thread (it would only produce an
-                            # unhandled-thread-exception warning after
-                            # the stop already happened)
-                            pass
+                            # thread — but a broken stall hook (dead
+                            # pager URL, expired auth) must still leave
+                            # a diagnostic
+                            logging.getLogger(__name__).exception(
+                                "on_stall callback raised; stopping the"
+                                " stalled query anyway"
+                            )
                         finally:
                             # a raising callback must not leave the
                             # stalled query running with a dead watchdog

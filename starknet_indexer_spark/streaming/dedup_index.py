@@ -41,8 +41,6 @@ from ..operators.dedup import (
     word_shingles_expr,
 )
 from ..queries.pipeline_dedup import JACCARD_MIN
-from .epochs import epoch_idempotent
-
 _BANDS = "bands"
 _SHINGLES = "shingles"
 
@@ -141,19 +139,17 @@ def stream_dedup_index(
     near-dup pairs land in ``pairs_dir``. ``max_files_per_trigger``
     bounds batch size (and forces genuine multi-batch behavior under
     test)."""
-    reader = spark.readStream
-    reader = reader.schema(schema if schema is not None else spark.read.parquet(feed_dir).schema)
-    stream = reader.option("maxFilesPerTrigger", str(max_files_per_trigger)).parquet(feed_dir)
+    # at-least-once redelivery guard (epoch markers under index_dir)
+    # so pairs stay exactly-once discovered and the index holds one
+    # row set per doc — shared stream_maintain_with scaffolding
+    from . import state_table
 
-    # at-least-once redelivery guard so pairs stay exactly-once
-    # discovered and the index holds one row set per doc
-    process = epoch_idempotent(
+    return state_table.stream_maintain_with(
+        spark,
+        feed_dir,
         index_dir,
         checkpoint_dir,
-        lambda batch_df, _epoch: apply_batch(spark, batch_df, index_dir, pairs_dir),
-    )
-    return (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
+        lambda batch_df, _token: apply_batch(spark, batch_df, index_dir, pairs_dir),
+        schema=schema,
+        max_files_per_trigger=max_files_per_trigger,
     )

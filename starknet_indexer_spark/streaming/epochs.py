@@ -11,8 +11,9 @@ a stale constant namespace once silently skipped live batches —
 ingest.py's marker-ns history) so a fresh checkpoint never inherits
 old markers.
 
-One helper, four sinks (incremental ledger, dedup index, join view,
-drift monitor): the pattern has a bug history, so it lives in exactly
+One helper, five sinks (incremental ledger, dedup index, IVF index,
+join view, drift monitor — the file-feed ones all routed through
+state_table.stream_maintain_with): the pattern has a bug history, so it lives in exactly
 one place. The residual window — a crash between the body's final
 write and the marker write — is the multi-file transactionality a
 table format would close; with plain parquet directories it is

@@ -39,22 +39,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.similarity import ivf_assign
-from .epochs import epoch_idempotent
+
+# the determinism-critical vector kernels (sequential double-cast
+# array fold + norm) live in ONE place — the batch query module — so
+# the stream==batch sim equality cannot drift
+from ..queries.pipeline_similarity import _dot, _with_norm
+from . import state_table
 
 _POSTINGS = "postings"
 
 
-def _with_norm(vecs: DataFrame) -> DataFrame:
-    dot = F.aggregate(
-        F.zip_with("embedding", "embedding", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return vecs.select("vec_id", F.col("embedding").alias("ev"), F.sqrt(dot).alias("en"))
+def _normed(vecs: DataFrame) -> DataFrame:
+    return _with_norm(vecs, "vec_id", "ev", "en")
 
 
 def apply_batch(
-    spark: SparkSession,
     vecs: DataFrame,
     index_dir: str,
     centroids: DataFrame,
@@ -62,7 +61,7 @@ def apply_batch(
     """Assign one micro-batch of (vec_id, embedding) rows to their
     nearest cell and append to the postings. Map-only: the centroid
     relation broadcasts inside ivf_assign; nothing shuffles."""
-    assign = ivf_assign(_with_norm(vecs), centroids, 1).select(
+    assign = ivf_assign(_normed(vecs), centroids, 1).select(
         "vec_id", "centroid_id"
     )
     assign.write.mode("append").parquet(os.path.join(index_dir, _POSTINGS))
@@ -90,7 +89,7 @@ def search(
     relation is touched once, for candidate vectors)."""
     from pyspark.sql.window import Window as W
 
-    q = _with_norm(queries)
+    q = _normed(queries)
     probes = ivf_assign(q, centroids, n_probe).select(
         F.col("vec_id").alias("query_id"), "centroid_id"
     )
@@ -106,7 +105,7 @@ def search(
         F.col("ev").alias("qv"),
         F.col("en").alias("qn"),
     )
-    cv = _with_norm(corpus).select(
+    cv = _normed(corpus).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("ev").alias("cv"),
         F.col("en").alias("cn"),
@@ -118,13 +117,7 @@ def search(
             "query_id",
             "neighbor_id",
             F.round(
-                F.aggregate(
-                    F.zip_with("qv", "cv", lambda x, y: x.cast("double") * y.cast("double")),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                / (F.col("qn") * F.col("cn")),
-                4,
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
             ).alias("sim"),
         )
     )
@@ -147,21 +140,15 @@ def stream_ivf_index(
 ):
     """Structured Streaming driver: (vec_id, embedding) rows arriving
     in ``feed_dir`` maintain the inverted lists per micro-batch,
-    epoch-marker idempotent."""
-    reader = spark.readStream
-    reader = reader.schema(
-        schema if schema is not None else spark.read.parquet(feed_dir).schema
-    )
-    stream = reader.option(
-        "maxFilesPerTrigger", str(max_files_per_trigger)
-    ).parquet(feed_dir)
-    process = epoch_idempotent(
+    epoch-marker idempotent (shared state_table.stream_maintain_with
+    scaffolding — the append body ignores the token; the marker alone
+    is the replay guard)."""
+    return state_table.stream_maintain_with(
+        spark,
+        feed_dir,
         index_dir,
         checkpoint_dir,
-        lambda batch_df, _epoch: apply_batch(spark, batch_df, index_dir, centroids),
-    )
-    return (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
+        lambda batch_df, _token: apply_batch(batch_df, index_dir, centroids),
+        schema=schema,
+        max_files_per_trigger=max_files_per_trigger,
     )

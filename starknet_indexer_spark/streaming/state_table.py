@@ -314,13 +314,16 @@ def stream_maintain_with(
     apply_fn,
     schema=None,
     select_cols=None,
+    max_files_per_trigger: int | None = None,
 ):
     """Shared Structured Streaming driver for token-committed maintained
     states: schema fallback, checkpoint-namespaced epoch token, and the
     epoch-marker wrapper in ONE place. ``apply_fn(batch_df, token)``
-    folds the batch (token = "<checkpoint-ns>:<epoch>").
+    folds the batch (token = "<checkpoint-ns>:<epoch>"; bodies whose
+    idempotence rides the epoch marker alone may ignore it).
     ``select_cols`` projects in the STREAM plan so column pruning
-    reaches the scan."""
+    reaches the scan; ``max_files_per_trigger`` bounds batch size (and
+    forces genuine multi-batch behavior under test)."""
     from ..ingest import checkpoint_marker_ns
     from .epochs import epoch_idempotent
 
@@ -328,6 +331,8 @@ def stream_maintain_with(
     reader = reader.schema(
         schema if schema is not None else spark.read.parquet(feed_dir).schema
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.parquet(feed_dir)
     if select_cols:
         stream = stream.select(*select_cols)

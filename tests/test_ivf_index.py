@@ -22,7 +22,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 def _centroids(spark):
     emb = load(spark, SF_DIR, "embeddings")
-    return ivf_index._with_norm(emb.filter(F.col("vec_id") < N_CENTROIDS)).select(
+    return ivf_index._normed(emb.filter(F.col("vec_id") < N_CENTROIDS)).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("ev").alias("cv"),
         F.col("en").alias("cn"),
@@ -40,11 +40,11 @@ class TestIvfIndexMaintenance:
         idx = str(tmp_path / "ivf")
         for i in range(3):
             ivf_index.apply_batch(
-                spark, emb.filter(F.col("vec_id") % 3 == i), idx, cent
+                emb.filter(F.col("vec_id") % 3 == i), idx, cent
             )
         got = _rows(ivf_index.read_postings(spark, idx))
         want = _rows(
-            ivf_assign(ivf_index._with_norm(emb), cent, 1).select(
+            ivf_assign(ivf_index._normed(emb), cent, 1).select(
                 "vec_id", "centroid_id"
             )
         )
@@ -56,7 +56,7 @@ class TestIvfIndexMaintenance:
         idx = str(tmp_path / "ivf")
         for i in range(2):
             ivf_index.apply_batch(
-                spark, emb.filter(F.col("vec_id") % 2 == i), idx, cent
+                emb.filter(F.col("vec_id") % 2 == i), idx, cent
             )
         got = _rows(
             ivf_index.search(
@@ -91,7 +91,7 @@ class TestIvfIndexMaintenance:
         finally:
             q.stop()
         want = _rows(
-            ivf_assign(ivf_index._with_norm(emb), cent, 1).select(
+            ivf_assign(ivf_index._normed(emb), cent, 1).select(
                 "vec_id", "centroid_id"
             )
         )
@@ -100,7 +100,7 @@ class TestIvfIndexMaintenance:
         from starknet_indexer_spark.streaming.epochs import epoch_idempotent
 
         replay = epoch_idempotent(
-            idx, ck, lambda b, _e: ivf_index.apply_batch(spark, b, idx, cent)
+            idx, ck, lambda b, _e: ivf_index.apply_batch(b, idx, cent)
         )
         replay(emb.filter(F.col("vec_id") % 2 == 0), 0)
         assert _rows(ivf_index.read_postings(spark, idx)) == want

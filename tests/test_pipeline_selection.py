@@ -30,6 +30,13 @@ from starknet_indexer_spark.queries.pipeline_selection import (
 SF_DIR = "/root/testdata/sf0.001"
 
 
+def _round_half_away(x: float) -> int:
+    """Mirror Spark/DuckDB ROUND (half away from zero); Python's
+    built-in round() is half-to-even and diverges on exact .5 values
+    (e.g. value 0.125 -> 12.5 cents)."""
+    return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+
 def _tokens(text: str) -> list[str]:
     return [t for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).split(" ") if t]
 
@@ -40,7 +47,11 @@ def _hash60(s: str) -> int:
 
 class TestDsirReference:
     def test_matches_pure_python_importance(self, spark):
-        docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+        # mirror the query's null semantics: explode drops null token
+        # arrays, the raw-pool filter drops null sources
+        docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas().dropna(
+            subset=["text", "source"]
+        )
         feats = {}  # doc_id -> list of feature ids
         srcs = {}
         for _, r in docs.iterrows():
@@ -56,7 +67,7 @@ class TestDsirReference:
         )
         tt, tr = sum(tgt.values()), sum(raw.values())
         w = {
-            f: round(
+            f: _round_half_away(
                 MICRO
                 * (
                     math.log((tgt.get(f, 0) + 1) / (tt + N_FEATURES))
@@ -92,12 +103,11 @@ class TestTriangleReference:
             int(r["vec_id"]): list(map(float, r["embedding"]))
             for _, r in emb.iterrows()
         }
+        norms = {v: math.sqrt(sum(x * x for x in vec)) for v, vec in vecs.items()}
 
         def cos(a, b):
             num = sum(x * y for x, y in zip(vecs[a], vecs[b]))
-            na = math.sqrt(sum(x * x for x in vecs[a]))
-            nb = math.sqrt(sum(x * x for x in vecs[b]))
-            return round(num / (na * nb), 4)
+            return _round_half_away(num / (norms[a] * norms[b]) * 10_000) / 10_000
 
         edges = set()
         ids = sorted(vecs)
@@ -139,7 +149,7 @@ class TestEwmaReference:
         out = {}
         for etype, grp in ev.groupby("event_type"):
             grp = grp.sort_values(["ts", "event_id"])
-            cents = [round(v * 100) for v in grp["value"]]
+            cents = [_round_half_away(v * 100) for v in grp["value"]]
             ts_ns = list(grp["ts"])
             eids = list(grp["event_id"])
             for i in range(len(cents)):
@@ -151,7 +161,7 @@ class TestEwmaReference:
                 den = sum(
                     2 ** (EWMA_K - (i - j)) for j in range(lo, i + 1)
                 )
-                em = round(1_000_000 * (num / den))
+                em = _round_half_away(1_000_000 * (num / den))
                 t = ts_ns[i]  # pandas Timestamp (ns)
                 hour = t.floor("h")
                 key = (etype, hour.to_pydatetime())
