@@ -126,6 +126,7 @@ HEADLINE = [
     "approx_percentile_pinned",
     "approx_percentile_by_type_pinned",
     "minhash_lsh_dedup_silver",
+    "setjoin_prefix_jaccard_silver",
     "grouping_sets_revenue",
     "ohlc_hourly",
     "hll_distinct_pinned",

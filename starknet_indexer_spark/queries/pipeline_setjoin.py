@@ -40,7 +40,7 @@ from ..operators.dedup import (
     tokens_expr,
     word_shingles_expr,
 )
-from .registry import register
+from .registry import REGISTRY, register
 
 SETJOIN_THRESHOLD = 0.5
 # prefix-token bucket cap for the capped variant: a prefix token
@@ -322,3 +322,28 @@ def setjoin_prefix_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame
     return prefix_jaccard_pairs(
         sets, SETJOIN_THRESHOLD, max_token_bucket=SETJOIN_TOKEN_CAP
     )
+
+
+@register(
+    "setjoin_prefix_jaccard_silver",
+    oracle=REGISTRY["setjoin_prefix_jaccard"].oracle,
+    doc="The exact prefix-filtered set-similarity join reading the "
+    "MATERIALIZED silver doc_shingles relation (silver.ensure_silver, "
+    "built once at ingest) instead of re-deriving shingle sets from "
+    "raw text — the second consumer of the silver layer next to "
+    "minhash_lsh_dedup_silver, same output and oracle as "
+    "setjoin_prefix_jaccard by construction (one derivation in "
+    "silver.build_silver_relations). At 100 TB every dedup-family "
+    "query starts from these clustered relations; raw text is touched "
+    "only at ingest.",
+)
+def setjoin_prefix_jaccard_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..silver import ensure_silver
+
+    root = ensure_silver(spark, sf_dir)
+    sets = spark.read.parquet(os.path.join(root, "doc_shingles")).select(
+        "doc_id", F.col("shingles").alias("toks")
+    )
+    return prefix_jaccard_pairs(sets, SETJOIN_THRESHOLD)
