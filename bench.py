@@ -127,6 +127,7 @@ HEADLINE = [
     "approx_percentile_by_type_pinned",
     "minhash_lsh_dedup_silver",
     "setjoin_prefix_jaccard_silver",
+    "decontamination_ngram_silver",
     "grouping_sets_revenue",
     "ohlc_hourly",
     "hll_distinct_pinned",

@@ -51,7 +51,9 @@ MAX_HAMMING = 3
 NEW_BATCH_MOD = 5
 # held-out split for decontamination: one crawl source is the eval set
 EVAL_SOURCE = "src0"
-DECONTAM_N = 5
+# n-gram width lives in silver.py (the materialized relation and the
+# self-contained queries must agree)
+from ..silver import DECONTAM_N  # noqa: E402
 
 _TOKS_SQL = r"""
     SELECT doc_id,
@@ -410,9 +412,7 @@ _TOKS_SRC_SQL = r"""
 _NGRAM5_TERM = " || ' ' || ".join(f"tokens[i+{j}]" for j in range(DECONTAM_N))
 
 
-@register(
-    "decontamination_ngram",
-    oracle=f"""
+_DECONTAM_ORACLE = f"""
     WITH toks AS ({_TOKS_SRC_SQL}),
     ng AS (
       SELECT doc_id, source,
@@ -433,7 +433,12 @@ _NGRAM5_TERM = " || ' ' || ".join(f"tokens[i+{j}]" for j in range(DECONTAM_N))
                  / COUNT(*) * 1e6 + 0.5) / 1e6 AS containment
     FROM ev LEFT JOIN train t USING (gh)
     GROUP BY ev.doc_id
-    """,
+    """
+
+
+@register(
+    "decontamination_ngram",
+    oracle=_DECONTAM_ORACLE,
     doc=f"Train/eval decontamination: fraction of each held-out "
     f"document's distinct {DECONTAM_N}-word n-grams that appear "
     f"anywhere in the training split (source != '{EVAL_SOURCE}'). "
@@ -447,19 +452,10 @@ _NGRAM5_TERM = " || ' ' || ".join(f"tokens[i+{j}]" for j in range(DECONTAM_N))
     "(round() half-way behavior differs between Spark and DuckDB).",
 )
 def decontamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..silver import build_decontam_grams
+
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", "source", tokens_expr(F.col("text")).alias("tokens"))
-    grams = (
-        toks.filter(F.size("tokens") >= DECONTAM_N)
-        .select(
-            "doc_id",
-            "source",
-            F.explode(
-                F.array_distinct(word_ngrams_expr(F.col("tokens"), DECONTAM_N))
-            ).alias("gram"),
-        )
-        .select("doc_id", "source", md5_hash60_expr(F.col("gram")).alias("gh"))
-    )
+    grams = build_decontam_grams(docs)
     train = grams.filter(F.col("source") != EVAL_SOURCE).select("gh").distinct()
     ev = grams.filter(F.col("source") == EVAL_SOURCE).select("doc_id", "gh")
     hit = F.sum(F.when(F.col("t_gh").isNotNull(), 1).otherwise(0)).cast("bigint")
@@ -558,20 +554,10 @@ def _bloom_oracle() -> str:
 )
 def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import bloom_build, bloom_probe_hits
+    from ..silver import build_decontam_grams
 
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", "source", tokens_expr(F.col("text")).alias("tokens"))
-    grams = (
-        toks.filter(F.size("tokens") >= DECONTAM_N)
-        .select(
-            "doc_id",
-            "source",
-            F.explode(
-                F.array_distinct(word_ngrams_expr(F.col("tokens"), DECONTAM_N))
-            ).alias("gram"),
-        )
-        .select("doc_id", "source", md5_hash60_expr(F.col("gram")).alias("gh"))
-    )
+    grams = build_decontam_grams(docs)
     train = grams.filter(F.col("source") != EVAL_SOURCE).select("gh").distinct()
     bits = bloom_build(train, F.col("gh").cast("string"), BLOOM_K, BLOOM_M_BITS)
     ev = grams.filter(F.col("source") == EVAL_SOURCE).select("doc_id", "gh").distinct()
@@ -798,5 +784,43 @@ def repeated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(COALESCE(n_dup_tokens, 0) * 1000000"
                 " DIV size(tokens) AS BIGINT)"
             ).alias("dup_ppm"),
+        )
+    )
+
+
+@register(
+    "decontamination_ngram_silver",
+    oracle=_DECONTAM_ORACLE,  # one derivation, one mirror
+    doc="Train/eval decontamination reading the MATERIALIZED silver "
+    "decontam_grams relation (silver.ensure_silver) instead of "
+    "re-deriving hashed 5-grams from raw text — the third silver "
+    "consumer, same output and oracle as decontamination_ngram by "
+    "construction (one derivation: silver.build_decontam_grams). Both "
+    "probe sides are DISTINCT'd, which also absorbs the duplicate gram "
+    "rows a crashed incremental silver append can leave (the relation "
+    "is written before the doc_shingles commit point).",
+)
+def decontamination_ngram_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..silver import ensure_silver
+
+    root = ensure_silver(spark, sf_dir)
+    grams = spark.read.parquet(os.path.join(root, "decontam_grams"))
+    train = grams.filter(F.col("source") != EVAL_SOURCE).select("gh").distinct()
+    ev = grams.filter(F.col("source") == EVAL_SOURCE).select("doc_id", "gh").distinct()
+    hit = F.sum(F.when(F.col("t_gh").isNotNull(), 1).otherwise(0)).cast("bigint")
+    return (
+        ev.join(train.select(F.col("gh").alias("t_gh")), ev.gh == F.col("t_gh"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            hit.alias("n_hit"),
+            (
+                F.floor(
+                    hit.cast("double") / F.count(F.lit(1)) * F.lit(1e6) + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("containment"),
         )
     )

@@ -41,10 +41,14 @@ from .operators.dedup import (
     minhash_bands,
     minhash_signature_exprs,
     tokens_expr,
+    word_ngrams_expr,
     word_shingles_expr,
 )
 
-SILVER_VERSION = "v1"  # bump when the shingle/band derivation changes
+SILVER_VERSION = "v2"  # bump when any silver derivation changes
+#: n-gram width of the decontamination relation — the single
+#: definition (queries.pipeline_dedup imports it)
+DECONTAM_N = 5
 #: /tmp cache root for test-corpus silver builds (ONE definition —
 #: bench.py clears it via clear_cache(); a drifting literal there would
 #: silently reintroduce stale cold timings)
@@ -54,6 +58,28 @@ SILVER_CACHE_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_silver")
 def clear_cache() -> None:
     """Remove every cached test-corpus silver build (cold-timing reset)."""
     shutil.rmtree(SILVER_CACHE_ROOT, ignore_errors=True)
+
+
+def build_decontam_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, gh): each document's DISTINCT hashed
+    {DECONTAM_N}-word n-grams — the relation decontamination probes
+    (train side = every non-eval source, eval side = the held-out
+    split). ONE definition shared by the self-contained queries and
+    the materialized silver table."""
+    toks = docs.select(
+        "doc_id", "source", tokens_expr(F.col("text")).alias("tokens")
+    )
+    return (
+        toks.filter(F.size("tokens") >= DECONTAM_N)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.array_distinct(word_ngrams_expr(F.col("tokens"), DECONTAM_N))
+            ).alias("gram"),
+        )
+        .select("doc_id", "source", md5_hash60_expr(F.col("gram")).alias("gh"))
+    )
 
 
 def build_silver_relations(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -87,9 +113,11 @@ def materialize_silver(
     only the NOVEL documents. Returns rows written per table."""
     sh_path = os.path.join(silver_dir, "doc_shingles")
     bands_path = os.path.join(silver_dir, "minhash_bands")
+    grams_path = os.path.join(silver_dir, "decontam_grams")
     if incremental and os.path.isdir(sh_path):
         existing = spark.read.parquet(sh_path).select("doc_id")
         docs = docs.join(existing, "doc_id", "left_anti")
+    docs = docs.localCheckpoint(eager=False)  # feeds two derivations
     # sh is already lazily checkpointed inside build_silver_relations,
     # so the count, the write, and the band derivation all read one
     # materialization
@@ -107,6 +135,17 @@ def materialize_silver(
     # classified as present while their buckets never materialized.
     # Cluster the band relation on its join key so every LSH bucket is
     # physically co-located for the candidate self-join.
+    # decontam_grams rides the same contract: written BEFORE the
+    # doc_shingles commit point, so a crash-retry can only leave
+    # duplicate gram rows — absorbed by the consumers' DISTINCT (train
+    # side dedups; the eval side of the silver-backed query dedups
+    # explicitly). Clustered on the probe join key. NOTE: a doc with
+    # 3-4 tokens has shingles but no 5-grams, and the anti-join keys
+    # on doc_shingles — so gram coverage follows shingle coverage
+    # exactly (tokens >= 5 implies tokens >= 3).
+    build_decontam_grams(docs).repartition("gh").write.mode("append").parquet(
+        grams_path
+    )
     bands.repartition("band_key").write.mode("append").parquet(bands_path)
     sh.write.mode("append").parquet(sh_path)
     # band rows written this call = docs written x N_BANDS (each doc

@@ -58,7 +58,7 @@ class TestIncrementalMaintenance:
         c2 = silver.materialize_silver(spark, docs, inc_dir)
         silver.materialize_silver(spark, docs, full_dir, incremental=False)
 
-        for t in ("doc_shingles", "minhash_bands"):
+        for t in ("doc_shingles", "minhash_bands", "decontam_grams"):
             got = _rows(spark.read.parquet(os.path.join(inc_dir, t)))
             want = _rows(spark.read.parquet(os.path.join(full_dir, t)))
             assert got == want, t
