@@ -207,3 +207,37 @@ def ensure_silver(spark: SparkSession, sf_dir: str) -> str:
         with open(ready, "w") as f:
             f.write("ok")
     return d
+
+
+def stream_materialize(
+    spark: SparkSession,
+    feed_dir: str,
+    silver_dir: str,
+    checkpoint_dir: str,
+    schema=None,
+    max_files_per_trigger: int | None = 1,
+):
+    """Structured Streaming driver: document rows arriving in
+    ``feed_dir`` maintain the silver relations per micro-batch —
+    "built once at ingest" as a RUNNING stream, not just a batch call.
+
+    Idempotence is layered: the shared epoch-marker guard
+    (state_table.stream_maintain_with) short-circuits replayed
+    micro-batches, and materialize_silver's doc_id anti-join absorbs
+    any redelivered documents that slip past it (e.g. the same doc in
+    two feed files), so the relations hold one row set per document
+    regardless of delivery count."""
+    from .streaming import state_table
+
+    return state_table.stream_maintain_with(
+        spark,
+        feed_dir,
+        silver_dir,
+        checkpoint_dir,
+        lambda batch_df, _token: materialize_silver(
+            spark, batch_df, silver_dir, incremental=True
+        ),
+        schema=schema,
+        select_cols=["doc_id", "source", "text"],
+        max_files_per_trigger=max_files_per_trigger,
+    )

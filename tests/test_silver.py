@@ -132,3 +132,34 @@ def test_cache_key_is_content_derived(tmp_path):
     c.mkdir()
     (c / "documents.parquet").write_bytes(b"PAR1-contentA")
     assert _silver_cache_dir(str(c)) == _silver_cache_dir(str(a))
+
+
+def test_stream_materialize_equals_one_shot(spark, tmp_path):
+    """Silver maintenance as a running stream: relations built across
+    micro-batches (with an overlapping redelivered doc) equal the
+    one-shot batch build."""
+    docs = load(spark, SF, "documents").select("doc_id", "source", "text")
+    feed = str(tmp_path / "feed")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+    # second file OVERLAPS the first (doc_id % 3 == 0 evens reappear)
+    docs.filter(
+        (F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 3 == 0)
+    ).coalesce(1).write.mode("append").parquet(feed)
+
+    sdir = str(tmp_path / "silver_stream")
+    q = silver.stream_materialize(
+        spark, feed, sdir, str(tmp_path / "ck")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    full = str(tmp_path / "silver_full")
+    silver.materialize_silver(spark, docs, full, incremental=False)
+    for t in ("doc_shingles", "minhash_bands", "decontam_grams"):
+        got = _rows(spark.read.parquet(os.path.join(sdir, t)))
+        want = _rows(spark.read.parquet(os.path.join(full, t)))
+        assert got == want, t
