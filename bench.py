@@ -128,6 +128,7 @@ HEADLINE = [
     "minhash_lsh_dedup_silver",
     "setjoin_prefix_jaccard_silver",
     "decontamination_ngram_silver",
+    "k_anonymity_audit",
     "grouping_sets_revenue",
     "ohlc_hourly",
     "hll_distinct_pinned",
