@@ -35,6 +35,15 @@ from typing import Iterable, Mapping
 #: How many entries the driver's correctness harness checks per round.
 WINDOW = 50
 
+#: Queries whose BEHAVIOR changed after their latest passing driver row,
+#: so the existing evidence hash no longer reflects HEAD.  They jump the
+#: staleness queue (right behind never-verified queries) until a fresh
+#: row lands, at which point they should be removed from this set.
+#: - ohlc_hourly: r7 replaced the collision-bounded BIGINT ordering fold
+#:   with a struct(off, event_id) key (VERDICT r7 mandate #6); its last
+#:   driver row is r6 under the OLD key.
+FORCE_FRONT: frozenset[str] = frozenset({"ohlc_hourly"})
+
 
 def repo_root() -> str:
     return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -102,7 +111,17 @@ def compute_priority(
     if verified_rounds is None:
         verified_rounds = load_verified_rounds()
     names = list(registered)
-    ranked = sorted(names, key=lambda n: verified_rounds.get(n, -1))
+    # Never-verified < behavior-changed (FORCE_FRONT) < stalest round first.
+    ranked = sorted(
+        names,
+        key=lambda n: (
+            -1.0
+            if n not in verified_rounds
+            else -0.5
+            if n in FORCE_FRONT
+            else float(verified_rounds[n])
+        ),
+    )
     return ranked[:window]
 
 
