@@ -140,6 +140,8 @@ HEADLINE = [
     "bpe_encode_stats",
     "knn_graph_triangles",
     "repeated_span_fraction",
+    # round-8: exact blocked-GEMM scale path for the near-dup join
+    "embedding_near_dup_blocked",
     # reference view library (Ekubo-shaped derivation + real view plan)
     "v01_pool_states",
     "v07_last_24h_pool_stats",

@@ -276,9 +276,9 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_near_dup",
-    oracle=f"""
+#: Shared by the theta-join baseline and its blocked-GEMM twin — both
+#: compute the identical exact result set.
+_NEAR_DUP_ORACLE = f"""
     WITH v AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS ev,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS en
@@ -288,11 +288,19 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(list_dot_product(a.ev, b.ev) / (a.en * b.en), 4) AS sim
     FROM v a JOIN v b ON a.vec_id < b.vec_id
     WHERE ROUND(list_dot_product(a.ev, b.ev) / (a.en * b.en), 4) >= {NEAR_DUP_SIM}
-    """,
+    """
+
+
+@register(
+    "embedding_near_dup",
+    oracle=_NEAR_DUP_ORACLE,
     doc="Embedding-cosine near-duplicate pairs (a<b ordering; the corpus "
-    f"is near-random so the threshold {NEAR_DUP_SIM} marks the top tail). "
-    "Scale path: LSH-bucket candidates first "
-    "(operators.similarity) so the pairwise join is per-bucket.",
+    f"is near-random so the threshold {NEAR_DUP_SIM} marks a 3.2-sigma "
+    "tail). NEGATIVE-CONTROL BASELINE: the theta join is a "
+    "BroadcastNestedLoopJoin evaluating a per-row Catalyst fold — kept "
+    "as the semantic reference the scale path is pinned against. The "
+    "scale path is embedding_near_dup_blocked (exact blocked GEMM); "
+    "LSH banding is NOT lossless this deep in the tail (SCALE.md 6n).",
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
@@ -313,6 +321,26 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sim") >= NEAR_DUP_SIM)
         .select("a_id", "b_id", "a_label", "b_label", "sim")
     )
+
+
+@register(
+    "embedding_near_dup_blocked",
+    oracle=_NEAR_DUP_ORACLE,
+    doc="Exact blocked-GEMM twin of embedding_near_dup (VERDICT r7 "
+    "mandate #2): block-partitioned cogroup tiles, one numpy GEMM per "
+    "(bi <= bj) block pair, threshold scan emits only qualifying "
+    "pairs. Same oracle as the baseline — the result set is identical "
+    "by construction (tests/test_operators.py pins equality, incl. "
+    "n_blocks 1/3/8 tiling variants). See "
+    "operators.similarity.blocked_cosine_pairs for the 100 TB story "
+    "and the written-out argument for why LSH banding cannot be "
+    "lossless at a 3.2-sigma threshold.",
+)
+def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import blocked_cosine_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    return blocked_cosine_pairs(emb, NEAR_DUP_SIM)
 
 
 @register(

@@ -884,3 +884,40 @@ class TestEditDistJoin:
         want = {(r["id_a"], r["id_b"], r["dist"]) for r in brute.collect()}
         assert got == want
         assert len(got) > 0  # the corpus must actually exercise the join
+
+
+class TestBlockedCosineJoin:
+    def test_tiling_lossless_vs_theta_baseline(self, spark):
+        """The blocked-GEMM join must reproduce the theta-join baseline
+        exactly — for every tiling, including n_blocks=1 (one diagonal
+        tile: pure upper-triangle path) and n_blocks=3 (uneven blocks,
+        exercises off-diagonal orientation normalization + label swap)."""
+        from starknet_indexer_spark.operators.similarity import blocked_cosine_pairs
+        from starknet_indexer_spark.queries.pipeline_similarity import (
+            NEAR_DUP_SIM,
+            embedding_near_dup,
+        )
+
+        def key(rows):
+            return {
+                (r["a_id"], r["b_id"], r["a_label"], r["b_label"], r["sim"])
+                for r in rows
+            }
+
+        want = key(embedding_near_dup(spark, SF_DIR).collect())
+        assert len(want) > 0  # corpus must exercise the join
+        emb = load(spark, SF_DIR, "embeddings")
+        for nb in (1, 3, 8):
+            got = key(blocked_cosine_pairs(emb, NEAR_DUP_SIM, n_blocks=nb).collect())
+            assert got == want, f"n_blocks={nb}"
+        # orientation invariant: a_id strictly below b_id everywhere
+        assert all(a < b for (a, b, *_) in want), "a_id < b_id"
+
+    def test_high_threshold_empty(self, spark):
+        """No pair in the near-random corpus reaches 0.99 — the kernel's
+        empty-tile path must produce a clean empty frame, not a numpy
+        shape error."""
+        from starknet_indexer_spark.operators.similarity import blocked_cosine_pairs
+
+        emb = load(spark, SF_DIR, "embeddings")
+        assert blocked_cosine_pairs(emb, 0.99).count() == 0
