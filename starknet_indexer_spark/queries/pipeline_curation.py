@@ -121,7 +121,9 @@ from .registry import register
     "already-verified operator (same flags, same pair graph, same "
     "tie-breaks), and the whole composition is one declarative plan "
     "value-hash-checked against a single DuckDB CTE mirror including "
-    "the recursive transitive closure.",
+    "the recursive transitive closure. The near-dup pair graph reads "
+    "the materialized silver relations (via dedup_components -> "
+    "minhash_lsh_dedup_silver) rather than re-shingling the corpus.",
 )
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(

@@ -607,7 +607,11 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
-    pairs = minhash_lsh_dedup(spark, sf_dir)
+    # silver-backed pair source (VERDICT r7 mandate #3): identical
+    # output to minhash_lsh_dedup, but the shingle/band chain comes
+    # from the materialized silver relations instead of being
+    # re-derived from raw text (5.5x on the pair stage, SCALE.md 6j-pre)
+    pairs = minhash_lsh_dedup_silver(spark, sf_dir)
     comp = connected_components(pairs, src="a_id", dst="b_id")
     return comp.select(
         F.col("id").alias("doc_id"),
@@ -665,7 +669,8 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     docs = load(spark, sf_dir, "documents")
-    pairs = minhash_lsh_dedup(spark, sf_dir)
+    # silver-backed pair source — see dedup_components
+    pairs = minhash_lsh_dedup_silver(spark, sf_dir)
     comp = connected_components(pairs, src="a_id", dst="b_id").select(
         F.col("id").alias("doc_id"), "component"
     )
