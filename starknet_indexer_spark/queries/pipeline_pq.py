@@ -383,23 +383,105 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: bump when the IVF-PQ training derivation changes (invalidates cached
+#: codebook artifacts)
+IVFPQ_ARTIFACT_VERSION = "v1"
+
+
+def _train_ivfpq(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Train the coarse quantizer + residual PQ codebooks — the ONE
+    definition (ensure_ivfpq_codebooks persists exactly this; the
+    search path reads the artifact). Integer-exact, so a parquet
+    round-trip reproduces training bit-for-bit."""
+    from ..operators.clustering import kmeans_assign, kmeans_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", quantize_expr(F.col("embedding")).alias("qv"))
+    init = vecs.filter(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cluster_id"), F.col("qv").alias("cv")
+    )
+    cells = kmeans_centroids(vecs, init, IVF_UPDATES)
+    assigned = kmeans_assign(vecs, cells).select("vec_id", "qv", "cluster")
+    resid = (
+        assigned.join(
+            F.broadcast(cells.select(F.col("cluster_id").alias("cluster"), "cv")),
+            "cluster",
+        )
+        .select("vec_id", F.zip_with("qv", "cv", lambda x, y: x - y).alias("qv"))
+    )
+    books = pq_codebooks(resid, PQ_DIM, PQ_M, PQ_K, PQ_UPDATES)
+    return cells, books
+
+
+def ensure_ivfpq_codebooks(spark: SparkSession, sf_dir: str) -> str:
+    """Content-keyed artifact cache for the IVF-PQ training outputs
+    (VERDICT r7 mandate #4). At deployment scale codebook training is
+    an OFFLINE artifact — a sampled k-means fit persisted alongside the
+    index and refreshed when the corpus drifts — not part of every
+    search plan. This mirrors silver.ensure_silver: key =
+    sha256(embeddings.parquet bytes) + every training hyperparameter +
+    a derivation version; a _READY sentinel makes a crashed half-write
+    rebuild. Lives under SILVER_CACHE_ROOT so bench's clear_cache()
+    cold-timing reset covers it too. The artifact is tiny
+    (IVF_CELLS cell rows + M x K codebook rows); training is
+    integer-exact, so cached-vs-retrained search results are
+    hash-identical (pinned in tests/test_silver.py)."""
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+
+    from ..silver import SILVER_CACHE_ROOT, _corpus_digest
+
+    digest = _corpus_digest(_os.path.join(sf_dir, "embeddings.parquet"))
+    params = (
+        f"ivfpq:{digest}:{IVFPQ_ARTIFACT_VERSION}:{IVF_CELLS}:{IVF_UPDATES}"
+        f":{PQ_DIM}:{PQ_M}:{PQ_K}:{PQ_UPDATES}:{QUANT_SCALE}"
+    )
+    key = _hashlib.md5(params.encode()).hexdigest()[:16]
+    d = _os.path.join(SILVER_CACHE_ROOT, f"ivfpq_{key}")
+    ready = _os.path.join(d, "_READY")
+    if not _os.path.exists(ready):
+        _shutil.rmtree(d, ignore_errors=True)
+        cells, books = _train_ivfpq(spark, sf_dir)
+        cells.write.mode("overwrite").parquet(_os.path.join(d, "ivf_cells"))
+        for m, b in enumerate(books):
+            b.write.mode("overwrite").parquet(_os.path.join(d, f"pq_book_{m}"))
+        with open(ready, "w") as f:
+            f.write("ok")
+    return d
+
+
+def _load_ivfpq_codebooks(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame]]:
+    import os as _os
+
+    root = ensure_ivfpq_codebooks(spark, sf_dir)
+    cells = spark.read.parquet(_os.path.join(root, "ivf_cells"))
+    books = [
+        spark.read.parquet(_os.path.join(root, f"pq_book_{m}"))
+        for m in range(PQ_M)
+    ]
+    return cells, books
+
+
 def _ivfpq_adc_dists(
     spark: SparkSession, sf_dir: str, nprobe: int
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared IVF-PQ ADC pipeline: returns (dists, q, vecs) where
     ``dists`` is (query_id, neighbor_id, d2) over the probe-limited
     candidate set, ``q`` the query batch (query_id, qv), ``vecs`` the
-    quantized corpus (vec_id, qv)."""
-    from ..operators.clustering import kmeans_assign, kmeans_centroids
+    quantized corpus (vec_id, qv). Cells + codebooks come from the
+    persisted training artifact (ensure_ivfpq_codebooks) — the search
+    plan is assignment + encode + probe + ADC only."""
+    from ..operators.clustering import kmeans_assign
 
     emb = load(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", quantize_expr(F.col("embedding")).alias("qv"))
 
-    # coarse quantizer
-    init = vecs.filter(F.col("vec_id") < IVF_CELLS).select(
-        F.col("vec_id").alias("cluster_id"), F.col("qv").alias("cv")
-    )
-    cells = kmeans_centroids(vecs, init, IVF_UPDATES)
+    cells, books = _load_ivfpq_codebooks(spark, sf_dir)
     assigned = kmeans_assign(vecs, cells).select("vec_id", "qv", "cluster")
 
     # residual encode (map-only: broadcast cell centroids)
@@ -414,7 +496,6 @@ def _ivfpq_adc_dists(
             F.zip_with("qv", "cv", lambda x, y: x - y).alias("qv"),
         )
     )
-    books = pq_codebooks(resid.select("vec_id", "qv"), PQ_DIM, PQ_M, PQ_K, PQ_UPDATES)
     codes = pq_encode(resid.select("vec_id", "qv"), books, PQ_DIM)
 
     # reconstruct: cell centroid + decoded residual
