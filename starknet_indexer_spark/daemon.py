@@ -278,7 +278,19 @@ def run_indexer(
         listener = _BootListener()
         try:
             spark.streams.addListener(listener)
-        except Exception:  # noqa: BLE001 — watchdog still arms via foreachBatch
+        except Exception as exc:  # noqa: BLE001 — watchdog still arms via foreachBatch
+            # ADVICE r7: the degraded mode (no idle-event arming — a
+            # feed dead FROM THE START never stalls out) must be
+            # diagnosable, not silent
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "streaming listener registration failed (%s: %s); liveness "
+                "watchdog arms only via foreachBatch — an idle-from-boot "
+                "feed will not trigger the stall timeout",
+                type(exc).__name__,
+                exc,
+            )
             listener = None
 
         def watch() -> None:

@@ -250,8 +250,8 @@ EWMA_K = 20
       GROUP BY cur.event_type, cur.hour, cur.ts, cur.event_id
     )
     SELECT event_type, hour,
-           arg_max(CAST(ROUND(1000000 * (CAST(num AS DOUBLE)
-                                         / CAST(den AS DOUBLE))) AS BIGINT),
+           arg_max(CAST(FLOOR(1000000 * (CAST(num AS DOUBLE)
+                                         / CAST(den AS DOUBLE)) + 0.5) AS BIGINT),
                    (epoch_us(ts) - epoch_us(hour)) * 1000000 + event_id)
              AS close_ewma_micro,
            CAST(COUNT(*) AS BIGINT) AS n_rows
@@ -331,9 +331,13 @@ def ewma_hourly_close(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(weight).cast("bigint").alias("den"),
         )
     )
-    ewma_micro = F.round(
+    # FLOOR(x + 0.5), not round(): the dyadic den makes exact .5
+    # quotients REACHABLE, and Spark/DuckDB round() halfway rules
+    # differ per type (ADVICE r7 — same idiom as decontamination_ngram)
+    ewma_micro = F.floor(
         F.lit(1000000)
         * (F.col("num").cast("double") / F.col("den").cast("double"))
+        + F.lit(0.5)
     ).cast("bigint")
     ordk = F.struct(
         (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("hour"))).alias("off"),

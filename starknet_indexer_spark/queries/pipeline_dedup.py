@@ -813,6 +813,11 @@ def decontamination_ngram_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = ensure_silver(spark, sf_dir)
     grams = spark.read.parquet(os.path.join(root, "decontam_grams"))
     train = grams.filter(F.col("source") != EVAL_SOURCE).select("gh").distinct()
+    # The eval-side DISTINCT on (doc_id, gh) would also collapse a
+    # WITHIN-doc 60-bit md5 collision the re-deriving twin counts as
+    # two rows (ADVICE r7) — adjudicated acceptable at ~2^-60 odds per
+    # doc; revisit via a (doc_id, gram-position) write-time identity
+    # key if the relation ever needs exact multiplicity
     ev = grams.filter(F.col("source") == EVAL_SOURCE).select("doc_id", "gh").distinct()
     hit = F.sum(F.when(F.col("t_gh").isNotNull(), 1).otherwise(0)).cast("bigint")
     return (

@@ -77,12 +77,12 @@ _TOKS_SQL = r"""
     ),
     w AS (
       SELECT d.f,
-             CAST(ROUND({MICRO} * (
+             CAST(FLOOR({MICRO} * (
                LN(CAST(COALESCE(t.tc, 0) + 1 AS DOUBLE)
                   / CAST(tots.tt + {N_FEATURES} AS DOUBLE))
                - LN(CAST(COALESCE(r.rc, 0) + 1 AS DOUBLE)
                     / CAST(tots.tr + {N_FEATURES} AS DOUBLE))
-             )) AS BIGINT) AS w_micro
+             ) + 0.5) AS BIGINT) AS w_micro
       FROM (SELECT DISTINCT f FROM feat) d
       LEFT JOIN tgt t USING (f)
       LEFT JOIN rawc r USING (f)
@@ -134,7 +134,9 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tots))
         .select(
             "f",
-            F.round(
+            # FLOOR(x + 0.5), not round(): engine halfway rules differ
+            # (ADVICE r7 — same idiom as decontamination_ngram)
+            F.floor(
                 F.lit(MICRO)
                 * (
                     F.log(
@@ -146,6 +148,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / (F.col("tr") + N_FEATURES).cast("double")
                     )
                 )
+                + F.lit(0.5)
             )
             .cast("bigint")
             .alias("w_micro"),

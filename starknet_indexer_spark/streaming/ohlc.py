@@ -40,6 +40,9 @@ from . import state_table
 
 N_BUCKETS = 16
 
+#: state_dirs already confirmed struct-keyed (migration probe memo)
+_MIGRATED_DIRS: set[str] = set()
+
 _EMPTY_DDL = (
     "event_type string, hour timestamp,"
     " open_ordk struct<off:bigint,eid:bigint>, open double,"
@@ -73,11 +76,22 @@ def migrate_legacy_ordk_state(spark: SparkSession, state_dir: str) -> bool:
     ``eid = ordk % 1e6``, committed as a new generation carrying the
     SAME epoch token (replay semantics unchanged). Returns True when a
     migration ran."""
+    # ADVICE r7: the dtype probe (a parquet read + schema inspection of
+    # the live generation) ran on EVERY micro-batch, long after any
+    # migration completed. Once a state_dir is observed non-legacy it
+    # can never become legacy again within this process (only this
+    # module writes it, always struct-keyed), so memoize per state_dir.
+    if state_dir in _MIGRATED_DIRS:
+        return False
     d = state_table.current_gen_dir(state_dir)
     if d is None:
+        # empty state: nothing to migrate, and the first merge writes
+        # struct-keyed rows — safe to memoize
+        _MIGRATED_DIRS.add(state_dir)
         return False
     df = spark.read.parquet(d)
     if dict(df.dtypes).get("open_ordk") != "bigint":
+        _MIGRATED_DIRS.add(state_dir)
         return False
 
     def unfold(col: str):
@@ -104,6 +118,7 @@ def migrate_legacy_ordk_state(spark: SparkSession, state_dir: str) -> bool:
     state_table.commit_generation(
         state_dir, conv, affected=affected, token=state_table.applied_token(state_dir)
     )
+    _MIGRATED_DIRS.add(state_dir)
     return True
 
 

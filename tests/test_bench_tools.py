@@ -32,3 +32,97 @@ def test_compact_stdout_line_fits_driver_tail_capture():
     small = {"q1": 1.0}
     c2 = dict(compact, queries=small)
     assert json.loads(compact_stdout_line(c2, small, budget=1800))["queries"] == small
+
+
+def test_compact_line_sheds_fixed_fields_when_oversized():
+    """ADVICE r7: fixed fields alone exceeding the budget must not fall
+    through with an unparseable oversized line — optional fields shed
+    until the line fits."""
+    import json
+
+    from bench import compact_stdout_line
+
+    compact = {
+        "metric": "m",
+        "value": 1.0,
+        "unit": "sec",
+        "queries": {"q1": 1.0},
+        "sf": 0.1,
+        "diff_error": "E" * 5000,  # fixed field bigger than the budget
+    }
+    line = compact_stdout_line(compact, {"q1": 1.0}, budget=1800)
+    assert len(line) <= 1800
+    doc = json.loads(line)
+    assert doc["truncated"] is True
+    assert "diff_error" not in doc
+
+
+def test_compare_drift_adjudication(tmp_path):
+    """VERDICT r7 mandate #5: uniform session drift with unchanged plan
+    fingerprints must be suppressed; a same-plan hard (>2x adjusted)
+    regression and a plan-changed >1.5x regression must survive."""
+    import json
+
+    from bench import compare
+
+    names = [f"q{i}" for i in range(12)]
+    base_q = {n: 1.0 for n in names}
+    fps_base = {n: "1/1/1/1/yes" for n in names}
+    # current run: uniform 1.6x drift on 10 queries, one same-plan 4x
+    # (survives: 4/1.6 = 2.5 > hard 2.0), one plan-changed 2.56x
+    # (survives: 1.6x adjusted > 1.5 with changed plan)
+    cur_q = {n: 1.6 for n in names}
+    cur_q["q0"] = 4.0
+    cur_q["q1"] = 2.56
+    fps_cur = dict(fps_base)
+    fps_cur["q1"] = "2/1/1/1/yes"
+    bp = tmp_path / "base.json"
+    cp = tmp_path / "cur.json"
+    bp.write_text(json.dumps(
+        {"queries": base_q, "plan_fp": fps_base, "run_ordinal": 1,
+         "machine_idle": True}))
+    cp.write_text(json.dumps(
+        {"queries": cur_q, "plan_fp": fps_cur, "run_ordinal": 4,
+         "machine_idle": True}))
+    import io
+
+    buf = io.StringIO()
+    rc = compare(str(bp), str(cp), out=buf)
+    report = buf.getvalue()
+    assert rc == 1
+    # the two real regressions survive
+    assert "| q0 | 1.000 | 4.000 |" in report and "REGRESSION" in report
+    assert "| q1 | 1.000 | 2.560 |" in report
+    # the drifted-but-same-plan queries are suppressed, visibly
+    assert "suppressed" in report
+    assert report.count("REGRESSION") == 2
+    # pure drift with NO flags at all: clean exit
+    cur2 = {n: 1.45 for n in names}
+    cp2 = tmp_path / "cur2.json"
+    cp2.write_text(json.dumps({"queries": cur2, "plan_fp": fps_base}))
+    buf2 = io.StringIO()
+    assert compare(str(bp), str(cp2), out=buf2) == 0
+
+
+def test_compare_drift_suppression_without_fingerprints(tmp_path):
+    """Older baselines (driver BENCH_r{N}.json) carry no plan_fp —
+    drift adjustment alone must clear uniform-drift false flags, and a
+    beyond-drift regression must still flag."""
+    import io
+    import json
+
+    from bench import compare
+
+    names = [f"q{i}" for i in range(12)]
+    bp = tmp_path / "base.json"
+    bp.write_text(json.dumps({"queries": {n: 1.0 for n in names}}))
+    cur = {n: 1.7 for n in names}  # >1.5x everywhere, pure drift
+    cur["q0"] = 3.4  # 2.0x adjusted -> survives (plans unknown)
+    cp = tmp_path / "cur.json"
+    cp.write_text(json.dumps({"queries": cur}))
+    buf = io.StringIO()
+    rc = compare(str(bp), str(cp), out=buf)
+    report = buf.getvalue()
+    assert rc == 1
+    assert report.count("REGRESSION") == 1
+    assert "q0" in report

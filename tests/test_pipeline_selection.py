@@ -37,6 +37,13 @@ def _round_half_away(x: float) -> int:
     return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
 
 
+def _floor_half_up(x: float) -> int:
+    """Mirror the engines' FLOOR(x + 0.5) micro-unit quantization (the
+    cross-engine-safe idiom — ADVICE r7 moved ewma/dsir onto it; it
+    rounds halves toward +inf, unlike ROUND's away-from-zero)."""
+    return int(math.floor(x + 0.5))
+
+
 def _tokens(text: str) -> list[str]:
     return [t for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).split(" ") if t]
 
@@ -67,7 +74,7 @@ class TestDsirReference:
         )
         tt, tr = sum(tgt.values()), sum(raw.values())
         w = {
-            f: _round_half_away(
+            f: _floor_half_up(
                 MICRO
                 * (
                     math.log((tgt.get(f, 0) + 1) / (tt + N_FEATURES))
@@ -161,7 +168,7 @@ class TestEwmaReference:
                 den = sum(
                     2 ** (EWMA_K - (i - j)) for j in range(lo, i + 1)
                 )
-                em = _round_half_away(1_000_000 * (num / den))
+                em = _floor_half_up(1_000_000 * (num / den))
                 t = ts_ns[i]  # pandas Timestamp (ns)
                 hour = t.floor("h")
                 key = (etype, hour.to_pydatetime())
