@@ -141,8 +141,11 @@ HEADLINE = [
     "bpe_encode_stats",
     "knn_graph_triangles",
     "repeated_span_fraction",
-    # round-8: exact blocked-GEMM scale path for the near-dup join
+    # round-8: exact blocked-GEMM scale path for the near-dup join,
+    # learned-filter classifier + exact AUC calibration
     "embedding_near_dup_blocked",
+    "nb_lang_classifier",
+    "filter_auc_by_lang",
     # reference view library (Ekubo-shaped derivation + real view plan)
     "v01_pool_states",
     "v07_last_24h_pool_stats",

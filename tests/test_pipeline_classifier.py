@@ -1,0 +1,167 @@
+"""Independent references for the classifier / calibration operators:
+a planted-signal corpus proving the NB classifier separates classes
+when the text actually carries the label, and pure-Python mirrors of
+the exact integer math for both queries on real test data.
+"""
+
+from __future__ import annotations
+
+import collections
+import hashlib
+import math
+import re
+
+import pyarrow.parquet as pq
+
+from starknet_indexer_spark.queries.pipeline_classifier import (
+    MICRO,
+    NB_FEATURES,
+    filter_auc_by_lang,
+    nb_lang_classifier,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).split(" ") if t]
+
+
+def _hash60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _floor_half_up(x: float) -> int:
+    return int(math.floor(x + 0.5))
+
+
+def _nb_confusion(rows: list[tuple[int, str, str]]) -> dict:
+    """Pure-Python mirror of nb_lang_classifier's exact integer math.
+    rows = (doc_id, lang, text)."""
+    feats: dict[int, list[int]] = {}
+    langs: dict[int, str] = {}
+    for doc_id, lang, text in rows:
+        fs = [_hash60(t) % NB_FEATURES for t in _tokens(text)]
+        if not fs:
+            continue
+        feats[doc_id] = fs
+        langs[doc_id] = lang
+    classes = sorted({v for v in langs.values()})
+    n_docs = collections.Counter(langs.values())
+    n_tok = collections.Counter()
+    cf: dict[tuple[str, int], int] = collections.Counter()
+    global_f = set()
+    for d, fs in feats.items():
+        n_tok[langs[d]] += len(fs)
+        for f in fs:
+            cf[(langs[d], f)] += 1
+            global_f.add(f)
+    n = sum(n_docs.values())
+    w = {
+        (c, f): _floor_half_up(
+            MICRO * math.log((cf.get((c, f), 0) + 1) / (n_tok[c] + NB_FEATURES))
+        )
+        for c in classes
+        for f in global_f
+    }
+    prior = {
+        c: _floor_half_up(MICRO * math.log(n_docs[c] / n)) for c in classes
+    }
+    confusion = collections.Counter()
+    for d, fs in feats.items():
+        tf = collections.Counter(fs)
+        best = max(
+            classes,
+            key=lambda c: (
+                prior[c] + sum(k * w[(c, f)] for f, k in tf.items()),
+                # score desc, class asc: max() keys need class reversed
+                tuple(-ord(ch) for ch in c),
+            ),
+        )
+        confusion[(langs[d], best)] += 1
+    return dict(confusion)
+
+
+class TestNbClassifier:
+    def test_planted_vocabulary_separates(self, spark):
+        """When text carries the label (class-specific vocabulary +
+        shared noise), the confusion matrix is diagonal — the
+        classifier demonstrably learns; on the real synthetic corpus
+        (labels independent of text) it correctly collapses to the
+        majority prior, which this test distinguishes from 'broken'."""
+        rows = []
+        vocab = {
+            "aa": "alpha beta gamma delta",
+            "bb": "epsilon zeta eta theta",
+            "cc": "iota kappa lambda mu",
+        }
+        noise = "common shared words everywhere"
+        i = 0
+        for lang, words in vocab.items():
+            for k in range(12):
+                rows.append((i, lang, f"{words} {noise} {words} tail{k % 3}"))
+                i += 1
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        import starknet_indexer_spark.queries.pipeline_classifier as mod
+        from starknet_indexer_spark import catalog
+
+        orig = catalog.load
+        try:
+            # route the query's load() to the planted frame
+            mod.load = lambda _s, _d, _n: df
+            got = {
+                (r["lang"], r["predicted"]): r["n_docs"]
+                for r in nb_lang_classifier(spark, SF_DIR).collect()
+            }
+        finally:
+            mod.load = orig
+        assert got == {("aa", "aa"): 12, ("bb", "bb"): 12, ("cc", "cc"): 12}
+        # and the pure-Python mirror agrees on the planted corpus too
+        assert _nb_confusion(rows) == got
+
+    def test_matches_pure_python_on_corpus(self, spark):
+        docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas().dropna(
+            subset=["text", "lang"]
+        )
+        rows = [
+            (int(r["doc_id"]), r["lang"], r["text"]) for _, r in docs.iterrows()
+        ]
+        want = _nb_confusion(rows)
+        got = {
+            (r["lang"], r["predicted"]): r["n_docs"]
+            for r in nb_lang_classifier(spark, SF_DIR).collect()
+        }
+        assert got == want
+
+
+class TestAucReference:
+    def test_matches_pairwise_definition(self, spark):
+        """The rank-sum AUC must equal the O(n^2) pairwise definition
+        (P(score_pos > score_neg) + 0.5*P(tie)) on the real corpus."""
+        docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas().dropna(
+            subset=["text", "lang"]
+        )
+        scores, langs = [], []
+        for _, r in docs.iterrows():
+            toks = _tokens(r["text"])
+            if not toks:
+                continue
+            scores.append(
+                _floor_half_up(MICRO * sum(len(t) for t in toks) / len(toks))
+            )
+            langs.append(r["lang"])
+        got = {
+            r["lang"]: (r["n_pos"], r["n_neg"], r["auc_ppm"])
+            for r in filter_auc_by_lang(spark, SF_DIR).collect()
+        }
+        for cls in sorted(set(langs)):
+            pos = [s for s, la in zip(scores, langs) if la == cls]
+            neg = [s for s, la in zip(scores, langs) if la != cls]
+            wins = sum(1 for p in pos for q in neg if p > q)
+            ties = sum(1 for p in pos for q in neg if p == q)
+            auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+            assert got[cls] == (
+                len(pos),
+                len(neg),
+                _floor_half_up(MICRO * auc),
+            ), cls
