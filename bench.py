@@ -146,6 +146,7 @@ HEADLINE = [
     "embedding_near_dup_blocked",
     "nb_lang_classifier",
     "filter_auc_by_lang",
+    "ann_recall_eval",
     # reference view library (Ekubo-shaped derivation + real view plan)
     "v01_pool_states",
     "v07_last_24h_pool_stats",

@@ -713,3 +713,103 @@ def ann_topk_rp_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+def _ann_recall_eval_oracle() -> str:
+    """Gold (exact cosine top-k) and system (IVF top-k) CTE chains
+    composed into one mirror — the same reuse the Spark side gets by
+    calling the two registered operators."""
+    ivf = _ann_ivf_oracle().strip()
+    # the IVF oracle is a full SELECT with its own WITH-chain; embed its
+    # CTE list and final SELECT as the `sys` relation
+    assert ivf.startswith("WITH ")
+    ivf_body = ivf[len("WITH "):]
+    idx = ivf_body.rindex("SELECT query_id, neighbor_id, sim, rank FROM (")
+    ivf_ctes, ivf_final = ivf_body[:idx].rstrip().rstrip(","), ivf_body[idx:]
+    return f"""
+    WITH {ivf_ctes},
+    sys AS ({ivf_final}),
+    gold AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY ROUND(list_dot_product(q.ev, c.ev)
+                                / (q.en * c.en), 4) DESC,
+                          c.vec_id) AS rank
+        FROM v q JOIN v c ON q.vec_id < {N_QUERIES}
+                         AND c.vec_id <> q.vec_id
+      ) WHERE rank <= {TOP_K}
+    ),
+    hits AS (
+      SELECT g.query_id,
+             CAST(COUNT(s.neighbor_id) AS BIGINT) AS n_hit
+      FROM gold g LEFT JOIN sys s
+        ON s.query_id = g.query_id AND s.neighbor_id = g.neighbor_id
+      GROUP BY g.query_id
+    ),
+    rr AS (
+      SELECT g.query_id,
+             CAST(COALESCE(FLOOR(1000000.0 / s.rank + 0.5), 0) AS BIGINT)
+               AS rr_micro
+      FROM gold g LEFT JOIN sys s
+        ON s.query_id = g.query_id AND s.neighbor_id = g.neighbor_id
+      WHERE g.rank = 1
+    )
+    SELECT h.query_id, h.n_hit,
+           CAST(FLOOR(1000000.0 * h.n_hit / {TOP_K} + 0.5) AS BIGINT)
+             AS recall_ppm,
+           rr.rr_micro
+    FROM hits h JOIN rr ON rr.query_id = h.query_id
+    """
+
+
+@register(
+    "ann_recall_eval",
+    oracle=_ann_recall_eval_oracle(),
+    doc="Retrieval-quality evaluation: per query, recall@5 and the "
+    "reciprocal rank of the TRUE nearest neighbor, measuring the IVF "
+    "index (ann_topk_ivf) against exact-cosine gold (ann_topk_cosine) "
+    "— the accept/reject gate every ANN index deployment runs before "
+    "serving, as a first-class query rather than a test assertion. "
+    "Composition of two already-verified operators (same plans); "
+    "metrics stay integer (hit counts; ppm/micro via FLOOR(x+0.5) at "
+    "the end). Scale shape: both branches are the verified operators' "
+    "plans; the eval join touches only the two top-k relations "
+    "(n_queries x k rows each — broadcast-sized at any corpus scale).",
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gold = ann_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id", "rank")
+    sys_ = ann_topk_ivf(spark, sf_dir).select(
+        F.col("query_id").alias("s_qid"),
+        F.col("neighbor_id").alias("s_nid"),
+        F.col("rank").alias("s_rank"),
+    )
+    matched = gold.join(
+        sys_,
+        (F.col("query_id") == F.col("s_qid"))
+        & (F.col("neighbor_id") == F.col("s_nid")),
+        "left",
+    )
+    hits = matched.groupBy("query_id").agg(
+        F.count("s_nid").cast("bigint").alias("n_hit")
+    )
+    rr = (
+        matched.filter(F.col("rank") == 1)
+        .select(
+            "query_id",
+            F.coalesce(
+                F.floor(F.lit(1000000.0) / F.col("s_rank") + F.lit(0.5)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("rr_micro"),
+        )
+    )
+    return hits.join(rr, "query_id").select(
+        "query_id",
+        "n_hit",
+        F.floor(F.lit(1000000.0) * F.col("n_hit") / TOP_K + F.lit(0.5))
+        .cast("bigint")
+        .alias("recall_ppm"),
+        "rr_micro",
+    )
