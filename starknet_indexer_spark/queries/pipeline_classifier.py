@@ -114,29 +114,73 @@ _NB_TOKS_SQL = r"""
     "exists, plus a pure-Python mirror of the exact integer math.",
 )
 def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    docs = load(spark, sf_dir, "documents")
+    feat = nb_features(docs)
+    counts = nb_count_partials(feat)
+    return nb_confusion_from_counts(counts, feat)
+
+
+#: sentinel feature id carrying per-class DOC counts in the unified
+#: (c, f, cnt) count relation — token features are always >= 0, and doc
+#: counts are additive across disjoint batches, which is what lets the
+#: streaming twin (streaming/nb_model.py) maintain the model as ONE
+#: mergeable state table
+DOC_COUNT_F = -1
+
+
+def nb_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, f) hashed-token feature stream — the one
+    definition the batch query and the streaming model maintainer
+    share."""
+    return (
+        docs.filter(F.col("text").isNotNull() & F.col("lang").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(tokens_expr(F.col("text"))).alias("token"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            (md5_hash60_expr(F.col("token")) % F.lit(NB_FEATURES)).alias("f"),
+        )
     )
-    feat = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(tokens_expr(F.col("text"))).alias("token"),
-    ).select(
-        "doc_id",
-        "lang",
-        (md5_hash60_expr(F.col("token")) % F.lit(NB_FEATURES)).alias("f"),
+
+
+def nb_count_partials(feat: DataFrame) -> DataFrame:
+    """The NB sufficient statistics of a doc batch as ONE additive
+    (c, f, cnt) relation: token-feature counts plus DOC_COUNT_F
+    sentinel rows with per-class doc counts. Additive because a doc
+    lives in exactly one batch — summing partials over any disjoint
+    batch split equals the whole-corpus counts (pinned in
+    tests/test_streaming_nb.py)."""
+    cf = feat.groupBy(F.col("lang").alias("c"), "f").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
+    nd = feat.groupBy(F.col("lang").alias("c")).agg(
+        F.countDistinct("doc_id").cast("bigint").alias("cnt")
+    ).select("c", F.lit(DOC_COUNT_F).cast("bigint").alias("f"), "cnt")
+    return cf.unionByName(nd)
+
+
+def nb_confusion_from_counts(counts: DataFrame, feat: DataFrame) -> DataFrame:
+    """Train (weights + priors) from the (c, f, cnt) count relation and
+    score the ``feat`` doc stream; returns the confusion matrix. The
+    count relation may come from a single batch pass (the registered
+    query) or from the stream-maintained model state — identical
+    results either way."""
     docf = feat.groupBy("doc_id", "lang", "f").agg(F.count(F.lit(1)).alias("tf"))
-    classes = feat.groupBy(F.col("lang").alias("c")).agg(
-        F.countDistinct("doc_id").alias("n_docs"),
-        F.count(F.lit(1)).alias("n_tok"),
+    classes = (
+        counts.groupBy("c")
+        .agg(
+            F.sum(F.when(F.col("f") == DOC_COUNT_F, F.col("cnt"))).alias("n_docs"),
+            F.sum(F.when(F.col("f") >= 0, F.col("cnt"))).alias("n_tok"),
+        )
     )
     tot = classes.agg(F.sum("n_docs").alias("n"))
-    cf = feat.groupBy(F.col("lang").alias("c"), "f").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    cf = counts.filter(F.col("f") >= 0)
     w = (
-        feat.select("f")
+        cf.select("f")
         .distinct()
         .crossJoin(F.broadcast(classes))
         .join(cf, ["f", "c"], "left")
