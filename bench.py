@@ -147,6 +147,8 @@ HEADLINE = [
     "nb_lang_classifier",
     "filter_auc_by_lang",
     "ann_recall_eval",
+    "cluster_silhouette",
+    "temperature_mix_allocation",
     # reference view library (Ekubo-shaped derivation + real view plan)
     "v01_pool_states",
     "v07_last_24h_pool_stats",

@@ -191,3 +191,111 @@ def semdedup_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         is_rep.cast("bigint").alias("is_rep"),
         (is_rep | (F.col("d2_rep") > SEMDEDUP_D2_MAX)).cast("bigint").alias("keep"),
     )
+
+
+@register(
+    "cluster_silhouette",
+    oracle=f"""
+    WITH {kmeans_cte_chain()},
+    d AS (
+      SELECT v.vec_id, c.cluster_id AS cid, {_D2_SQL} AS d2
+      FROM qv v, c{KMEANS_UPDATES} c
+    ),
+    r AS (
+      SELECT vec_id, cid, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM d
+    ),
+    ab AS (
+      SELECT a.vec_id, a.cid AS cluster, a.d2 AS a2, b.d2 AS b2
+      FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2
+    ),
+    s AS (
+      SELECT cluster,
+             CASE WHEN GREATEST(a2, b2) = 0 THEN 0
+                  ELSE CAST(FLOOR(1000000 * CAST(b2 - a2 AS DOUBLE)
+                                  / CAST(GREATEST(a2, b2) AS DOUBLE) + 0.5)
+                            AS BIGINT)
+             END AS s_ppm
+      FROM ab
+    )
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(FLOOR(CAST(SUM(s_ppm) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+             AS mean_sil_ppm
+    FROM s GROUP BY cluster
+    """,
+    doc="Cluster-quality audit: simplified (centroid-based) silhouette "
+    "per k-means cluster — s(i) = (b2-a2)/max(a2,b2) over SQUARED "
+    "distances to the own vs second-nearest trained centroid, the "
+    "standard O(nK) silhouette approximation (the exact form is an "
+    "O(n^2) all-pairs pass). The audit a clustering-driven pipeline "
+    "stage (SemDeDup, IVF cell sizing, diversity sampling) runs before "
+    "trusting its clusters. Integer-exact: quantized vectors make "
+    "every d2 a BIGINT; per-doc s is ppm-rounded (FLOOR(x+0.5)) before "
+    "the per-cluster mean so the aggregate is order-invariant. Scale "
+    "shape: the trained centroid set collapses to ONE broadcast array "
+    "row and both a2/b2 are array-fold minima INSIDE the scan "
+    "(map-only — the corpus is shuffled once, by cluster id, for the "
+    "final 16-row mean).",
+)
+def cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import dist2_expr, kmeans_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", quantize_expr(F.col("embedding")).alias("qv"))
+    init = vecs.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cluster_id"), F.col("qv").alias("cv")
+    )
+    cents = kmeans_centroids(vecs, init, KMEANS_UPDATES)
+    cent_arr = cents.agg(
+        F.collect_list(F.struct("cluster_id", "cv")).alias("cents")
+    )
+    # (d2, cid) structs: array_min's lexicographic struct order IS the
+    # (d2 asc, cluster asc) tie-break of the assignment oracle
+    dists = F.transform(
+        "cents",
+        lambda c: F.struct(
+            dist2_expr(F.col("qv"), c["cv"]).alias("d2"),
+            c["cluster_id"].alias("cid"),
+        ),
+    )
+    best = F.array_min(F.col("dists"))
+    scored = (
+        vecs.crossJoin(F.broadcast(cent_arr))
+        .withColumn("dists", dists)
+        .withColumn("best", best)
+        .withColumn(
+            "b2",
+            F.array_min(
+                F.filter(
+                    F.col("dists"),
+                    lambda x: x["cid"] != F.col("best")["cid"],
+                )
+            )["d2"],
+        )
+        .select(
+            F.col("best")["cid"].alias("cluster"),
+            F.col("best")["d2"].alias("a2"),
+            "b2",
+        )
+    )
+    s_ppm = F.when(F.greatest("a2", "b2") == 0, F.lit(0)).otherwise(
+        F.floor(
+            F.lit(1000000)
+            * (F.col("b2") - F.col("a2")).cast("double")
+            / F.greatest("a2", "b2").cast("double")
+            + F.lit(0.5)
+        ).cast("bigint")
+    )
+    return (
+        scored.select("cluster", s_ppm.alias("s_ppm"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.floor(
+                F.sum("s_ppm").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("mean_sil_ppm"),
+        )
+    )

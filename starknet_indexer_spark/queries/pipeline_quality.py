@@ -293,3 +293,115 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_neg_logprob"),
         )
     )
+
+
+#: temperature-mix token budget (tokens to allocate across sources)
+MIX_BUDGET = 1_000_000
+
+
+@register(
+    "temperature_mix_allocation",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(
+                 regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                 x -> x <> '')) AS token
+      FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+    ),
+    n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tok GROUP BY source),
+    -- alpha = 0.5 smoothing: sqrt is correctly rounded in IEEE-754, and
+    -- the weight is quantized to integer micro-units BEFORE any sum, so
+    -- the total is an exact BIGINT on both engines
+    w AS (
+      SELECT source, n_tokens,
+             CAST(FLOOR(1000000 * sqrt(CAST(n_tokens AS DOUBLE)) + 0.5) AS BIGINT)
+               AS wq
+      FROM n
+    ),
+    t AS (SELECT CAST(SUM(wq) AS BIGINT) AS tw, COUNT(*) AS n_src FROM w),
+    base AS (
+      SELECT w.source, w.n_tokens, w.wq, t.tw,
+             ({MIX_BUDGET} * w.wq) // t.tw AS floor_alloc,
+             ({MIX_BUDGET} * w.wq) % t.tw AS rem
+      FROM w CROSS JOIN t
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rr,
+             {MIX_BUDGET} - SUM(floor_alloc) OVER () AS leftover
+      FROM base
+    )
+    SELECT source, n_tokens,
+           CAST(FLOOR(1000000.0 * wq / tw + 0.5) AS BIGINT) AS weight_ppm,
+           CAST(floor_alloc + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS budget_tokens
+    FROM ranked
+    """,
+    doc="Temperature-scaled mixing allocation (the multilingual-LM "
+    "data recipe, Lample & Conneau 2019): per-source sampling weights "
+    "p_i = n_i^alpha / sum n_j^alpha with alpha=0.5, then an integer "
+    "token budget apportioned by largest remainder (Hamilton), so the "
+    "allocations are exact integers summing EXACTLY to the budget — "
+    "the number a downstream per-source sampler (weighted_sample_per_"
+    "source) consumes directly. Cross-engine exactness: sqrt is "
+    "correctly rounded in IEEE-754 and weights quantize to micro-units "
+    "BEFORE summation, so every later quantity is integer arithmetic; "
+    "ties in the remainder ranking break on source. Scale shape: one "
+    "corpus-sized token count (map-side combined); everything after "
+    "lives on the source-cardinality relation (a window over ~20 "
+    "rows). Complements source_mixing_sample (fixed per-source rates) "
+    "with the rate-SETTING step computed from the corpus itself.",
+)
+def temperature_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ..operators.dedup import tokens_expr
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    n = (
+        docs.select("source", F.explode(tokens_expr(F.col("text"))).alias("token"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
+    )
+    w = n.select(
+        "source",
+        "n_tokens",
+        F.floor(F.lit(1000000) * F.sqrt(F.col("n_tokens").cast("double")) + F.lit(0.5))
+        .cast("bigint")
+        .alias("wq"),
+    )
+    t = w.agg(F.sum("wq").cast("bigint").alias("tw"))
+    base = w.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_tokens",
+        "wq",
+        "tw",
+        (F.lit(MIX_BUDGET) * F.col("wq")).alias("q"),
+    ).select(
+        "source",
+        "n_tokens",
+        "wq",
+        "tw",
+        F.expr("q DIV tw").alias("floor_alloc"),
+        F.pmod("q", "tw").alias("rem"),
+    )
+    wr = W.orderBy(F.col("rem").desc(), "source")
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = base.withColumn("rr", F.row_number().over(wr)).withColumn(
+        "leftover", F.lit(MIX_BUDGET) - F.sum("floor_alloc").over(wall)
+    )
+    return ranked.select(
+        "source",
+        "n_tokens",
+        F.floor(F.lit(1000000.0) * F.col("wq") / F.col("tw") + F.lit(0.5))
+        .cast("bigint")
+        .alias("weight_ppm"),
+        (
+            F.col("floor_alloc")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("budget_tokens"),
+    )

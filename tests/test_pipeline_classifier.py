@@ -165,3 +165,32 @@ class TestAucReference:
                 len(neg),
                 _floor_half_up(MICRO * auc),
             ), cls
+
+
+class TestTemperatureMix:
+    def test_budget_exact_and_quota_respected(self, spark):
+        """Largest-remainder apportionment invariants: allocations sum
+        EXACTLY to the budget, and every source receives floor(share)
+        or ceil(share) of it (the quota property)."""
+        from starknet_indexer_spark.queries.pipeline_quality import (
+            MIX_BUDGET,
+            temperature_mix_allocation,
+        )
+
+        rows = temperature_mix_allocation(spark, SF_DIR).collect()
+        assert sum(r["budget_tokens"] for r in rows) == MIX_BUDGET
+        wq = {r["source"]: _floor_half_up(1e6 * math.sqrt(r["n_tokens"]))
+              for r in rows}
+        tw = sum(wq.values())
+        for r in rows:
+            exact = MIX_BUDGET * wq[r["source"]] / tw
+            assert math.floor(exact) <= r["budget_tokens"] <= math.ceil(exact), (
+                r["source"]
+            )
+        # alpha=0.5 flattens: the max/min weight ratio must be strictly
+        # below the raw token-count ratio (the point of temperature)
+        n = {r["source"]: r["n_tokens"] for r in rows}
+        if max(n.values()) > min(n.values()):
+            flat = max(wq.values()) / min(wq.values())
+            raw = max(n.values()) / min(n.values())
+            assert flat < raw
