@@ -145,7 +145,9 @@ _F_JOINS = "f0" + "".join(
 def pq_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", quantize_expr(F.col("embedding")).alias("qv"))
-    books = pq_codebooks(vecs, PQ_DIM, PQ_M, PQ_K, PQ_UPDATES)
+    # codebooks from the persisted training artifact (offline at
+    # deployment) — the encode pass itself stays map-only
+    books = _load_pq_codebooks(spark, sf_dir)
     return pq_encode(vecs, books, PQ_DIM)
 
 
@@ -199,7 +201,7 @@ def pq_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pq_ann_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", quantize_expr(F.col("embedding")).alias("qv"))
-    books = pq_codebooks(vecs, PQ_DIM, PQ_M, PQ_K, PQ_UPDATES)
+    books = _load_pq_codebooks(spark, sf_dir)
     codes = pq_encode(vecs, books, PQ_DIM)
 
     enc = attach_codebook_broadcasts(codes, books)
@@ -415,19 +417,19 @@ def _train_ivfpq(
     return cells, books
 
 
-def ensure_ivfpq_codebooks(spark: SparkSession, sf_dir: str) -> str:
-    """Content-keyed artifact cache for the IVF-PQ training outputs
-    (VERDICT r7 mandate #4). At deployment scale codebook training is
-    an OFFLINE artifact — a sampled k-means fit persisted alongside the
-    index and refreshed when the corpus drifts — not part of every
-    search plan. This mirrors silver.ensure_silver: key =
-    sha256(embeddings.parquet bytes) + every training hyperparameter +
-    a derivation version; a _READY sentinel makes a crashed half-write
-    rebuild. Lives under SILVER_CACHE_ROOT so bench's clear_cache()
-    cold-timing reset covers it too. The artifact is tiny
-    (IVF_CELLS cell rows + M x K codebook rows); training is
-    integer-exact, so cached-vs-retrained search results are
-    hash-identical (pinned in tests/test_silver.py)."""
+def _ensure_training_artifact(
+    spark: SparkSession, sf_dir: str, tag: str, params: str, writer
+) -> str:
+    """Content-keyed artifact cache for offline training outputs
+    (VERDICT r7 mandate #4). At deployment scale model training is an
+    OFFLINE artifact — a sampled fit persisted alongside the index and
+    refreshed when the corpus drifts — not part of every search plan.
+    Mirrors silver.ensure_silver: key = sha256(embeddings.parquet
+    bytes) + every training hyperparameter + a derivation version; a
+    _READY sentinel makes a crashed half-write rebuild. Lives under
+    SILVER_CACHE_ROOT so bench's clear_cache() cold-timing reset covers
+    it too. Training here is integer-exact, so cached-vs-retrained
+    results are hash-identical (pinned in tests/test_silver.py)."""
     import hashlib as _hashlib
     import os as _os
     import shutil as _shutil
@@ -435,22 +437,61 @@ def ensure_ivfpq_codebooks(spark: SparkSession, sf_dir: str) -> str:
     from ..silver import SILVER_CACHE_ROOT, _corpus_digest
 
     digest = _corpus_digest(_os.path.join(sf_dir, "embeddings.parquet"))
-    params = (
-        f"ivfpq:{digest}:{IVFPQ_ARTIFACT_VERSION}:{IVF_CELLS}:{IVF_UPDATES}"
-        f":{PQ_DIM}:{PQ_M}:{PQ_K}:{PQ_UPDATES}:{QUANT_SCALE}"
-    )
-    key = _hashlib.md5(params.encode()).hexdigest()[:16]
-    d = _os.path.join(SILVER_CACHE_ROOT, f"ivfpq_{key}")
+    key = _hashlib.md5(f"{tag}:{digest}:{params}".encode()).hexdigest()[:16]
+    d = _os.path.join(SILVER_CACHE_ROOT, f"{tag}_{key}")
     ready = _os.path.join(d, "_READY")
     if not _os.path.exists(ready):
         _shutil.rmtree(d, ignore_errors=True)
+        writer(d)
+        with open(ready, "w") as f:
+            f.write("ok")
+    return d
+
+
+def ensure_ivfpq_codebooks(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted IVF-PQ training: coarse cells + M residual codebooks
+    (tiny: IVF_CELLS rows + M x K rows)."""
+    import os as _os
+
+    def write(d: str) -> None:
         cells, books = _train_ivfpq(spark, sf_dir)
         cells.write.mode("overwrite").parquet(_os.path.join(d, "ivf_cells"))
         for m, b in enumerate(books):
             b.write.mode("overwrite").parquet(_os.path.join(d, f"pq_book_{m}"))
-        with open(ready, "w") as f:
-            f.write("ok")
-    return d
+
+    params = (
+        f"{IVFPQ_ARTIFACT_VERSION}:{IVF_CELLS}:{IVF_UPDATES}"
+        f":{PQ_DIM}:{PQ_M}:{PQ_K}:{PQ_UPDATES}:{QUANT_SCALE}"
+    )
+    return _ensure_training_artifact(spark, sf_dir, "ivfpq", params, write)
+
+
+def ensure_pq_codebooks(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted plain-PQ training (codebooks over the raw quantized
+    vectors — pq_encode_codes / pq_ann_adc_topk's model)."""
+    import os as _os
+
+    def write(d: str) -> None:
+        emb = load(spark, sf_dir, "embeddings")
+        vecs = emb.select("vec_id", quantize_expr(F.col("embedding")).alias("qv"))
+        for m, b in enumerate(pq_codebooks(vecs, PQ_DIM, PQ_M, PQ_K, PQ_UPDATES)):
+            b.write.mode("overwrite").parquet(_os.path.join(d, f"pq_book_{m}"))
+
+    params = (
+        f"{IVFPQ_ARTIFACT_VERSION}:{PQ_DIM}:{PQ_M}:{PQ_K}"
+        f":{PQ_UPDATES}:{QUANT_SCALE}"
+    )
+    return _ensure_training_artifact(spark, sf_dir, "pq", params, write)
+
+
+def _load_pq_codebooks(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    import os as _os
+
+    root = ensure_pq_codebooks(spark, sf_dir)
+    return [
+        spark.read.parquet(_os.path.join(root, f"pq_book_{m}"))
+        for m in range(PQ_M)
+    ]
 
 
 def _load_ivfpq_codebooks(

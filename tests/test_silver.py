@@ -222,3 +222,29 @@ class TestIvfpqCodebookArtifact:
         c.mkdir()
         (c / "embeddings.parquet").write_bytes(b"PAR1-A")
         assert key_of(str(c)) == key_of(str(a))
+
+    def test_plain_pq_artifact_loaded_equals_trained(self, spark):
+        from starknet_indexer_spark.catalog import load as _load
+        from starknet_indexer_spark.operators.clustering import (
+            pq_codebooks,
+            quantize_expr,
+        )
+        from starknet_indexer_spark.queries.pipeline_pq import (
+            PQ_DIM,
+            PQ_K,
+            PQ_M,
+            PQ_UPDATES,
+            _load_pq_codebooks,
+            ensure_pq_codebooks,
+        )
+
+        root = ensure_pq_codebooks(spark, SF)
+        assert os.path.exists(os.path.join(root, "_READY"))
+        assert ensure_pq_codebooks(spark, SF) == root
+        vecs = _load(spark, SF, "embeddings").select(
+            "vec_id", quantize_expr(F.col("embedding")).alias("qv")
+        )
+        live = pq_codebooks(vecs, PQ_DIM, PQ_M, PQ_K, PQ_UPDATES)
+        art = _load_pq_codebooks(spark, SF)
+        for m in range(PQ_M):
+            assert _rows(art[m]) == _rows(live[m]), f"book {m}"
