@@ -173,7 +173,11 @@ def _plan_fps() -> dict[str, str]:
         with open(path) as fh:
             for line in fh:
                 cells = [c.strip() for c in line.strip().strip("|").split("|")]
-                if len(cells) == 6 and re.fullmatch(r"[a-z0-9_]+", cells[0]):
+                if (
+                    len(cells) == 6
+                    and re.fullmatch(r"[a-z0-9_]+", cells[0])
+                    and cells[0] != "query"  # the markdown header row
+                ):
                     fps[cells[0]] = "/".join(cells[1:])
     except OSError:
         pass
@@ -211,7 +215,7 @@ def _run_ordinal() -> int:
     return state["count"]
 
 
-def main(diff_against: str | None = None) -> None:
+def main(diff_against: str | None = None) -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # capture BEFORE spark spins up: load reflects what else the
     # machine was doing, not this run's own JVM
@@ -450,7 +454,10 @@ def compact_stdout_line(compact: dict, timings: dict, budget: int = 1800) -> str
                 "ingest_rows_per_sec", "queries_omitted_fastest", "queries"):
         if key not in compact:
             continue
-        compact.pop(key)
+        if key == "queries":
+            compact[key] = {}  # keep the key: consumers index into it
+        else:
+            compact.pop(key)
         compact["truncated"] = True
         line = json.dumps(compact, separators=(",", ":"))
         if len(line) <= budget:

@@ -225,7 +225,9 @@ def blocked_cosine_pairs(
         F.col(id_col).alias("vid"),
         F.col(label_col).alias("lbl"),
         F.col(vec_col).alias("vec"),
-        (F.col(id_col) % n_blocks).cast("int").alias("blk"),
+        # pmod, not %: a negative id under % would land in a negative
+        # block no pair row references — silently dropped rows
+        F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("blk"),
     )
     def side(tag: str, pair_key: str) -> DataFrame:
         # distinct aliases per side: left and right share lineage, and

@@ -385,8 +385,8 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: bump when the IVF-PQ training derivation changes (invalidates cached
-#: codebook artifacts)
+#: bump when the IVF-PQ or plain-PQ training derivation changes
+#: (invalidates both cached codebook artifact families)
 IVFPQ_ARTIFACT_VERSION = "v1"
 
 

@@ -193,8 +193,7 @@ class TestIvfpqCodebookArtifact:
         for m in range(PQ_M):
             assert _rows(books_art[m]) == _rows(books_live[m]), f"book {m}"
 
-    def test_artifact_key_is_content_and_param_derived(self, spark, tmp_path,
-                                                       monkeypatch):
+    def test_artifact_key_is_content_and_param_derived(self, spark, tmp_path):
         from starknet_indexer_spark.queries import pipeline_pq as pq
 
         a = tmp_path / "sfA"
