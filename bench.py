@@ -149,6 +149,7 @@ HEADLINE = [
     "ann_recall_eval",
     "cluster_silhouette",
     "temperature_mix_allocation",
+    "clustering_agreement_ari",
     # reference view library (Ekubo-shaped derivation + real view plan)
     "v01_pool_states",
     "v07_last_24h_pool_stats",

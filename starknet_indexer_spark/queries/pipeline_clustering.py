@@ -299,3 +299,134 @@ def cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mean_sil_ppm"),
         )
     )
+
+
+def _ari_oracle() -> str:
+    from ..operators.similarity import N_CENTROIDS
+
+    return f"""
+    WITH {kmeans_cte_chain()},{_assign_cte(KMEANS_UPDATES + 1, f"c{KMEANS_UPDATES}")},
+    v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS en
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS centroid_id, ev AS cv, en AS cn FROM v
+      WHERE vec_id < {N_CENTROIDS}
+    ),
+    ivf AS (
+      SELECT vec_id, centroid_id AS cell FROM (
+        SELECT v.vec_id, cent.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.ev, cent.cv) / (v.en * cent.cn) DESC,
+                          cent.centroid_id) AS crank
+        FROM v, cent
+      ) WHERE crank = 1
+    ),
+    joined AS (
+      SELECT k.cluster AS a, i.cell AS b
+      FROM a{KMEANS_UPDATES + 1} k JOIN ivf i ON i.vec_id = k.vec_id
+    ),
+    cont AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS nij FROM joined GROUP BY a, b),
+    sums AS (
+      SELECT CAST(SUM(nij) AS BIGINT) AS n,
+             CAST(SUM(nij * (nij - 1) // 2) AS BIGINT) AS s_ij
+      FROM cont
+    ),
+    sa AS (
+      SELECT CAST(SUM(ai * (ai - 1) // 2) AS BIGINT) AS s_a
+      FROM (SELECT SUM(nij) AS ai FROM cont GROUP BY a)
+    ),
+    sb AS (
+      SELECT CAST(SUM(bj * (bj - 1) // 2) AS BIGINT) AS s_b
+      FROM (SELECT SUM(nij) AS bj FROM cont GROUP BY b)
+    )
+    SELECT n, s_ij AS pairs_both, s_a AS pairs_a, s_b AS pairs_b,
+           CAST(FLOOR(1000000.0
+                * (n * (n - 1) / 2 * s_ij - s_a * s_b)
+                / (n * (n - 1) / 2 * (s_a + s_b) / 2.0 - s_a * s_b)
+                + 0.5) AS BIGINT) AS ari_ppm
+    FROM sums CROSS JOIN sa CROSS JOIN sb
+    """
+
+
+@register(
+    "clustering_agreement_ari",
+    oracle=_ari_oracle(),
+    doc="Clustering-agreement audit: adjusted Rand index between the "
+    "trained k-means clustering and the IVF cell assignment over the "
+    "same embeddings — the standard check that two independently-"
+    "derived partitions (e.g. the dedup clustering vs the ANN index "
+    "cells) see compatible structure before one is used to prune work "
+    "for the other. Exactness: pair-counting form — the contingency "
+    "matrix and all three C(x,2) sums are BIGINTs; ARI's rational "
+    "expression is evaluated once in double and ppm-rounded "
+    "(FLOOR(x+0.5)), identical on both engines. Scale shape: one "
+    "vec_id-keyed join of two map-only assignment passes, a "
+    "contingency groupBy (K x cells rows), and constant-size sums — "
+    "the corpus shuffles once.",
+)
+def clustering_agreement_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import N_CENTROIDS, ivf_assign
+
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", quantize_expr(F.col("embedding")).alias("qv"))
+    init = vecs.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cluster_id"), F.col("qv").alias("cv")
+    )
+    km = kmeans(vecs, init, KMEANS_UPDATES).select("vec_id", F.col("cluster").alias("a"))
+
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").alias("ev"),
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    "embedding",
+                    lambda x, y: x.cast("double") * y.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("en"),
+    )
+    cent = v.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("ev").alias("cv"),
+        F.col("en").alias("cn"),
+    )
+    ivf = ivf_assign(v, cent, 1).select("vec_id", F.col("centroid_id").alias("b"))
+
+    cont = (
+        km.join(ivf, "vec_id")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nij"))
+    )
+    c2 = lambda c: F.expr(f"{c} * ({c} - 1) DIV 2")  # noqa: E731
+    sums = cont.agg(
+        F.sum("nij").cast("bigint").alias("n"),
+        F.sum(F.expr("nij * (nij - 1) DIV 2")).cast("bigint").alias("pairs_both"),
+    )
+    sa = (
+        cont.groupBy("a")
+        .agg(F.sum("nij").alias("ai"))
+        .agg(F.sum(c2("ai")).cast("bigint").alias("pairs_a"))
+    )
+    sb = (
+        cont.groupBy("b")
+        .agg(F.sum("nij").alias("bj"))
+        .agg(F.sum(c2("bj")).cast("bigint").alias("pairs_b"))
+    )
+    out = sums.crossJoin(F.broadcast(sa)).crossJoin(F.broadcast(sb))
+    c = F.col("n") * (F.col("n") - 1) / F.lit(2)
+    ari = F.floor(
+        F.lit(1000000.0)
+        * (c * F.col("pairs_both") - F.col("pairs_a") * F.col("pairs_b"))
+        / (c * (F.col("pairs_a") + F.col("pairs_b")) / F.lit(2.0)
+           - F.col("pairs_a") * F.col("pairs_b"))
+        + F.lit(0.5)
+    ).cast("bigint")
+    return out.select("n", "pairs_both", "pairs_a", "pairs_b", ari.alias("ari_ppm"))

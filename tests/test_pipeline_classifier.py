@@ -194,3 +194,20 @@ class TestTemperatureMix:
             flat = max(wq.values()) / min(wq.values())
             raw = max(n.values()) / min(n.values())
             assert flat < raw
+
+
+class TestAriFormula:
+    def test_output_row_satisfies_ari_definition(self, spark):
+        """Recompute ARI in pure Python from the emitted pair counts —
+        validates the rational-expression + ppm-rounding path (the
+        counting itself is validated by the 3-scale DuckDB hash)."""
+        from starknet_indexer_spark.queries.pipeline_clustering import (
+            clustering_agreement_ari,
+        )
+
+        r = clustering_agreement_ari(spark, SF_DIR).collect()[0]
+        c = r["n"] * (r["n"] - 1) / 2
+        exp = r["pairs_a"] * r["pairs_b"] / c
+        ari = (r["pairs_both"] - exp) / ((r["pairs_a"] + r["pairs_b"]) / 2 - exp)
+        assert r["ari_ppm"] == _floor_half_up(1e6 * ari)
+        assert -1_000_000 <= r["ari_ppm"] <= 1_000_000
