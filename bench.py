@@ -150,6 +150,7 @@ HEADLINE = [
     "cluster_silhouette",
     "temperature_mix_allocation",
     "clustering_agreement_ari",
+    "precision_recall_curve",
     # reference view library (Ekubo-shaped derivation + real view plan)
     "v01_pool_states",
     "v07_last_24h_pool_stats",

@@ -329,3 +329,93 @@ def filter_auc_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("auc_ppm"),
     )
+
+
+#: positive class for the operating-point curve (the corpus's largest)
+PR_POS_LANG = "en"
+
+
+@register(
+    "precision_recall_curve",
+    oracle=f"""
+    WITH tok AS ({_NB_TOKS_SQL}),
+    scored AS (
+      SELECT doc_id, lang,
+             CAST(FLOOR({MICRO} * CAST(SUM(length(token)) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS score
+      FROM tok GROUP BY doc_id, lang
+    ),
+    per_score AS (
+      SELECT score,
+             CAST(COUNT(*) AS BIGINT) AS n_at,
+             CAST(COUNT(*) FILTER (WHERE lang = '{PR_POS_LANG}') AS BIGINT)
+               AS pos_at
+      FROM scored GROUP BY score
+    ),
+    tot AS (SELECT CAST(SUM(pos_at) AS BIGINT) AS n_pos FROM per_score),
+    cum AS (
+      SELECT score,
+             SUM(n_at) OVER (ORDER BY score DESC) AS pred_pos,
+             SUM(pos_at) OVER (ORDER BY score DESC) AS tp
+      FROM per_score
+    )
+    SELECT score AS threshold,
+           CAST(pred_pos AS BIGINT) AS pred_pos,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(FLOOR(1000000.0 * tp / pred_pos + 0.5) AS BIGINT)
+             AS precision_ppm,
+           CAST(FLOOR(1000000.0 * tp / tot.n_pos + 0.5) AS BIGINT)
+             AS recall_ppm
+    FROM cum CROSS JOIN tot
+    """,
+    doc="Filter operating-point curve: for every distinct score "
+    "threshold (mean token length, the same score filter_auc_by_lang "
+    "audits), the precision and recall of 'keep iff score >= t' "
+    "against the positive class — the table a data team reads to SET "
+    "a filter threshold after AUC says the score is usable. Exact: "
+    "per-threshold counts are window cumsums over the DISTINCT-score "
+    "relation (never a corpus-sized window), ppm rounding once per "
+    "output row. Scale shape: one corpus-sized doc-score aggregation, "
+    "then everything lives on distinct scores.",
+)
+def precision_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens_expr(F.col("text"))).alias("token")
+    )
+    scored = tok.groupBy("doc_id", "lang").agg(
+        F.floor(
+            F.lit(MICRO)
+            * F.sum(F.length("token")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("score")
+    )
+    per_score = scored.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_at"),
+        F.sum(F.when(F.col("lang") == PR_POS_LANG, 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos_at"),
+    )
+    tot = per_score.agg(F.sum("pos_at").cast("bigint").alias("n_pos"))
+    wnd = W.orderBy(F.col("score").desc()).rowsBetween(W.unboundedPreceding, 0)
+    cum = per_score.select(
+        F.col("score").alias("threshold"),
+        F.sum("n_at").over(wnd).cast("bigint").alias("pred_pos"),
+        F.sum("pos_at").over(wnd).cast("bigint").alias("tp"),
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "threshold",
+        "pred_pos",
+        "tp",
+        F.floor(F.lit(1000000.0) * F.col("tp") / F.col("pred_pos") + F.lit(0.5))
+        .cast("bigint")
+        .alias("precision_ppm"),
+        F.floor(F.lit(1000000.0) * F.col("tp") / F.col("n_pos") + F.lit(0.5))
+        .cast("bigint")
+        .alias("recall_ppm"),
+    )
