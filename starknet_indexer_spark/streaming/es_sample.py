@@ -51,7 +51,10 @@ def _top_k(df: DataFrame) -> DataFrame:
 
 def batch_candidates(docs: DataFrame) -> DataFrame:
     """A batch's top-k contribution (same key derivation as the batch
-    query — the two cannot diverge)."""
+    query — the two cannot diverge). orderBy().limit(), not a global
+    window: TakeOrdered keeps per-partition heaps and never funnels the
+    batch through one task (the window form would); the tiny merge
+    window in ``_top_k`` is reserved for the <= 2k-row state union."""
     keyed = docs.select(
         "doc_id",
         "source",
@@ -59,7 +62,7 @@ def batch_candidates(docs: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("weight"),
     ).withColumn("sample_key", _es_sample_key_col())
-    return _top_k(keyed)
+    return keyed.orderBy(F.col("sample_key").desc(), "doc_id").limit(WSAMPLE_K)
 
 
 def apply_batch(
