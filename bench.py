@@ -151,6 +151,7 @@ HEADLINE = [
     "temperature_mix_allocation",
     "clustering_agreement_ari",
     "precision_recall_curve",
+    "ann_ndcg_eval",
     # reference view library (Ekubo-shaped derivation + real view plan)
     "v01_pool_states",
     "v07_last_24h_pool_stats",

@@ -813,3 +813,110 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("recall_ppm"),
         "rr_micro",
     )
+
+
+def _ann_ndcg_oracle() -> str:
+    """Graded-relevance nDCG@k of the IVF list against exact-cosine
+    gold: gold rank r carries gain 2^(k-r) (exponential graded
+    relevance); every per-position contribution gain/log2(pos+1) is
+    micro-rounded BEFORE summation so DCG sums are order-invariant
+    BIGINTs, and ideal-DCG is the same sum over the identity ranking."""
+    ivf = _ann_ivf_oracle().strip()
+    assert ivf.startswith("WITH ")
+    ivf_body = ivf[len("WITH "):]
+    idx = ivf_body.rindex("SELECT query_id, neighbor_id, sim, rank FROM (")
+    ivf_ctes, ivf_final = ivf_body[:idx].rstrip().rstrip(","), ivf_body[idx:]
+    return f"""
+    WITH {ivf_ctes},
+    sys AS ({ivf_final}),
+    gold AS (
+      SELECT query_id, neighbor_id, rank,
+             CAST(POWER(2, {TOP_K} - rank) AS BIGINT) AS gain
+      FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY ROUND(list_dot_product(q.ev, c.ev)
+                                / (q.en * c.en), 4) DESC,
+                          c.vec_id) AS rank
+        FROM v q JOIN v c ON q.vec_id < {N_QUERIES}
+                         AND c.vec_id <> q.vec_id
+      ) WHERE rank <= {TOP_K}
+    ),
+    dcg AS (
+      SELECT s.query_id,
+             CAST(SUM(CAST(FLOOR(1000000.0 * COALESCE(g.gain, 0)
+                                 / log2(s.rank + 1) + 0.5) AS BIGINT))
+                  AS BIGINT) AS dcg_micro
+      FROM sys s LEFT JOIN gold g
+        ON g.query_id = s.query_id AND g.neighbor_id = s.neighbor_id
+      GROUP BY s.query_id
+    ),
+    ideal AS (
+      SELECT query_id,
+             CAST(SUM(CAST(FLOOR(1000000.0 * gain
+                                 / log2(rank + 1) + 0.5) AS BIGINT))
+                  AS BIGINT) AS idcg_micro
+      FROM gold GROUP BY query_id
+    )
+    SELECT d.query_id, d.dcg_micro, i.idcg_micro,
+           CAST(FLOOR(1000000.0 * d.dcg_micro / i.idcg_micro + 0.5) AS BIGINT)
+             AS ndcg_ppm
+    FROM dcg d JOIN ideal i ON i.query_id = d.query_id
+    """
+
+
+@register(
+    "ann_ndcg_eval",
+    oracle=_ann_ndcg_oracle(),
+    doc=f"Graded retrieval-quality evaluation: nDCG@{TOP_K} of the IVF "
+    "list against exact-cosine gold — position-sensitive where "
+    "ann_recall_eval's recall/RR are not (a hit at system rank 5 "
+    "scores less than at rank 1; a gold-rank-1 hit carries more gain "
+    "than gold-rank-5). Gains are exponential in gold rank "
+    "(2^(k-rank), the standard graded form); every per-position "
+    "gain/log2(pos+1) contribution is micro-rounded BEFORE the sum so "
+    "DCG and ideal-DCG are order-invariant BIGINTs; one final ppm "
+    "rounding for the ratio. Scale shape: both branches are the "
+    "verified operators' plans; the eval join touches only the two "
+    "top-k relations.",
+)
+def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gold = ann_topk_cosine(spark, sf_dir).select(
+        F.col("query_id").alias("g_qid"),
+        F.col("neighbor_id").alias("g_nid"),
+        F.pow(F.lit(2.0), F.lit(TOP_K) - F.col("rank")).cast("bigint").alias("gain"),
+        F.col("rank").alias("g_rank"),
+    )
+    sys_ = ann_topk_ivf(spark, sf_dir).select("query_id", "neighbor_id", "rank")
+    contrib = F.floor(
+        F.lit(1000000.0)
+        * F.coalesce(F.col("gain"), F.lit(0))
+        / F.log2(F.col("rank") + 1)
+        + F.lit(0.5)
+    ).cast("bigint")
+    dcg = (
+        sys_.join(
+            gold,
+            (F.col("query_id") == F.col("g_qid"))
+            & (F.col("neighbor_id") == F.col("g_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.sum(contrib).cast("bigint").alias("dcg_micro"))
+    )
+    ideal_contrib = F.floor(
+        F.lit(1000000.0) * F.col("gain") / F.log2(F.col("g_rank") + 1) + F.lit(0.5)
+    ).cast("bigint")
+    ideal = gold.groupBy(F.col("g_qid").alias("query_id")).agg(
+        F.sum(ideal_contrib).cast("bigint").alias("idcg_micro")
+    )
+    return dcg.join(ideal, "query_id").select(
+        "query_id",
+        "dcg_micro",
+        "idcg_micro",
+        F.floor(
+            F.lit(1000000.0) * F.col("dcg_micro") / F.col("idcg_micro") + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("ndcg_ppm"),
+    )
