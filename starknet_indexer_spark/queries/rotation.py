@@ -39,10 +39,9 @@ WINDOW = 50
 #: so the existing evidence hash no longer reflects HEAD.  They jump the
 #: staleness queue (right behind never-verified queries) until a fresh
 #: row lands, at which point they should be removed from this set.
-#: - ohlc_hourly: r7 replaced the collision-bounded BIGINT ordering fold
-#:   with a struct(off, event_id) key (VERDICT r7 mandate #6); its last
-#:   driver row is r6 under the OLD key.
-FORCE_FRONT: frozenset[str] = frozenset({"ohlc_hourly"})
+#: (Empty since r9: ohlc_hourly got its fresh row under the r7 struct
+#: ordering key in CORRECTNESS_r08.)
+FORCE_FRONT: frozenset[str] = frozenset()
 
 
 def repo_root() -> str:
