@@ -489,6 +489,12 @@ def compare(baseline_path: str, current_path: str | None = None,
         plan fingerprint changed (or no fingerprints are available), OR
       - the adjusted ratio exceeds ``hard_threshold`` regardless of
         plan (a same-plan 2x is real even in a drifting session).
+    The plan-unchanged escape hatch only arms when the session
+    measurably drifted (drift > ``DRIFT_ARMED``): in a non-drifting
+    session (drift ~ 1.0) a same-plan 1.5-2x slowdown is a genuine
+    regression — constant/parameter changes and data skew do not alter
+    the plan fingerprint — so it must fail the gate at ``threshold``,
+    not ``hard_threshold`` (r8 ADVICE).
     Suppressed flags are listed with their reason — adjudication is
     visible, not silent.
     """
@@ -562,6 +568,10 @@ def compare(baseline_path: str, current_path: str | None = None,
     if len(ratios) >= 10:
         rs = sorted(ratios.values())
         drift = max(rs[len(rs) // 2], 1.0)  # never EXCUSE slowdowns via speedups
+    # Minimum measured drift before the plan-unchanged suppression arms:
+    # with drift ~ 1.0 the session is clean, so a same-plan regression
+    # between threshold and hard_threshold is real and must flag.
+    DRIFT_ARMED = 1.1
     base_fp = base_meta.get("plan_fp") or {}
     cur_fp = cur_meta.get("plan_fp") or {}
     have_fps = bool(base_fp) and bool(cur_fp)
@@ -582,9 +592,11 @@ def compare(baseline_path: str, current_path: str | None = None,
             )
             if adj <= threshold:
                 suppressed.append((name, b, c, ratio, adj, "within drift band"))
-            elif plan_same and adj <= hard_threshold:
+            elif plan_same and drift > DRIFT_ARMED and adj <= hard_threshold:
                 suppressed.append(
-                    (name, b, c, ratio, adj, "plan unchanged, under hard limit")
+                    (name, b, c, ratio, adj,
+                     f"plan unchanged, drifting session ({drift:.2f}), "
+                     "under hard limit")
                 )
             else:
                 regressions.append((name, b, c, ratio, adj))

@@ -126,3 +126,40 @@ def test_compare_drift_suppression_without_fingerprints(tmp_path):
     assert rc == 1
     assert report.count("REGRESSION") == 1
     assert "q0" in report
+
+
+def test_compare_same_plan_regression_flags_in_clean_session(tmp_path):
+    """r8 ADVICE (medium): with no measured session drift (factor ~1.0)
+    the plan-unchanged escape hatch must NOT arm — a genuine same-plan
+    1.5-2x regression (constant change, data skew) fails the gate."""
+    import io
+    import json
+
+    from bench import compare
+
+    names = [f"q{i}" for i in range(12)]
+    fps = {n: "1/1/1/1/yes" for n in names}
+    bp = tmp_path / "base.json"
+    bp.write_text(json.dumps({"queries": {n: 1.0 for n in names},
+                              "plan_fp": fps}))
+    cur = {n: 1.0 for n in names}  # zero drift
+    cur["q0"] = 1.7  # same plan, between threshold and hard_threshold
+    cp = tmp_path / "cur.json"
+    cp.write_text(json.dumps({"queries": cur, "plan_fp": fps}))
+    buf = io.StringIO()
+    rc = compare(str(bp), str(cp), out=buf)
+    report = buf.getvalue()
+    assert rc == 1
+    assert report.count("REGRESSION") == 1
+    assert "q0" in report
+    # ... and the same 1.7x under a measured 1.2 drift with the same
+    # plan IS suppressed (adjusted 1.42 < 1.5 via the drift band alone,
+    # so push it to 1.9: adjusted 1.58 -> suppressed by the armed
+    # plan-unchanged hatch, under the 2.0 hard cap)
+    cur2 = {n: 1.2 for n in names}
+    cur2["q0"] = 1.9
+    cp2 = tmp_path / "cur2.json"
+    cp2.write_text(json.dumps({"queries": cur2, "plan_fp": fps}))
+    buf2 = io.StringIO()
+    assert compare(str(bp), str(cp2), out=buf2) == 0
+    assert "drifting session" in buf2.getvalue()
