@@ -264,7 +264,12 @@ def blocked_cosine_pairs(
         B = np.vstack(r["vec"].to_numpy()).astype(np.float64)
         na = np.sqrt((A * A).sum(axis=1))
         nb = np.sqrt((B * B).sum(axis=1))
-        sims = np.round((A @ B.T) / np.outer(na, nb), 4)
+        # floor(x*1e4 + 0.5)/1e4, NOT np.round: np.round is
+        # half-to-even while the Spark baseline and DuckDB oracle use
+        # the repo-wide FLOOR(x*scale + 0.5) idiom — identical IEEE
+        # ops on all three engines, so rounding is not a divergence
+        # channel (r8 ADVICE; only GEMM accumulation order remains)
+        sims = np.floor((A @ B.T) / np.outer(na, nb) * 1e4 + 0.5) / 1e4
         ia, ib = np.nonzero(sims >= threshold)
         if ia.size == 0:
             return empty

@@ -285,9 +285,10 @@ _NEAR_DUP_ORACLE = f"""
       FROM embeddings
     )
     SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS a_label, b.label AS b_label,
-           ROUND(list_dot_product(a.ev, b.ev) / (a.en * b.en), 4) AS sim
+           FLOOR(list_dot_product(a.ev, b.ev) / (a.en * b.en) * 10000 + 0.5) / 10000 AS sim
     FROM v a JOIN v b ON a.vec_id < b.vec_id
-    WHERE ROUND(list_dot_product(a.ev, b.ev) / (a.en * b.en), 4) >= {NEAR_DUP_SIM}
+    WHERE FLOOR(list_dot_product(a.ev, b.ev) / (a.en * b.en) * 10000 + 0.5) / 10000
+          >= {NEAR_DUP_SIM}
     """
 
 
@@ -314,7 +315,12 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("b_label"),
         F.col("embedding").alias("bv"),
     ).withColumn("bn", F.sqrt(_dot(F.col("bv"), F.col("bv"))))
-    sim = F.round(_dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 4)
+    # FLOOR(x*1e4 + 0.5)/1e4 on all three engines (Spark, DuckDB,
+    # numpy kernel) — see blocked_cosine_pairs float note (r8 ADVICE)
+    sim = (
+        F.floor(_dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
+                * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
+    )
     return (
         a.join(b, F.col("a_id") < F.col("b_id"))
         .withColumn("sim", sim)
