@@ -209,12 +209,33 @@ def nb_confusion_from_counts(counts: DataFrame, feat: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("p_micro"),
     )
+    # Features outside the training support (possible only when the
+    # scored docs differ from the training stream, e.g. the streaming
+    # confusion() path) get the add-one-smoothed zero-count weight
+    # ln(1/(n_tok_c + NB_FEATURES)) — the exact value ``w`` carries for
+    # a seen-but-zero-count (f, c). An inner join silently dropped them,
+    # skewing posteriors toward classes with fewer unseen features
+    # (r8 ADVICE).
+    w_floor = classes.select(
+        "c",
+        F.floor(
+            F.lit(MICRO)
+            * F.log(F.lit(1.0) / (F.col("n_tok") + NB_FEATURES).cast("double"))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("w_floor"),
+    )
     score = (
-        docf.join(F.broadcast(w), "f")
+        docf.crossJoin(F.broadcast(w_floor))
+        .join(F.broadcast(w), ["f", "c"], "left")
         .join(F.broadcast(prior), "c")
         .groupBy("doc_id", "lang", "c")
         .agg(
-            (F.max("p_micro") + F.sum(F.col("tf") * F.col("w_micro")))
+            (
+                F.max("p_micro")
+                + F.sum(F.col("tf") * F.coalesce(F.col("w_micro"), F.col("w_floor")))
+            )
             .cast("bigint")
             .alias("s_micro")
         )

@@ -17,6 +17,9 @@ from starknet_indexer_spark.queries.pipeline_classifier import (
     MICRO,
     NB_FEATURES,
     filter_auc_by_lang,
+    nb_confusion_from_counts,
+    nb_count_partials,
+    nb_features,
     nb_lang_classifier,
 )
 
@@ -132,6 +135,82 @@ class TestNbClassifier:
             for r in nb_lang_classifier(spark, SF_DIR).collect()
         }
         assert got == want
+
+
+
+    def test_unseen_features_get_smoothed_floor_weight(self, spark):
+        """r8 ADVICE: scoring docs whose tokens hash to features absent
+        from the training support must apply the add-one-smoothed
+        zero-count weight ln(1/(n_tok_c + NB_FEATURES)) per class, not
+        silently drop the tokens (which skews posteriors toward the
+        class with fewer unseen features). Pinned against a pure-Python
+        mirror that scores train/test splits explicitly."""
+        train_rows = [
+            # class "aa" has a much larger token mass than "bb", so the
+            # unseen-feature floor ln(1/(n_tok+F)) differs per class —
+            # dropping unseen tokens vs flooring them flips predictions
+            (0, "aa", "alpha beta gamma delta " * 6),
+            (1, "aa", "alpha beta gamma delta epsilon " * 6),
+            (2, "bb", "zeta eta"),
+            (3, "bb", "zeta theta"),
+        ]
+        score_rows = [
+            # mostly tokens unseen in training + one "bb" token: with
+            # the floor, the unseen mass penalizes token-rich "aa" more
+            (10, "aa", "novel unseen tokens everywhere zeta"),
+            (11, "bb", "zeta fresh vocabulary again"),
+        ]
+        train_df = spark.createDataFrame(
+            train_rows, "doc_id long, lang string, text string"
+        )
+        score_df = spark.createDataFrame(
+            score_rows, "doc_id long, lang string, text string"
+        )
+        counts = nb_count_partials(nb_features(train_df))
+        got = {
+            (r["lang"], r["predicted"]): r["n_docs"]
+            for r in nb_confusion_from_counts(
+                counts, nb_features(score_df)
+            ).collect()
+        }
+
+        # pure-Python mirror with explicit train/score split
+        feats = lambda text: [_hash60(t) % NB_FEATURES for t in _tokens(text)]
+        langs = {d: l for d, l, _ in train_rows}
+        n_docs = collections.Counter(langs.values())
+        n_tok = collections.Counter()
+        cf = collections.Counter()
+        for d, l, text in train_rows:
+            fs = feats(text)
+            n_tok[l] += len(fs)
+            for f in fs:
+                cf[(l, f)] += 1
+        classes = sorted(n_docs)
+        n = sum(n_docs.values())
+        prior = {c: _floor_half_up(MICRO * math.log(n_docs[c] / n)) for c in classes}
+
+        def weight(c, f):
+            return _floor_half_up(
+                MICRO * math.log((cf.get((c, f), 0) + 1) / (n_tok[c] + NB_FEATURES))
+            )
+
+        want = collections.Counter()
+        for d, l, text in score_rows:
+            tf = collections.Counter(feats(text))
+            best = max(
+                classes,
+                key=lambda c: (
+                    prior[c] + sum(k * weight(c, f) for f, k in tf.items()),
+                    tuple(-ord(ch) for ch in c),
+                ),
+            )
+            want[(l, best)] += 1
+        assert got == dict(want)
+        # the scenario actually exercises unseen features
+        trained_f = {f for (_, f) in cf}
+        assert any(
+            f not in trained_f for _, _, t in score_rows for f in feats(t)
+        )
 
 
 class TestAucReference:
