@@ -15,12 +15,63 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..operators.clustering import QUANT_SCALE, kmeans, quantize_expr
+from ..operators.clustering import QUANT_SCALE, kmeans_assign, quantize_expr
 from .registry import register
 
 KMEANS_K = 16
 KMEANS_UPDATES = 2
 _DIM = 64
+#: bump when the k-means training derivation changes
+KMEANS_ARTIFACT_VERSION = "v1"
+
+
+def kmeans_params() -> str:
+    """Every hyperparameter the centroid artifact key must cover —
+    the production string, also used verbatim by the key tests."""
+    return f"{KMEANS_ARTIFACT_VERSION}:{KMEANS_K}:{KMEANS_UPDATES}:{QUANT_SCALE}"
+
+
+def ensure_kmeans_centroids(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted Lloyd training (VERDICT r8 mandate #1): the trained
+    (cluster_id, cv) centroid relation as a content-keyed artifact,
+    shared by every query that previously retrained k-means inline
+    (kmeans_cluster_assign, semdedup_select, cluster_silhouette,
+    clustering_agreement_ari, ann_topk_ivf_kmeans). Training is
+    integer-exact (BIGINT distances, floor-mean updates) and the
+    parquet round-trip is lossless, so cached == inline training
+    bit-for-bit (pinned in tests/test_silver.py). At deployment the
+    fit runs offline on a sample and every consumer broadcasts this
+    K-row table — exactly the ensure_ivfpq_codebooks split."""
+    import os as _os
+
+    from ..operators.clustering import kmeans_centroids
+    from ..silver import ensure_artifact
+
+    def write(d: str) -> None:
+        emb = load(spark, sf_dir, "embeddings")
+        vecs = emb.select("vec_id", quantize_expr(F.col("embedding")).alias("qv"))
+        init = vecs.filter(F.col("vec_id") < KMEANS_K).select(
+            F.col("vec_id").alias("cluster_id"), F.col("qv").alias("cv")
+        )
+        kmeans_centroids(vecs, init, KMEANS_UPDATES).write.mode(
+            "overwrite"
+        ).parquet(_os.path.join(d, "centroids"))
+
+    return ensure_artifact(
+        _os.path.join(sf_dir, "embeddings.parquet"),
+        "kmeans",
+        kmeans_params(),
+        write,
+    )
+
+
+def load_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained centroid relation (cluster_id, cv) from the
+    persisted artifact — K rows, broadcastable."""
+    import os as _os
+
+    root = ensure_kmeans_centroids(spark, sf_dir)
+    return spark.read.parquet(_os.path.join(root, "centroids"))
 
 
 _D2_SQL = (
@@ -103,10 +154,7 @@ def _kmeans_oracle() -> str:
 def kmeans_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", quantize_expr(F.col("embedding")).alias("qv"))
-    init = vecs.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").alias("cluster_id"), F.col("qv").alias("cv")
-    )
-    out = kmeans(vecs, init, KMEANS_UPDATES)
+    out = kmeans_assign(vecs, load_kmeans_centroids(spark, sf_dir))
     return out.select("vec_id", "cluster", "d2")
 
 
@@ -169,10 +217,7 @@ def semdedup_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", quantize_expr(F.col("embedding")).alias("qv"))
-    init = vecs.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").alias("cluster_id"), F.col("qv").alias("cv")
-    )
-    assigned = kmeans(vecs, init, KMEANS_UPDATES)
+    assigned = kmeans_assign(vecs, load_kmeans_centroids(spark, sf_dir))
     ranked = assigned.withColumn(
         "rn", F.row_number().over(W.partitionBy("cluster").orderBy("d2", "vec_id"))
     )
@@ -239,14 +284,11 @@ def semdedup_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     "final 16-row mean).",
 )
 def cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.clustering import dist2_expr, kmeans_centroids
+    from ..operators.clustering import dist2_expr
 
     emb = load(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", quantize_expr(F.col("embedding")).alias("qv"))
-    init = vecs.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").alias("cluster_id"), F.col("qv").alias("cv")
-    )
-    cents = kmeans_centroids(vecs, init, KMEANS_UPDATES)
+    cents = load_kmeans_centroids(spark, sf_dir)
     cent_arr = cents.agg(
         F.collect_list(F.struct("cluster_id", "cv")).alias("cents")
     )
@@ -373,10 +415,9 @@ def clustering_agreement_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", quantize_expr(F.col("embedding")).alias("qv"))
-    init = vecs.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").alias("cluster_id"), F.col("qv").alias("cv")
+    km = kmeans_assign(vecs, load_kmeans_centroids(spark, sf_dir)).select(
+        "vec_id", F.col("cluster").alias("a")
     )
-    km = kmeans(vecs, init, KMEANS_UPDATES).select("vec_id", F.col("cluster").alias("a"))
 
     v = emb.select(
         "vec_id",

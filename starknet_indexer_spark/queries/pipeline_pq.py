@@ -421,31 +421,35 @@ def _ensure_training_artifact(
     spark: SparkSession, sf_dir: str, tag: str, params: str, writer
 ) -> str:
     """Content-keyed artifact cache for offline training outputs
-    (VERDICT r7 mandate #4). At deployment scale model training is an
-    OFFLINE artifact — a sampled fit persisted alongside the index and
-    refreshed when the corpus drifts — not part of every search plan.
-    Mirrors silver.ensure_silver: key = sha256(embeddings.parquet
-    bytes) + every training hyperparameter + a derivation version; a
-    _READY sentinel makes a crashed half-write rebuild. Lives under
-    SILVER_CACHE_ROOT so bench's clear_cache() cold-timing reset covers
-    it too. Training here is integer-exact, so cached-vs-retrained
-    results are hash-identical (pinned in tests/test_silver.py)."""
-    import hashlib as _hashlib
+    (VERDICT r7 mandate #4) — key/sentinel/layout shared with every
+    other trainer via silver.ensure_artifact (key derivation lives in
+    silver.artifact_cache_key, exercised verbatim by the key tests).
+    Training here is integer-exact, so cached-vs-retrained results are
+    hash-identical (pinned in tests/test_silver.py)."""
     import os as _os
-    import shutil as _shutil
 
-    from ..silver import SILVER_CACHE_ROOT, _corpus_digest
+    from ..silver import ensure_artifact
 
-    digest = _corpus_digest(_os.path.join(sf_dir, "embeddings.parquet"))
-    key = _hashlib.md5(f"{tag}:{digest}:{params}".encode()).hexdigest()[:16]
-    d = _os.path.join(SILVER_CACHE_ROOT, f"{tag}_{key}")
-    ready = _os.path.join(d, "_READY")
-    if not _os.path.exists(ready):
-        _shutil.rmtree(d, ignore_errors=True)
-        writer(d)
-        with open(ready, "w") as f:
-            f.write("ok")
-    return d
+    return ensure_artifact(
+        _os.path.join(sf_dir, "embeddings.parquet"), tag, params, writer
+    )
+
+
+def ivfpq_params() -> str:
+    """Every hyperparameter the IVF-PQ artifact key must cover — the
+    production string, also used verbatim by the key tests."""
+    return (
+        f"{IVFPQ_ARTIFACT_VERSION}:{IVF_CELLS}:{IVF_UPDATES}"
+        f":{PQ_DIM}:{PQ_M}:{PQ_K}:{PQ_UPDATES}:{QUANT_SCALE}"
+    )
+
+
+def pq_params() -> str:
+    """Hyperparameter string keying the plain-PQ artifact."""
+    return (
+        f"{IVFPQ_ARTIFACT_VERSION}:{PQ_DIM}:{PQ_M}:{PQ_K}"
+        f":{PQ_UPDATES}:{QUANT_SCALE}"
+    )
 
 
 def ensure_ivfpq_codebooks(spark: SparkSession, sf_dir: str) -> str:
@@ -459,11 +463,7 @@ def ensure_ivfpq_codebooks(spark: SparkSession, sf_dir: str) -> str:
         for m, b in enumerate(books):
             b.write.mode("overwrite").parquet(_os.path.join(d, f"pq_book_{m}"))
 
-    params = (
-        f"{IVFPQ_ARTIFACT_VERSION}:{IVF_CELLS}:{IVF_UPDATES}"
-        f":{PQ_DIM}:{PQ_M}:{PQ_K}:{PQ_UPDATES}:{QUANT_SCALE}"
-    )
-    return _ensure_training_artifact(spark, sf_dir, "ivfpq", params, write)
+    return _ensure_training_artifact(spark, sf_dir, "ivfpq", ivfpq_params(), write)
 
 
 def ensure_pq_codebooks(spark: SparkSession, sf_dir: str) -> str:
@@ -477,11 +477,7 @@ def ensure_pq_codebooks(spark: SparkSession, sf_dir: str) -> str:
         for m, b in enumerate(pq_codebooks(vecs, PQ_DIM, PQ_M, PQ_K, PQ_UPDATES)):
             b.write.mode("overwrite").parquet(_os.path.join(d, f"pq_book_{m}"))
 
-    params = (
-        f"{IVFPQ_ARTIFACT_VERSION}:{PQ_DIM}:{PQ_M}:{PQ_K}"
-        f":{PQ_UPDATES}:{QUANT_SCALE}"
-    )
-    return _ensure_training_artifact(spark, sf_dir, "pq", params, write)
+    return _ensure_training_artifact(spark, sf_dir, "pq", pq_params(), write)
 
 
 def _load_pq_codebooks(spark: SparkSession, sf_dir: str) -> list[DataFrame]:

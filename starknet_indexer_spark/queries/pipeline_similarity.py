@@ -492,19 +492,11 @@ def _ann_ivf_kmeans_oracle() -> str:
     "plumbing and shuffle shape are unchanged.",
 )
 def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.clustering import (
-        QUANT_SCALE,
-        kmeans_centroids,
-        quantize_expr,
-    )
-    from .pipeline_clustering import KMEANS_K, KMEANS_UPDATES
+    from ..operators.clustering import QUANT_SCALE
+    from .pipeline_clustering import load_kmeans_centroids
 
     emb = load(spark, sf_dir, "embeddings")
-    vecs = emb.select("vec_id", quantize_expr(F.col("embedding")).alias("qv"))
-    init = vecs.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").alias("cluster_id"), F.col("qv").alias("cv")
-    )
-    trained = kmeans_centroids(vecs, init, KMEANS_UPDATES)
+    trained = load_kmeans_centroids(spark, sf_dir)
     cv = F.transform("cv", lambda x: x.cast("double") / QUANT_SCALE)
     cent = trained.select(
         F.col("cluster_id").alias("centroid_id"), cv.alias("cv")

@@ -184,6 +184,41 @@ def _corpus_digest(path: str) -> str:
     return h.hexdigest()
 
 
+def artifact_cache_key(tag: str, digest: str, params: str) -> str:
+    """The ONE content-keyed training-artifact key derivation —
+    md5("tag:digest:params")[:16]. Production callers and the key
+    tests share this function verbatim (r8 ADVICE: a test re-deriving
+    the key with its own field order pins nothing)."""
+    return hashlib.md5(f"{tag}:{digest}:{params}".encode()).hexdigest()[:16]
+
+
+def artifact_dir(src_path: str, tag: str, params: str) -> str:
+    """Cache location for an offline training artifact derived from
+    ``src_path`` (a parquet file/dir) under ``params``."""
+    key = artifact_cache_key(tag, _corpus_digest(src_path), params)
+    return os.path.join(SILVER_CACHE_ROOT, f"{tag}_{key}")
+
+
+def ensure_artifact(src_path: str, tag: str, params: str, writer) -> str:
+    """Content-keyed artifact cache for offline training outputs
+    (k-means centroids, PQ/IVF-PQ codebooks). At deployment scale
+    model training is an OFFLINE artifact — a sampled fit persisted
+    alongside the index and refreshed when the corpus drifts — not
+    part of every search plan. Key = content digest of ``src_path`` +
+    every training hyperparameter + a derivation version (callers
+    fold these into ``params``); a _READY sentinel makes a crashed
+    half-write rebuild. Lives under SILVER_CACHE_ROOT so bench's
+    clear_cache() cold-timing reset covers it too."""
+    d = artifact_dir(src_path, tag, params)
+    ready = os.path.join(d, "_READY")
+    if not os.path.exists(ready):
+        shutil.rmtree(d, ignore_errors=True)
+        writer(d)
+        with open(ready, "w") as f:
+            f.write("ok")
+    return d
+
+
 def _silver_cache_dir(sf_dir: str) -> str:
     """Content-keyed cache location for a test-corpus silver build:
     sha256(documents.parquet bytes) + derivation version."""

