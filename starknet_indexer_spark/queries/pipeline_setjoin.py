@@ -33,12 +33,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from ..catalog import load
 from ..operators.dedup import (
     cap_hot_bands,
     md5_hash60_expr,
-    tokens_expr,
-    word_shingles_expr,
 )
 from .registry import REGISTRY, register
 
@@ -222,6 +219,25 @@ _SETJOIN_FINAL_SQL = f"""SELECT a_id, b_id, CAST(inter AS BIGINT) AS inter,
           >= {SETJOIN_THRESHOLD}"""
 
 
+def _silver_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, toks) shingle sets from the MATERIALIZED silver
+    doc_shingles relation (silver.ensure_silver — built once at
+    ingest). All three setjoin variants read this instead of
+    re-deriving shingle sets from raw text (VERDICT r8 mandate #3: the
+    re-derivation made base/capped the two most expensive headline
+    queries at ~6.7 s vs 4.0 s for the silver-reading twin). The
+    DuckDB oracles still derive from raw text, so every run re-proves
+    silver's shingle derivation equals the from-scratch one."""
+    import os
+
+    from ..silver import ensure_silver
+
+    root = ensure_silver(spark, sf_dir)
+    return spark.read.parquet(os.path.join(root, "doc_shingles")).select(
+        "doc_id", F.col("shingles").alias("toks")
+    )
+
+
 @register(
     "setjoin_prefix_jaccard",
     oracle=f"""
@@ -253,12 +269,8 @@ _SETJOIN_FINAL_SQL = f"""SELECT a_id, b_id, CAST(inter AS BIGINT) AS inter,
     "the approximate MinHash/SimHash family.",
 )
 def setjoin_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    sets = docs.select(
-        "doc_id",
-        word_shingles_expr(tokens_expr(F.col("text"))).alias("toks"),
-    )
-    return prefix_jaccard_pairs(sets, SETJOIN_THRESHOLD)
+    return prefix_jaccard_pairs(_silver_shingle_sets(spark, sf_dir),
+                                SETJOIN_THRESHOLD)
 
 
 @register(
@@ -314,13 +326,10 @@ def setjoin_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and cap-bound properties are pinned in tests/test_operators.py.",
 )
 def setjoin_prefix_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    sets = docs.select(
-        "doc_id",
-        word_shingles_expr(tokens_expr(F.col("text"))).alias("toks"),
-    )
     return prefix_jaccard_pairs(
-        sets, SETJOIN_THRESHOLD, max_token_bucket=SETJOIN_TOKEN_CAP
+        _silver_shingle_sets(spark, sf_dir),
+        SETJOIN_THRESHOLD,
+        max_token_bucket=SETJOIN_TOKEN_CAP,
     )
 
 
@@ -338,12 +347,5 @@ def setjoin_prefix_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame
     "only at ingest.",
 )
 def setjoin_prefix_jaccard_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
-    from ..silver import ensure_silver
-
-    root = ensure_silver(spark, sf_dir)
-    sets = spark.read.parquet(os.path.join(root, "doc_shingles")).select(
-        "doc_id", F.col("shingles").alias("toks")
-    )
-    return prefix_jaccard_pairs(sets, SETJOIN_THRESHOLD)
+    return prefix_jaccard_pairs(_silver_shingle_sets(spark, sf_dir),
+                                SETJOIN_THRESHOLD)
