@@ -152,6 +152,8 @@ HEADLINE = [
     "clustering_agreement_ari",
     "precision_recall_curve",
     "ann_ndcg_eval",
+    # round-9: substring-dedup remediation (Lee et al. rewrite)
+    "substring_dedup_rewrite",
     # reference view library (Ekubo-shaped derivation + real view plan)
     "v01_pool_states",
     "v07_last_24h_pool_stats",

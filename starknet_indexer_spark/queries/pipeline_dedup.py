@@ -793,6 +793,126 @@ def repeated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: total-order key for "first occurrence" of a span across the corpus:
+#: (doc_id, i) folded into one BIGINT (DuckDB arg_min cannot order by a
+#: struct). Safe while token position < 1e9 (any real document) and
+#: doc_id < ~9.2e9 (BIGINT headroom); at larger id spaces widen to a
+#: two-column min via window functions.
+_OCC_KEY_BASE = 1_000_000_000
+
+
+@register(
+    "substring_dedup_rewrite",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                         ' '), x -> x <> '') AS tokens
+      FROM documents WHERE text IS NOT NULL
+    ),
+    occ AS (
+      SELECT doc_id, t.i AS i,
+             ('0x' || substr(md5(array_to_string(tokens[t.i:t.i + {SPAN_N - 1}],
+                                                 ' ')), 1, 15))::BIGINT AS gh
+      FROM toks, UNNEST(range(1, len(tokens) - {SPAN_N - 2})) AS t(i)
+      WHERE len(tokens) >= {SPAN_N}
+    ),
+    firsts AS (
+      SELECT gh, MIN(doc_id * {_OCC_KEY_BASE} + i) AS fk FROM occ GROUP BY gh
+    ),
+    dupocc AS (
+      SELECT o.doc_id, o.i
+      FROM occ o JOIN firsts f USING (gh)
+      WHERE o.doc_id * {_OCC_KEY_BASE} + o.i <> f.fk
+    ),
+    covered AS (
+      SELECT DISTINCT d.doc_id, p.pos
+      FROM dupocc d, UNNEST(range(d.i, d.i + {SPAN_N})) AS p(pos)
+    ),
+    poss AS (
+      SELECT t.doc_id, p.i AS pos, t.tokens[p.i] AS tok
+      FROM toks t, UNNEST(range(1, len(t.tokens) + 1)) AS p(i)
+    ),
+    kept AS (
+      SELECT poss.doc_id, poss.pos, poss.tok
+      FROM poss LEFT JOIN covered c
+        ON c.doc_id = poss.doc_id AND c.pos = poss.pos
+      WHERE c.pos IS NULL
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_dedup
+      FROM kept GROUP BY doc_id
+    ),
+    ncov AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed
+      FROM covered GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.tokens) AS BIGINT) AS n_tokens,
+           COALESCE(n.n_removed, CAST(0 AS BIGINT)) AS n_removed,
+           COALESCE(a.text_dedup, '') AS text_dedup
+    FROM toks t LEFT JOIN ncov n USING (doc_id) LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="Substring-dedup REMEDIATION (Lee et al. 2022 'Deduplicating "
+    "Training Data Makes Language Models Better' — the rewrite, not "
+    "just the repeated_span_fraction metric): every corpus position "
+    f"covered by a {SPAN_N}-token span whose hash also occurs at an "
+    "earlier (doc_id, position) is removed; the globally FIRST "
+    "occurrence of each span survives, including self-repetition "
+    "inside one document. Output = (doc_id, n_tokens, n_removed, "
+    "text_dedup) over normalized token space — the emitted corpus a "
+    "pretraining pipeline would feed downstream. Deterministic: "
+    "first-occurrence is a MIN over the (doc_id, i) fold, so the "
+    "result is replay- and partitioning-invariant. Scale shape: span "
+    "hashing is the same map-only projection as the metric; the only "
+    "corpus-sized shuffles are the span-keyed first-occurrence agg "
+    "and the doc-keyed coverage union; the rewrite itself is an "
+    "array filter INSIDE the scan (no per-token explode on the Spark "
+    "side). Docs shorter than the window pass through unchanged.",
+)
+def substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("tokens"))
+    spannable = toks.filter(F.size("tokens") >= SPAN_N)
+    occ = spannable.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(tokens) - {SPAN_N - 1}), i ->"
+                f" struct(i AS i, array_join(slice(tokens, i, {SPAN_N}), ' ')"
+                " AS gram))"
+            )
+        ).alias("o"),
+    ).select(
+        "doc_id",
+        F.col("o.i").alias("i"),
+        md5_hash60_expr(F.col("o.gram")).alias("gh"),
+    )
+    okey = F.col("doc_id") * F.lit(_OCC_KEY_BASE) + F.col("i")
+    firsts = occ.groupBy("gh").agg(F.min(okey).alias("fk"))
+    dupocc = occ.join(firsts, "gh").filter(okey != F.col("fk"))
+    covered = (
+        dupocc.select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(i, i + {SPAN_N - 1})")).alias("pos"),
+        )
+        .distinct()
+    )
+    cov_arr = covered.groupBy("doc_id").agg(F.collect_set("pos").alias("cov"))
+    return (
+        toks.join(cov_arr, "doc_id", "left")
+        .withColumn("cov", F.coalesce(F.col("cov"), F.expr("array()")))
+        .select(
+            "doc_id",
+            F.size("tokens").cast("bigint").alias("n_tokens"),
+            F.size("cov").cast("bigint").alias("n_removed"),
+            F.array_join(
+                F.expr("filter(tokens, (t, idx) -> NOT array_contains(cov, idx + 1))"),
+                " ",
+            ).alias("text_dedup"),
+        )
+    )
+
+
 @register(
     "decontamination_ngram_silver",
     oracle=_DECONTAM_ORACLE,  # one derivation, one mirror

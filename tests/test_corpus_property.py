@@ -222,3 +222,59 @@ class TestWinnowingModel:
             assert got[d["doc_id"]] == (len(fp), fp[0]), d["doc_id"]
             checked += 1
         assert checked > 0
+
+
+class TestSubstringDedupRewrite:
+    def test_planted_duplication_removed_first_kept(self, spark):
+        """Planted corpus: doc 1 carries an 8-token span; doc 2 embeds
+        the same span inside fresh text; doc 3 repeats a span within
+        itself. The rewrite keeps every globally-first occurrence
+        (doc 1 untouched), strips the repeat from doc 2, and strips
+        doc 3's self-repetition."""
+        from starknet_indexer_spark.queries import pipeline_dedup as mod
+        from starknet_indexer_spark.queries.pipeline_dedup import (
+            SPAN_N,
+            substring_dedup_rewrite,
+        )
+
+        assert SPAN_N == 8  # the planted spans below are 8 tokens
+        span = "alpha bravo charlie delta echo foxtrot golf hotel"
+        self_rep = "one two three four five six seven eight"
+        rows = [
+            (1, f"prefix words here {span} suffix words"),
+            (2, f"totally different opening {span} and a different close"),
+            (3, f"{self_rep} middle filler {self_rep}"),
+            (4, "short doc"),  # below the window: passes through
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        orig = mod.load
+        try:
+            mod.load = lambda _s, _d, _n: df
+            got = {
+                r["doc_id"]: r
+                for r in substring_dedup_rewrite(spark, "unused").collect()
+            }
+        finally:
+            mod.load = orig
+
+        # doc 1: first occurrence of the span — untouched
+        assert got[1]["n_removed"] == 0
+        assert got[1]["text_dedup"] == f"prefix words here {span} suffix words"
+        # doc 2: the 8 span positions are covered and removed
+        assert got[2]["n_removed"] == 8
+        assert (
+            got[2]["text_dedup"]
+            == "totally different opening and a different close"
+        )
+        # doc 3: self-repetition — the SECOND occurrence is removed
+        # (plus any bridging spans that also repeat; here none bridge
+        # because the filler breaks them)
+        assert got[3]["text_dedup"].startswith(self_rep)
+        assert got[3]["n_removed"] == 8
+        assert got[3]["text_dedup"] == f"{self_rep} middle filler"
+        # doc 4: shorter than the window — unchanged
+        assert got[4]["n_removed"] == 0 and got[4]["text_dedup"] == "short doc"
+        # token accounting holds everywhere
+        for r in got.values():
+            kept = len(r["text_dedup"].split()) if r["text_dedup"] else 0
+            assert kept == r["n_tokens"] - r["n_removed"]
