@@ -211,13 +211,23 @@ def _semdedup_oracle() -> str:
     "selector carries a full value-hash oracle.",
 )
 def semdedup_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", quantize_expr(F.col("embedding")).alias("qv"))
+    assigned = kmeans_assign(vecs, load_kmeans_centroids(spark, sf_dir))
+    return semdedup_from_assigned(assigned)
+
+
+def semdedup_from_assigned(assigned: DataFrame) -> DataFrame:
+    """The SemDeDup selection tail over an assignment relation
+    (vec_id, qv, cluster, d2): centroid-nearest member becomes the
+    cluster representative, members within the epsilon keep-radius of
+    it are dropped. ONE definition shared by the batch query above and
+    the stream-maintained keep-list (streaming/semdedup.py), so
+    stream == batch cannot drift."""
     from pyspark.sql.window import Window as W
 
     from ..operators.clustering import dist2_expr
 
-    emb = load(spark, sf_dir, "embeddings")
-    vecs = emb.select("vec_id", quantize_expr(F.col("embedding")).alias("qv"))
-    assigned = kmeans_assign(vecs, load_kmeans_centroids(spark, sf_dir))
     ranked = assigned.withColumn(
         "rn", F.row_number().over(W.partitionBy("cluster").orderBy("d2", "vec_id"))
     )
