@@ -17,51 +17,60 @@ batch ``tvd_drift_by_source`` computation over the union of all
 batches — the same incremental==recompute oracle the other maintained
 states in this package carry.
 
-State writes use the staging-then-swap pattern (write fully, then one
-os.replace) so a crash never leaves a half-written count table; an
-epoch marker makes foreachBatch's at-least-once replay a no-op.
+State lives in a ``state_table`` generation (VERDICT r8 mandate #7 —
+this module previously hand-rolled a staging-then-swap protocol; the
+shared generation-pointer table gives the same atomicity with one
+implementation): commits are an atomic CURRENT-pointer flip, the epoch
+token rides INSIDE the generation so a crash between the flip and the
+outer epoch marker cannot double-count a replayed batch, and crash
+recovery is state_table.recover's orphan-generation sweep.
 """
 
 from __future__ import annotations
 
-import os
-import shutil
-
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries.pipeline_drift import tvd_from_counts
+from . import state_table
 
 DEFAULT_ALERT_PPM = 200_000  # alert when TVD >= 0.2
 
+#: count state is tiny (#sources x #langs); a handful of buckets keeps
+#: the generation layout uniform with the corpus-sized states
+N_BUCKETS = 4
+
+_EMPTY_DDL = "source string, lang string, c bigint"
+_KEY = ["source", "lang"]
+
+
+def _bucket() -> Column:
+    return F.pmod(F.xxhash64("source", "lang"), F.lit(N_BUCKETS)).cast("int")
+
+
+def _merge(df: DataFrame) -> DataFrame:
+    return df.groupBy("source", "lang").agg(
+        F.sum("c").cast("bigint").alias("c")
+    )
+
 
 def recover(state_dir: str) -> None:
-    """Heal a crash mid-swap: if the live dir is missing but the
-    ``._old`` generation exists, the crash landed between the two
-    os.replace calls — restore the old generation. If BOTH exist, the
-    crash landed after the swap completed — the old generation is
-    superseded trash (the same two branches as
-    maintenance.recover_bucket_swaps).
-
-    Called by the WRITER (apply_batch entry) and at process startup —
-    deliberately NOT by the read path: a reader running destructive
-    recovery would race a live writer mid-swap (restoring the old
-    generation between the writer's two os.replace calls makes the
-    second replace fail on a non-empty destination)."""
-    live = os.path.join(state_dir, "counts")
-    trash = os.path.join(state_dir, "counts._old")
-    if os.path.isdir(trash):
-        if os.path.isdir(live):
-            shutil.rmtree(trash)
-        else:
-            os.replace(trash, live)
+    """Heal a crashed commit: delete generations the CURRENT pointer
+    does not reference (state_table.recover). Called by the writer
+    entry (merge_batch does this internally) and at process startup —
+    deliberately NOT by the read path: readers resolve the pointer to
+    a complete, immutable generation and never mutate."""
+    state_table.recover(state_dir)
 
 
 def read_counts(spark: SparkSession, state_dir: str) -> DataFrame | None:
-    live = os.path.join(state_dir, "counts")
-    if not os.path.isdir(live):
+    """The maintained (source, lang, c) counts; None before the first
+    committed generation."""
+    if state_table.current_gen_dir(state_dir) is None:
         return None
-    return spark.read.parquet(live)
+    return state_table.read_state(spark, state_dir, _EMPTY_DDL).select(
+        "source", "lang", "c"
+    )
 
 
 def drift_table(spark: SparkSession, state_dir: str) -> DataFrame | None:
@@ -75,21 +84,6 @@ def alerts(spark: SparkSession, state_dir: str, threshold_ppm: int = DEFAULT_ALE
     return None if d is None else d.filter(F.col("tvd_ppm") >= threshold_ppm)
 
 
-def _applied_epoch_token(counts_dir: str) -> str | None:
-    """The epoch token recorded inside the live count state, if any.
-
-    Stored as ``_epoch`` inside the parquet directory: Spark ignores
-    underscore-prefixed files, and because the token is written into
-    STAGING before the swap, ``os.replace`` is the atomic commit point
-    for (counts, epoch) together — a crash between the swap and the
-    outer epoch-marker write can no longer double-apply the batch."""
-    try:
-        with open(os.path.join(counts_dir, "_epoch")) as f:
-            return f.read().strip()
-    except OSError:
-        return None
-
-
 def apply_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -99,35 +93,24 @@ def apply_batch(
     """Fold one batch of (source, lang) rows into the count state.
 
     ``epoch_token`` (checkpoint-namespace-qualified epoch id) makes the
-    fold idempotent on its own: if the live state already records this
-    token, the batch was fully committed by a previous attempt whose
-    crash landed after the swap but before the caller's epoch marker —
-    skip instead of double-counting."""
-    recover(state_dir)  # single-writer: heal any mid-swap crash first
-    live = os.path.join(state_dir, "counts")
-    if epoch_token is not None and _applied_epoch_token(live) == epoch_token:
-        return
-    delta = batch.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
-    old = read_counts(spark, state_dir)
-    merged = (
-        delta
-        if old is None
-        else old.unionByName(delta)
-        .groupBy("source", "lang")
-        .agg(F.sum("c").alias("c"))
+    fold idempotent on its own: the token commits atomically WITH the
+    counts (inside the generation), so a crash after the pointer flip
+    but before the caller's epoch marker cannot double-count the
+    replayed batch — merge_batch short-circuits on the applied token."""
+    delta = batch.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    staging = os.path.join(state_dir, "counts._staging")
-    shutil.rmtree(staging, ignore_errors=True)
-    merged.write.mode("overwrite").parquet(staging)
-    if epoch_token is not None:
-        with open(os.path.join(staging, "_epoch"), "w") as f:
-            f.write(epoch_token)
-    trash = os.path.join(state_dir, "counts._old")
-    shutil.rmtree(trash, ignore_errors=True)
-    if os.path.isdir(live):
-        os.replace(live, trash)
-    os.replace(staging, live)
-    shutil.rmtree(trash, ignore_errors=True)
+    state_table.merge_batch(
+        spark,
+        state_dir,
+        delta,
+        _merge,
+        _KEY,
+        ["c"],
+        _bucket(),
+        _EMPTY_DDL,
+        token=epoch_token,
+    )
 
 
 def stream_monitor(
@@ -138,13 +121,10 @@ def stream_monitor(
     schema=None,
 ):
     """Structured Streaming driver: document rows arriving in feed_dir
-    update the count state per micro-batch (epoch-marker + in-state
+    update the count state per micro-batch (epoch-marker + in-generation
     token idempotent; scaffolding shared via
-    state_table.stream_maintain_with — the drift state itself stays a
-    single-directory staging swap, already atomic on its own)."""
-    from .state_table import stream_maintain_with
-
-    return stream_maintain_with(
+    state_table.stream_maintain_with)."""
+    return state_table.stream_maintain_with(
         spark,
         feed_dir,
         state_dir,

@@ -60,3 +60,48 @@ class TestDedupIndexEquivalence:
         assert any((a % 2) != (b % 2) for a, b, _, _ in got)
         # and the within-batch path too
         assert any((a % 2) == (b % 2) for a, b, _, _ in got)
+
+
+class TestReplayIdempotence:
+    def test_replayed_epoch_rewrites_not_appends_pairs(self, spark, tmp_path):
+        """r9 migration onto state_table: pairs are epoch-keyed
+        overwrite and both index states carry the epoch token, so an
+        at-least-once replay of a crashed epoch neither duplicates
+        pairs nor refolds the index."""
+        from starknet_indexer_spark.streaming import dedup_index, state_table
+
+        docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+        index = str(tmp_path / "index")
+        pairs = str(tmp_path / "pairs")
+        first = docs.filter(F.col("doc_id") % 2 == 0)
+        second = docs.filter(F.col("doc_id") % 2 == 1)
+        dedup_index.apply_batch(spark, first, index, pairs, epoch_token="ns:0")
+        dedup_index.apply_batch(spark, second, index, pairs, epoch_token="ns:1")
+        want_pairs = sorted(
+            map(str, dedup_index.read_pairs(spark, pairs).collect())
+        )
+        sh_rows = state_table.read_state(
+            spark, f"{index}/shingles", "doc_id bigint, shingles array<string>"
+        ).count()
+        # replay epoch 1 verbatim (crash landed before the marker)
+        dedup_index.apply_batch(spark, second, index, pairs, epoch_token="ns:1")
+        assert (
+            sorted(map(str, dedup_index.read_pairs(spark, pairs).collect()))
+            == want_pairs
+        )
+        assert (
+            state_table.read_state(
+                spark, f"{index}/shingles", "doc_id bigint, shingles array<string>"
+            ).count()
+            == sh_rows
+        )
+        # the union still equals the full recompute
+        got = {
+            (r["a_id"], r["b_id"], r["inter"], r["jaccard"])
+            for r in dedup_index.read_pairs(spark, pairs).collect()
+        }
+        want = {
+            (r["a_id"], r["b_id"], r["inter"], r["jaccard"])
+            for r in REGISTRY["minhash_lsh_dedup"].fn(spark, SF_DIR).collect()
+        }
+        assert got == want and len(got) > 0

@@ -1,14 +1,13 @@
 """Streaming drift monitor (streaming/drift.py): the maintained count
 state must make drift_table value-identical to the batch
 tvd_drift_by_source computation over the union of all batches, and the
-staging-swap state write must self-heal from both mid-swap crash
-positions.
+generation-pointer state commit must ignore/sweep half-built
+generations from a crashed commit.
 """
 
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import functions as F
 
@@ -74,26 +73,31 @@ class TestDriftMonitor:
             drift.drift_table(spark, state).filter(F.col("tvd_ppm") >= thr)
         )
 
-    def test_crash_recovery_both_branches(self, spark, tmp_path):
+    def test_crash_recovery_half_built_generation(self, spark, tmp_path):
+        """A crash mid-commit leaves a half-built higher generation the
+        CURRENT pointer never referenced; reads stay on the complete
+        live generation, and writer-entry recovery sweeps the orphan
+        (state_table semantics — drift state rides the shared
+        generation table since r9)."""
+        from starknet_indexer_spark.streaming import state_table
+
         state = str(tmp_path / "rdrift")
         docs = _docs(spark)
         drift.apply_batch(spark, docs, state)
         want = _rows(drift.drift_table(spark, state))
-        live = os.path.join(state, "counts")
-        trash = os.path.join(state, "counts._old")
-        # crash between the two os.replace calls: live gone, _old holds
-        # state — recovery runs on the WRITER path (apply_batch entry /
-        # startup), never on reads (a reading recoverer would race a
-        # live writer mid-swap)
-        os.replace(live, trash)
-        assert drift.read_counts(spark, state) is None  # reads don't heal
-        drift.recover(state)
+        gen = state_table.current_gen(state)
+        orphan = os.path.join(state, f"gen-{gen + 1}")
+        os.makedirs(os.path.join(orphan, "bucket=0"))
+        with open(os.path.join(orphan, "junk"), "w") as f:
+            f.write("half-built")
+        # reads resolve the pointer — the orphan is invisible
         assert _rows(drift.drift_table(spark, state)) == want
-        # crash after the swap completed: both live and stale _old exist
-        shutil.copytree(live, trash)
         drift.recover(state)
+        assert not os.path.isdir(orphan)
         assert _rows(drift.drift_table(spark, state)) == want
-        assert not os.path.isdir(trash)
+        # the next fold commits a fresh generation on top cleanly
+        drift.apply_batch(spark, docs.limit(0), state)
+        assert _rows(drift.drift_table(spark, state)) == want
 
     def test_epoch_token_closes_post_swap_replay_window(self, spark, tmp_path):
         """Crash after the counts swap but before the outer epoch marker
