@@ -189,25 +189,41 @@ def _plan_fps() -> dict[str, str]:
     return fps
 
 
+#: idle gap (seconds) after which the ordinal counter resets: the
+#: measured monotonic drift (BENCH_DIFF.md r7/r8) develops across
+#: CLOSELY-SPACED runs — page cache pressure, thermal/cgroup state —
+#: and decays when the machine sits idle. The build container never
+#: reboots between rounds (uptime spans sessions), so a boot-keyed
+#: counter would label a fresh session's first run "ordinal 6" and
+#: tell the adjudicator to expect drift that is not there.
+ORDINAL_SESSION_GAP_S = 3600
+
+
 def _run_ordinal() -> int:
-    """1-based position of this bench run since machine boot.
+    """1-based position of this bench run within the current warm
+    session (same boot AND less than ORDINAL_SESSION_GAP_S since the
+    previous run).
 
     Round 7 measured a ~15% MONOTONIC wall-time drift across four
     same-code bench runs in one session (BENCH_DIFF.md r7) — the run's
     ordinal is the covariate an adjudicator needs to recognize that
-    pattern mechanically. Keyed to the kernel boot id so the counter
-    resets with the machine, not per process."""
+    pattern mechanically."""
     try:
         with open("/proc/sys/kernel/random/boot_id") as fh:
             boot = fh.read().strip()
     except OSError:
         boot = "unknown"
+    now = time.time()
     path = os.path.join(tempfile.gettempdir(), "spark_graft_bench_ordinal.json")
-    state = {"boot_id": boot, "count": 0}
+    state = {"boot_id": boot, "count": 0, "last_ts": now}
     try:
         with open(path) as fh:
             prev = json.load(fh)
-        if isinstance(prev, dict) and prev.get("boot_id") == boot:
+        if (
+            isinstance(prev, dict)
+            and prev.get("boot_id") == boot
+            and now - float(prev.get("last_ts", 0)) < ORDINAL_SESSION_GAP_S
+        ):
             state["count"] = int(prev.get("count", 0))
     except (OSError, ValueError):
         pass
