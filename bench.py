@@ -152,8 +152,12 @@ HEADLINE = [
     "clustering_agreement_ari",
     "precision_recall_curve",
     "ann_ndcg_eval",
-    # round-9: substring-dedup remediation (Lee et al. rewrite)
+    # round-9: substring-dedup remediation (Lee et al. rewrite), fuzzy
+    # decontamination, embedding-audit + margin-mining family
     "substring_dedup_rewrite",
+    "fuzzy_decontamination",
+    "knn_label_agreement",
+    "margin_neighbor_mining",
     # reference view library (Ekubo-shaped derivation + real view plan)
     "v01_pool_states",
     "v07_last_24h_pool_stats",

@@ -954,3 +954,119 @@ def decontamination_ngram_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+def _fuzzy_decontam_oracle() -> str:
+    """MinHash band CTEs (shared geometry with _minhash_oracle) with the
+    candidate join restricted to train-vs-eval pairs."""
+    sig_cols = ",\n             ".join(
+        f"list_min(list_transform(h, x -> ({a} * (x % {MINHASH_P}) + {b}) % {MINHASH_P}))"
+        f" AS sig_{i}"
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {b} AS band, "
+        + " || ',' || ".join(
+            f"sig_{b * ROWS_PER_BAND + r}::VARCHAR" for r in range(ROWS_PER_BAND)
+        )
+        + " AS band_key FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH toks AS ({_TOKS_SQL}),
+    sh AS ({_SH_SQL}),
+    hs AS (
+      SELECT doc_id,
+             list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS h
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM hs
+    ),
+    bands AS (
+{band_selects}
+    ),
+    lab AS (SELECT doc_id, source FROM documents),
+    ev AS (
+      SELECT b.doc_id, b.band, b.band_key FROM bands b
+      JOIN lab USING (doc_id) WHERE source = '{EVAL_SOURCE}'
+    ),
+    tr AS (
+      SELECT b.doc_id, b.band, b.band_key FROM bands b
+      JOIN lab USING (doc_id) WHERE source <> '{EVAL_SOURCE}'
+    ),
+    cand AS (
+      SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+      FROM tr t JOIN ev e ON t.band = e.band AND t.band_key = e.band_key
+    )
+    SELECT c.train_id, c.eval_id,
+           len(list_intersect(st.shingles, se.shingles)) AS inter,
+           ROUND(CAST(len(list_intersect(st.shingles, se.shingles)) AS DOUBLE)
+                 / (len(st.shingles) + len(se.shingles)
+                    - len(list_intersect(st.shingles, se.shingles))), 6) AS jaccard
+    FROM cand c
+    JOIN sh st ON st.doc_id = c.train_id
+    JOIN sh se ON se.doc_id = c.eval_id
+    WHERE ROUND(CAST(len(list_intersect(st.shingles, se.shingles)) AS DOUBLE)
+          / (len(st.shingles) + len(se.shingles)
+             - len(list_intersect(st.shingles, se.shingles))), 6) >= {JACCARD_MIN}
+    """
+
+
+@register(
+    "fuzzy_decontamination",
+    oracle=_fuzzy_decontam_oracle(),
+    doc="FUZZY train/eval decontamination via MinHash+LSH (the "
+    "near-duplicate complement of the exact-n-gram containment "
+    f"decontamination): training docs (source != '{EVAL_SOURCE}') "
+    "colliding with a held-out eval doc in >= 1 LSH band, verified by "
+    f"exact shingle Jaccard >= {JACCARD_MIN} — catches paraphrased or "
+    "lightly-edited eval leakage that exact n-gram probes miss "
+    "(GPT-3's dedup appendix and the Pile both ship this op). Reads "
+    "the MATERIALIZED silver band/shingle relations; the eval id set "
+    "is tiny (held-out benchmarks) and broadcasts, so the probe is "
+    "one band-keyed join against eval bands only — never a train-train "
+    "pair explosion. Output = (train_id, eval_id, inter, jaccard): "
+    "the contaminated-doc drop list with its evidence.",
+)
+def fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..silver import ensure_silver
+
+    root = ensure_silver(spark, sf_dir)
+    sh = spark.read.parquet(os.path.join(root, "doc_shingles"))
+    bands = spark.read.parquet(os.path.join(root, "minhash_bands"))
+    eval_ids = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("source") == EVAL_SOURCE)
+        .select("doc_id")
+    )
+    ev_bands = bands.join(F.broadcast(eval_ids), "doc_id").select(
+        F.col("doc_id").alias("eval_id"), "band", "band_key"
+    )
+    tr_bands = bands.join(F.broadcast(eval_ids), "doc_id", "left_anti").select(
+        F.col("doc_id").alias("train_id"), "band", "band_key"
+    )
+    cand = (
+        tr_bands.join(F.broadcast(ev_bands), ["band", "band_key"])
+        .select("train_id", "eval_id")
+        .distinct()
+    )
+    st = sh.select(F.col("doc_id").alias("train_id"), F.col("shingles").alias("t_sh"))
+    se = sh.select(F.col("doc_id").alias("eval_id"), F.col("shingles").alias("e_sh"))
+    inter = F.size(F.array_intersect("t_sh", "e_sh"))
+    jac = inter.cast("double") / (F.size("t_sh") + F.size("e_sh") - inter)
+    return (
+        cand.join(st, "train_id")
+        .join(se, "eval_id")
+        .select(
+            "train_id",
+            "eval_id",
+            inter.alias("inter"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_MIN)
+    )

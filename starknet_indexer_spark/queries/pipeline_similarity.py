@@ -918,3 +918,291 @@ def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ndcg_ppm"),
     )
+
+
+#: probe-sample rate for embedding-space audits: 1-in-2^2 of vectors
+KNN_AUDIT_RATIO_BITS = 2
+
+
+@register(
+    "knn_label_agreement",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS ev,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS en
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, label AS q_label, ev AS qv, en AS qn FROM c
+      WHERE {{sample_sql}}
+    ),
+    sims AS (
+      SELECT q.query_id, q.q_label, c.label AS n_label,
+             ROUND(list_dot_product(q.qv, c.ev) / (q.qn * c.en), 4) AS sim,
+             c.vec_id AS neighbor_id
+      FROM q, c WHERE q.query_id <> c.vec_id
+    ),
+    topk AS (
+      SELECT query_id, q_label, n_label FROM (
+        SELECT query_id, q_label, n_label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM sims
+      ) WHERE rank <= {{k}}
+    ),
+    per_probe AS (
+      SELECT query_id, q_label,
+             SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS n_same
+      FROM topk GROUP BY query_id, q_label
+    )
+    SELECT q_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(n_same) AS BIGINT) AS n_same_total,
+           CAST(FLOOR(1000000.0 * SUM(n_same)
+                      / (COUNT(*) * {{k}}) + 0.5) AS BIGINT) AS agreement_ppm
+    FROM per_probe GROUP BY q_label
+    """.format(
+        sample_sql=__import__(
+            "starknet_indexer_spark.operators.sketches", fromlist=["x"]
+        ).hash_sample_pred_sql("CAST(vec_id AS VARCHAR)", KNN_AUDIT_RATIO_BITS),
+        k=TOP_K,
+    ),
+    doc="Embedding-quality audit: leave-one-out kNN label agreement — "
+    "for a deterministic 1-in-4 hash-sample of vectors, the fraction "
+    "of their exact-cosine top-5 neighbors sharing their label, "
+    "aggregated per label. The acceptance gate before any "
+    "kNN-mediated pipeline stage (label propagation, kNN-filtered "
+    "sampling, retrieval-augmented labeling) is trusted: near-random "
+    "agreement (~1/n_labels) means the embedding carries no label "
+    "signal and the stage should not run. Integer outputs (probe and "
+    "same-label neighbor counts; one ppm rounding per label). Scale "
+    "shape: the probe sample broadcasts, the corpus is scanned once "
+    "map-side, and the per-probe top-k never global-sorts; the audit "
+    "cost is set by the sample rate, not the corpus.",
+)
+def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import hash_sample_pred
+
+    emb = load(spark, sf_dir, "embeddings")
+    c = _with_norm(emb, "neighbor_id", "cv", "cn").join(
+        emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("label").alias("n_label")),
+        "neighbor_id",
+    )
+    q = _with_norm(
+        emb.filter(
+            hash_sample_pred(F.col("vec_id").cast("string"), KNN_AUDIT_RATIO_BITS)
+        ),
+        "query_id",
+        "qv",
+        "qn",
+    ).join(
+        emb.select(F.col("vec_id").alias("query_id"),
+                   F.col("label").alias("q_label")),
+        "query_id",
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "q_label",
+            "n_label",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
+            ).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    topk = sims.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )
+    per_probe = topk.groupBy("query_id", "q_label").agg(
+        F.sum((F.col("n_label") == F.col("q_label")).cast("int")).alias("n_same")
+    )
+    return per_probe.groupBy(F.col("q_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum("n_same").cast("bigint").alias("n_same_total"),
+        F.floor(
+            F.lit(1000000.0) * F.sum("n_same") / (F.count(F.lit(1)) * TOP_K)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("agreement_ppm"),
+    )
+
+
+#: margin-acceptance cut for mined pairs (ppm of the margin ratio);
+#: 1.05 is the standard mined-bitext operating point (Artetxe &
+#: Schwenk 2019) — the synthetic corpus clusters around 1.0 so the
+#: flag separates the tail, not everything
+MARGIN_ACCEPT_PPM = 1_050_000
+
+
+def _margin_oracle() -> str:
+    def topk_side(qcte: str, ccte: str, qa: str, ca: str, out: str) -> str:
+        return f"""
+    assign_{out} AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT c.vec_id, cent.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY list_dot_product(c.ev, cent.cv) / (c.en * cent.cn) DESC,
+                          cent.centroid_id) AS crank
+        FROM {ccte} c, cent
+      ) WHERE crank = 1
+    ),
+    probes_{out} AS (
+      SELECT vec_id AS q_id, centroid_id FROM (
+        SELECT q.vec_id, cent.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.ev, cent.cv) / (q.en * cent.cn) DESC,
+                          cent.centroid_id) AS crank
+        FROM {qcte} q, cent
+      ) WHERE crank <= {N_PROBE}
+    ),
+    sims_{out} AS (
+      SELECT DISTINCT p.q_id AS {qa}, s.vec_id AS {ca},
+             CAST(FLOOR(list_dot_product(q.ev, n.ev) / (q.en * n.en)
+                        * 10000 + 0.5) AS BIGINT) AS sim_i4
+      FROM probes_{out} p
+      JOIN assign_{out} s USING (centroid_id)
+      JOIN {qcte} q ON q.vec_id = p.q_id
+      JOIN {ccte} n ON n.vec_id = s.vec_id
+    ),
+    topk_{out} AS (
+      SELECT {qa}, {ca}, sim_i4 FROM (
+        SELECT {qa}, {ca}, sim_i4,
+               ROW_NUMBER() OVER (PARTITION BY {qa}
+                                  ORDER BY sim_i4 DESC, {ca}) AS rank
+        FROM sims_{out}
+      ) WHERE rank <= {TOP_K}
+    )"""
+
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS en
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS centroid_id, ev AS cv, en AS cn FROM v
+      WHERE vec_id < {N_CENTROIDS}
+    ),
+    sa AS (SELECT * FROM v WHERE vec_id % 2 = 0),
+    sb AS (SELECT * FROM v WHERE vec_id % 2 = 1),{topk_side("sa", "sb", "a_id", "b_id", "f")},{topk_side("sb", "sa", "b_id", "a_id", "r")},
+    sum_f AS (SELECT a_id, SUM(sim_i4) AS s_f FROM topk_f GROUP BY a_id),
+    sum_r AS (SELECT b_id, SUM(sim_i4) AS s_r FROM topk_r GROUP BY b_id),
+    u AS (
+      SELECT a_id, b_id, sim_i4 FROM topk_f
+      UNION
+      SELECT a_id, b_id, sim_i4 FROM topk_r
+    )
+    SELECT u.a_id, u.b_id, u.sim_i4,
+           CAST(FLOOR(1000000.0 * 2 * {TOP_K} * u.sim_i4
+                      / (f.s_f + r.s_r) + 0.5) AS BIGINT) AS margin_ppm,
+           CAST(CAST(FLOOR(1000000.0 * 2 * {TOP_K} * u.sim_i4
+                      / (f.s_f + r.s_r) + 0.5) AS BIGINT)
+                >= {MARGIN_ACCEPT_PPM} AS BIGINT) AS accepted
+    FROM u
+    JOIN sum_f f USING (a_id)
+    JOIN sum_r r USING (b_id)
+    WHERE f.s_f + r.s_r > 0
+    """
+
+
+@register(
+    "margin_neighbor_mining",
+    oracle=_margin_oracle(),
+    doc="Margin-based neighbor mining (Artetxe & Schwenk 2019 — the "
+    "CCMatrix/LASER bitext-mining scorer): the corpus splits into two "
+    "sides (vec_id parity stands in for two languages/crawls), each "
+    "side's vectors find their IVF-restricted exact-cosine top-5 in "
+    "the other side, and every candidate pair is scored by "
+    "margin = cos(x, y) / ((avgNN_k(x) + avgNN_k(y)) / 2) — the ratio "
+    "form that suppresses hubness where a raw cosine cut cannot. "
+    "Pairs above the 1.05 operating point are flagged accepted. "
+    "Exactness: sims quantized to integer ten-thousandths "
+    "(FLOOR(x*1e4+0.5)) BEFORE ranking and summation, so top-k ties, "
+    "k-sums and the single end ppm-rounding are engine-identical; "
+    "pairs found in both directions carry the identical sim and "
+    "collapse in the set-union. Scale shape: the deployed FAISS-based "
+    "miner approximates kNN with an IVF index — this is that shape on "
+    "the repo's IVF machinery: cell assignment is map-only against "
+    "broadcast centroids, the candidate join shuffles on centroid_id "
+    "(the IVF partition layout), per-query top-k windows never "
+    "global-sort, and the margin stats are two side-sized aggs. Sides "
+    "whose probe cells contain no counterpart (no kNN list) cannot be "
+    "margin-scored and drop, as in the reference miner.",
+)
+def margin_neighbor_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    v = _with_norm(emb, "vec_id", "ev", "en")
+    cent = v.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("ev").alias("cv"),
+        F.col("en").alias("cn"),
+    )
+    sa = v.filter(F.col("vec_id") % 2 == 0)
+    sb = v.filter(F.col("vec_id") % 2 == 1)
+
+    def topk_side(q: DataFrame, c: DataFrame, qa: str, ca: str) -> DataFrame:
+        assign = ivf_assign(c, cent, 1).select("vec_id", "centroid_id")
+        probes = ivf_assign(q, cent, N_PROBE).select(
+            F.col("vec_id").alias("q_id"), "centroid_id"
+        )
+        cands = (
+            assign.join(probes, "centroid_id")
+            .select(F.col("q_id").alias(qa), F.col("vec_id").alias(ca))
+            .distinct()
+        )
+        qv = q.select(
+            F.col("vec_id").alias(qa), F.col("ev").alias("qv"), F.col("en").alias("qn")
+        )
+        nv = c.select(
+            F.col("vec_id").alias(ca), F.col("ev").alias("nv"), F.col("en").alias("nn")
+        )
+        sim_i4 = (
+            F.floor(
+                _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
+                * F.lit(10000) + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("sim_i4")
+        )
+        sims = cands.join(qv, qa).join(nv, ca).select(qa, ca, sim_i4)
+        w = W.partitionBy(qa).orderBy(F.col("sim_i4").desc(), F.col(ca))
+        return (
+            sims.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select(qa, ca, "sim_i4")
+        )
+
+    topk_f = topk_side(sa, sb, "a_id", "b_id")
+    topk_r = topk_side(sb, sa, "b_id", "a_id")
+    sum_f = topk_f.groupBy("a_id").agg(F.sum("sim_i4").alias("s_f"))
+    sum_r = topk_r.groupBy("b_id").agg(F.sum("sim_i4").alias("s_r"))
+    u = topk_f.select("a_id", "b_id", "sim_i4").union(
+        topk_r.select("a_id", "b_id", "sim_i4")
+    ).distinct()
+    margin = (
+        F.floor(
+            F.lit(1000000.0) * 2 * TOP_K * F.col("sim_i4")
+            / (F.col("s_f") + F.col("s_r"))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("margin_ppm")
+    )
+    return (
+        u.join(sum_f, "a_id")
+        .join(sum_r, "b_id")
+        .filter(F.col("s_f") + F.col("s_r") > 0)
+        .select("a_id", "b_id", "sim_i4", margin)
+        .withColumn(
+            "accepted",
+            (F.col("margin_ppm") >= MARGIN_ACCEPT_PPM).cast("bigint"),
+        )
+    )
