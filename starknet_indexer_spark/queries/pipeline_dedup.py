@@ -34,7 +34,6 @@ from ..operators.dedup import (
     simhash_fingerprint,
     simhash_near_pairs,
     tokens_expr,
-    word_ngrams_expr,
     word_shingles_expr,
 )
 from .registry import register

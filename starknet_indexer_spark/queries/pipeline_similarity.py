@@ -924,6 +924,12 @@ def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_AUDIT_RATIO_BITS = 2
 
 
+def _knn_sample_sql() -> str:
+    from ..operators.sketches import hash_sample_pred_sql
+
+    return hash_sample_pred_sql("CAST(vec_id AS VARCHAR)", KNN_AUDIT_RATIO_BITS)
+
+
 @register(
     "knn_label_agreement",
     oracle=f"""
@@ -961,12 +967,7 @@ KNN_AUDIT_RATIO_BITS = 2
            CAST(FLOOR(1000000.0 * SUM(n_same)
                       / (COUNT(*) * {{k}}) + 0.5) AS BIGINT) AS agreement_ppm
     FROM per_probe GROUP BY q_label
-    """.format(
-        sample_sql=__import__(
-            "starknet_indexer_spark.operators.sketches", fromlist=["x"]
-        ).hash_sample_pred_sql("CAST(vec_id AS VARCHAR)", KNN_AUDIT_RATIO_BITS),
-        k=TOP_K,
-    ),
+    """.format(sample_sql=_knn_sample_sql(), k=TOP_K),
     doc="Embedding-quality audit: leave-one-out kNN label agreement — "
     "for a deterministic 1-in-4 hash-sample of vectors, the fraction "
     "of their exact-cosine top-5 neighbors sharing their label, "
