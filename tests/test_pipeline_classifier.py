@@ -290,3 +290,59 @@ class TestAriFormula:
         ari = (r["pairs_both"] - exp) / ((r["pairs_a"] + r["pairs_b"]) / 2 - exp)
         assert r["ari_ppm"] == _floor_half_up(1e6 * ari)
         assert -1_000_000 <= r["ari_ppm"] <= 1_000_000
+
+
+def _pav(points: list[tuple[int, int, int]]) -> dict[int, float]:
+    """Classic stack PAV over (bin, weight, positives) sorted by bin —
+    the sequential algorithm the minimax plan must reproduce."""
+    stack: list[list[float]] = []  # [w, pos, first_bin_idx]
+    bins = sorted(points)
+    for _, w, pos in bins:
+        stack.append([w, pos])
+        while len(stack) >= 2 and (
+            stack[-2][1] * stack[-1][0] >= stack[-1][1] * stack[-2][0]
+        ):
+            w2, p2 = stack.pop()
+            stack[-1][0] += w2
+            stack[-1][1] += p2
+    out: dict[int, float] = {}
+    it = iter(bins)
+    for w_blk, p_blk in stack:
+        consumed = 0
+        while consumed < w_blk:
+            b, w, _ = next(it)
+            out[b] = p_blk / w_blk
+            consumed += w
+    return out
+
+
+class TestIsotonicCalibration:
+    def test_minimax_plan_equals_stack_pav(self, spark):
+        """The declarative max-min-mean fit must equal the sequential
+        pool-adjacent-violators algorithm bin for bin (ppm-exact)."""
+        from starknet_indexer_spark.queries.pipeline_calibration import (
+            isotonic_calibration,
+        )
+
+        rows = isotonic_calibration(spark, SF_DIR).collect()
+        assert rows, "empty calibration output"
+        ref = _pav([(r["bin"], r["n_docs"], r["n_pos"]) for r in rows])
+        for r in rows:
+            assert r["iso_ppm"] == _floor_half_up(1e6 * ref[r["bin"]]), r["bin"]
+
+    def test_fit_is_monotone_and_probability(self, spark):
+        from starknet_indexer_spark.queries.pipeline_calibration import (
+            isotonic_calibration,
+        )
+
+        rows = sorted(
+            isotonic_calibration(spark, SF_DIR).collect(), key=lambda r: r["bin"]
+        )
+        isos = [r["iso_ppm"] for r in rows]
+        assert all(a <= b for a, b in zip(isos, isos[1:]))
+        assert all(0 <= v <= 1_000_000 for v in isos)
+        # the fit preserves total positive mass (a PAV invariant):
+        # sum over bins of w * iso == total positives (up to ppm rounding)
+        tot_pos = sum(r["n_pos"] for r in rows)
+        fit_mass = sum(r["n_docs"] * r["iso_ppm"] / 1e6 for r in rows)
+        assert abs(fit_mass - tot_pos) < 1e-3 * tot_pos + 1
