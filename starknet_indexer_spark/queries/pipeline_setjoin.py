@@ -46,39 +46,33 @@ SETJOIN_THRESHOLD = 0.5
 SETJOIN_TOKEN_CAP = 10
 
 
-def prefix_candidates(
-    sets: DataFrame,
-    t: float = SETJOIN_THRESHOLD,
-    max_token_bucket: int | None = None,
-) -> tuple[DataFrame, DataFrame]:
-    """(ranked, candidates): per-doc rank-sorted element arrays and
-    the prefix-blocked candidate pair set (a_id, b_id). Exposed so
-    tests can quantify the pruning independently of the verify
-    stage. ``max_token_bucket``: drop prefix tokens appearing in more
-    than this many docs' prefixes before the candidate join
-    (cap_hot_bands over ("token",) buckets) — bounds per-token
-    candidate work at O(cap^2) at the cost of bounded recall."""
-    toks = sets.select("doc_id", "toks").filter(F.size("toks") > 0)
+def ranked_sets(sets: DataFrame, t: float) -> DataFrame:
+    """Per-doc rank-sorted element arrays with prefix lengths for
+    threshold ``t``: (doc_id, ordered, hset, n, prefix_len). Shared by
+    the symmetric (Jaccard) and asymmetric (containment) prefix joins
+    — prefix_len = n - ceil(t*n) + 1 is the same formula in both
+    theorems; only the candidate-join shape downstream differs.
 
-    # global element order: ascending document frequency, ties by the
-    # element string — ANY total order shared across docs satisfies
-    # the prefix guarantee, so (df, token) structs are used directly:
-    # no dense-rank window (a single-partition sort of the whole
-    # vocabulary) and no driver-side anything. sort_array on structs
-    # orders by df first, token second — deterministic. The df table
-    # is vocabulary-sized and broadcast (ranked is consumed three
-    # times downstream; a shuffle join here would be recomputed each
-    # time) — at vocabularies beyond broadcast size, bucket-join
-    # df and localCheckpoint ranked instead.
-    # Set elements are 60-bit md5 hashes, not strings: the ordered
-    # arrays, the candidate join key, and the verify intersection all
-    # become int64 work (strings made the verify stage ~10x slower).
-    # The DISTINCT after hashing makes the HASH SET the set being
-    # joined on BOTH engines — so if two distinct shingles of one doc
-    # ever collide (O(n^2/2^61)), sizes, intersections, and jaccards
-    # still agree bit-for-bit with the oracle (which dedups the same
-    # hashes), instead of Spark deduping while the oracle counts
-    # multiplicity.
+    Global element order: ascending document frequency, ties by the
+    element string — ANY total order shared across docs satisfies
+    the prefix guarantee, so (df, token) structs are used directly:
+    no dense-rank window (a single-partition sort of the whole
+    vocabulary) and no driver-side anything. sort_array on structs
+    orders by df first, token second — deterministic. The df table
+    is vocabulary-sized and broadcast (ranked is consumed three
+    times downstream; a shuffle join here would be recomputed each
+    time) — at vocabularies beyond broadcast size, bucket-join
+    df and localCheckpoint ranked instead.
+    Set elements are 60-bit md5 hashes, not strings: the ordered
+    arrays, the candidate join key, and the verify intersection all
+    become int64 work (strings made the verify stage ~10x slower).
+    The DISTINCT after hashing makes the HASH SET the set being
+    joined on BOTH engines — so if two distinct shingles of one doc
+    ever collide (O(n^2/2^61)), sizes, intersections, and jaccards
+    still agree bit-for-bit with the oracle (which dedups the same
+    hashes), instead of Spark deduping while the oracle counts
+    multiplicity."""
+    toks = sets.select("doc_id", "toks").filter(F.size("toks") > 0)
     ex = (
         toks.select("doc_id", F.explode("toks").alias("tok"))
         .select("doc_id", md5_hash60_expr(F.col("tok")).alias("token"))
@@ -103,7 +97,23 @@ def prefix_candidates(
     # verify sides); without materialization each recomputes the full
     # tokenize->explode->join->collect_list chain (~4x wall). Lazy
     # local checkpoint = one materialization, no eager extra job.
-    ranked = ranked.localCheckpoint(eager=False)
+    return ranked.localCheckpoint(eager=False)
+
+
+def prefix_candidates(
+    sets: DataFrame,
+    t: float = SETJOIN_THRESHOLD,
+    max_token_bucket: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(ranked, candidates): per-doc rank-sorted element arrays and
+    the prefix-blocked candidate pair set (a_id, b_id). Exposed so
+    tests can quantify the pruning independently of the verify
+    stage. ``max_token_bucket``: drop prefix tokens appearing in more
+    than this many docs' prefixes before the candidate join
+    (cap_hot_bands over ("token",) buckets) — bounds per-token
+    candidate work at O(cap^2) at the cost of bounded recall."""
+    ranked = ranked_sets(sets, t)
+
     prefix = ranked.select(
         "doc_id",
         "n",
@@ -349,3 +359,129 @@ def setjoin_prefix_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame
 def setjoin_prefix_jaccard_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_jaccard_pairs(_silver_shingle_sets(spark, sf_dir),
                                 SETJOIN_THRESHOLD)
+
+
+# -- asymmetric containment join ------------------------------------
+
+#: minimum containment |A∩B|/|A| for the contained side
+CONTAINMENT_THRESHOLD = 0.8
+#: ignore sets smaller than this on the contained side — sub-5-shingle
+#: docs are near-empty and handled by exact dedup; without the floor a
+#: one-shingle doc is "contained" in every doc sharing that shingle
+CONTAINMENT_MIN_SET = 5
+
+
+def containment_pairs(
+    sets: DataFrame,
+    t: float = CONTAINMENT_THRESHOLD,
+    min_set: int = CONTAINMENT_MIN_SET,
+) -> DataFrame:
+    """All ORDERED pairs (a contained-in b) with set containment
+    |A∩B|/|A| >= ``t`` and |A| >= ``min_set`` — exact result through
+    asymmetric prefix filtering.
+
+    The asymmetric prefix guarantee: if |A∩B| >= t|A| then at least
+    one of A's first |A| - ceil(t|A|) + 1 tokens (under ANY global
+    token order) is in B — otherwise A∩B fits inside A's remaining
+    ceil(t|A|) - 1 tokens, contradiction. So the candidate join is
+    A-PREFIX tokens against B's FULL token relation (containment puts
+    no upper bound on |B|, so B cannot be prefix-pruned), plus the
+    size predicate |B| >= t|A| (the intersection can't exceed |B|).
+    At t=0.8 the probe prefix carries ~20% of each set's tokens and
+    consists of its RAREST tokens, so the full-index postings it
+    touches are short — the same frequency-ordering insight PPJoin
+    uses, applied one-sided.
+    """
+    ranked = ranked_sets(sets, t)
+    prefix = ranked.select(
+        "doc_id",
+        "n",
+        F.explode(F.slice("ordered", 1, F.col("prefix_len"))).alias("p"),
+    ).select("doc_id", "n", F.col("p.token").alias("token"))
+    # B side: the full (doc, token) relation, rebuilt from the ranked
+    # arrays (already materialized) instead of re-deriving from text
+    full = ranked.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("n").alias("b_n"),
+        F.explode("hset").alias("token"),
+    )
+    pa = prefix.filter(F.col("n") >= min_set).alias("pa")
+    fb = full.alias("fb")
+    candidates = (
+        pa.join(
+            fb,
+            (F.col("pa.token") == F.col("fb.token"))
+            & (F.col("pa.doc_id") != F.col("fb.b_id"))
+            & (F.col("fb.b_n") >= F.col("pa.n") * F.lit(t)),
+        )
+        .select(F.col("pa.doc_id").alias("a_id"), F.col("fb.b_id").alias("b_id"))
+        .distinct()
+    )
+    ra = ranked.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("hset").alias("a_hs"),
+        F.col("n").alias("a_n"),
+    )
+    rb = ranked.select(
+        F.col("doc_id").alias("b_id"), F.col("hset").alias("b_hs")
+    )
+    inter = F.size(F.array_intersect("a_hs", "b_hs"))
+    # filter on the UNROUNDED containment (same reasoning as the
+    # Jaccard variant: the losslessness theorem covers TRUE c >= t)
+    return (
+        candidates.join(ra, "a_id")
+        .join(rb, "b_id")
+        .filter(inter >= F.col("a_n") * F.lit(t))
+        .select(
+            "a_id",
+            "b_id",
+            F.col("a_n").cast("bigint").alias("a_n"),
+            inter.cast("bigint").alias("inter"),
+            F.round(inter / F.col("a_n"), 6).alias("containment"),
+        )
+    )
+
+
+@register(
+    "setjoin_containment",
+    oracle=f"""
+    WITH {_SETJOIN_EX_SQL},
+    sized AS (
+      SELECT doc_id, token,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n
+      FROM ex
+    ),
+    pair_inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.n AS a_n, COUNT(*) AS inter
+      FROM sized a JOIN sized b ON a.token = b.token
+                 AND a.doc_id <> b.doc_id
+      WHERE a.n >= {CONTAINMENT_MIN_SET}
+      GROUP BY a.doc_id, b.doc_id, a.n
+    )
+    SELECT a_id, b_id, CAST(a_n AS BIGINT) AS a_n,
+           CAST(inter AS BIGINT) AS inter,
+           ROUND(CAST(inter AS DOUBLE) / a_n, 6) AS containment
+    FROM pair_inter
+    WHERE inter >= a_n * {CONTAINMENT_THRESHOLD}
+    """,
+    doc=f"Exact asymmetric containment join: every ordered doc pair "
+    f"where >= {CONTAINMENT_THRESHOLD} of the contained doc's shingle "
+    f"set appears in the container's (|A| >= {CONTAINMENT_MIN_SET}) — "
+    "the sub-document inclusion case (quoted articles, boilerplate "
+    "wrappers, partial copies) that symmetric Jaccard structurally "
+    "misses: a doc fully quoted inside one 3x its size has "
+    "containment 1.0 but Jaccard 0.33. Candidates come from the "
+    "one-sided prefix theorem (A's |A|-ceil(t|A|)+1 rarest tokens "
+    "must hit B's full set; B is not prefix-prunable because "
+    "containment has no upper size bound), verified exactly on the "
+    "full hash sets. The DuckDB oracle computes the same answer "
+    "through a full inverted index, so the asymmetric losslessness "
+    "claim is value-hash-proven each run. Scale shape: probe side "
+    "carries ~(1-t) of corpus tokens (the rare ones -> short "
+    "postings); index side is the plain token relation read from the "
+    "already-materialized ranked arrays; verification joins candidate "
+    "pairs back to int64 hash arrays.",
+)
+def setjoin_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return containment_pairs(_silver_shingle_sets(spark, sf_dir))

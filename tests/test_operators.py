@@ -628,6 +628,69 @@ class TestPrefixSetJoin:
         assert n_cap == 0, n_cap  # every bucket >= 6 > cap
         assert n_un > 0
 
+    def test_containment_planted_subsumption(self, spark):
+        """A doc whose shingles are a strict subset of a 3x-larger
+        doc's must surface in the containment join (containment 1.0)
+        while staying BELOW the Jaccard threshold — the case the
+        symmetric join structurally misses."""
+        from starknet_indexer_spark.queries.pipeline_setjoin import (
+            CONTAINMENT_THRESHOLD,
+            SETJOIN_THRESHOLD,
+            containment_pairs,
+            prefix_jaccard_pairs,
+        )
+
+        words = [f"w{i}" for i in range(40)]
+        big = " ".join(words)                # 38 shingles
+        small = " ".join(words[:12])         # 10 shingles, all in big
+        other = " ".join(f"z{i}" for i in range(30))
+        sets = spark.createDataFrame(
+            [(1, small), (2, big), (3, other)], ["doc_id", "text"]
+        )
+        from starknet_indexer_spark.operators.dedup import (
+            tokens_expr,
+            word_shingles_expr,
+        )
+
+        sets = sets.select(
+            "doc_id", word_shingles_expr(tokens_expr(F.col("text"))).alias("toks")
+        )
+        got = {
+            (r["a_id"], r["b_id"]): r
+            for r in containment_pairs(sets, CONTAINMENT_THRESHOLD).collect()
+        }
+        assert (1, 2) in got
+        assert got[(1, 2)]["containment"] == 1.0
+        assert (2, 1) not in got  # asymmetric: big is NOT inside small
+        # Jaccard(small, big) = 10/38 < 0.5: symmetric join misses it
+        jac = prefix_jaccard_pairs(sets, SETJOIN_THRESHOLD).collect()
+        assert not any({r["a_id"], r["b_id"]} == {1, 2} for r in jac)
+
+    def test_containment_min_set_floor(self, spark):
+        """Sets smaller than CONTAINMENT_MIN_SET never appear on the
+        contained side (the rule the oracle mirrors), but may still
+        serve as containers."""
+        from starknet_indexer_spark.catalog import load
+        from starknet_indexer_spark.operators.dedup import (
+            tokens_expr,
+            word_shingles_expr,
+        )
+        from starknet_indexer_spark.queries.pipeline_setjoin import (
+            CONTAINMENT_MIN_SET,
+            containment_pairs,
+        )
+
+        docs = load(spark, SF_DIR, "documents")
+        sets = docs.select(
+            "doc_id", word_shingles_expr(tokens_expr(F.col("text"))).alias("toks")
+        )
+        rows = containment_pairs(sets).collect()
+        assert rows, "no containment pairs at sf0.001"
+        assert all(r["a_n"] >= CONTAINMENT_MIN_SET for r in rows)
+        assert all(
+            r["inter"] <= r["a_n"] and r["containment"] >= 0.8 for r in rows
+        )
+
 
 class TestBloomFilter:
     def test_no_false_negatives_and_bounded_fp(self, spark):
