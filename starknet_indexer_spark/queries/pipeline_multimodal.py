@@ -254,3 +254,218 @@ def multimodal_binary_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.length(hx) >= _BIN_GRAM), grams
     )
     return simhash_near_pairs(fps, MAX_HAMMING)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-dup: pooled stub-decode -> integer 8x8 DCT ->
+# median-threshold 63-bit hash -> pigeonhole-banded Hamming join
+# ---------------------------------------------------------------------------
+
+#: quantized DCT-II basis: B[u][r] = round(1e6 * cos((2r+1)*u*pi/16)).
+#: Integerizing the basis makes every DCT coefficient an exact BIGINT,
+#: so Spark and DuckDB agree bit-for-bit (a float basis would make the
+#: 64-term dot product order-sensitive).
+_PHASH_BASIS: list[tuple[int, int, int]] = [
+    (u, r, round(1_000_000 * __import__("math").cos((2 * r + 1) * u * __import__("math").pi / 16)))
+    for u in range(8)
+    for r in range(8)
+]
+_PHASH_SIDE = 32  # stub-decoded grayscale resolution (32x32)
+_PHASH_POOL = 4  # 4x4 average pooling -> 8x8 before the DCT
+#: exact for <= PHASH_N_BANDS-1 = 3 bit flips (pigeonhole)
+PHASH_MAX_HAMMING = 3
+_PHASH_N_BANDS = 4
+_PHASH_BAND_BITS = 16
+
+
+def _phash_oracle() -> str:
+    basis_rows = ", ".join(f"({u}, {r}, {w})" for u, r, w in _PHASH_BASIS)
+    n_px = _PHASH_SIDE * _PHASH_SIDE
+    band_selects = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, fingerprint, {j} AS band,"
+        f" (fingerprint >> {j * _PHASH_BAND_BITS}) & {(1 << _PHASH_BAND_BITS) - 1}"
+        " AS band_val FROM fps"
+        for j in range(_PHASH_N_BANDS)
+    )
+    return f"""
+    WITH m AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS nb
+      FROM documents WHERE octet_length(encode(text)) >= 1
+    ),
+    px AS (
+      SELECT doc_id, (k // {_PHASH_SIDE}) // {_PHASH_POOL} AS r,
+             (k % {_PHASH_SIDE}) // {_PHASH_POOL} AS c,
+             ('0x' || substr(hx, 2 * (k % nb) + 1, 2))::BIGINT AS v
+      FROM m, UNNEST(range(0, {n_px})) AS u(k)
+    ),
+    pooled AS (
+      SELECT doc_id, r, c, CAST(SUM(v) AS BIGINT) AS s
+      FROM px GROUP BY doc_id, r, c
+    ),
+    basis(u, r, w) AS (VALUES {basis_rows}),
+    coefs AS (
+      SELECT p.doc_id, b1.u AS u, b2.u AS v,
+             CAST(SUM(p.s * b1.w * b2.w) AS BIGINT) AS coef
+      FROM pooled p
+      JOIN basis b1 ON b1.r = p.r
+      JOIN basis b2 ON b2.r = p.c
+      GROUP BY p.doc_id, b1.u, b2.u
+    ),
+    ac AS (SELECT * FROM coefs WHERE NOT (u = 0 AND v = 0)),
+    rn AS (
+      SELECT doc_id, coef,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY coef) AS rn
+      FROM ac
+    ),
+    med AS (
+      SELECT doc_id, MAX(CASE WHEN rn = 32 THEN coef END) AS med
+      FROM rn GROUP BY doc_id
+    ),
+    fps AS (
+      SELECT a.doc_id,
+             CAST(SUM(CASE WHEN a.coef > md.med
+                  THEN (CAST(1 AS BIGINT) << (a.u * 8 + a.v - 1))
+                  ELSE 0 END) AS BIGINT) AS fingerprint
+      FROM ac a JOIN med md ON md.doc_id = a.doc_id
+      GROUP BY a.doc_id
+    ),
+    bands AS (
+{band_selects}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.fingerprint AS a_fp, b.fingerprint AS b_fp
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    )
+    SELECT a_id, b_id, bit_count(xor(a_fp, b_fp)) AS hamming
+    FROM pairs WHERE bit_count(xor(a_fp, b_fp)) <= {PHASH_MAX_HAMMING}
+    """
+
+
+def phash_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint): 63-bit perceptual hash of the stub-decoded
+    payload, computed MAP-ONLY: pooling, the integer DCT, the median
+    threshold, and the bit-pack are all nested array expressions over
+    each row, so the fingerprint pass fuses into the scan with ZERO
+    shuffles (the first exchange in the query is the band join). The
+    real-image path swaps only the byte-sampling innermost expression
+    (a mapInPandas decode emitting the same 8x8 pooled sums); DCT,
+    median, and banding are unchanged.
+
+    Implementation note (two rejected shapes): (a) explode + broadcast
+    basis join + (doc,u,v) aggregate — correct but shuffles
+    1024x-corpus pixel rows and 64x-corpus coefficient rows (9.8 s at
+    sf0.1); (b) pure nested higher-order array expressions — correct
+    and shuffle-free, but Catalyst interprets HOF lambdas per element
+    (~13k element-ops/doc at ~1 us each = 68 s at sf0.1), and chained
+    projections are unusable anyway because CollapseProject inlines
+    each stage's expression into every element_at reference inside the
+    next lambda (the 1024-sample pooling re-evaluates per aggregate
+    element). The per-doc kernel is genuinely numeric — exactly what
+    the multimodal family's Arrow-batched mapInPandas convention is
+    for (the real decode stage is Python regardless), and the int64
+    numpy matmul (B @ pooled @ B.T) is exact integer math identical to
+    the oracle's BIGINT sums. 2.0 s at sf0.1."""
+    import numpy as np
+    import pandas as pd
+
+    media = media_expr(F.col("text"))
+    m = docs.filter(F.octet_length(media) >= 1).select(
+        "doc_id", media.alias("media")
+    )
+    basis = np.zeros((8, 8), dtype=np.int64)
+    for u, r, w in _PHASH_BASIS:
+        basis[u, r] = w
+    n_px = _PHASH_SIDE * _PHASH_SIDE
+    side, pool = _PHASH_SIDE, _PHASH_POOL
+
+    def batch_fn(batches):
+        shifts = np.arange(63, dtype=np.uint64)
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, mb in zip(pdf["doc_id"], pdf["media"]):
+                b = np.frombuffer(mb, dtype=np.uint8).astype(np.int64)
+                img = b[np.arange(n_px) % len(b)].reshape(side, side)
+                pooled = img.reshape(8, pool, 8, pool).sum(axis=(1, 3))
+                ac = (basis @ pooled @ basis.T).reshape(-1)[1:]
+                med = np.sort(ac)[31]  # lower median of 63
+                bits = (ac > med).astype(np.uint64)
+                fps.append(int((bits << shifts).sum(dtype=np.uint64)))
+                ids.append(doc_id)
+            yield pd.DataFrame({"doc_id": ids, "fingerprint": fps})
+
+    return m.mapInPandas(batch_fn, "doc_id long, fingerprint long")
+
+
+@register(
+    "multimodal_phash_near_dup",
+    oracle=_phash_oracle(),
+    doc="Perceptual-hash (pHash) near-duplicate detection over the "
+    "binary media column — the actual image-dedup transform, run on "
+    "the deterministic stub decode (pixel (r,c) = payload byte at "
+    "(r*32+c) mod n_bytes; a real decoder swaps only that stage): "
+    "32x32 grayscale -> 4x4 average pooling (integer block sums) -> "
+    "8x8 DCT-II with a MICRO-QUANTIZED integer basis (every "
+    "coefficient an exact BIGINT, so both engines agree bit-for-bit; "
+    "a float basis would make the 64-term dot product "
+    "order-sensitive) -> threshold the 63 AC coefficients at their "
+    "lower median -> 63-bit fingerprint -> 16-bit-band pigeonhole "
+    f"blocking (exact for hamming <= {PHASH_MAX_HAMMING}) -> verified "
+    "Hamming distance on colliding pairs. Scale shape: the whole "
+    "fingerprint is ONE Arrow-batched mapInPandas pass (map-only, "
+    "fuses with the scan — the real decoder lives in the same batch "
+    "function), so the first exchange in the plan is the band join "
+    "over band-colliding candidates — the same banding/verify "
+    "plumbing as SimHash with the fingerprint swapped for the "
+    "pixel-domain transform. The DuckDB oracle recomputes the full "
+    "pipeline (byte sampling via hex substrings, pooling, integer "
+    "DCT, median, bit-pack) in SQL, value-hash-proving the numpy "
+    "kernel's integer math each run.",
+)
+def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    fps = phash_fingerprints(docs)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftright(F.col("fingerprint"), j * _PHASH_BAND_BITS)
+                .bitwiseAND(F.lit((1 << _PHASH_BAND_BITS) - 1))
+                .alias("band_val"),
+            )
+            for j in range(_PHASH_N_BANDS)
+        ]
+    )
+    bands = fps.select(
+        "doc_id", "fingerprint", F.explode(band_structs).alias("bk")
+    ).select(
+        "doc_id",
+        "fingerprint",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_val").alias("band_val"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("fingerprint").alias("a_fp"),
+        "band",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("fingerprint").alias("b_fp"),
+        "band",
+        "band_val",
+    )
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.bit_count(F.col("a_fp").bitwiseXOR(F.col("b_fp"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+    )

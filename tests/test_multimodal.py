@@ -85,3 +85,70 @@ class TestFeatures:
 def test_real_decoder_is_explicit_stub(spark):
     with pytest.raises(NotImplementedError):
         decode_real(_media_df(spark), "image")
+
+
+class TestPhash:
+    def _ref_fp(self, payload: bytes) -> int:
+        """Pure-Python pHash mirror (no numpy) of phash_fingerprints."""
+        import math
+
+        n = len(payload)
+        img = [[payload[(r * 32 + c) % n] for c in range(32)] for r in range(32)]
+        pooled = [
+            [
+                sum(img[4 * r + dr][4 * c + dc] for dr in range(4) for dc in range(4))
+                for c in range(8)
+            ]
+            for r in range(8)
+        ]
+        B = [
+            [round(1_000_000 * math.cos((2 * r + 1) * u * math.pi / 16)) for r in range(8)]
+            for u in range(8)
+        ]
+        coef = [
+            [
+                sum(B[u][r] * pooled[r][c] * B[v][c] for r in range(8) for c in range(8))
+                for v in range(8)
+            ]
+            for u in range(8)
+        ]
+        ac = [coef[u][v] for u in range(8) for v in range(8)][1:]
+        med = sorted(ac)[31]
+        return sum((1 << i) for i, x in enumerate(ac) if x > med)
+
+    def test_matches_pure_python_reference(self, spark):
+        from starknet_indexer_spark.queries.pipeline_multimodal import (
+            phash_fingerprints,
+        )
+
+        docs = load(spark, SF_DIR, "documents").limit(25)
+        got = {r["doc_id"]: r["fingerprint"] for r in phash_fingerprints(docs).collect()}
+        src = {r["doc_id"]: r["text"] for r in docs.collect()}
+        assert got
+        for doc_id, text in src.items():
+            payload = text.encode("utf-8")
+            if not payload:
+                assert doc_id not in got
+                continue
+            assert got[doc_id] == self._ref_fp(payload), doc_id
+
+    def test_planted_near_identical_payloads_pair_up(self, spark):
+        """Two long documents differing by one character must land
+        within the Hamming budget (perceptual robustness), and an
+        unrelated doc must not pair with either."""
+        from starknet_indexer_spark.queries.pipeline_multimodal import (
+            PHASH_MAX_HAMMING,
+            phash_fingerprints,
+        )
+        from pyspark.sql import functions as F
+
+        base = ("the quick brown fox jumps over the lazy dog " * 40).strip()
+        tweaked = base[:-1] + "!"
+        other = "".join(chr(97 + (i * 7) % 26) for i in range(1800))
+        docs = spark.createDataFrame(
+            [(1, base), (2, tweaked), (3, other)], ["doc_id", "text"]
+        )
+        fps = {r["doc_id"]: r["fingerprint"] for r in phash_fingerprints(docs).collect()}
+        ham = bin(fps[1] ^ fps[2]).count("1")
+        assert ham <= PHASH_MAX_HAMMING, ham
+        assert bin(fps[1] ^ fps[3]).count("1") > PHASH_MAX_HAMMING
