@@ -158,6 +158,12 @@ HEADLINE = [
     "fuzzy_decontamination",
     "knn_label_agreement",
     "margin_neighbor_mining",
+    # round-9b: calibration, asymmetric containment, CCNet bucketing,
+    # perceptual-hash media dedup
+    "isotonic_calibration",
+    "setjoin_containment",
+    "ccnet_perplexity_buckets",
+    "multimodal_phash_near_dup",
     # reference view library (Ekubo-shaped derivation + real view plan)
     "v01_pool_states",
     "v07_last_24h_pool_stats",
