@@ -300,3 +300,103 @@ def blocked_cosine_pairs(
         tile,
         schema="a_id BIGINT, b_id BIGINT, a_label INT, b_label INT, sim DOUBLE",
     )
+
+
+def gemm_topk_neighbors(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int,
+    n_blocks: int = N_SIM_BLOCKS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-``k`` neighbors for every probe against the
+    full corpus: (query_id, neighbor_id, sim_i4) with sim quantized to
+    integer ten-thousandths (FLOOR(x*1e4+0.5) — the repo-wide rounding
+    idiom), ranked by (sim_i4 DESC, neighbor_id ASC), self-pairs
+    (query_id == neighbor_id) excluded.
+
+    Same scale design as blocked_cosine_pairs, specialized for the
+    asymmetric probe-vs-corpus case: the corpus hash-partitions into
+    ``n_blocks`` even tiles, the (small) probe side replicates to
+    every tile, each cogroup task runs ONE numpy GEMM (probes x tile)
+    and emits only its tile-local top-k per probe UNDER THE FINAL
+    COMPARATOR — any global top-k element is necessarily in its
+    tile's top-k, so the window merge over the n_blocks*k candidates
+    per probe is exact. Shuffle volume: corpus once (block
+    partitioning) + probes x n_blocks + the candidate relation
+    (n_blocks * k rows per probe) — never an n_probes x n_corpus
+    pairwise relation.
+
+    Float note: identical adjudication to blocked_cosine_pairs — the
+    GEMM accumulates in a different order than a sequential
+    list_dot_product fold; divergence is ~1e-16 relative and
+    observable only when an unrounded sim lands within ~1e-12 of a
+    0.5e-4 quantization boundary."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    blocks = spark.createDataFrame([(i,) for i in range(n_blocks)], "pid INT")
+    c = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("pid"),
+    )
+    p = probes.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    ).crossJoin(F.broadcast(blocks))
+
+    def tile(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "sim_i4": pd.Series(dtype="int64"),
+            }
+        )
+        if l.empty or r.empty:
+            return empty
+        C = np.vstack(l["vec"].to_numpy()).astype(np.float64)
+        Q = np.vstack(r["qvec"].to_numpy()).astype(np.float64)
+        cn = np.sqrt((C * C).sum(axis=1))
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        sims = np.floor((Q @ C.T) / np.outer(qn, cn) * 1e4 + 0.5).astype(np.int64)
+        cvid = l["vid"].to_numpy()
+        qvid = r["qid"].to_numpy()
+        # exclude self-pairs by sinking them below any real sim
+        sims[qvid[:, None] == cvid[None, :]] = np.iinfo(np.int64).min
+        kk = min(k, sims.shape[1])
+        out_q, out_n, out_s = [], [], []
+        for i in range(sims.shape[0]):
+            row = sims[i]
+            order = np.lexsort((cvid, -row))[:kk]
+            keep = row[order] != np.iinfo(np.int64).min
+            out_q.append(np.full(int(keep.sum()), qvid[i], dtype=np.int64))
+            out_n.append(cvid[order][keep])
+            out_s.append(row[order][keep])
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "sim_i4": np.concatenate(out_s),
+            }
+        )
+
+    cands = (
+        c.groupBy("pid")
+        .cogroup(p.groupBy("pid"))
+        .applyInPandas(
+            tile, schema="query_id BIGINT, neighbor_id BIGINT, sim_i4 BIGINT"
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim_i4").desc(), F.col("neighbor_id")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim_i4")
+    )

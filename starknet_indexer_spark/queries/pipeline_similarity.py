@@ -944,7 +944,8 @@ def _knn_sample_sql() -> str:
     ),
     sims AS (
       SELECT q.query_id, q.q_label, c.label AS n_label,
-             ROUND(list_dot_product(q.qv, c.ev) / (q.qn * c.en), 4) AS sim,
+             CAST(FLOOR(list_dot_product(q.qv, c.ev) / (q.qn * c.en)
+                        * 10000 + 0.5) AS BIGINT) AS sim_i4,
              c.vec_id AS neighbor_id
       FROM q, c WHERE q.query_id <> c.vec_id
     ),
@@ -952,7 +953,7 @@ def _knn_sample_sql() -> str:
       SELECT query_id, q_label, n_label FROM (
         SELECT query_id, q_label, n_label,
                ROW_NUMBER() OVER (PARTITION BY query_id
-                                  ORDER BY sim DESC, neighbor_id) AS rank
+                                  ORDER BY sim_i4 DESC, neighbor_id) AS rank
         FROM sims
       ) WHERE rank <= {{k}}
     ),
@@ -975,49 +976,45 @@ def _knn_sample_sql() -> str:
     "kNN-mediated pipeline stage (label propagation, kNN-filtered "
     "sampling, retrieval-augmented labeling) is trusted: near-random "
     "agreement (~1/n_labels) means the embedding carries no label "
-    "signal and the stage should not run. Integer outputs (probe and "
-    "same-label neighbor counts; one ppm rounding per label). Scale "
-    "shape: the probe sample broadcasts, the corpus is scanned once "
-    "map-side, and the per-probe top-k never global-sorts; the audit "
-    "cost is set by the sample rate, not the corpus.",
+    "signal and the stage should not run. Integer outputs: sims "
+    "quantize to ten-thousandths (FLOOR(x*1e4+0.5)) before ranking, "
+    "probe and same-label neighbor counts are BIGINTs, one ppm "
+    "rounding per label. Scale shape: the exact kNN runs on the "
+    "blocked-GEMM kernel (operators/similarity.gemm_topk_neighbors — "
+    "corpus hash-tiled, probes replicated per tile, each task one "
+    "numpy GEMM emitting its tile-local top-k under the final "
+    "comparator, exact window merge over n_blocks*k candidates per "
+    "probe), so no probes-x-corpus pairwise relation ever "
+    "materializes and the per-pair dot product runs at BLAS speed "
+    "instead of a per-row Catalyst fold. GEMM-vs-sequential-fold "
+    "float divergence carries the same ~2^-40 quantization-boundary "
+    "adjudication as embedding_near_dup_blocked.",
 )
 def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import gemm_topk_neighbors
     from ..operators.sketches import hash_sample_pred
 
     emb = load(spark, sf_dir, "embeddings")
-    c = _with_norm(emb, "neighbor_id", "cv", "cn").join(
-        emb.select(F.col("vec_id").alias("neighbor_id"),
-                   F.col("label").alias("n_label")),
-        "neighbor_id",
+    probes = emb.filter(
+        hash_sample_pred(F.col("vec_id").cast("string"), KNN_AUDIT_RATIO_BITS)
     )
-    q = _with_norm(
-        emb.filter(
-            hash_sample_pred(F.col("vec_id").cast("string"), KNN_AUDIT_RATIO_BITS)
+    topk = gemm_topk_neighbors(emb, probes, TOP_K)
+    labels = emb.select("vec_id", "label")
+    topk = topk.join(
+        F.broadcast(
+            labels.select(
+                F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+            )
         ),
         "query_id",
-        "qv",
-        "qn",
     ).join(
-        emb.select(F.col("vec_id").alias("query_id"),
-                   F.col("label").alias("q_label")),
-        "query_id",
-    )
-    sims = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "q_label",
-            "n_label",
-            "neighbor_id",
-            F.round(
-                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
-            ).alias("sim"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    topk = sims.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= TOP_K
+        F.broadcast(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("n_label"),
+            )
+        ),
+        "neighbor_id",
     )
     per_probe = topk.groupBy("query_id", "q_label").agg(
         F.sum((F.col("n_label") == F.col("q_label")).cast("int")).alias("n_same")
