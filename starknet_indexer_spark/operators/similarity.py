@@ -333,9 +333,6 @@ def gemm_topk_neighbors(
     list_dot_product fold; divergence is ~1e-16 relative and
     observable only when an unrounded sim lands within ~1e-12 of a
     0.5e-4 quantization boundary."""
-    import numpy as np
-    import pandas as pd
-
     spark = corpus.sparkSession
     blocks = spark.createDataFrame([(i,) for i in range(n_blocks)], "pid INT")
     c = corpus.select(
@@ -346,6 +343,25 @@ def gemm_topk_neighbors(
     p = probes.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
     ).crossJoin(F.broadcast(blocks))
+    return gemm_topk_grouped(c, p, k)
+
+
+def gemm_topk_grouped(c_keyed: DataFrame, p_keyed: DataFrame, k: int) -> DataFrame:
+    """Shared grouped-tile GEMM top-k core: ``c_keyed`` (pid, vid, vec)
+    and ``p_keyed`` (pid, qid, qvec) cogroup on pid; each task runs one
+    numpy GEMM, quantizes sims to integer ten-thousandths, and emits
+    its group-local top-k per probe under the FINAL comparator
+    (sim_i4 DESC, vid ASC); the window merge over each probe's
+    per-group candidates is exact because any global top-k element is
+    in its group's top-k. Callers choose the grouping: hash blocks
+    with probe replication (exhaustive kNN — gemm_topk_neighbors) or
+    IVF cells with probes routed to their probed cells (candidate-
+    restricted kNN — margin mining). Self-pairs (qid == vid) are
+    excluded. A (qid, vid) pair must appear in at most one group, or
+    the merge window would see duplicates (true for both callers:
+    hash blocks partition vid; IVF assignment is rank-1)."""
+    import numpy as np
+    import pandas as pd
 
     def tile(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -384,8 +400,8 @@ def gemm_topk_neighbors(
         )
 
     cands = (
-        c.groupBy("pid")
-        .cogroup(p.groupBy("pid"))
+        c_keyed.groupBy("pid")
+        .cogroup(p_keyed.groupBy("pid"))
         .applyInPandas(
             tile, schema="query_id BIGINT, neighbor_id BIGINT, sim_i4 BIGINT"
         )

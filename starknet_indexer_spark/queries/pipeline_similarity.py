@@ -1147,35 +1147,37 @@ def margin_neighbor_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = v.filter(F.col("vec_id") % 2 == 1)
 
     def topk_side(q: DataFrame, c: DataFrame, qa: str, ca: str) -> DataFrame:
+        # IVF-cell-grouped GEMM: each candidate's full-precision dot
+        # runs inside its (rank-1) assignment cell's tile — a (qid,
+        # vid) pair appears in at most ONE group, the precondition of
+        # gemm_topk_grouped's exact window merge. Replaces the
+        # per-candidate Catalyst zip_with fold (the former #2 headline
+        # cost) with one numpy GEMM per cell.
+        from ..operators.similarity import gemm_topk_grouped
+
         assign = ivf_assign(c, cent, 1).select("vec_id", "centroid_id")
         probes = ivf_assign(q, cent, N_PROBE).select(
             F.col("vec_id").alias("q_id"), "centroid_id"
         )
-        cands = (
-            assign.join(probes, "centroid_id")
-            .select(F.col("q_id").alias(qa), F.col("vec_id").alias(ca))
-            .distinct()
+        c_keyed = assign.join(
+            c.select("vec_id", F.col("ev").alias("vec")), "vec_id"
+        ).select(
+            F.col("centroid_id").alias("pid"),
+            F.col("vec_id").alias("vid"),
+            "vec",
         )
-        qv = q.select(
-            F.col("vec_id").alias(qa), F.col("ev").alias("qv"), F.col("en").alias("qn")
+        p_keyed = probes.join(
+            q.select(F.col("vec_id").alias("q_id"), F.col("ev").alias("qvec")),
+            "q_id",
+        ).select(
+            F.col("centroid_id").alias("pid"),
+            F.col("q_id").alias("qid"),
+            "qvec",
         )
-        nv = c.select(
-            F.col("vec_id").alias(ca), F.col("ev").alias("nv"), F.col("en").alias("nn")
-        )
-        sim_i4 = (
-            F.floor(
-                _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
-                * F.lit(10000) + F.lit(0.5)
-            )
-            .cast("bigint")
-            .alias("sim_i4")
-        )
-        sims = cands.join(qv, qa).join(nv, ca).select(qa, ca, sim_i4)
-        w = W.partitionBy(qa).orderBy(F.col("sim_i4").desc(), F.col(ca))
-        return (
-            sims.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= TOP_K)
-            .select(qa, ca, "sim_i4")
+        return gemm_topk_grouped(c_keyed, p_keyed, TOP_K).select(
+            F.col("query_id").alias(qa),
+            F.col("neighbor_id").alias(ca),
+            "sim_i4",
         )
 
     topk_f = topk_side(sa, sb, "a_id", "b_id")
