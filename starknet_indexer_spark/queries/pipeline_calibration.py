@@ -66,9 +66,7 @@ _ISO_SCORED_SQL = f"""
 """
 
 
-@register(
-    "isotonic_calibration",
-    oracle=f"""
+_ISO_ORACLE = f"""
     WITH scored AS ({_ISO_SCORED_SQL}),
     ext AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM scored),
     binned AS (
@@ -108,30 +106,19 @@ _ISO_SCORED_SQL = f"""
            CAST(FLOOR(1000000.0 * b.pos / b.w + 0.5) AS BIGINT) AS rate_ppm,
            CAST(FLOOR(1000000.0 * i.iso + 0.5) AS BIGINT) AS iso_ppm
     FROM bins b JOIN iso i ON i.bin = b.bin
-    """,
-    doc="Exact isotonic calibration (pool-adjacent-violators) of a "
-    "filter score against the positive class: scores (mean token "
-    f"length, the score filter_auc_by_lang audits) bucket into "
-    f"<= {ISO_BINS} equal-width bins, and each bin's calibrated "
-    "keep-probability is the PAV fit of the per-bin positive rates — "
-    "computed through the closed minimax form iso(i) = max_{{j<=i}} "
-    "min_{{k>=i}} wmean(y[j..k]) on the bin grid, so the whole fit is "
-    "a declarative plan (no sequential driver-side stack). Interval "
-    "means divide exact BIGINT prefix sums once, making every double "
-    "bit-identical across engines; output ppm rounds once. Scale "
-    "shape: one corpus doc-score pass; grid/windows live on "
-    "bin-sized relations (<= 65k rows at any corpus size). "
-    "tests/test_pipeline_classifier.py pins the minimax plan against "
-    "a pure-Python stack PAV and the monotonicity invariant.",
-)
-def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").filter(
+    """
+
+
+def doc_scores(docs: DataFrame) -> DataFrame:
+    """(y, score): per-doc binary label (lang == PR_POS_LANG) and the
+    mean-token-length score in micro units — the scored relation every
+    calibration consumer (batch query, streaming state) derives from."""
+    tok = docs.filter(
         F.col("text").isNotNull() & F.col("lang").isNotNull()
-    )
-    tok = docs.select(
+    ).select(
         "doc_id", "lang", F.explode(tokens_expr(F.col("text"))).alias("token")
     )
-    scored = tok.groupBy("doc_id", "lang").agg(
+    return tok.groupBy("doc_id", "lang").agg(
         F.floor(
             F.lit(MICRO)
             * F.sum(F.length("token")).cast("double")
@@ -140,22 +127,32 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("score")
-    ).select(
-        (F.col("lang") == PR_POS_LANG).cast("int").alias("y"), "score"
-    )
-    ext = scored.agg(
-        F.min("score").alias("lo"), F.max("score").alias("hi")
-    )
-    binned = scored.crossJoin(F.broadcast(ext)).select(
-        ((F.col("score") - F.col("lo")) * ISO_BINS)
-        .cast("bigint")
-        .alias("num"),
-        (F.col("hi") - F.col("lo") + 1).alias("den"),
-        "y",
-    ).select(F.expr("num div den").alias("bin"), "y")
-    bins = binned.groupBy("bin").agg(
+    ).select((F.col("lang") == PR_POS_LANG).cast("int").alias("y"), "score")
+
+
+def score_counts(scored: DataFrame) -> DataFrame:
+    """(score, w, pos): the DISTINCT-score sufficient statistic for the
+    isotonic fit — purely additive, so it is also the streaming state
+    shape (streaming/calibration.py)."""
+    return scored.groupBy("score").agg(
         F.count(F.lit(1)).cast("bigint").alias("w"),
         F.sum("y").cast("bigint").alias("pos"),
+    )
+
+
+def isotonic_fit_from_score_counts(counts: DataFrame) -> DataFrame:
+    """The binning + minimax-PAV plan over a (score, w, pos) relation
+    — everything here is distinct-score- or bin-relation-sized."""
+    ext = counts.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    binned = counts.crossJoin(F.broadcast(ext)).select(
+        ((F.col("score") - F.col("lo")) * ISO_BINS).cast("bigint").alias("num"),
+        (F.col("hi") - F.col("lo") + 1).alias("den"),
+        "w",
+        "pos",
+    ).select(F.expr("num div den").alias("bin"), "w", "pos")
+    bins = binned.groupBy("bin").agg(
+        F.sum("w").cast("bigint").alias("w"),
+        F.sum("pos").cast("bigint").alias("pos"),
     )
     # everything below is bin-relation-sized (<= ISO_BINS rows, grid
     # <= ISO_BINS^2); materialize once — bins feeds the grid twice
@@ -200,3 +197,28 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("iso_ppm"),
     )
+
+
+@register(
+    "isotonic_calibration",
+    oracle=_ISO_ORACLE,
+    doc="Exact isotonic calibration (pool-adjacent-violators) of a "
+    "filter score against the positive class: scores (mean token "
+    f"length, the score filter_auc_by_lang audits) bucket into "
+    f"<= {ISO_BINS} equal-width bins, and each bin's calibrated "
+    "keep-probability is the PAV fit of the per-bin positive rates — "
+    "computed through the closed minimax form iso(i) = max_{{j<=i}} "
+    "min_{{k>=i}} wmean(y[j..k]) on the bin grid, so the whole fit is "
+    "a declarative plan (no sequential driver-side stack). Interval "
+    "means divide exact BIGINT prefix sums once, making every double "
+    "bit-identical across engines; output ppm rounds once. Scale "
+    "shape: one corpus doc-score pass; grid/windows live on "
+    "bin-sized relations (<= 65k rows at any corpus size); the "
+    "per-score sufficient statistic (score_counts) is additive and "
+    "doubles as the streaming state (streaming/calibration.py). "
+    "tests/test_pipeline_classifier.py pins the minimax plan against "
+    "a pure-Python stack PAV and the monotonicity invariant.",
+)
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return isotonic_fit_from_score_counts(score_counts(doc_scores(docs)))
