@@ -164,6 +164,8 @@ HEADLINE = [
     "setjoin_containment",
     "ccnet_perplexity_buckets",
     "multimodal_phash_near_dup",
+    "psi_drift_by_source",
+    "lsh_dedup_recall_eval",
     # reference view library (Ekubo-shaped derivation + real view plan)
     "v01_pool_states",
     "v07_last_24h_pool_stats",

@@ -1077,3 +1077,80 @@ def fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_MIN)
     )
+
+
+#: ground-truth threshold for the LSH acceptance eval: recall is
+#: measured where banding SHOULD be near-perfect (tau=0.5 -> band
+#: collision probability 1-(1-0.5^r)^b is high), which is exactly the
+#: region a production dedup run cares about missing
+LSH_EVAL_TAU = 0.5
+
+
+def _lsh_recall_oracle() -> str:
+    from .pipeline_setjoin import REGISTRY as _REG
+
+    exact_sql = _REG["setjoin_prefix_jaccard"].oracle
+    return f"""
+    WITH lsh AS (SELECT a_id, b_id FROM ({_minhash_oracle()})),
+    exact AS (SELECT a_id, b_id FROM ({exact_sql})),
+    hit AS (
+      SELECT e.a_id FROM exact e JOIN lsh l
+        ON l.a_id = e.a_id AND l.b_id = e.b_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT COUNT(*) FROM lsh) AS BIGINT) AS n_lsh_pairs,
+           CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_found,
+           CAST(FLOOR(1000000.0 * (SELECT COUNT(*) FROM hit)
+                      / GREATEST((SELECT COUNT(*) FROM exact), 1) + 0.5)
+                AS BIGINT) AS recall_ppm
+    """
+
+
+@register(
+    "lsh_dedup_recall_eval",
+    oracle=_lsh_recall_oracle(),
+    doc=f"Acceptance eval for the approximate dedup path (the dedup "
+    "analogue of ann_recall_eval): recall of MinHash+LSH banding "
+    f"against the EXACT Jaccard >= {LSH_EVAL_TAU} pair set computed "
+    "by the lossless prefix join — the number a data team checks "
+    "before trusting banded dedup on a new corpus (band geometry "
+    "tuned for one shingle distribution can silently under-recall on "
+    "another). Truth side: setjoin_prefix_jaccard (exact by theorem, "
+    "oracle-proven per run); operating side: minhash_lsh_dedup's "
+    "verified pairs. A pair is found iff banding surfaced it as a "
+    "candidate AND exact verification kept it, so recall isolates "
+    "BAND MISSES — the only loss channel. Both sides read the same "
+    "silver shingle relation; the eval adds one pair-keyed join and "
+    "three counts on pair-sized relations. Output: one row "
+    "(n_exact, n_lsh_pairs, n_found, recall_ppm).",
+)
+def lsh_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline_setjoin import _silver_shingle_sets, prefix_jaccard_pairs
+
+    exact = prefix_jaccard_pairs(
+        _silver_shingle_sets(spark, sf_dir), LSH_EVAL_TAU
+    ).select("a_id", "b_id")
+    # the silver-reading twin: identical pairs by construction (one
+    # derivation in silver.build_silver_relations), no raw-text rescan
+    lsh = minhash_lsh_dedup_silver(spark, sf_dir).select("a_id", "b_id")
+    hit = exact.join(lsh, ["a_id", "b_id"])
+    n_exact = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).cast("bigint").alias("n_lsh_pairs"))
+    n_found = hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_found"))
+    return (
+        n_exact.crossJoin(n_lsh)
+        .crossJoin(n_found)
+        .select(
+            "n_exact",
+            "n_lsh_pairs",
+            "n_found",
+            F.floor(
+                F.lit(1000000.0)
+                * F.col("n_found")
+                / F.greatest(F.col("n_exact"), F.lit(1))
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("recall_ppm"),
+        )
+    )

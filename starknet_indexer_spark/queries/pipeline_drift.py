@@ -249,3 +249,112 @@ def tvd_from_counts(cnt: DataFrame) -> DataFrame:
             ).alias("tvd_ppm"),
         )
     )
+
+
+#: industry alert threshold: PSI > 0.2 = major population shift
+PSI_ALERT_MICRO = 200_000
+
+
+@register(
+    "psi_drift_by_source",
+    oracle="""
+    WITH cnt AS (
+      SELECT source, lang, COUNT(*) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    langs AS (SELECT lang, SUM(c) AS cg FROM cnt GROUP BY 1),
+    srcs AS (SELECT source, SUM(c) AS n_s FROM cnt GROUP BY 1),
+    k AS (SELECT COUNT(*) AS n_cat FROM langs),
+    tot AS (SELECT SUM(n_s) AS n FROM srcs),
+    grid AS (
+      SELECT s.source, s.n_s, l.lang, l.cg, COALESCE(c.c, 0) AS c,
+             (SELECT n FROM tot) - s.n_s AS n_r,
+             (SELECT n_cat FROM k) AS n_cat
+      FROM srcs s CROSS JOIN langs l
+      LEFT JOIN cnt c ON c.source = s.source AND c.lang = l.lang
+    ),
+    -- Laplace-smoothed category shares: p_s = (c+1)/(n_s+K),
+    -- p_r = (cg-c+1)/(n_r+K) — exact-integer numerators/denominators,
+    -- each share ONE IEEE division, the log ratio ONE division of two
+    -- IEEE products; per-term micro-nat flooring before the sum makes
+    -- the statistic an order-invariant BIGINT
+    terms AS (
+      SELECT source, n_s, n_r,
+             CAST(FLOOR(1000000.0 *
+               (CAST(c + 1 AS DOUBLE) / CAST(n_s + n_cat AS DOUBLE)
+                - CAST(cg - c + 1 AS DOUBLE) / CAST(n_r + n_cat AS DOUBLE))
+               * LN((CAST(c + 1 AS DOUBLE) * CAST(n_r + n_cat AS DOUBLE))
+                    / (CAST(cg - c + 1 AS DOUBLE) * CAST(n_s + n_cat AS DOUBLE)))
+               + 0.5) AS BIGINT) AS t
+      FROM grid
+    )
+    SELECT source,
+           CAST(n_s AS BIGINT) AS n_source,
+           CAST(n_r AS BIGINT) AS n_rest,
+           CAST(SUM(t) AS BIGINT) AS psi_micro,
+           CAST(SUM(t) >= 200000 AS BIGINT) AS alert
+    FROM terms GROUP BY source, n_s, n_r
+    """,
+    doc="Population Stability Index drift monitor: "
+    "PSI = sum_x (p_s(x) - p_rest(x)) * ln(p_s(x)/p_rest(x)) of every "
+    "source slice's language mix vs the rest — the metric production "
+    "ML monitoring dashboards standardize on (alert at PSI > 0.2), "
+    "completing the drift family next to the exact-integer KS (CDF "
+    "test) and TVD (L1 test). Zero cells take Laplace smoothing "
+    "((c+1)/(n+K), the convention that keeps PSI finite). Exactness: "
+    "every share is one IEEE division of exact integers, the log "
+    "ratio one division of two IEEE products, and each (nonnegative) "
+    "term floors to micro-nats BEFORE the sum — order-invariant "
+    "BIGINTs on both engines. Scale shape: identical to TVD — one "
+    "corpus-sized map-side-combined groupBy(source, lang); everything "
+    "after lives on the sources x categories grid.",
+)
+def psi_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("source", "lang")
+    cnt = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    return psi_from_counts(cnt)
+
+
+def psi_from_counts(cnt: DataFrame) -> DataFrame:
+    """PSI drift of each source vs rest from a (source, lang, c) count
+    relation — the same shared-sufficient-statistic shape as
+    tvd_from_counts, so the streaming drift monitor can derive it from
+    its maintained count state."""
+    langs = cnt.groupBy("lang").agg(F.sum("c").alias("cg"))
+    srcs = cnt.groupBy("source").agg(F.sum("c").alias("n_s"))
+    k = langs.agg(F.count(F.lit(1)).alias("n_cat"))
+    tot = srcs.agg(F.sum("n_s").alias("n"))
+    grid = (
+        srcs.crossJoin(F.broadcast(langs))
+        .join(cnt, ["source", "lang"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(k))
+        .withColumn("n_r", F.col("n") - F.col("n_s"))
+    )
+    p_s = (F.col("c") + 1).cast("double") / (F.col("n_s") + F.col("n_cat")).cast(
+        "double"
+    )
+    p_r = (F.col("cg") - F.col("c") + 1).cast("double") / (
+        F.col("n_r") + F.col("n_cat")
+    ).cast("double")
+    ratio = (
+        (F.col("c") + 1).cast("double") * (F.col("n_r") + F.col("n_cat")).cast("double")
+    ) / (
+        (F.col("cg") - F.col("c") + 1).cast("double")
+        * (F.col("n_s") + F.col("n_cat")).cast("double")
+    )
+    term = F.floor(F.lit(1000000.0) * (p_s - p_r) * F.log(ratio) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    return (
+        grid.groupBy(
+            "source",
+            F.col("n_s").cast("bigint").alias("n_source"),
+            F.col("n_r").cast("bigint").alias("n_rest"),
+        )
+        .agg(F.sum(term).cast("bigint").alias("psi_micro"))
+        .withColumn(
+            "alert", (F.col("psi_micro") >= PSI_ALERT_MICRO).cast("bigint")
+        )
+    )

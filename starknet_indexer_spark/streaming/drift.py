@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..queries.pipeline_drift import tvd_from_counts
+from ..queries.pipeline_drift import psi_from_counts, tvd_from_counts
 from . import state_table
 
 DEFAULT_ALERT_PPM = 200_000  # alert when TVD >= 0.2
@@ -82,6 +82,14 @@ def drift_table(spark: SparkSession, state_dir: str) -> DataFrame | None:
 def alerts(spark: SparkSession, state_dir: str, threshold_ppm: int = DEFAULT_ALERT_PPM):
     d = drift_table(spark, state_dir)
     return None if d is None else d.filter(F.col("tvd_ppm") >= threshold_ppm)
+
+
+def psi_table(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Current per-source PSI drift derived from the SAME maintained
+    count state (the sufficient statistic is shared across KS/TVD/PSI;
+    only the read-time functional differs)."""
+    cnt = read_counts(spark, state_dir)
+    return None if cnt is None else psi_from_counts(cnt)
 
 
 def apply_batch(

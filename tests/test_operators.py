@@ -984,3 +984,21 @@ class TestBlockedCosineJoin:
 
         emb = load(spark, SF_DIR, "embeddings")
         assert blocked_cosine_pairs(emb, 0.99).count() == 0
+
+
+class TestLshRecallEval:
+    def test_found_is_intersection_and_bounded(self, spark):
+        """n_found <= min(n_exact, n_lsh_pairs) and recall_ppm is the
+        floored ratio; at the corpus's shingle distribution the high-sim
+        region should be near-fully recalled (banding is tuned for it)."""
+        from starknet_indexer_spark.queries import REGISTRY
+
+        r = REGISTRY["lsh_dedup_recall_eval"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()[0]
+        assert r["n_found"] <= min(r["n_exact"], r["n_lsh_pairs"])
+        import math
+
+        want = math.floor(1e6 * r["n_found"] / max(r["n_exact"], 1) + 0.5)
+        assert r["recall_ppm"] == want
+        assert r["recall_ppm"] >= 900_000, r  # banding near-perfect at tau 0.5

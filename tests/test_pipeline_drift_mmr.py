@@ -182,3 +182,45 @@ class TestMmrReference:
         g = out.groupby("query_id")["neighbor_id"]
         assert (g.nunique() == MMR_K).all()
         assert (g.count() == MMR_K).all()
+
+
+class TestPsiReference:
+    def test_matches_pure_python_definition(self, spark):
+        """Recompute PSI from raw counts in pure Python (Laplace
+        smoothing, per-term micro flooring) — independent of the SQL
+        grid construction."""
+        import collections
+        import math
+
+        from starknet_indexer_spark.catalog import load
+        from starknet_indexer_spark.queries.pipeline_drift import (
+            PSI_ALERT_MICRO,
+            psi_drift_by_source,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        rows = load(spark, sf, "documents").select("source", "lang").collect()
+        cnt = collections.Counter((r["source"], r["lang"]) for r in rows)
+        langs = sorted({l for _, l in cnt})
+        srcs = sorted({s for s, _ in cnt})
+        n_s = {s: sum(c for (s2, _), c in cnt.items() if s2 == s) for s in srcs}
+        n = sum(n_s.values())
+        K = len(langs)
+        want = {}
+        for s in srcs:
+            total = 0
+            for l in langs:
+                c = cnt.get((s, l), 0)
+                cg = sum(cnt.get((s2, l), 0) for s2 in srcs)
+                n_r = n - n_s[s]
+                p_s = (c + 1) / (n_s[s] + K)
+                p_r = (cg - c + 1) / (n_r + K)
+                ratio = ((c + 1) * (n_r + K)) / ((cg - c + 1) * (n_s[s] + K))
+                total += math.floor(1e6 * (p_s - p_r) * math.log(ratio) + 0.5)
+            want[s] = total
+        got = {r["source"]: r for r in psi_drift_by_source(spark, sf).collect()}
+        assert set(got) == set(want)
+        for s in srcs:
+            assert got[s]["psi_micro"] == want[s], s
+            assert got[s]["alert"] == int(want[s] >= PSI_ALERT_MICRO)
+            assert got[s]["psi_micro"] >= 0  # PSI terms are nonnegative

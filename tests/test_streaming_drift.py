@@ -117,3 +117,21 @@ class TestDriftMonitor:
         # a genuinely new epoch still applies
         drift.apply_batch(spark, docs, state, epoch_token="ns1:8")
         assert _rows(drift.read_counts(spark, state)) != want
+
+
+def test_psi_from_streamed_counts_equals_batch_query(spark, tmp_path):
+    """The PSI read-time functional over the maintained count state
+    equals the registered batch query once the full corpus folded."""
+    from starknet_indexer_spark.catalog import load
+    from starknet_indexer_spark.queries import REGISTRY
+    from starknet_indexer_spark.streaming import drift
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents").select("source", "lang")
+    state = str(tmp_path / "drift")
+    for i in range(2):
+        drift.apply_batch(spark, docs.filter(F.col("source").isNotNull())
+                          .filter((F.crc32(F.col("source")) % 2) == i), state)
+    got = sorted(map(str, drift.psi_table(spark, state).collect()))
+    want = sorted(map(str, REGISTRY["psi_drift_by_source"].fn(spark, sf).collect()))
+    assert got == want
