@@ -166,6 +166,7 @@ HEADLINE = [
     "multimodal_phash_near_dup",
     "psi_drift_by_source",
     "lsh_dedup_recall_eval",
+    "bucketed_sequence_packing",
     # reference view library (Ekubo-shaped derivation + real view plan)
     "v01_pool_states",
     "v07_last_24h_pool_stats",

@@ -903,3 +903,94 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("bigint").alias("rank_in_source"),
         )
     )
+
+
+#: non-splitting packing capacity (tokens per training sequence)
+PACK_CAP = 1024
+
+
+@register(
+    "bucketed_sequence_packing",
+    oracle=f"""
+    WITH toks AS ({{toks}}),
+    n AS (
+      SELECT doc_id, len(tokens) AS n_tok FROM toks
+      WHERE len(tokens) > 0 AND len(tokens) <= {PACK_CAP}
+    ),
+    b AS (
+      -- power-of-2 length bucket: the smallest 2^k >= n_tok, via
+      -- INTEGER bit-length (length of bin(n-1)) — LOG2/CEIL floats
+      -- differ by one ulp at exact powers of two across engines
+      SELECT doc_id, n_tok,
+             CASE WHEN n_tok = 1 THEN 1
+                  ELSE 1 << length(bin(n_tok - 1)) END AS bucket
+      FROM n
+    ),
+    slotted AS (
+      SELECT doc_id, n_tok, bucket,
+             {PACK_CAP} // bucket AS slots,
+             ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) - 1
+               AS pos
+      FROM b
+    )
+    SELECT bucket,
+           CAST(MAX(slots) AS BIGINT) AS slots_per_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(pos // slots) + 1 AS BIGINT) AS n_bins,
+           CAST(SUM(n_tok) AS BIGINT) AS content_tokens,
+           CAST((MAX(pos // slots) + 1) * {PACK_CAP} AS BIGINT)
+             AS capacity_tokens,
+           CAST(FLOOR(1000000.0 * SUM(n_tok)
+                      / ((MAX(pos // slots) + 1) * {PACK_CAP}) + 0.5) AS BIGINT)
+             AS fill_ppm
+    FROM slotted GROUP BY bucket
+    """.format(toks=_TOKS_SQL),
+    doc=f"Length-bucketed NON-SPLITTING sequence packing (the SFT/"
+    "instruction-tuning counterpart to sequence_packing's GPT-style "
+    "concat-and-chunk, which splits documents across sequence "
+    "boundaries): each doc rounds up to its power-of-2 length bucket, "
+    f"a {PACK_CAP}-token bin holds exactly cap/bucket same-bucket "
+    "docs, and bin assignment is pos div slots over a deterministic "
+    "row numbering — the fully PARALLEL packing rule (true first-fit-"
+    "decreasing is a sequential fold; bucketing is how production "
+    "packers parallelize it, trading <= 2x padding within a bucket). "
+    "Output: per-bucket bin counts and the fill ratio — the padding-"
+    "waste table a data team reads to pick capacity. Docs longer than "
+    "the capacity are excluded (they go to the chunking path). Scale "
+    "shape: one token-length pass, then a per-bucket window over "
+    "doc-count-sized relations; buckets pack independently, so at "
+    "100 TB the unit is (bucket, shard) and rows never cross "
+    "executors outside their bucket.",
+)
+def bucketed_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n = docs.select(
+        "doc_id", F.size(tokens_expr(F.col("text"))).alias("n_tok")
+    ).filter((F.col("n_tok") > 0) & (F.col("n_tok") <= PACK_CAP))
+    # integer bit-length bucket (see oracle comment: LOG2/CEIL floats
+    # are a one-ulp cross-engine hazard at exact powers of two)
+    bucket = F.when(F.col("n_tok") == 1, F.lit(1).cast("bigint")).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), length(bin(n_tok - 1)))")
+    )
+    b = n.withColumn("bucket", bucket).withColumn(
+        "slots", F.expr(f"{PACK_CAP} div bucket")
+    )
+    pos = F.row_number().over(W.partitionBy("bucket").orderBy("doc_id")) - 1
+    slotted = b.withColumn("pos", pos)
+    return slotted.groupBy("bucket").agg(
+        F.max("slots").cast("bigint").alias("slots_per_bin"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.max(F.expr("pos div slots")) + 1).cast("bigint").alias("n_bins"),
+        F.sum("n_tok").cast("bigint").alias("content_tokens"),
+        ((F.max(F.expr("pos div slots")) + 1) * PACK_CAP)
+        .cast("bigint")
+        .alias("capacity_tokens"),
+        F.floor(
+            F.lit(1000000.0)
+            * F.sum("n_tok")
+            / ((F.max(F.expr("pos div slots")) + 1) * PACK_CAP)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("fill_ppm"),
+    )

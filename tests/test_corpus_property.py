@@ -278,3 +278,58 @@ class TestSubstringDedupRewrite:
         for r in got.values():
             kept = len(r["text_dedup"].split()) if r["text_dedup"] else 0
             assert kept == r["n_tokens"] - r["n_removed"]
+
+
+class TestBucketedPacking:
+    def test_bin_math_and_fill_invariants(self, spark):
+        """slots_per_bin * bucket <= capacity, n_bins = ceil(n_docs /
+        slots), content fits capacity, fill <= 1."""
+        import math
+
+        from starknet_indexer_spark.queries.pipeline_corpus import (
+            PACK_CAP,
+            bucketed_sequence_packing,
+        )
+
+        rows = bucketed_sequence_packing(spark, SF_DIR).collect()
+        assert rows
+        for r in rows:
+            assert r["bucket"] * r["slots_per_bin"] <= PACK_CAP
+            assert r["slots_per_bin"] == PACK_CAP // r["bucket"]
+            assert r["n_bins"] == math.ceil(r["n_docs"] / r["slots_per_bin"])
+            assert r["content_tokens"] <= r["capacity_tokens"]
+            assert 0 < r["fill_ppm"] <= 1_000_000
+            # within-bucket padding bound: every doc is > bucket/2 tokens
+            # (else it would be in a smaller bucket), so content >
+            # half the occupied slot capacity of all FULL bins
+            if r["n_docs"] >= r["slots_per_bin"]:  # at least one full bin
+                assert r["content_tokens"] * 2 > (
+                    (r["n_docs"] // r["slots_per_bin"])
+                    * r["slots_per_bin"]
+                    * (r["bucket"] // 2)
+                )
+
+    def test_planted_exact_packing(self, spark):
+        """Docs of exactly 2^k tokens pack with zero internal padding:
+        fill of a full bin of 64 16-token docs is 1024/1024."""
+        from starknet_indexer_spark.queries.pipeline_corpus import (
+            bucketed_sequence_packing,
+        )
+        # build a tiny parquet corpus: 64 docs x 16 tokens, 2 docs x 1024
+        import os
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(["w"] * 16), "en", "s", 16) for i in range(64)]
+            + [(100 + i, " ".join(["w"] * 1024), "en", "s", 1024) for i in range(2)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        import tempfile
+
+        d = tempfile.mkdtemp()
+        docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r["bucket"]: r
+            for r in bucketed_sequence_packing(spark, d).collect()
+        }
+        assert got[16]["n_bins"] == 1 and got[16]["fill_ppm"] == 1_000_000
+        assert got[1024]["n_bins"] == 2 and got[1024]["fill_ppm"] == 1_000_000
