@@ -353,8 +353,6 @@ MIX_BUDGET = 1_000_000
     "with the rate-SETTING step computed from the corpus itself.",
 )
 def temperature_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
     from ..operators.dedup import tokens_expr
 
     docs = load(spark, sf_dir, "documents").filter(
@@ -365,6 +363,16 @@ def temperature_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
     )
+    return mix_allocation_from_counts(n)
+
+
+def mix_allocation_from_counts(n: DataFrame) -> DataFrame:
+    """Temperature-scaled allocation from a (source, n_tokens) count
+    relation — the sufficient statistic is one additive counter per
+    source, so the streaming monitor (streaming/mixing.py) maintains
+    the counts and re-derives the allocation at read time."""
+    from pyspark.sql.window import Window as W
+
     w = n.select(
         "source",
         "n_tokens",
