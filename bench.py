@@ -167,6 +167,7 @@ HEADLINE = [
     "psi_drift_by_source",
     "lsh_dedup_recall_eval",
     "bucketed_sequence_packing",
+    "containment_incremental",
     # reference view library (Ekubo-shaped derivation + real view plan)
     "v01_pool_states",
     "v07_last_24h_pool_stats",

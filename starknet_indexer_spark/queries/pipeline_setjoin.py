@@ -375,6 +375,8 @@ def containment_pairs(
     sets: DataFrame,
     t: float = CONTAINMENT_THRESHOLD,
     min_set: int = CONTAINMENT_MIN_SET,
+    probe_pred=None,
+    index_pred=None,
 ) -> DataFrame:
     """All ORDERED pairs (a contained-in b) with set containment
     |A∩B|/|A| >= ``t`` and |A| >= ``min_set`` — exact result through
@@ -391,16 +393,28 @@ def containment_pairs(
     consists of its RAREST tokens, so the full-index postings it
     touches are short — the same frequency-ordering insight PPJoin
     uses, applied one-sided.
+
+    ``probe_pred`` / ``index_pred``: optional doc_id -> Column
+    predicates restricting the contained (A) and container (B) sides
+    — the incremental crawl-refresh shape probes only the NEW batch
+    against the corpus index while the token order (df ranks) stays
+    global over both, preserving the prefix guarantee.
     """
     ranked = ranked_sets(sets, t)
-    prefix = ranked.select(
+    a_ranked = (
+        ranked.filter(probe_pred(F.col("doc_id"))) if probe_pred else ranked
+    )
+    b_ranked = (
+        ranked.filter(index_pred(F.col("doc_id"))) if index_pred else ranked
+    )
+    prefix = a_ranked.select(
         "doc_id",
         "n",
         F.explode(F.slice("ordered", 1, F.col("prefix_len"))).alias("p"),
     ).select("doc_id", "n", F.col("p.token").alias("token"))
     # B side: the full (doc, token) relation, rebuilt from the ranked
     # arrays (already materialized) instead of re-deriving from text
-    full = ranked.select(
+    full = b_ranked.select(
         F.col("doc_id").alias("b_id"),
         F.col("n").alias("b_n"),
         F.explode("hset").alias("token"),
@@ -417,12 +431,12 @@ def containment_pairs(
         .select(F.col("pa.doc_id").alias("a_id"), F.col("fb.b_id").alias("b_id"))
         .distinct()
     )
-    ra = ranked.select(
+    ra = a_ranked.select(
         F.col("doc_id").alias("a_id"),
         F.col("hset").alias("a_hs"),
         F.col("n").alias("a_n"),
     )
-    rb = ranked.select(
+    rb = b_ranked.select(
         F.col("doc_id").alias("b_id"), F.col("hset").alias("b_hs")
     )
     inter = F.size(F.array_intersect("a_hs", "b_hs"))
@@ -485,3 +499,52 @@ def containment_pairs(
 )
 def setjoin_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(_silver_shingle_sets(spark, sf_dir))
+
+
+#: "newly crawled batch" convention shared with minhash_dedup_incremental
+CONTAINMENT_NEW_MOD = 5
+
+
+@register(
+    "containment_incremental",
+    oracle=f"""
+    WITH {_SETJOIN_EX_SQL},
+    sized AS (
+      SELECT doc_id, token,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n
+      FROM ex
+    ),
+    pair_inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.n AS a_n, COUNT(*) AS inter
+      FROM sized a JOIN sized b ON a.token = b.token
+      WHERE a.doc_id % {CONTAINMENT_NEW_MOD} = 0
+        AND b.doc_id % {CONTAINMENT_NEW_MOD} <> 0
+        AND a.n >= {CONTAINMENT_MIN_SET}
+      GROUP BY a.doc_id, b.doc_id, a.n
+    )
+    SELECT a_id, b_id, CAST(a_n AS BIGINT) AS a_n,
+           CAST(inter AS BIGINT) AS inter,
+           ROUND(CAST(inter AS DOUBLE) / a_n, 6) AS containment
+    FROM pair_inter
+    WHERE inter >= a_n * {CONTAINMENT_THRESHOLD}
+    """,
+    doc=f"Incremental containment screen (crawl-refresh shape): ONLY "
+    f"the new document batch (deterministic 1-in-{CONTAINMENT_NEW_MOD} "
+    "of doc_ids, the minhash_dedup_incremental convention) probes the "
+    "existing corpus for subsumption — 'is this newly crawled page "
+    "just a quote/wrapper of something we already have?' — never "
+    "corpus-vs-corpus. The probe side (new docs' prefix tokens) is "
+    "tiny and the token order (df ranks) stays global over corpus + "
+    "batch, preserving the one-sided prefix guarantee; at 100 TB the "
+    "corpus token index is a persisted silver relation and the probe "
+    "is a broadcast map-side join. Same exact verify and full-"
+    "inverted-index oracle as setjoin_containment, restricted to "
+    "new-vs-corpus ordered pairs.",
+)
+def containment_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return containment_pairs(
+        _silver_shingle_sets(spark, sf_dir),
+        probe_pred=lambda d: d % CONTAINMENT_NEW_MOD == 0,
+        index_pred=lambda d: d % CONTAINMENT_NEW_MOD != 0,
+    )
