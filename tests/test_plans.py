@@ -361,3 +361,49 @@ class TestRound2Plans:
     def test_view_dimension_joins_broadcast(self, spark, name):
         # blocks/pool_keys joins must stay broadcast (no SMJ on facts)
         assert has_broadcast_join(q(spark, name)), name
+
+
+class TestRound9bPlanShapes:
+    """Scale contracts for the round-9b additions: prefix joins stay
+    broadcast-only, the pHash fingerprint stays map-only until the
+    band join, and the calibration/drift tails stay tiny-relation."""
+
+    @pytest.mark.parametrize(
+        ("name", "budget"),
+        [
+            # broadcast-only prefix machinery (vocab df + candidate
+            # sides broadcast); <=1 covers the AQE-planned exchange the
+            # runtime collapses to a broadcast (PLANS.md shows 0 with
+            # AQE off)
+            ("setjoin_containment", 1),
+            ("containment_incremental", 1),
+            # band join + distinct only — the fingerprint mapInPandas
+            # pass must not introduce a corpus shuffle
+            ("multimodal_phash_near_dup", 2),
+            # per-doc score agg + bin agg; PAV grid is checkpoint-fed
+            ("isotonic_calibration", 3),
+            # bigram count + lm1 + per-doc + per-score + window + final
+            ("ccnet_perplexity_buckets", 6),
+            # count grid + per-source aggs (mirrors tvd's budget
+            # class; 7 with AQE off, +3 AQE-collapsible exchanges on)
+            ("psi_drift_by_source", 10),
+            # one length pass + per-bucket window + final agg
+            ("bucketed_sequence_packing", 2),
+            # GEMM cogroup repartitions + candidate window + label joins
+            ("knn_label_agreement", 5),
+        ],
+    )
+    def test_shuffle_budgets(self, spark, name, budget):
+        assert shuffle_count(q(spark, name)) <= budget, name
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "setjoin_containment",
+            "containment_incremental",
+            "isotonic_calibration",
+            "psi_drift_by_source",
+        ],
+    )
+    def test_small_sides_broadcast(self, spark, name):
+        assert has_broadcast_join(q(spark, name)), name
