@@ -100,3 +100,45 @@ class TestMarginMath:
             (F.col("a_id") % 2 != 0) | (F.col("b_id") % 2 != 1)
         ).count()
         assert bad == 0
+
+
+class TestGemmTopkKernel:
+    def test_matches_brute_force_with_ties_and_self_exclusion(self, spark):
+        """Planted vectors with exact cosine ties: the kernel must
+        reproduce the (sim_i4 DESC, neighbor_id ASC) brute-force order,
+        exclude self-pairs, and survive probes living in every block."""
+        import math
+
+        from starknet_indexer_spark.operators.similarity import (
+            gemm_topk_neighbors,
+        )
+
+        # 12 vectors in 2-D: groups of identical directions force ties
+        vecs = []
+        for i in range(12):
+            ang = (i % 4) * math.pi / 8  # only 4 distinct directions
+            vecs.append((i, [math.cos(ang) * (1 + i), math.sin(ang) * (1 + i)]))
+        emb = spark.createDataFrame(
+            vecs, "vec_id long, embedding array<double>"
+        )
+        k = 3
+        got = {}
+        rows = gemm_topk_neighbors(emb, emb, k, n_blocks=5).collect()
+        for r in rows:
+            got.setdefault(r["query_id"], []).append(
+                (r["sim_i4"], r["neighbor_id"])
+            )
+        # brute force in python with identical quantization
+        import numpy as np
+
+        V = {i: np.array(v, dtype=np.float64) for i, v in vecs}
+        for qid, qv in V.items():
+            sims = []
+            for nid, nv in V.items():
+                if nid == qid:
+                    continue
+                s = float(qv @ nv / (np.linalg.norm(qv) * np.linalg.norm(nv)))
+                sims.append((int(math.floor(s * 1e4 + 0.5)), nid))
+            want = sorted(sims, key=lambda t: (-t[0], t[1]))[:k]
+            assert sorted(got[qid], key=lambda t: (-t[0], t[1])) == want, qid
+            assert all(n != qid for _, n in got[qid])
