@@ -168,6 +168,7 @@ HEADLINE = [
     "lsh_dedup_recall_eval",
     "bucketed_sequence_packing",
     "containment_incremental",
+    "multimodal_resize",
     # reference view library (Ekubo-shaped derivation + real view plan)
     "v01_pool_states",
     "v07_last_24h_pool_stats",

@@ -469,3 +469,98 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
     )
+
+
+# ---------------------------------------------------------------------------
+# Resize: stub-decode -> integer average-pool downsample -> checksum
+# ---------------------------------------------------------------------------
+
+_RESIZE_OUT = 16  # 32x32 stub decode -> 16x16 via 2x2 pooling
+_RESIZE_POOL = _PHASH_SIDE // _RESIZE_OUT
+
+
+def _resize_oracle() -> str:
+    n_px = _PHASH_SIDE * _PHASH_SIDE
+    return f"""
+    WITH m AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS nb
+      FROM documents WHERE octet_length(encode(text)) >= 1
+    ),
+    px AS (
+      SELECT doc_id, nb,
+             (k // {_PHASH_SIDE}) // {_RESIZE_POOL} AS r,
+             (k % {_PHASH_SIDE}) // {_RESIZE_POOL} AS c,
+             ('0x' || substr(hx, 2 * (k % nb) + 1, 2))::BIGINT AS v
+      FROM m, UNNEST(range(0, {n_px})) AS u(k)
+    ),
+    pooled AS (
+      SELECT doc_id, nb, r, c, CAST(SUM(v) AS BIGINT) AS s
+      FROM px GROUP BY doc_id, nb, r, c
+    )
+    SELECT doc_id,
+           CAST(MAX(nb) AS BIGINT) AS n_bytes,
+           CAST({_RESIZE_OUT} AS BIGINT) AS out_w,
+           CAST({_RESIZE_OUT} AS BIGINT) AS out_h,
+           md5(string_agg(s::VARCHAR, ',' ORDER BY r, c)) AS resize_md5
+    FROM pooled GROUP BY doc_id
+    """
+
+
+@register(
+    "multimodal_resize",
+    oracle=_resize_oracle(),
+    doc="Media resize over the opaque binary column: the stub decode's "
+    f"32x32 grayscale average-pools 2x2 to {_RESIZE_OUT}x{_RESIZE_OUT} "
+    "(integer block sums — no float resampling, so the output is "
+    "engine-exact), emitted as dimensions + an md5 checksum of the "
+    "row-major pooled matrix (the driver-hashable stand-in for the "
+    "resized pixel payload a real pipeline would write). Like the "
+    "frame sampler and the pHash fingerprint, the whole transform is "
+    "one Arrow-batched mapInPandas pass — map-only, the real decoder "
+    "swaps in at the byte-sampling step — and the DuckDB oracle "
+    "replays it from hex substrings, value-hash-proving the kernel. "
+    "Completes the decode/metadata/resize/frame-sample/feature-extract "
+    "multimodal surface.",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+    media = media_expr(F.col("text"))
+    m = docs.filter(F.octet_length(media) >= 1).select(
+        "doc_id", media.alias("media")
+    )
+    n_px = _PHASH_SIDE * _PHASH_SIDE
+    side, pool, out = _PHASH_SIDE, _RESIZE_POOL, _RESIZE_OUT
+
+    def batch_fn(batches):
+        for pdf in batches:
+            ids, nbs, sums = [], [], []
+            for doc_id, mb in zip(pdf["doc_id"], pdf["media"]):
+                b = np.frombuffer(mb, dtype=np.uint8).astype(np.int64)
+                img = b[np.arange(n_px) % len(b)].reshape(side, side)
+                pooled = img.reshape(out, pool, out, pool).sum(axis=(1, 3))
+                digest = hashlib.md5(
+                    ",".join(map(str, pooled.reshape(-1))).encode()
+                ).hexdigest()
+                ids.append(doc_id)
+                nbs.append(len(b))
+                sums.append(digest)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_bytes": nbs,
+                    "out_w": [out] * len(ids),
+                    "out_h": [out] * len(ids),
+                    "resize_md5": sums,
+                }
+            )
+
+    return m.mapInPandas(
+        batch_fn,
+        "doc_id long, n_bytes long, out_w long, out_h long, resize_md5 string",
+    )
