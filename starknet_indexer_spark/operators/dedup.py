@@ -254,19 +254,26 @@ def simhash_fingerprint(
     return simhash_fingerprint_tokens(docs, tokens_expr(F.col(text_col)), id_col)
 
 
-def simhash_bands(fps: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Pigeonhole blocking: split the fingerprint into SIMHASH_N_BANDS
-    byte-bands; any pair within hamming distance < SIMHASH_N_BANDS
-    agrees on at least one band, so the per-band equi-join finds it."""
+def simhash_bands(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = SIMHASH_N_BANDS,
+    band_bits: int = SIMHASH_BAND_BITS,
+) -> DataFrame:
+    """Pigeonhole blocking: split the fingerprint into ``n_bands``
+    ``band_bits``-wide bands; any pair within hamming distance
+    < n_bands agrees on at least one band, so the per-band equi-join
+    finds it. Defaults are the 32-bit text-SimHash geometry; the
+    63-bit pHash fingerprint passes (4, 16)."""
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(j).alias("band"),
-                F.shiftright(F.col("fingerprint"), j * SIMHASH_BAND_BITS)
-                .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+                F.shiftright(F.col("fingerprint"), j * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
                 .alias("band_val"),
             )
-            for j in range(SIMHASH_N_BANDS)
+            for j in range(n_bands)
         ]
     )
     return fps.select(id_col, "fingerprint", F.explode(band_structs).alias("bk")).select(
@@ -277,11 +284,17 @@ def simhash_bands(fps: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def simhash_near_pairs(fps: DataFrame, max_hamming: int, id_col: str = "doc_id") -> DataFrame:
+def simhash_near_pairs(
+    fps: DataFrame,
+    max_hamming: int,
+    id_col: str = "doc_id",
+    n_bands: int = SIMHASH_N_BANDS,
+    band_bits: int = SIMHASH_BAND_BITS,
+) -> DataFrame:
     """(a_id, b_id, hamming) for pairs within ``max_hamming`` bits that
-    collide in >= 1 byte-band. Exact for max_hamming <= 3 (pigeonhole);
+    collide in >= 1 band. Exact for max_hamming < n_bands (pigeonhole);
     high-recall heuristic above that — the standard SimHash trade."""
-    bands = simhash_bands(fps, id_col)
+    bands = simhash_bands(fps, id_col, n_bands, band_bits)
     a = bands.select(
         F.col(id_col).alias("a_id"), F.col("fingerprint").alias("a_fp"), "band", "band_val"
     )

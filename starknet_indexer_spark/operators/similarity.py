@@ -380,14 +380,20 @@ def gemm_topk_grouped(c_keyed: DataFrame, p_keyed: DataFrame, k: int) -> DataFra
         sims = np.floor((Q @ C.T) / np.outer(qn, cn) * 1e4 + 0.5).astype(np.int64)
         cvid = l["vid"].to_numpy()
         qvid = r["qid"].to_numpy()
-        # exclude self-pairs by sinking them below any real sim
-        sims[qvid[:, None] == cvid[None, :]] = np.iinfo(np.int64).min
+        # exclude self-pairs by sinking them below any real sim.
+        # Sentinel is INT64_MIN + 1, NOT INT64_MIN: the sort key below
+        # negates the row, and -INT64_MIN overflows back to INT64_MIN
+        # in numpy, which would sort the self-pair FIRST and let it
+        # consume a top-k slot (the probe's home tile would then emit
+        # only k-1 real candidates, breaking the exact-merge argument)
+        sentinel = np.iinfo(np.int64).min + 1
+        sims[qvid[:, None] == cvid[None, :]] = sentinel
         kk = min(k, sims.shape[1])
         out_q, out_n, out_s = [], [], []
         for i in range(sims.shape[0]):
             row = sims[i]
             order = np.lexsort((cvid, -row))[:kk]
-            keep = row[order] != np.iinfo(np.int64).min
+            keep = row[order] != sentinel
             out_q.append(np.full(int(keep.sum()), qvid[i], dtype=np.int64))
             out_n.append(cvid[order][keep])
             out_s.append(row[order][keep])

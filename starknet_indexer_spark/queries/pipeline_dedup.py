@@ -1087,9 +1087,28 @@ LSH_EVAL_TAU = 0.5
 
 
 def _lsh_recall_oracle() -> str:
-    from .pipeline_setjoin import REGISTRY as _REG
+    # the truth side is the setjoin oracle's full-inverted-index plan
+    # PARAMETERIZED at LSH_EVAL_TAU (not the registered oracle string,
+    # which bakes SETJOIN_THRESHOLD — code-review r9b: the two
+    # constants coincide today but must not be silently coupled)
+    from .pipeline_setjoin import _SETJOIN_EX_SQL
 
-    exact_sql = _REG["setjoin_prefix_jaccard"].oracle
+    exact_sql = f"""
+    WITH {_SETJOIN_EX_SQL},
+    sized AS (
+      SELECT doc_id, token,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n
+      FROM ex
+    ),
+    pair_inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.n AS a_n, b.n AS b_n, COUNT(*) AS inter
+      FROM sized a JOIN sized b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.n, b.n
+    )
+    SELECT a_id, b_id FROM pair_inter
+    WHERE CAST(inter AS DOUBLE) / (a_n + b_n - inter) >= {LSH_EVAL_TAU}
+    """
     return f"""
     WITH lsh AS (SELECT a_id, b_id FROM ({_minhash_oracle()})),
     exact AS (SELECT a_id, b_id FROM ({exact_sql})),
@@ -1127,12 +1146,21 @@ def _lsh_recall_oracle() -> str:
 def lsh_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline_setjoin import _silver_shingle_sets, prefix_jaccard_pairs
 
-    exact = prefix_jaccard_pairs(
-        _silver_shingle_sets(spark, sf_dir), LSH_EVAL_TAU
-    ).select("a_id", "b_id")
+    # both pair sets feed TWO consumers (their own count + the hit
+    # join) — one materialization each, or the candidate join and the
+    # exact verify both execute twice (code-review r9b)
+    exact = (
+        prefix_jaccard_pairs(_silver_shingle_sets(spark, sf_dir), LSH_EVAL_TAU)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=False)
+    )
     # the silver-reading twin: identical pairs by construction (one
     # derivation in silver.build_silver_relations), no raw-text rescan
-    lsh = minhash_lsh_dedup_silver(spark, sf_dir).select("a_id", "b_id")
+    lsh = (
+        minhash_lsh_dedup_silver(spark, sf_dir)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=False)
+    )
     hit = exact.join(lsh, ["a_id", "b_id"])
     n_exact = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
     n_lsh = lsh.agg(F.count(F.lit(1)).cast("bigint").alias("n_lsh_pairs"))

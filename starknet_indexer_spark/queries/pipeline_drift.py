@@ -257,7 +257,7 @@ PSI_ALERT_MICRO = 200_000
 
 @register(
     "psi_drift_by_source",
-    oracle="""
+    oracle=f"""
     WITH cnt AS (
       SELECT source, lang, COUNT(*) AS c
       FROM documents GROUP BY 1, 2
@@ -292,7 +292,7 @@ PSI_ALERT_MICRO = 200_000
            CAST(n_s AS BIGINT) AS n_source,
            CAST(n_r AS BIGINT) AS n_rest,
            CAST(SUM(t) AS BIGINT) AS psi_micro,
-           CAST(SUM(t) >= 200000 AS BIGINT) AS alert
+           CAST(SUM(t) >= {PSI_ALERT_MICRO} AS BIGINT) AS alert
     FROM terms GROUP BY source, n_s, n_r
     """,
     doc="Population Stability Index drift monitor: "

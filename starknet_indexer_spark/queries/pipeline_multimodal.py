@@ -261,12 +261,14 @@ def multimodal_binary_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # median-threshold 63-bit hash -> pigeonhole-banded Hamming join
 # ---------------------------------------------------------------------------
 
+import math as _math
+
 #: quantized DCT-II basis: B[u][r] = round(1e6 * cos((2r+1)*u*pi/16)).
 #: Integerizing the basis makes every DCT coefficient an exact BIGINT,
 #: so Spark and DuckDB agree bit-for-bit (a float basis would make the
 #: 64-term dot product order-sensitive).
 _PHASH_BASIS: list[tuple[int, int, int]] = [
-    (u, r, round(1_000_000 * __import__("math").cos((2 * r + 1) * u * __import__("math").pi / 16)))
+    (u, r, round(1_000_000 * _math.cos((2 * r + 1) * u * _math.pi / 16)))
     for u in range(8)
     for r in range(8)
 ]
@@ -425,49 +427,21 @@ def phash_fingerprints(docs: DataFrame) -> DataFrame:
     "kernel's integer math each run.",
 )
 def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_near_pairs
+
     docs = load(spark, sf_dir, "documents")
-    fps = phash_fingerprints(docs)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band"),
-                F.shiftright(F.col("fingerprint"), j * _PHASH_BAND_BITS)
-                .bitwiseAND(F.lit((1 << _PHASH_BAND_BITS) - 1))
-                .alias("band_val"),
-            )
-            for j in range(_PHASH_N_BANDS)
-        ]
-    )
-    bands = fps.select(
-        "doc_id", "fingerprint", F.explode(band_structs).alias("bk")
-    ).select(
-        "doc_id",
-        "fingerprint",
-        F.col("bk.band").alias("band"),
-        F.col("bk.band_val").alias("band_val"),
-    )
-    a = bands.select(
-        F.col("doc_id").alias("a_id"),
-        F.col("fingerprint").alias("a_fp"),
-        "band",
-        "band_val",
-    )
-    b = bands.select(
-        F.col("doc_id").alias("b_id"),
-        F.col("fingerprint").alias("b_fp"),
-        "band",
-        "band_val",
-    )
-    return (
-        a.join(b, ["band", "band_val"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select(
-            "a_id",
-            "b_id",
-            F.bit_count(F.col("a_fp").bitwiseXOR(F.col("b_fp"))).alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+    # the Arrow-batched fingerprint pass is the dominant cost and the
+    # band self-join consumes it on BOTH sides — one materialization
+    # (code-review r9b: un-checkpointed, the Python pHash pass and the
+    # corpus scan executed twice per query)
+    fps = phash_fingerprints(docs).localCheckpoint(eager=False)
+    # the shared pigeonhole banding/verify machinery, parameterized to
+    # the 63-bit pHash geometry (4 bands x 16 bits)
+    return simhash_near_pairs(
+        fps,
+        PHASH_MAX_HAMMING,
+        n_bands=_PHASH_N_BANDS,
+        band_bits=_PHASH_BAND_BITS,
     )
 
 

@@ -998,21 +998,22 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter(
         hash_sample_pred(F.col("vec_id").cast("string"), KNN_AUDIT_RATIO_BITS)
     )
-    topk = gemm_topk_neighbors(emb, probes, TOP_K)
+    # broadcast the SMALL side (candidates: |sample| * k rows), never
+    # the corpus-cardinality label relation (code-review r9b: a hint on
+    # labels would ship every label to every executor at 100 TB)
+    cands = gemm_topk_neighbors(emb, probes, TOP_K)
     labels = emb.select("vec_id", "label")
-    topk = topk.join(
-        F.broadcast(
+    topk = F.broadcast(
+        F.broadcast(cands).join(
             labels.select(
                 F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
-            )
-        ),
-        "query_id",
+            ),
+            "query_id",
+        )
     ).join(
-        F.broadcast(
-            labels.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("label").alias("n_label"),
-            )
+        labels.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("n_label"),
         ),
         "neighbor_id",
     )

@@ -142,3 +142,52 @@ class TestGemmTopkKernel:
             want = sorted(sims, key=lambda t: (-t[0], t[1]))[:k]
             assert sorted(got[qid], key=lambda t: (-t[0], t[1])) == want, qid
             assert all(n != qid for _, n in got[qid])
+
+    def test_home_tile_larger_than_k_keeps_full_topk(self, spark):
+        """Regression (code-review r9b): with the self-pair sentinel at
+        INT64_MIN, numpy negation overflowed and the self-pair sorted
+        FIRST, eating a top-k slot — a probe whose home tile holds more
+        than k candidates emitted only k-1. One block forces every
+        vector into the probe's home tile."""
+        import math
+
+        import numpy as np
+
+        from starknet_indexer_spark.operators.similarity import (
+            gemm_topk_neighbors,
+        )
+
+        vecs = [
+            (i, [math.cos(i * 0.17), math.sin(i * 0.17)]) for i in range(10)
+        ]
+        emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        k = 5
+        probe = emb.filter("vec_id = 0")
+        got = sorted(
+            (
+                (r["sim_i4"], r["neighbor_id"])
+                for r in gemm_topk_neighbors(emb, probe, k, n_blocks=1).collect()
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        V = {i: np.array(v) for i, v in vecs}
+        sims = sorted(
+            (
+                (
+                    int(
+                        math.floor(
+                            float(
+                                V[0] @ V[n] / (np.linalg.norm(V[0]) * np.linalg.norm(V[n]))
+                            )
+                            * 1e4
+                            + 0.5
+                        )
+                    ),
+                    n,
+                )
+                for n in range(1, 10)
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        assert len(got) == k
+        assert got == sims
