@@ -369,7 +369,8 @@ def phash_fingerprints(docs: DataFrame) -> DataFrame:
     the multimodal family's Arrow-batched mapInPandas convention is
     for (the real decode stage is Python regardless), and the int64
     numpy matmul (B @ pooled @ B.T) is exact integer math identical to
-    the oracle's BIGINT sums. 2.0 s at sf0.1."""
+    the oracle's BIGINT sums. 1.05 s at sf0.1 (fingerprints
+    materialized once for the band self-join)."""
     import numpy as np
     import pandas as pd
 
