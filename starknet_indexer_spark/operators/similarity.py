@@ -377,6 +377,20 @@ def gemm_topk_grouped(c_keyed: DataFrame, p_keyed: DataFrame, k: int) -> DataFra
         Q = np.vstack(r["qvec"].to_numpy()).astype(np.float64)
         cn = np.sqrt((C * C).sum(axis=1))
         qn = np.sqrt((Q * Q).sum(axis=1))
+        # A zero-norm vector would make the division produce NaN, and
+        # np.floor(NaN).astype(int64) is undefined (typically INT64_MIN,
+        # whose negation in the lexsort key overflows and sorts the
+        # garbage pair FIRST, evicting real neighbors). Fail loudly.
+        if not (cn > 0).all():
+            raise ValueError(
+                "gemm_topk_grouped: zero-norm corpus vector(s) "
+                f"vid={l['vid'].to_numpy()[cn == 0][:5].tolist()}"
+            )
+        if not (qn > 0).all():
+            raise ValueError(
+                "gemm_topk_grouped: zero-norm probe vector(s) "
+                f"qid={r['qid'].to_numpy()[qn == 0][:5].tolist()}"
+            )
         sims = np.floor((Q @ C.T) / np.outer(qn, cn) * 1e4 + 0.5).astype(np.int64)
         cvid = l["vid"].to_numpy()
         qvid = r["qid"].to_numpy()

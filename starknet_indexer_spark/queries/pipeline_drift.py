@@ -176,7 +176,8 @@ def ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid AS (
       SELECT s.source, s.n_s, l.lang, l.cg, COALESCE(c.c, 0) AS c
       FROM srcs s CROSS JOIN langs l
-      LEFT JOIN cnt c ON c.source = s.source AND c.lang = l.lang
+      LEFT JOIN cnt c ON c.source IS NOT DISTINCT FROM s.source
+                     AND c.lang IS NOT DISTINCT FROM l.lang
     ),
     terms AS (
       SELECT source, n_s, (SELECT n FROM tot) - n_s AS n_r,
@@ -213,6 +214,30 @@ def tvd_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tvd_from_counts(cnt)
 
 
+def _null_safe_grid(
+    srcs: DataFrame, langs: DataFrame, cnt: DataFrame
+) -> DataFrame:
+    """sources x categories grid with each cell's count, zero-filled.
+
+    The cell join is NULL-SAFE on (source, lang): a NULL lang category
+    appears in the langs dimension (with its true cg), and a plain
+    equi-join would coalesce its per-source cells to c=0 — excluding
+    each source's own NULL-lang mass from p_s while still counting it
+    in the rest, silently skewing the statistic if NULL langs ever
+    enter the corpus. The oracles mirror with IS NOT DISTINCT FROM."""
+    g = srcs.crossJoin(F.broadcast(langs))
+    return (
+        g.alias("g")
+        .join(
+            cnt.alias("cc"),
+            F.col("g.source").eqNullSafe(F.col("cc.source"))
+            & F.col("g.lang").eqNullSafe(F.col("cc.lang")),
+            "left",
+        )
+        .select("g.*", F.coalesce(F.col("cc.c"), F.lit(0)).alias("c"))
+    )
+
+
 def tvd_from_counts(cnt: DataFrame) -> DataFrame:
     """TVD drift of each source vs rest-of-corpus from a (source,
     lang, c) count relation — shared by the batch query above and the
@@ -222,9 +247,7 @@ def tvd_from_counts(cnt: DataFrame) -> DataFrame:
     srcs = cnt.groupBy("source").agg(F.sum("c").alias("n_s"))
     tot = srcs.agg(F.sum("n_s").alias("n"))
     grid = (
-        srcs.crossJoin(F.broadcast(langs))
-        .join(cnt, ["source", "lang"], "left")
-        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+        _null_safe_grid(srcs, langs, cnt)
         .crossJoin(F.broadcast(tot))
     )
     term = F.abs(
@@ -271,7 +294,8 @@ PSI_ALERT_MICRO = 200_000
              (SELECT n FROM tot) - s.n_s AS n_r,
              (SELECT n_cat FROM k) AS n_cat
       FROM srcs s CROSS JOIN langs l
-      LEFT JOIN cnt c ON c.source = s.source AND c.lang = l.lang
+      LEFT JOIN cnt c ON c.source IS NOT DISTINCT FROM s.source
+                     AND c.lang IS NOT DISTINCT FROM l.lang
     ),
     -- Laplace-smoothed category shares: p_s = (c+1)/(n_s+K),
     -- p_r = (cg-c+1)/(n_r+K) — exact-integer numerators/denominators,
@@ -325,9 +349,7 @@ def psi_from_counts(cnt: DataFrame) -> DataFrame:
     k = langs.agg(F.count(F.lit(1)).alias("n_cat"))
     tot = srcs.agg(F.sum("n_s").alias("n"))
     grid = (
-        srcs.crossJoin(F.broadcast(langs))
-        .join(cnt, ["source", "lang"], "left")
-        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+        _null_safe_grid(srcs, langs, cnt)
         .crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(k))
         .withColumn("n_r", F.col("n") - F.col("n_s"))

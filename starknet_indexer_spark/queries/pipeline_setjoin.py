@@ -31,6 +31,8 @@ bucket-joined; everything else is standard shuffle machinery.
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from ..operators.dedup import (
@@ -44,6 +46,20 @@ SETJOIN_THRESHOLD = 0.5
 # shared by more docs than this is dropped from blocking (see
 # setjoin_prefix_jaccard_capped)
 SETJOIN_TOKEN_CAP = 10
+
+
+def _t_frac(t: float) -> tuple[int, int]:
+    """Exact (num, den) for a DECIMAL threshold literal (0.8 -> (4, 5)).
+
+    All threshold comparisons in this module are integer-rational:
+    ``ceil(t*n)`` in IEEE doubles is correct only by a sub-half-ulp
+    margin at some (t, n) (at t=0.8 the product's relative error
+    ~2^-54.17 sits just under the minimum half-ulp 2^-54), so a future
+    threshold could shorten the prefix by one token and silently break
+    the losslessness theorem. ``Fraction(str(t))`` recovers the decimal
+    the source literal denotes, not its binary approximation."""
+    f = Fraction(str(t))
+    return f.numerator, f.denominator
 
 
 def ranked_sets(sets: DataFrame, t: float) -> DataFrame:
@@ -72,6 +88,7 @@ def ranked_sets(sets: DataFrame, t: float) -> DataFrame:
     still agree bit-for-bit with the oracle (which dedups the same
     hashes), instead of Spark deduping while the oracle counts
     multiplicity."""
+    num, den = _t_frac(t)
     toks = sets.select("doc_id", "toks").filter(F.size("toks") > 0)
     ex = (
         toks.select("doc_id", F.explode("toks").alias("tok"))
@@ -91,7 +108,13 @@ def ranked_sets(sets: DataFrame, t: float) -> DataFrame:
             F.sort_array(F.collect_list("token")).alias("hset"),
         )
         .withColumn("n", F.size("hset"))
-        .withColumn("prefix_len", F.col("n") - F.ceil(F.col("n") * F.lit(t)) + 1)
+        # prefix_len = n - ceil(t*n) + 1, computed EXACTLY in integer
+        # arithmetic with t = num/den: ceil(n*num/den) == (n*num+den-1)
+        # div den. See _t_frac for why doubles are not trusted here.
+        .withColumn(
+            "prefix_len",
+            F.expr(f"n - ((n * {num} + {den - 1}) div {den}) + 1"),
+        )
     )
     # ranked feeds FOUR subtrees (both candidate-join sides, both
     # verify sides); without materialization each recomputes the full
@@ -134,15 +157,18 @@ def prefix_candidates(
         # + anti-join (same one-materialization pattern as `ranked`)
         prefix = prefix.localCheckpoint(eager=False)
 
-    # candidates: shared prefix token + size compatibility, exact-once
+    # candidates: shared prefix token + size compatibility, exact-once.
+    # Size predicates in integer rationals (t = num/den): b.n*t <= a.n
+    # <=> b.n*num <= a.n*den — no float rounding at the boundary.
+    num, den = _t_frac(t)
     a, b = prefix.alias("a"), prefix.alias("b")
     candidates = (
         a.join(
             b,
             (F.col("a.token") == F.col("b.token"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("b.n") * F.lit(t) <= F.col("a.n"))
-            & (F.col("a.n") * F.lit(t) <= F.col("b.n")),
+            & (F.col("b.n") * F.lit(num) <= F.col("a.n") * F.lit(den))
+            & (F.col("a.n") * F.lit(num) <= F.col("b.n") * F.lit(den)),
         )
         .select(
             F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
@@ -178,17 +204,22 @@ def prefix_jaccard_pairs(
     )
     inter = F.size(F.array_intersect("a_hs", "b_hs"))
     jac = inter / (F.col("a_n") + F.col("b_n") - inter)
-    # Filter on the UNROUNDED jaccard: the prefix-blocking losslessness
-    # theorem covers pairs with TRUE J >= t only. Filtering on the
-    # 6dp-rounded value would also admit pairs with J in [t-5e-7, t),
-    # which can legitimately share no prefix token — Spark would then
-    # miss a pair the oracle (which must mirror the unrounded filter)
-    # could include. ROUND stays as an output column only, for
-    # cross-engine float display stability.
+    # Filter on the EXACT jaccard comparison in integer rationals
+    # (J >= t <=> inter*den >= union*num with t = num/den): the
+    # prefix-blocking losslessness theorem covers pairs with TRUE
+    # J >= t only. Filtering on the 6dp-rounded value would also admit
+    # pairs with J in [t-5e-7, t), which can legitimately share no
+    # prefix token — Spark would then miss a pair the oracle (which
+    # must mirror the exact filter) could include. ROUND stays as an
+    # output column only, for cross-engine float display stability.
+    num, den = _t_frac(t)
     return (
         candidates.join(ra, "a_id")
         .join(rb, "b_id")
-        .filter(jac >= t)
+        .filter(
+            inter * F.lit(den)
+            >= (F.col("a_n") + F.col("b_n") - inter) * F.lit(num)
+        )
         .select(
             "a_id",
             "b_id",
@@ -222,11 +253,13 @@ _SETJOIN_EX_SQL = """words AS (
       FROM toks WHERE len(toks) > 0
     )"""
 
+# threshold as exact integers for the oracle's rational comparisons
+_SJ_NUM, _SJ_DEN = _t_frac(SETJOIN_THRESHOLD)
+
 _SETJOIN_FINAL_SQL = f"""SELECT a_id, b_id, CAST(inter AS BIGINT) AS inter,
            ROUND(CAST(inter AS DOUBLE) / (a_n + b_n - inter), 6) AS jaccard
     FROM pair_inter
-    WHERE CAST(inter AS DOUBLE) / (a_n + b_n - inter)
-          >= {SETJOIN_THRESHOLD}"""
+    WHERE inter * {_SJ_DEN} >= (a_n + b_n - inter) * {_SJ_NUM}"""
 
 
 def _silver_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -296,7 +329,7 @@ def setjoin_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     prefix AS (
       SELECT doc_id, token, n FROM ordered
-      WHERE rn <= n - CEIL(n * {SETJOIN_THRESHOLD}) + 1
+      WHERE rn <= n - ((n * {_SJ_NUM} + {_SJ_DEN - 1}) // {_SJ_DEN}) + 1
     ),
     kept AS (
       SELECT token FROM prefix
@@ -307,8 +340,8 @@ def setjoin_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM prefix a
       JOIN kept k ON k.token = a.token
       JOIN prefix b ON b.token = a.token AND a.doc_id < b.doc_id
-                   AND b.n * {SETJOIN_THRESHOLD} <= a.n
-                   AND a.n * {SETJOIN_THRESHOLD} <= b.n
+                   AND b.n * {_SJ_NUM} <= a.n * {_SJ_DEN}
+                   AND a.n * {_SJ_NUM} <= b.n * {_SJ_DEN}
     ),
     pair_inter AS (
       SELECT c.a_id, c.b_id, MIN(oa.n) AS a_n, MIN(ob.n) AS b_n,
@@ -365,6 +398,7 @@ def setjoin_prefix_jaccard_silver(spark: SparkSession, sf_dir: str) -> DataFrame
 
 #: minimum containment |A∩B|/|A| for the contained side
 CONTAINMENT_THRESHOLD = 0.8
+_CT_NUM, _CT_DEN = _t_frac(CONTAINMENT_THRESHOLD)
 #: ignore sets smaller than this on the contained side — sub-5-shingle
 #: docs are near-empty and handled by exact dedup; without the floor a
 #: one-shingle doc is "contained" in every doc sharing that shingle
@@ -419,6 +453,7 @@ def containment_pairs(
         F.col("n").alias("b_n"),
         F.explode("hset").alias("token"),
     )
+    num, den = _t_frac(t)
     pa = prefix.filter(F.col("n") >= min_set).alias("pa")
     fb = full.alias("fb")
     candidates = (
@@ -426,7 +461,7 @@ def containment_pairs(
             fb,
             (F.col("pa.token") == F.col("fb.token"))
             & (F.col("pa.doc_id") != F.col("fb.b_id"))
-            & (F.col("fb.b_n") >= F.col("pa.n") * F.lit(t)),
+            & (F.col("fb.b_n") * F.lit(den) >= F.col("pa.n") * F.lit(num)),
         )
         .select(F.col("pa.doc_id").alias("a_id"), F.col("fb.b_id").alias("b_id"))
         .distinct()
@@ -440,12 +475,13 @@ def containment_pairs(
         F.col("doc_id").alias("b_id"), F.col("hset").alias("b_hs")
     )
     inter = F.size(F.array_intersect("a_hs", "b_hs"))
-    # filter on the UNROUNDED containment (same reasoning as the
-    # Jaccard variant: the losslessness theorem covers TRUE c >= t)
+    # filter on the EXACT containment comparison in integer rationals
+    # (same reasoning as the Jaccard variant: the losslessness theorem
+    # covers TRUE c >= t; t = num/den so c >= t <=> inter*den >= a_n*num)
     return (
         candidates.join(ra, "a_id")
         .join(rb, "b_id")
-        .filter(inter >= F.col("a_n") * F.lit(t))
+        .filter(inter * F.lit(den) >= F.col("a_n") * F.lit(num))
         .select(
             "a_id",
             "b_id",
@@ -477,7 +513,7 @@ def containment_pairs(
            CAST(inter AS BIGINT) AS inter,
            ROUND(CAST(inter AS DOUBLE) / a_n, 6) AS containment
     FROM pair_inter
-    WHERE inter >= a_n * {CONTAINMENT_THRESHOLD}
+    WHERE inter * {_CT_DEN} >= a_n * {_CT_NUM}
     """,
     doc=f"Exact asymmetric containment join: every ordered doc pair "
     f"where >= {CONTAINMENT_THRESHOLD} of the contained doc's shingle "
@@ -527,7 +563,7 @@ CONTAINMENT_NEW_MOD = 5
            CAST(inter AS BIGINT) AS inter,
            ROUND(CAST(inter AS DOUBLE) / a_n, 6) AS containment
     FROM pair_inter
-    WHERE inter >= a_n * {CONTAINMENT_THRESHOLD}
+    WHERE inter * {_CT_DEN} >= a_n * {_CT_NUM}
     """,
     doc=f"Incremental containment screen (crawl-refresh shape): ONLY "
     f"the new document batch (deterministic 1-in-{CONTAINMENT_NEW_MOD} "

@@ -628,6 +628,35 @@ class TestPrefixSetJoin:
         assert n_cap == 0, n_cap  # every bucket >= 6 > cap
         assert n_un > 0
 
+    def test_prefix_len_exact_rational(self, spark):
+        """prefix_len = n - ceil(t*n) + 1 must be computed in EXACT
+        integer arithmetic (ADVICE r9): at t=0.8 the IEEE product t*n
+        is correct only by a sub-half-ulp margin, and a one-token-short
+        prefix silently breaks the losslessness theorem. Pin the Spark
+        column against Fraction-based ceil for every n in 1..120 at
+        several thresholds, including the boundary-prone ones."""
+        from fractions import Fraction
+
+        from starknet_indexer_spark.queries.pipeline_setjoin import (
+            ranked_sets,
+        )
+
+        sets = spark.createDataFrame(
+            [(n, [f"tok-{n}-{i}" for i in range(n)]) for n in range(1, 121)],
+            "doc_id long, toks array<string>",
+        )
+        for t in (0.5, 0.7, 0.8, 0.9):
+            frac = Fraction(str(t))
+            got = {
+                r["doc_id"]: r["prefix_len"]
+                for r in ranked_sets(sets, t).select(
+                    "doc_id", "prefix_len"
+                ).collect()
+            }
+            for n in range(1, 121):
+                want = n - (-((-n * frac.numerator) // frac.denominator)) + 1
+                assert got[n] == want, (t, n, got[n], want)
+
     def test_containment_planted_subsumption(self, spark):
         """A doc whose shingles are a strict subset of a 3x-larger
         doc's must surface in the containment join (containment 1.0)

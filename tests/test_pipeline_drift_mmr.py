@@ -89,6 +89,50 @@ class TestTvdReference:
             assert 0 <= int(row["tvd_ppm"]) <= 1_000_000
 
 
+class TestDriftNullLangCell:
+    def test_null_lang_mass_counts_in_grid(self, spark):
+        """ADVICE r9: the sources x langs grid join must be NULL-SAFE —
+        a NULL lang category appears in the langs dimension, and a
+        plain equi-join zeroed its per-source cells, excluding each
+        source's own NULL-lang mass from p_s while still counting it
+        in the rest. Hand-computed TVD on a corpus whose ONLY drift is
+        in the NULL-lang counts: A = {en:4, NULL:6}, B = {en:8,
+        NULL:2}. Correct tvd_num per source = |4*10-8*10| +
+        |6*10-2*10| = 80 (TVD 0.4); the buggy join produced 120."""
+        from starknet_indexer_spark.queries.pipeline_drift import (
+            psi_from_counts,
+            tvd_from_counts,
+        )
+
+        cnt = spark.createDataFrame(
+            [("A", "en", 4), ("A", None, 6), ("B", "en", 8), ("B", None, 2)],
+            "source string, lang string, c long",
+        )
+        rows = {r["source"]: r for r in tvd_from_counts(cnt).collect()}
+        assert rows["A"]["tvd_num"] == 80, rows["A"]
+        assert rows["B"]["tvd_num"] == 80, rows["B"]
+        assert rows["A"]["tvd_ppm"] == 80 * 1_000_000 // (2 * 10 * 10)
+
+        # PSI on the same counts, vs the pure-python definition with
+        # Laplace smoothing over K=2 categories (en, NULL)
+        import math
+
+        psi = {r["source"]: r for r in psi_from_counts(cnt).collect()}
+        # per-source cells as (c, c_rest = cg - c): cg(en)=12, cg(NULL)=8
+        for src, cells in (("A", [(4, 8), (6, 2)]), ("B", [(8, 4), (2, 6)])):
+            want = 0
+            for c, c_rest in cells:
+                # mirror the engine formula exactly: one IEEE division
+                # per share, the log ratio one division of two products
+                p_s = (c + 1) / (10 + 2)
+                p_r = (c_rest + 1) / (10 + 2)
+                ratio = ((c + 1) * (10 + 2)) / ((c_rest + 1) * (10 + 2))
+                want += math.floor(
+                    1e6 * (p_s - p_r) * math.log(ratio) + 0.5
+                )
+            assert psi[src]["psi_micro"] == want, (src, psi[src], want)
+
+
 class TestDriftSingleSourceGuard:
     def test_single_source_yields_zero_ppm_not_division_error(self, spark):
         """n_rest = 0 (one source holds every row) must produce tvd_ppm

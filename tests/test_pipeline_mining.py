@@ -191,3 +191,33 @@ class TestGemmTopkKernel:
         )[:k]
         assert len(got) == k
         assert got == sims
+
+    def test_zero_norm_vector_fails_loudly(self, spark):
+        """ADVICE r9: a zero-norm vector used to make the GEMM emit
+        NaN sims, and np.floor(NaN).astype(int64) lands on INT64_MIN,
+        whose negation in the lexsort key overflows and sorts the
+        garbage pair FIRST — silently evicting real neighbors. The
+        kernel must instead raise, naming the offending side."""
+        import pytest
+
+        from starknet_indexer_spark.operators.similarity import (
+            gemm_topk_neighbors,
+        )
+
+        good = [(i, [1.0 + i, 2.0]) for i in range(4)]
+        corpus_bad = spark.createDataFrame(
+            good + [(9, [0.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        probes = spark.createDataFrame(
+            good[:2], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(Exception, match="zero-norm corpus"):
+            gemm_topk_neighbors(corpus_bad, probes, 2, n_blocks=1).collect()
+        corpus = spark.createDataFrame(
+            good, "vec_id long, embedding array<double>"
+        )
+        probes_bad = spark.createDataFrame(
+            good[:2] + [(9, [0.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(Exception, match="zero-norm probe"):
+            gemm_topk_neighbors(corpus, probes_bad, 2, n_blocks=1).collect()
