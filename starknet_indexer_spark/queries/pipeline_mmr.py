@@ -102,12 +102,12 @@ def _oracle() -> str:
     short AS (
       SELECT query_id, cand_id AS neighbor_id, cv, cn, rel4 FROM (
         SELECT q.query_id, c.cand_id, c.cv, c.cn,
-               CAST(ROUND(list_dot_product(q.qv, c.cv) / (q.qn * c.cn)
-                          * 10000, 0) AS BIGINT) AS rel4,
+               CAST(FLOOR(list_dot_product(q.qv, c.cv) / (q.qn * c.cn)
+                          * 10000 + 0.5) AS BIGINT) AS rel4,
                ROW_NUMBER() OVER (
                  PARTITION BY q.query_id
-                 ORDER BY CAST(ROUND(list_dot_product(q.qv, c.cv)
-                               / (q.qn * c.cn) * 10000, 0) AS BIGINT) DESC,
+                 ORDER BY CAST(FLOOR(list_dot_product(q.qv, c.cv)
+                               / (q.qn * c.cn) * 10000 + 0.5) AS BIGINT) DESC,
                           c.cand_id
                ) AS rn
         FROM q, c WHERE q.query_id <> c.cand_id
@@ -162,28 +162,25 @@ def _argmax(df: DataFrame, order_col: str) -> DataFrame:
     "round live on queries x shortlist rows only.",
 )
 def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import gemm_topk_neighbors
+
     lam, com = MMR_LAMBDA_TENTHS, 10 - MMR_LAMBDA_TENTHS
     emb = load(spark, sf_dir, "embeddings")
-    q = _with_norm(emb.filter(F.col("vec_id") < N_QUERIES), "query_id", "qv", "qn")
-    c = _with_norm(emb, "cand_id", "cv", "cn")
-    rel4 = (
-        F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")) * 10000, 0)
-        .cast("bigint")
-        .alias("rel4")
+    # Shortlist scan on the blocked-GEMM kernel (the last exact-cosine
+    # Catalyst fold in the headline set — VERDICT r9 mandate #2): the
+    # kernel's sim_i4 IS rel4 (FLOOR(x*1e4+0.5), mirrored in the
+    # oracle's short CTE), and its (sim DESC, id ASC) top-N equals the
+    # former window. Candidate vectors for the pairwise stage come
+    # from one broadcast hash-join of the tiny shortlist against the
+    # corpus — no dot products in that scan.
+    probes = emb.filter(F.col("vec_id") < N_QUERIES)
+    cands = gemm_topk_neighbors(emb, probes, MMR_SHORT_N).withColumnRenamed(
+        "sim_i4", "rel4"
     )
-    wq = W.partitionBy("query_id")
+    c = _with_norm(emb, "neighbor_id", "cv", "cn")
     short = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", F.col("cand_id").alias("neighbor_id"), "cv", "cn", rel4)
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                wq.orderBy(F.col("rel4").desc(), F.col("neighbor_id"))
-            ),
-        )
-        .filter(F.col("rn") <= MMR_SHORT_N)
-        .drop("rn")
+        c.join(F.broadcast(cands), "neighbor_id")
+        .select("query_id", "neighbor_id", "cv", "cn", "rel4")
         .localCheckpoint(eager=False)  # feeds ps + every greedy round
     )
     pa = short.select("query_id", F.col("neighbor_id").alias("a_id"), "cv", "cn")

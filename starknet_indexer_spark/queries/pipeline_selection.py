@@ -31,7 +31,7 @@ from pyspark.sql.window import Window as W
 
 from ..catalog import load
 from ..operators.dedup import md5_hash60_expr, tokens_expr
-from .pipeline_similarity import TOP_K, _dot, _with_norm
+from .pipeline_similarity import TOP_K
 from .registry import register
 
 #: hashed-feature space size (DSIR uses 10k buckets; 8192 keeps the
@@ -193,51 +193,57 @@ QUERY_MOD = 25
     ),
     sims AS (
       SELECT pr.query_id, pr.positive_id, c.vec_id AS negative_id,
-             ROUND(list_dot_product(pr.qv, c.ev) / (pr.qn * c.en), 4) AS sim
+             CAST(FLOOR(list_dot_product(pr.qv, c.ev) / (pr.qn * c.en)
+                        * 10000 + 0.5) AS BIGINT) AS sim_i4
       FROM pairs pr, v c
       WHERE c.vec_id <> pr.query_id AND c.vec_id <> pr.positive_id
     )
-    SELECT query_id, positive_id, negative_id, sim, rank FROM (
-      SELECT query_id, positive_id, negative_id, sim,
+    SELECT query_id, positive_id, negative_id,
+           CAST(sim_i4 AS DOUBLE) / 10000.0 AS sim, rank FROM (
+      SELECT query_id, positive_id, negative_id, sim_i4,
              ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY sim DESC, negative_id) AS rank
+                                ORDER BY sim_i4 DESC, negative_id) AS rank
       FROM sims
     ) WHERE rank <= {TOP_K}
     """,
     doc="Contrastive hard-negative mining: for each (query, positive) "
     "embedding training pair, the top-k most-cosine-similar candidates "
     "that are NOT the positive — the negatives that actually move an "
-    "embedding model. Broadcast pair side, per-query top-k window, "
-    "positive anti-filtered before ranking; swap the brute-force "
-    "candidate stage for the IVF/LSH variants at billion-vector scale.",
+    "embedding model. The candidate scan runs on the blocked-GEMM "
+    "kernel (gemm_topk_neighbors) at k+1 — the positive can occupy at "
+    "most one slot, so the top-(k+1) self-excluded list always "
+    "contains the top-k positive-excluded list; the positive filters "
+    "out after the merge and ranks recompute on n_queries*(k+1) rows. "
+    "Sims quantize to integer ten-thousandths (FLOOR(x*1e4+0.5)) "
+    "before ranking on both engines; swap the exhaustive kernel for "
+    "the IVF-grouped variant at billion-vector scale.",
 )
 def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import gemm_topk_neighbors
+
     emb = load(spark, sf_dir, "embeddings")
-    q = _with_norm(
-        emb.filter(F.col("vec_id") % QUERY_MOD == 0), "query_id", "qv", "qn"
+    probes = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    pos = emb.select(
+        (F.col("vec_id") - 1).alias("query_id"),
+        F.col("vec_id").alias("positive_id"),
     )
-    pos = emb.select((F.col("vec_id") - 1).alias("query_id"),
-                     F.col("vec_id").alias("positive_id"))
-    pairs = q.join(pos, "query_id")
-    c = _with_norm(emb, "negative_id", "cv", "cn")
-    sims = (
-        c.crossJoin(F.broadcast(pairs))
-        .filter(
-            (F.col("negative_id") != F.col("query_id"))
-            & (F.col("negative_id") != F.col("positive_id"))
-        )
+    # inner join: probes without a (query_id + 1) positive drop, as in
+    # the pairs CTE. k+1 candidates per query cover the positive slot.
+    pairs = probes.select(F.col("vec_id").alias("query_id")).join(pos, "query_id")
+    cands = gemm_topk_neighbors(emb, probes, TOP_K + 1)
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim_i4").desc(), F.col("neighbor_id")
+    )
+    return (
+        cands.join(F.broadcast(pairs), "query_id")
+        .filter(F.col("neighbor_id") != F.col("positive_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
         .select(
             "query_id",
             "positive_id",
-            "negative_id",
-            F.round(
-                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4
-            ).alias("sim"),
+            F.col("neighbor_id").alias("negative_id"),
+            (F.col("sim_i4") / F.lit(10000.0)).alias("sim"),
+            "rank",
         )
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("negative_id"))
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "positive_id", "negative_id", "sim", "rank")
     )

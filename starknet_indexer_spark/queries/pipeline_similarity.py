@@ -66,39 +66,49 @@ def _with_norm(df: DataFrame, id_out: str, vec_out: str, norm_out: str) -> DataF
     ),
     sims AS (
       SELECT q.query_id, c.neighbor_id,
-             ROUND(list_dot_product(q.qv, c.cv) / (q.qn * c.cn), 4) AS sim
+             CAST(FLOOR(list_dot_product(q.qv, c.cv) / (q.qn * c.cn)
+                        * 10000 + 0.5) AS BIGINT) AS sim_i4
       FROM q, c WHERE q.query_id <> c.neighbor_id
     )
-    SELECT query_id, neighbor_id, sim, rank FROM (
-      SELECT query_id, neighbor_id, sim,
+    SELECT query_id, neighbor_id,
+           CAST(sim_i4 AS DOUBLE) / 10000.0 AS sim, rank FROM (
+      SELECT query_id, neighbor_id, sim_i4,
              ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY sim DESC, neighbor_id) AS rank
+                                ORDER BY sim_i4 DESC, neighbor_id) AS rank
       FROM sims
     ) WHERE rank <= {TOP_K}
     """,
     doc="Brute-force exact cosine top-k over the embedding column: the "
-    "ANN correctness baseline. Query side broadcast; candidate scan "
-    "stays partitioned — at scale this is a map-side loop over a "
-    "broadcast query batch, then a per-query top-k (no global sort).",
+    "ANN correctness baseline, run on the blocked-GEMM kernel "
+    "(operators/similarity.gemm_topk_neighbors — corpus hash-tiled, "
+    "broadcast query batch replicated per tile, one numpy GEMM per "
+    "task emitting its tile-local top-k under the final comparator, "
+    "exact window merge over n_blocks*k candidates per query). Sims "
+    "quantize to integer ten-thousandths (FLOOR(x*1e4+0.5), the "
+    "repo-wide idiom) BEFORE ranking on both engines; the emitted "
+    "sim is sim_i4/1e4. No query-x-corpus pairwise relation ever "
+    "materializes and the per-pair dot product runs at BLAS speed "
+    "instead of a per-row Catalyst fold. GEMM-vs-sequential-fold "
+    "float divergence carries the same ~2^-40 quantization-boundary "
+    "adjudication as embedding_near_dup_blocked.",
 )
 def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import gemm_topk_neighbors
+
     emb = load(spark, sf_dir, "embeddings")
-    q = _with_norm(emb.filter(F.col("vec_id") < N_QUERIES), "query_id", "qv", "qn")
-    c = _with_norm(emb, "neighbor_id", "cv", "cn")
-    sims = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+    probes = emb.filter(F.col("vec_id") < N_QUERIES)
+    cands = gemm_topk_neighbors(emb, probes, TOP_K)
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim_i4").desc(), F.col("neighbor_id")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4).alias("sim"),
+            (F.col("sim_i4") / F.lit(10000.0)).alias("sim"),
+            "rank",
         )
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "sim", "rank")
     )
 
 
@@ -731,8 +741,9 @@ def _ann_recall_eval_oracle() -> str:
       SELECT query_id, neighbor_id, rank FROM (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                 ORDER BY ROUND(list_dot_product(q.ev, c.ev)
-                                / (q.en * c.en), 4) DESC,
+                 ORDER BY CAST(FLOOR(list_dot_product(q.ev, c.ev)
+                                     / (q.en * c.en) * 10000 + 0.5)
+                               AS BIGINT) DESC,
                           c.vec_id) AS rank
         FROM v q JOIN v c ON q.vec_id < {N_QUERIES}
                          AND c.vec_id <> q.vec_id
@@ -833,8 +844,9 @@ def _ann_ndcg_oracle() -> str:
       FROM (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                 ORDER BY ROUND(list_dot_product(q.ev, c.ev)
-                                / (q.en * c.en), 4) DESC,
+                 ORDER BY CAST(FLOOR(list_dot_product(q.ev, c.ev)
+                                     / (q.en * c.en) * 10000 + 0.5)
+                               AS BIGINT) DESC,
                           c.vec_id) AS rank
         FROM v q JOIN v c ON q.vec_id < {N_QUERIES}
                          AND c.vec_id <> q.vec_id
