@@ -1,0 +1,346 @@
+"""Continuously-maintained containment (subsumption) index.
+
+Operationalizes the incremental containment screen
+(queries/pipeline_setjoin.containment_incremental — "is this newly
+crawled page just a quote/wrapper of something we already have?") as a
+long-running stream over ``state_table`` generations (VERDICT r9
+mandate #4): every micro-batch of documents is split into probe docs
+(the contained side, the ``doc_id % CONTAINMENT_NEW_MOD == 0``
+convention) and container docs, and
+
+1. the batch's probe prefixes probe the container token postings of
+   everything so far (state postings ∪ the batch's own containers),
+2. the maintained probe-prefix postings probe the batch's NEW
+   container postings (so a container arriving after its prober is
+   still found),
+3. the batch folds into the index,
+
+so each qualifying ordered pair (a contained-in b) is discovered
+exactly once: at the batch where the LATER of the two docs arrives.
+The union over all batches equals the full-corpus
+``containment_incremental`` recompute (tests/test_containment_index.py).
+
+Why freezing each probe's prefix at fold time is lossless: the
+one-sided prefix theorem (see pipeline_setjoin.containment_pairs)
+holds for ANY total order over the probe's OWN tokens — if
+|A∩B| >= t|A|, the intersection cannot fit inside A's last
+ceil(t|A|)-1 tokens, so at least one intersection token lies in A's
+first |A|-ceil(t|A|)+1 under whatever order A was cut with; no
+cross-document order consistency is required. The ascending-df order
+is purely the performance heuristic (rare tokens -> short postings),
+so the maintained df counts only steer posting sizes, never
+correctness — which is what lets the corpus keep its frozen prefixes
+while df drifts with every batch, instead of re-ranking the corpus.
+
+State layout (all ``state_table`` generations, epoch-token guarded):
+
+- ``index_dir/sets``:     (doc_id, hset, n, is_probe) — the verify
+  side for both orientations; bucketed on xxhash64(doc_id). Folded
+  LAST: the batch-novelty anti-join keys on it, so it is the commit
+  point (the materialize_silver discipline — a crash between folds
+  replays the batch as still-novel, and the already-folded states
+  short-circuit on their token).
+- ``index_dir/probe_prefix``: (doc_id, token, n) — probe docs'
+  frozen prefix postings (only n >= CONTAINMENT_MIN_SET docs);
+  bucketed on xxhash64(token) so a new container's tokens prune to
+  their buckets.
+- ``index_dir/postings``: (doc_id, token, n) — container docs' FULL
+  token postings (containment has no upper size bound, so the
+  container side is not prefix-prunable); bucketed on
+  xxhash64(token).
+- ``index_dir/dfc``:      (token, df) — additive document-frequency
+  counts over every folded doc, read only to order NEW probes'
+  prefixes by corpus-so-far rarity.
+- discovered pairs land under ``pairs_dir/epoch=<token>/`` with
+  overwrite (the dedup_index protocol): an at-least-once replay of a
+  crashed epoch REWRITES its own pairs instead of appending
+  duplicates.
+
+Scale shape: a micro-batch probe is a broadcast of the (small) batch
+prefix relation against token-bucket-pruned postings; the reverse
+probe broadcasts the batch's container postings against the prefix
+state's buckets; verification joins candidate PAIRS back to int64
+hash arrays. Nothing re-ranks or re-scans the corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    md5_hash60_expr,
+    tokens_expr,
+    word_shingles_expr,
+)
+from ..queries.pipeline_setjoin import (
+    CONTAINMENT_MIN_SET,
+    CONTAINMENT_NEW_MOD,
+    CONTAINMENT_THRESHOLD,
+    _t_frac,
+)
+from . import state_table
+
+N_BUCKETS = 8
+
+_SETS = "sets"
+_PREFIX = "probe_prefix"
+_POSTINGS = "postings"
+_DFC = "dfc"
+_SETS_DDL = "doc_id bigint, hset array<bigint>, n int, is_probe boolean"
+_TOKREL_DDL = "doc_id bigint, token bigint, n int"
+_DFC_DDL = "token bigint, df bigint"
+_ALL_STATES = (_SETS, _PREFIX, _POSTINGS, _DFC)
+
+
+def _batch_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, hset, n, is_probe) for one batch of (doc_id, text)
+    rows — the same shingle -> 60-bit-hash -> distinct chain as
+    silver doc_shingles + ranked_sets, so stream == batch by
+    construction."""
+    toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("tokens"))
+    sh = toks.filter(F.size("tokens") >= 3).select(
+        "doc_id", word_shingles_expr(F.col("tokens")).alias("shingles")
+    )
+    return sh.select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(F.transform("shingles", md5_hash60_expr))
+        ).alias("hset"),
+    ).select(
+        "doc_id",
+        "hset",
+        F.size("hset").cast("int").alias("n"),
+        (F.col("doc_id") % CONTAINMENT_NEW_MOD == 0).alias("is_probe"),
+    ).filter(F.col("n") > 0)
+
+
+def _verified(cand: DataFrame, all_sets: DataFrame) -> DataFrame:
+    """Exact containment verify of (a_id, b_id) candidates against the
+    full hash sets; output matches containment_incremental."""
+    num, den = _t_frac(CONTAINMENT_THRESHOLD)
+    a = all_sets.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("hset").alias("a_hs"),
+        F.col("n").alias("a_n"),
+    )
+    b = all_sets.select(
+        F.col("doc_id").alias("b_id"), F.col("hset").alias("b_hs")
+    )
+    inter = F.size(F.array_intersect("a_hs", "b_hs"))
+    return (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .filter(inter * F.lit(den) >= F.col("a_n") * F.lit(num))
+        .select(
+            "a_id",
+            "b_id",
+            F.col("a_n").cast("bigint").alias("a_n"),
+            inter.cast("bigint").alias("inter"),
+            F.round(inter / F.col("a_n"), 6).alias("containment"),
+        )
+    )
+
+
+def read_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:
+    if not os.path.isdir(pairs_dir):
+        return spark.createDataFrame(
+            [], "a_id bigint, b_id bigint, a_n bigint, inter bigint,"
+            " containment double"
+        )
+    return spark.read.parquet(pairs_dir).select(
+        "a_id", "b_id", "a_n", "inter", "containment"
+    )
+
+
+def apply_batch(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    pairs_dir: str,
+    epoch_token: str | None = None,
+) -> None:
+    """Process one micro-batch: emit new containment pairs, then fold
+    the batch into the index. Fold order (dfc, prefix, postings, sets)
+    keeps ``sets`` the commit point — see module docstring."""
+    num, den = _t_frac(CONTAINMENT_THRESHOLD)
+    paths = {s: os.path.join(index_dir, s) for s in _ALL_STATES}
+    if epoch_token is not None and all(
+        state_table.applied_token(paths[s]) == epoch_token for s in _ALL_STATES
+    ):
+        return
+
+    state_sets = state_table.read_state(spark, paths[_SETS], _SETS_DDL).select(
+        "doc_id", "hset", "n", "is_probe"
+    )
+    # novelty anti-join: a doc redelivered in a LATER epoch already
+    # emitted its pairs and folded — absorb it here (sets rows are a
+    # pure function of the text)
+    batch = (
+        _batch_sets(docs)
+        .join(state_sets.select("doc_id"), "doc_id", "left_anti")
+        .localCheckpoint(eager=False)  # feeds df counts, prefixes,
+        # postings, verify, and four folds
+    )
+
+    # corpus-so-far df (state + batch contribution) orders NEW probes'
+    # prefixes by rarity — heuristic only, so replay double-counts
+    # after a mid-fold crash are harmless (any order is lossless)
+    state_dfc = state_table.read_state(spark, paths[_DFC], _DFC_DDL).select(
+        "token", "df"
+    )
+    batch_dfc = (
+        batch.select("doc_id", F.explode("hset").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    dfc = (
+        state_dfc.unionByName(batch_dfc)
+        .groupBy("token")
+        .agg(F.sum("df").cast("bigint").alias("df"))
+    )
+
+    new_prefix = (
+        batch.filter(F.col("is_probe") & (F.col("n") >= CONTAINMENT_MIN_SET))
+        .select("doc_id", "n", F.explode("hset").alias("token"))
+        .join(dfc, "token")
+        .groupBy("doc_id", "n")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df", "token"))).alias(
+                "ordered"
+            )
+        )
+        .withColumn(
+            "prefix_len",
+            F.expr(f"n - ((n * {num} + {den - 1}) div {den}) + 1"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            F.explode(F.slice("ordered", 1, F.col("prefix_len"))).alias("p"),
+        )
+        .select("doc_id", F.col("p.token").alias("token"), "n")
+        .localCheckpoint(eager=False)  # feeds the probe join + its fold
+    )
+    new_postings = batch.filter(~F.col("is_probe")).select(
+        "doc_id", F.explode("hset").alias("token"), "n"
+    )
+
+    state_prefix = state_table.read_state(
+        spark, paths[_PREFIX], _TOKREL_DDL
+    ).select("doc_id", "token", "n")
+    state_postings = state_table.read_state(
+        spark, paths[_POSTINGS], _TOKREL_DDL
+    ).select("doc_id", "token", "n")
+
+    def candidates(prefix: DataFrame, postings: DataFrame) -> DataFrame:
+        pa, fb = prefix.alias("pa"), postings.alias("fb")
+        return pa.join(
+            fb,
+            (F.col("pa.token") == F.col("fb.token"))
+            & (F.col("fb.n") * F.lit(den) >= F.col("pa.n") * F.lit(num)),
+        ).select(
+            F.col("pa.doc_id").alias("a_id"), F.col("fb.doc_id").alias("b_id")
+        )
+
+    # (1) new probes vs every container so far (replay overlap between
+    # state and batch postings collapses in the DISTINCT); (2) frozen
+    # corpus prefixes vs the batch's new containers. Probe/container
+    # doc_id sets are disjoint by the mod split, so no self-pairs.
+    cand = (
+        candidates(
+            F.broadcast(new_prefix),
+            state_postings.unionByName(new_postings),
+        )
+        .unionByName(candidates(state_prefix, F.broadcast(new_postings)))
+        .distinct()
+    )
+    all_sets = (
+        state_sets.unionByName(batch)
+        .select("doc_id", "hset", "n")
+        .dropDuplicates(["doc_id"])
+    )
+    out = _verified(cand, all_sets)
+
+    if epoch_token is not None:
+        sub = epoch_token.replace(os.sep, "_").replace(":", "-")
+    else:
+        sub = f"adhoc-{os.urandom(8).hex()}"
+    out.write.mode("overwrite").parquet(os.path.join(pairs_dir, f"epoch={sub}"))
+
+    tok_bucket = F.pmod(F.xxhash64("token"), F.lit(N_BUCKETS)).cast("int")
+    state_table.merge_batch(
+        spark,
+        paths[_DFC],
+        batch_dfc,
+        lambda df: df.groupBy("token").agg(
+            F.sum("df").cast("bigint").alias("df")
+        ),
+        ["token"],
+        ["df"],
+        tok_bucket,
+        _DFC_DDL,
+        token=epoch_token,
+    )
+    state_table.merge_batch(
+        spark,
+        paths[_PREFIX],
+        new_prefix,
+        lambda df: df.dropDuplicates(["doc_id", "token"]),
+        ["doc_id", "token"],
+        ["n"],
+        tok_bucket,
+        _TOKREL_DDL,
+        token=epoch_token,
+    )
+    state_table.merge_batch(
+        spark,
+        paths[_POSTINGS],
+        new_postings,
+        lambda df: df.dropDuplicates(["doc_id", "token"]),
+        ["doc_id", "token"],
+        ["n"],
+        tok_bucket,
+        _TOKREL_DDL,
+        token=epoch_token,
+    )
+    state_table.merge_batch(
+        spark,
+        paths[_SETS],
+        batch,
+        lambda df: df.dropDuplicates(["doc_id"]),
+        ["doc_id"],
+        ["hset", "n", "is_probe"],
+        F.pmod(F.xxhash64("doc_id"), F.lit(N_BUCKETS)).cast("int"),
+        _SETS_DDL,
+        token=epoch_token,
+    )
+
+
+def stream_containment_index(
+    spark: SparkSession,
+    feed_dir: str,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    schema=None,
+    max_files_per_trigger: int = 1,
+):
+    """Structured Streaming driver: document rows arriving in
+    ``feed_dir`` maintain the containment index per micro-batch;
+    discovered pairs land in ``pairs_dir`` (epoch-keyed subdirs — read
+    via ``read_pairs``)."""
+    return state_table.stream_maintain_with(
+        spark,
+        feed_dir,
+        index_dir,
+        checkpoint_dir,
+        lambda batch_df, token: apply_batch(
+            spark, batch_df, index_dir, pairs_dir, epoch_token=token
+        ),
+        schema=schema,
+        select_cols=["doc_id", "text"],
+        max_files_per_trigger=max_files_per_trigger,
+    )
