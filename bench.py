@@ -23,6 +23,36 @@ from starknet_indexer_spark.session import get_spark
 
 # Headline set: one per operator family, scale-relevant (no O(n^2)
 # pairwise queries — those are correctness baselines, not throughput).
+#
+# BUDGET POLICY (VERDICT r9 mandate #6 — defined before it binds, not
+# improvised when it does). The driver's bench envelope is 300 s; the
+# headline set's COLD total must stay under 250 s (margin for machine
+# variance). When a round's projected cold total would cross that line,
+# queries rotate OUT of HEADLINE into HEADLINE_ROTATED, chosen by this
+# rule — every condition must hold:
+#
+#   1. ELIGIBLE CLASS: acceptance evals (recall / nDCG / AUC / ARI /
+#      silhouette / PR-curve / label-agreement) and pinned-twin or
+#      parameter-variant queries (*_silver twins, *_capped, *_rerank,
+#      pinned sketch twins) — a variant whose BASE operator stays
+#      benched. Base operators never rotate out: each family keeps at
+#      least one headline representative.
+#   2. STABLE AND CHEAP: the two most recent official rounds
+#      (BENCH_r{N-1}, BENCH_r{N}) both show steady < 1.0 s for it.
+#   3. PLAN-PINNED: its PLANS.md fingerprint is unchanged between
+#      those rounds (a query whose plan just changed needs fresh
+#      timings, not retirement).
+#
+# Rotated queries keep full correctness coverage (registry + driver
+# rotation window + tests/test_plans.py pin); only the per-round wall
+# measurement stops. If a rotated query's plan fingerprint later
+# changes, it returns to HEADLINE for at least two rounds (conditions
+# 2-3 must re-establish). Evictions are recorded here with the round
+# that applied them, newest first.
+HEADLINE_ROTATED: list[str] = [
+    # (none yet — r10 cold projects ~190 s, under the 250 s line)
+]
+
 HEADLINE = [
     "pricing_summary",
     "dim_join_revenue",
@@ -169,6 +199,8 @@ HEADLINE = [
     "bucketed_sequence_packing",
     "containment_incremental",
     "multimodal_resize",
+    # round-10: cross-modal dedup consistency audit
+    "cross_modal_dedup_audit",
     # reference view library (Ekubo-shaped derivation + real view plan)
     "v01_pool_states",
     "v07_last_24h_pool_stats",
