@@ -199,8 +199,12 @@ HEADLINE = [
     "bucketed_sequence_packing",
     "containment_incremental",
     "multimodal_resize",
-    # round-10: cross-modal dedup consistency audit
+    # round-10: cross-modal dedup consistency audit, CDC storage-dedup
+    # estimator, classifier-agreement audits
     "cross_modal_dedup_audit",
+    "cdc_chunk_dedup",
+    "langid_cohens_kappa",
+    "langid_class_f1",
     # reference view library (Ekubo-shaped derivation + real view plan)
     "v01_pool_states",
     "v07_last_24h_pool_stats",

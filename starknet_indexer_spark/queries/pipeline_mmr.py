@@ -37,7 +37,7 @@ from pyspark.sql.window import Window as W
 
 from ..catalog import load
 from .registry import register
-from .pipeline_similarity import N_QUERIES, _dot, _with_norm
+from .pipeline_similarity import N_QUERIES, _dot
 
 MMR_SHORT_N = 20  # relevance shortlist depth per query
 MMR_K = 5  # selected set size
@@ -177,10 +177,18 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = gemm_topk_neighbors(emb, probes, MMR_SHORT_N).withColumnRenamed(
         "sim_i4", "rel4"
     )
-    c = _with_norm(emb, "neighbor_id", "cv", "cn")
     short = (
-        c.join(F.broadcast(cands), "neighbor_id")
-        .select("query_id", "neighbor_id", "cv", "cn", "rel4")
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        .join(F.broadcast(cands), "neighbor_id")
+        # norms AFTER the join: computed on queries x N shortlist rows,
+        # not once per corpus row
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("embedding").alias("cv"),
+            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("cn"),
+            "rel4",
+        )
         .localCheckpoint(eager=False)  # feeds ps + every greedy round
     )
     pa = short.select("query_id", F.col("neighbor_id").alias("a_id"), "cv", "cn")

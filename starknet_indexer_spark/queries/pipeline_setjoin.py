@@ -57,8 +57,17 @@ def _t_frac(t: float) -> tuple[int, int]:
     ~2^-54.17 sits just under the minimum half-ulp 2^-54), so a future
     threshold could shorten the prefix by one token and silently break
     the losslessness theorem. ``Fraction(str(t))`` recovers the decimal
-    the source literal denotes, not its binary approximation."""
+    the source literal denotes, not its binary approximation.
+
+    Guard: a non-decimal t (e.g. 1/3 passed as a float) would yield a
+    ~1e16 denominator whose integer products overflow int64 — refuse
+    loudly rather than silently wrap in the join predicates."""
     f = Fraction(str(t))
+    if f.denominator > 10**6:
+        raise ValueError(
+            f"setjoin threshold {t!r} is not a short decimal; "
+            "pass a decimal literal (int64 product overflow guard)"
+        )
     return f.numerator, f.denominator
 
 
