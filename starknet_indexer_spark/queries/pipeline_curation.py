@@ -161,3 +161,147 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("n_chars"),
         )
     )
+
+
+def _drop_list_oracle() -> str:
+    from .pipeline_setjoin import (
+        CONTAINMENT_MIN_SET,
+        _CT_DEN,
+        _CT_NUM,
+        _SETJOIN_EX_SQL,
+    )
+
+    return f"""
+    WITH RECURSIVE {_SETJOIN_EX_SQL},
+    sized AS (
+      SELECT doc_id, token,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n
+      FROM ex
+    ),
+    cont_pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n AS a_n, COUNT(*) AS inter
+      FROM sized a JOIN sized b ON a.token = b.token
+                 AND a.doc_id <> b.doc_id
+      WHERE a.n >= {CONTAINMENT_MIN_SET}
+      GROUP BY a.doc_id, b.doc_id, a.n
+    ),
+    contained AS (
+      SELECT a_id AS doc_id, MIN(b_id) AS container FROM cont_pairs
+      WHERE inter * {_CT_DEN} >= a_n * {_CT_NUM} GROUP BY a_id
+    ),
+    hashed AS (
+      SELECT doc_id, md5(lower(trim(text))) AS h FROM documents
+    ),
+    canon AS (SELECT h, MIN(doc_id) AS canonical_id FROM hashed GROUP BY h),
+    exact_rel AS (
+      SELECT hd.doc_id, c.canonical_id FROM hashed hd JOIN canon c ON hd.h = c.h
+    ),
+    pairs AS (
+      {{minhash}}
+    ),
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION ALL
+      SELECT b_id AS u, a_id AS v FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u FROM edges),
+    reach(src, dst) AS (
+      SELECT u, u FROM nodes
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    ),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src),
+    members AS (
+      SELECT d.doc_id,
+             COALESCE(c.component, d.doc_id) AS component,
+             CAST(d.n_chars AS BIGINT) AS n_chars
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    surv AS (
+      SELECT component,
+             arg_max(doc_id, n_chars * 1000000000000
+                             + (1000000000000 - doc_id)) AS survivor
+      FROM members GROUP BY component
+    ),
+    near_rel AS (
+      SELECT m.doc_id, s.survivor FROM members m JOIN surv s USING (component)
+    )
+    SELECT e.doc_id,
+           CASE WHEN e.canonical_id <> e.doc_id THEN 'exact_dup'
+                WHEN n.survivor <> e.doc_id THEN 'near_dup'
+                WHEN ct.container IS NOT NULL THEN 'contained'
+                ELSE 'kept' END AS reason,
+           (CASE WHEN e.canonical_id <> e.doc_id THEN 'exact_dup'
+                 WHEN n.survivor <> e.doc_id THEN 'near_dup'
+                 WHEN ct.container IS NOT NULL THEN 'contained'
+                 ELSE 'kept' END) = 'kept' AS keep,
+           CAST(CASE WHEN e.canonical_id <> e.doc_id THEN e.canonical_id
+                     WHEN n.survivor <> e.doc_id THEN n.survivor
+                     WHEN ct.container IS NOT NULL THEN ct.container
+                     ELSE e.doc_id END AS BIGINT) AS kept_by
+    FROM exact_rel e
+    JOIN near_rel n USING (doc_id)
+    LEFT JOIN contained ct USING (doc_id)
+    """.format(minhash=_minhash_oracle())
+
+
+@register(
+    "dedup_drop_list",
+    oracle=_drop_list_oracle(),
+    doc="Row-level dedup drop list: every document gets one decision "
+    "row (doc_id, keep, reason, kept_by) from the THREE dedup evidence "
+    "sources composed by priority — exact_dup (not the canonical min "
+    "doc_id of its normalized-text md5 group) > near_dup (not the "
+    "highest-quality survivor of its MinHash LSH connected component, "
+    "dedup_survivors' longest-doc tie-break) > contained (>= 80% of "
+    "its shingles inside some other doc; kept_by = the smallest such "
+    "container) > kept. This is the relation a curation run actually "
+    "writes before dropping rows — the row-level twin of "
+    "corpus_curation_pipeline's quality-gated per-(lang, outcome) "
+    "accounting — and the kept_by pointer is what makes drops "
+    "auditable (every dropped doc names the doc that subsumes it). "
+    "Composition of three already-verified operators; the oracle "
+    "mirrors all three derivations (exact hash groups, the recursive "
+    "transitive closure over the LSH pair graph, the full "
+    "inverted-index containment join) in one CTE chain. Scale shape: "
+    "each evidence relation keeps its own verified plan (hash agg; "
+    "pair-node label propagation; prefix-filtered containment); the "
+    "composition adds only doc-keyed left joins.",
+)
+def dedup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline_dedup import dedup_survivors
+    from .pipeline_setjoin import setjoin_containment
+    from .pipeline_text import dedup_exact
+
+    exact = dedup_exact(spark, sf_dir).select("doc_id", "canonical_id")
+    surv = dedup_survivors(spark, sf_dir).select("doc_id", "component", "keep")
+    survivor_of = surv.filter(F.col("keep")).select(
+        "component", F.col("doc_id").alias("survivor")
+    )
+    near = surv.join(F.broadcast(survivor_of), "component").select(
+        "doc_id", "survivor"
+    )
+    contained = (
+        setjoin_containment(spark, sf_dir)
+        .groupBy(F.col("a_id").alias("doc_id"))
+        .agg(F.min("b_id").alias("container"))
+    )
+    base = exact.join(near, "doc_id").join(contained, "doc_id", "left")
+    reason = (
+        F.when(F.col("canonical_id") != F.col("doc_id"), "exact_dup")
+        .when(F.col("survivor") != F.col("doc_id"), "near_dup")
+        .when(F.col("container").isNotNull(), "contained")
+        .otherwise("kept")
+    )
+    kept_by = (
+        F.when(F.col("canonical_id") != F.col("doc_id"), F.col("canonical_id"))
+        .when(F.col("survivor") != F.col("doc_id"), F.col("survivor"))
+        .when(F.col("container").isNotNull(), F.col("container"))
+        .otherwise(F.col("doc_id"))
+    )
+    return base.select(
+        "doc_id",
+        reason.alias("reason"),
+        (reason == "kept").alias("keep"),
+        kept_by.cast("bigint").alias("kept_by"),
+    )
