@@ -89,17 +89,29 @@ _SETS = "sets"
 _PREFIX = "probe_prefix"
 _POSTINGS = "postings"
 _DFC = "dfc"
-_SETS_DDL = "doc_id bigint, hset array<bigint>, n int, is_probe boolean"
+_SETS_DDL = (
+    "doc_id bigint, hset array<bigint>, n int,"
+    " is_probe boolean, is_container boolean"
+)
 _TOKREL_DDL = "doc_id bigint, token bigint, n int"
 _DFC_DDL = "token bigint, df bigint"
 _ALL_STATES = (_SETS, _PREFIX, _POSTINGS, _DFC)
 
+#: default role split — the crawl-refresh convention of
+#: containment_incremental: new-batch docs probe, the rest index.
+#: Callers wanting the FULL containment join (every doc both probes
+#: and indexes — the dedup_drop_list shape) pass lambda d: F.lit(True)
+#: for both.
+DEFAULT_PROBE_PRED = lambda d: d % CONTAINMENT_NEW_MOD == 0  # noqa: E731
+DEFAULT_CONTAINER_PRED = lambda d: d % CONTAINMENT_NEW_MOD != 0  # noqa: E731
 
-def _batch_sets(docs: DataFrame) -> DataFrame:
-    """(doc_id, hset, n, is_probe) for one batch of (doc_id, text)
-    rows — the same shingle -> 60-bit-hash -> distinct chain as
-    silver doc_shingles + ranked_sets, so stream == batch by
-    construction."""
+
+def _batch_sets(docs: DataFrame, probe_pred, container_pred) -> DataFrame:
+    """(doc_id, hset, n, is_probe, is_container) for one batch of
+    (doc_id, text) rows — the same shingle -> 60-bit-hash -> distinct
+    chain as silver doc_shingles + ranked_sets, so stream == batch by
+    construction. Roles are independent flags: a doc may probe, index,
+    or both (the full-join configuration)."""
     toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("tokens"))
     sh = toks.filter(F.size("tokens") >= 3).select(
         "doc_id", word_shingles_expr(F.col("tokens")).alias("shingles")
@@ -113,7 +125,8 @@ def _batch_sets(docs: DataFrame) -> DataFrame:
         "doc_id",
         "hset",
         F.size("hset").cast("int").alias("n"),
-        (F.col("doc_id") % CONTAINMENT_NEW_MOD == 0).alias("is_probe"),
+        probe_pred(F.col("doc_id")).alias("is_probe"),
+        container_pred(F.col("doc_id")).alias("is_container"),
     ).filter(F.col("n") > 0)
 
 
@@ -161,10 +174,17 @@ def apply_batch(
     index_dir: str,
     pairs_dir: str,
     epoch_token: str | None = None,
+    probe_pred=DEFAULT_PROBE_PRED,
+    container_pred=DEFAULT_CONTAINER_PRED,
 ) -> None:
     """Process one micro-batch: emit new containment pairs, then fold
     the batch into the index. Fold order (dfc, prefix, postings, sets)
-    keeps ``sets`` the commit point — see module docstring."""
+    keeps ``sets`` the commit point — see module docstring.
+
+    ``probe_pred`` / ``container_pred`` (doc_id Column -> boolean
+    Column) assign roles; the defaults are the crawl-refresh split.
+    Role predicates must be STABLE across batches for a given state
+    dir (they are baked into the folded prefix/posting relations)."""
     num, den = _t_frac(CONTAINMENT_THRESHOLD)
     paths = {s: os.path.join(index_dir, s) for s in _ALL_STATES}
     if epoch_token is not None and all(
@@ -173,13 +193,13 @@ def apply_batch(
         return
 
     state_sets = state_table.read_state(spark, paths[_SETS], _SETS_DDL).select(
-        "doc_id", "hset", "n", "is_probe"
+        "doc_id", "hset", "n", "is_probe", "is_container"
     )
     # novelty anti-join: a doc redelivered in a LATER epoch already
     # emitted its pairs and folded — absorb it here (sets rows are a
     # pure function of the text)
     batch = (
-        _batch_sets(docs)
+        _batch_sets(docs, probe_pred, container_pred)
         .join(state_sets.select("doc_id"), "doc_id", "left_anti")
         .localCheckpoint(eager=False)  # feeds df counts, prefixes,
         # postings, verify, and four folds
@@ -224,7 +244,7 @@ def apply_batch(
         .select("doc_id", F.col("p.token").alias("token"), "n")
         .localCheckpoint(eager=False)  # feeds the probe join + its fold
     )
-    new_postings = batch.filter(~F.col("is_probe")).select(
+    new_postings = batch.filter(F.col("is_container")).select(
         "doc_id", F.explode("hset").alias("token"), "n"
     )
 
@@ -240,6 +260,9 @@ def apply_batch(
         return pa.join(
             fb,
             (F.col("pa.token") == F.col("fb.token"))
+            # self-pair guard: required when role predicates overlap
+            # (a doc probing AND indexing must not contain itself)
+            & (F.col("pa.doc_id") != F.col("fb.doc_id"))
             & (F.col("fb.n") * F.lit(den) >= F.col("pa.n") * F.lit(num)),
         ).select(
             F.col("pa.doc_id").alias("a_id"), F.col("fb.doc_id").alias("b_id")
@@ -247,8 +270,12 @@ def apply_batch(
 
     # (1) new probes vs every container so far (replay overlap between
     # state and batch postings collapses in the DISTINCT); (2) frozen
-    # corpus prefixes vs the batch's new containers. Probe/container
-    # doc_id sets are disjoint by the mod split, so no self-pairs.
+    # corpus prefixes vs the batch's new containers. Exactly-once per
+    # pair: (a,b) is found at the batch where the LATER doc arrives —
+    # same-batch pairs only via (1) (the batch is not yet folded, so
+    # (2) cannot see it); an earlier probe meets a later container
+    # only via (2); an earlier container meets a later probe only via
+    # (1).
     cand = (
         candidates(
             F.broadcast(new_prefix),
@@ -312,7 +339,7 @@ def apply_batch(
         batch,
         lambda df: df.dropDuplicates(["doc_id"]),
         ["doc_id"],
-        ["hset", "n", "is_probe"],
+        ["hset", "n", "is_probe", "is_container"],
         F.pmod(F.xxhash64("doc_id"), F.lit(N_BUCKETS)).cast("int"),
         _SETS_DDL,
         token=epoch_token,
@@ -327,6 +354,8 @@ def stream_containment_index(
     checkpoint_dir: str,
     schema=None,
     max_files_per_trigger: int = 1,
+    probe_pred=DEFAULT_PROBE_PRED,
+    container_pred=DEFAULT_CONTAINER_PRED,
 ):
     """Structured Streaming driver: document rows arriving in
     ``feed_dir`` maintain the containment index per micro-batch;
@@ -338,7 +367,13 @@ def stream_containment_index(
         index_dir,
         checkpoint_dir,
         lambda batch_df, token: apply_batch(
-            spark, batch_df, index_dir, pairs_dir, epoch_token=token
+            spark,
+            batch_df,
+            index_dir,
+            pairs_dir,
+            epoch_token=token,
+            probe_pred=probe_pred,
+            container_pred=container_pred,
         ),
         schema=schema,
         select_cols=["doc_id", "text"],

@@ -1,0 +1,184 @@
+"""Continuously-maintained dedup drop list.
+
+Operationalizes the batch ``dedup_drop_list`` decision relation
+(queries/pipeline_curation.py — exact_dup > near_dup > contained >
+kept, with auditable kept_by pointers) as a DERIVE-ON-READ over three
+maintained indexes, completing the streaming curation story: a crawl
+pipeline folds each document batch once, and the current drop list is
+readable at any moment without touching raw text.
+
+Per micro-batch (``apply_batch``), under ONE epoch token:
+
+1. the MinHash LSH dedup index folds the batch and emits its new
+   near-dup pairs (streaming/dedup_index.py, unchanged);
+2. the containment index folds the batch and emits its new
+   subsumption pairs (streaming/containment_index.py, unchanged);
+3. a small ``doc_meta`` state (doc_id, h = md5(lower(trim(text))),
+   n_chars) folds — the exact-dup groups and the survivor tie-break
+   need only these three columns.
+
+``drop_list`` then derives the decision relation purely from state:
+exact canonical = min doc_id per hash group (one agg over doc_meta);
+near-dup components = min-label propagation over the PAIR-NODE
+relation only (operators/graph.connected_components — never the
+corpus), survivor = the longest member (n_chars, then min doc_id),
+the dedup_survivors fold; contained = min container per probe from
+the containment pairs. Duplicate pair rows from at-least-once
+redelivery are harmless by construction: components are invariant
+under duplicated edges, and MIN(container) is idempotent.
+
+Equality contract (tests/test_streaming_drop_list.py): after any
+batch split of a corpus, ``drop_list`` == the batch
+``dedup_drop_list`` query on the same corpus — three maintained
+indexes and one read-time functional reproducing the composed batch
+plan bit-for-bit. Stream restart over the same checkpoint is a no-op.
+
+Scale note: at test scale the two pair indexes each re-derive the
+batch's shingles; a deployment shares one derivation (the silver
+materializer's) across both folds — the join shapes are unchanged.
+The read-time work is bounded by |pairs| + |doc_meta| (id/hash/count
+columns only), not corpus text.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.graph import connected_components
+from . import containment_index, dedup_index, state_table
+
+N_BUCKETS = 8
+
+_META = "doc_meta"
+_META_DDL = "doc_id bigint, h string, n_chars bigint"
+_DEDUP_IDX = "dedup_index"
+_DEDUP_PAIRS = "dedup_pairs"
+_CONT_IDX = "containment_index"
+_CONT_PAIRS = "containment_pairs"
+
+
+def apply_batch(
+    spark: SparkSession,
+    docs: DataFrame,
+    root: str,
+    epoch_token: str | None = None,
+) -> None:
+    """Fold one (doc_id, text) micro-batch into all three indexes.
+
+    Sub-index idempotence rides each index's own epoch-token guard;
+    the doc_meta merge dedups by doc_id, so redelivery cannot
+    double-count. docs is pinned once — three consumers."""
+    docs = docs.select("doc_id", "text").localCheckpoint(eager=False)
+    dedup_index.apply_batch(
+        spark,
+        docs,
+        os.path.join(root, _DEDUP_IDX),
+        os.path.join(root, _DEDUP_PAIRS),
+        epoch_token=epoch_token,
+    )
+    containment_index.apply_batch(
+        spark,
+        docs,
+        os.path.join(root, _CONT_IDX),
+        os.path.join(root, _CONT_PAIRS),
+        epoch_token=epoch_token,
+        # FULL containment join (the dedup_drop_list / setjoin_containment
+        # shape): every doc both probes and indexes
+        probe_pred=lambda d: F.lit(True),
+        container_pred=lambda d: F.lit(True),
+    )
+    meta = docs.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    state_table.merge_batch(
+        spark,
+        os.path.join(root, _META),
+        meta,
+        lambda df: df.dropDuplicates(["doc_id"]),
+        ["doc_id"],
+        ["h", "n_chars"],
+        F.pmod(F.xxhash64("doc_id"), F.lit(N_BUCKETS)).cast("int"),
+        _META_DDL,
+        token=epoch_token,
+    )
+
+
+def drop_list(spark: SparkSession, root: str) -> DataFrame:
+    """Current (doc_id, reason, keep, kept_by) decision relation —
+    the batch dedup_drop_list semantics derived from maintained state."""
+    meta = state_table.read_state(spark, os.path.join(root, _META), _META_DDL).select(
+        "doc_id", "h", "n_chars"
+    )
+    canon = meta.groupBy("h").agg(F.min("doc_id").alias("canonical_id"))
+    exact = meta.join(canon, "h").select("doc_id", "canonical_id", "n_chars")
+
+    near_pairs = dedup_index.read_pairs(
+        spark, os.path.join(root, _DEDUP_PAIRS)
+    ).select("a_id", "b_id")
+    comp = connected_components(near_pairs, src="a_id", dst="b_id").select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    members = exact.join(comp, "doc_id", "left").select(
+        "doc_id",
+        "canonical_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        "n_chars",
+    )
+    # the dedup_survivors fold: longest member wins, min doc_id on ties
+    fold = F.col("n_chars") * F.lit(10**12) + (F.lit(10**12) - F.col("doc_id"))
+    surv = members.groupBy("component").agg(F.max_by("doc_id", fold).alias("survivor"))
+
+    contained = (
+        containment_index.read_pairs(spark, os.path.join(root, _CONT_PAIRS))
+        .groupBy(F.col("a_id").alias("doc_id"))
+        .agg(F.min("b_id").alias("container"))
+    )
+    base = members.join(F.broadcast(surv), "component").join(
+        contained, "doc_id", "left"
+    )
+    reason = (
+        F.when(F.col("canonical_id") != F.col("doc_id"), "exact_dup")
+        .when(F.col("survivor") != F.col("doc_id"), "near_dup")
+        .when(F.col("container").isNotNull(), "contained")
+        .otherwise("kept")
+    )
+    kept_by = (
+        F.when(F.col("canonical_id") != F.col("doc_id"), F.col("canonical_id"))
+        .when(F.col("survivor") != F.col("doc_id"), F.col("survivor"))
+        .when(F.col("container").isNotNull(), F.col("container"))
+        .otherwise(F.col("doc_id"))
+    )
+    return base.select(
+        "doc_id",
+        reason.alias("reason"),
+        (reason == "kept").alias("keep"),
+        kept_by.cast("bigint").alias("kept_by"),
+    )
+
+
+def stream_drop_list(
+    spark: SparkSession,
+    feed_dir: str,
+    root: str,
+    checkpoint_dir: str,
+    schema=None,
+    max_files_per_trigger: int = 1,
+):
+    """Structured Streaming driver: document rows arriving in
+    ``feed_dir`` maintain all three indexes per micro-batch; read the
+    current decisions any time via ``drop_list``."""
+    return state_table.stream_maintain_with(
+        spark,
+        feed_dir,
+        root,
+        checkpoint_dir,
+        lambda batch_df, token: apply_batch(spark, batch_df, root, epoch_token=token),
+        schema=schema,
+        select_cols=["doc_id", "text"],
+        max_files_per_trigger=max_files_per_trigger,
+    )
