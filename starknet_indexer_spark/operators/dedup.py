@@ -308,3 +308,40 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# -- shared curation decision exprs -----------------------------------
+# ONE definition for the drop-list decision chain and the survivor
+# tie-break, consumed by the batch queries (pipeline_curation.
+# dedup_drop_list, pipeline_dedup.dedup_survivors) AND the streaming
+# derive-on-read (streaming/drop_list.py): the stream==batch equality
+# contract is only as strong as these staying bit-identical, so they
+# live in exactly one place (code-review r10).
+
+def survivor_fold_expr(n_chars: Column, doc_id: Column) -> Column:
+    """Single-BIGINT argmax key for near-dup survivor selection:
+    longest member wins, smallest doc_id on ties. Valid while
+    doc_id < 1e12 and n_chars * 1e12 < 2^63 (any test SF; both
+    oracles hard-code the same 1e12 fold)."""
+    return n_chars * F.lit(10**12) + (F.lit(10**12) - doc_id)
+
+
+def drop_decision_exprs(
+    doc_id: Column, canonical: Column, survivor: Column, container: Column
+) -> tuple[Column, Column]:
+    """(reason, kept_by) for the dedup drop list — priority
+    exact_dup > near_dup > contained > kept; ``container`` may be
+    NULL (no containing doc)."""
+    reason = (
+        F.when(canonical != doc_id, "exact_dup")
+        .when(survivor != doc_id, "near_dup")
+        .when(container.isNotNull(), "contained")
+        .otherwise("kept")
+    )
+    kept_by = (
+        F.when(canonical != doc_id, canonical)
+        .when(survivor != doc_id, survivor)
+        .when(container.isNotNull(), container)
+        .otherwise(doc_id)
+    )
+    return reason, kept_by

@@ -185,9 +185,9 @@ def _drop_list_oracle() -> str:
       WHERE a.n >= {CONTAINMENT_MIN_SET}
       GROUP BY a.doc_id, b.doc_id, a.n
     ),
-    contained AS (
-      SELECT a_id AS doc_id, MIN(b_id) AS container FROM cont_pairs
-      WHERE inter * {_CT_DEN} >= a_n * {_CT_NUM} GROUP BY a_id
+    contained_pairs AS (
+      SELECT a_id AS doc_id, b_id AS container FROM cont_pairs
+      WHERE inter * {_CT_DEN} >= a_n * {_CT_NUM}
     ),
     hashed AS (
       SELECT doc_id, md5(lower(trim(text))) AS h FROM documents
@@ -225,6 +225,18 @@ def _drop_list_oracle() -> str:
     ),
     near_rel AS (
       SELECT m.doc_id, s.survivor FROM members m JOIN surv s USING (component)
+    ),
+    -- containers restricted to stage-1/2 survivors: a doc contained
+    -- ONLY by its own exact copies / near-dup casualties must not be
+    -- dropped by them (they are dropped in its favor)
+    contained_kept AS (
+      SELECT c.doc_id, MIN(c.container) AS container
+      FROM contained_pairs c
+      JOIN exact_rel ce ON ce.doc_id = c.container
+                       AND ce.canonical_id = c.container
+      JOIN near_rel cn ON cn.doc_id = c.container
+                      AND cn.survivor = c.container
+      GROUP BY c.doc_id
     )
     SELECT e.doc_id,
            CASE WHEN e.canonical_id <> e.doc_id THEN 'exact_dup'
@@ -241,7 +253,7 @@ def _drop_list_oracle() -> str:
                      ELSE e.doc_id END AS BIGINT) AS kept_by
     FROM exact_rel e
     JOIN near_rel n USING (doc_id)
-    LEFT JOIN contained ct USING (doc_id)
+    LEFT JOIN contained_kept ct USING (doc_id)
     """.format(minhash=_minhash_oracle())
 
 
@@ -254,8 +266,10 @@ def _drop_list_oracle() -> str:
     "doc_id of its normalized-text md5 group) > near_dup (not the "
     "highest-quality survivor of its MinHash LSH connected component, "
     "dedup_survivors' longest-doc tie-break) > contained (>= 80% of "
-    "its shingles inside some other doc; kept_by = the smallest such "
-    "container) > kept. This is the relation a curation run actually "
+    "its shingles inside a STAGE-1/2-SURVIVING doc; kept_by = the "
+    "smallest such container — a doc contained only by its own exact "
+    "copies or near-dup casualties is not dropped by them) > kept. "
+    "This is the relation a curation run actually "
     "writes before dropping rows — the row-level twin of "
     "corpus_curation_pipeline's quality-gated per-(lang, outcome) "
     "accounting — and the kept_by pointer is what makes drops "
@@ -269,6 +283,7 @@ def _drop_list_oracle() -> str:
     "composition adds only doc-keyed left joins.",
 )
 def dedup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import drop_decision_exprs
     from .pipeline_dedup import dedup_survivors
     from .pipeline_setjoin import setjoin_containment
     from .pipeline_text import dedup_exact
@@ -281,23 +296,34 @@ def dedup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     near = surv.join(F.broadcast(survivor_of), "component").select(
         "doc_id", "survivor"
     )
+    stage12 = exact.join(near, "doc_id")
+    # containers restricted to stage-1/2 survivors (see oracle note):
+    # a doc contained only by its own exact copies / near-dup
+    # casualties must not be dropped by them. The pair relation is the
+    # small side — broadcast it against the keeper relation.
+    keepers = stage12.filter(
+        (F.col("canonical_id") == F.col("doc_id"))
+        & (F.col("survivor") == F.col("doc_id"))
+    ).select(F.col("doc_id").alias("container"))
     contained = (
-        setjoin_containment(spark, sf_dir)
-        .groupBy(F.col("a_id").alias("doc_id"))
-        .agg(F.min("b_id").alias("container"))
+        keepers.join(
+            F.broadcast(
+                setjoin_containment(spark, sf_dir).select(
+                    F.col("a_id").alias("doc_id"),
+                    F.col("b_id").alias("container"),
+                )
+            ),
+            "container",
+        )
+        .groupBy("doc_id")
+        .agg(F.min("container").alias("container"))
     )
-    base = exact.join(near, "doc_id").join(contained, "doc_id", "left")
-    reason = (
-        F.when(F.col("canonical_id") != F.col("doc_id"), "exact_dup")
-        .when(F.col("survivor") != F.col("doc_id"), "near_dup")
-        .when(F.col("container").isNotNull(), "contained")
-        .otherwise("kept")
-    )
-    kept_by = (
-        F.when(F.col("canonical_id") != F.col("doc_id"), F.col("canonical_id"))
-        .when(F.col("survivor") != F.col("doc_id"), F.col("survivor"))
-        .when(F.col("container").isNotNull(), F.col("container"))
-        .otherwise(F.col("doc_id"))
+    base = stage12.join(contained, "doc_id", "left")
+    reason, kept_by = drop_decision_exprs(
+        F.col("doc_id"),
+        F.col("canonical_id"),
+        F.col("survivor"),
+        F.col("container"),
     )
     return base.select(
         "doc_id",

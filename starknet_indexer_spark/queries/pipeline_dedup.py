@@ -673,6 +673,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(valid: doc_id < 1e12 and n_chars * 1e12 < 2^63 at any test SF).",
 )
 def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import survivor_fold_expr
     from ..operators.graph import connected_components
 
     docs = load(spark, sf_dir, "documents")
@@ -690,7 +691,7 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars",
         )
     )
-    fold = F.col("n_chars") * F.lit(10**12) + (F.lit(10**12) - F.col("doc_id"))
+    fold = survivor_fold_expr(F.col("n_chars"), F.col("doc_id"))
     surv = members.groupBy("component").agg(
         F.max_by("doc_id", fold).alias("survivor")
     )

@@ -168,6 +168,31 @@ def read_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:
     )
 
 
+def _migrate_legacy_sets(spark: SparkSession, sets_dir: str) -> None:
+    """One-shot legacy-state migration (code-review r10, the round-7
+    OHLC precedent): ``sets`` generations written before the
+    independent-roles schema carry only is_probe under the either/or
+    convention — container == NOT probe. Commit a widened generation
+    (same epoch token, so replay guards are unaffected) before any
+    read/merge touches the missing column."""
+    gen_dir = state_table.current_gen_dir(sets_dir)
+    if gen_dir is None:
+        return
+    raw = spark.read.parquet(gen_dir)
+    if "is_container" in raw.columns:
+        return
+    migrated = raw.withColumn("is_container", ~F.col("is_probe"))
+    affected = [
+        r["bucket"] for r in migrated.select("bucket").distinct().collect()
+    ]
+    state_table.commit_generation(
+        sets_dir,
+        migrated,
+        affected=affected,
+        token=state_table.applied_token(sets_dir),
+    )
+
+
 def apply_batch(
     spark: SparkSession,
     docs: DataFrame,
@@ -192,6 +217,7 @@ def apply_batch(
     ):
         return
 
+    _migrate_legacy_sets(spark, paths[_SETS])
     state_sets = state_table.read_state(spark, paths[_SETS], _SETS_DDL).select(
         "doc_id", "hset", "n", "is_probe", "is_container"
     )

@@ -47,6 +47,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.dedup import drop_decision_exprs, survivor_fold_expr
 from ..operators.graph import connected_components
 from . import containment_index, dedup_index, state_table
 
@@ -71,7 +72,10 @@ def apply_batch(
     Sub-index idempotence rides each index's own epoch-token guard;
     the doc_meta merge dedups by doc_id, so redelivery cannot
     double-count. docs is pinned once — three consumers."""
-    docs = docs.select("doc_id", "text").localCheckpoint(eager=False)
+    cols = ["doc_id", "text"] + (
+        ["n_chars"] if "n_chars" in docs.columns else []
+    )
+    docs = docs.select(*cols).localCheckpoint(eager=False)
     dedup_index.apply_batch(
         spark,
         docs,
@@ -90,10 +94,19 @@ def apply_batch(
         probe_pred=lambda d: F.lit(True),
         container_pred=lambda d: F.lit(True),
     )
+    # n_chars: prefer the corpus column when the feed carries it (the
+    # batch dedup_survivors tie-break reads documents.n_chars); fall
+    # back to length(text) otherwise. The fixture contract n_chars ==
+    # length(text) is pinned in tests/test_streaming_drop_list.py, so
+    # the fallback cannot silently diverge from batch on the corpora
+    # the equality tests run against (code-review r10).
+    n_chars = (
+        F.col("n_chars") if "n_chars" in docs.columns else F.length("text")
+    )
     meta = docs.select(
         "doc_id",
         F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
-        F.length("text").cast("bigint").alias("n_chars"),
+        n_chars.cast("bigint").alias("n_chars"),
     )
     state_table.merge_batch(
         spark,
@@ -130,28 +143,38 @@ def drop_list(spark: SparkSession, root: str) -> DataFrame:
         "n_chars",
     )
     # the dedup_survivors fold: longest member wins, min doc_id on ties
-    fold = F.col("n_chars") * F.lit(10**12) + (F.lit(10**12) - F.col("doc_id"))
+    fold = survivor_fold_expr(F.col("n_chars"), F.col("doc_id"))
     surv = members.groupBy("component").agg(F.max_by("doc_id", fold).alias("survivor"))
 
+    stage12 = members.join(F.broadcast(surv), "component")
+    # containers restricted to stage-1/2 survivors — identical rule to
+    # the batch dedup_drop_list (a doc contained only by its own exact
+    # copies / near-dup casualties must not be dropped by them)
+    keepers = stage12.filter(
+        (F.col("canonical_id") == F.col("doc_id"))
+        & (F.col("survivor") == F.col("doc_id"))
+    ).select(F.col("doc_id").alias("container"))
     contained = (
-        containment_index.read_pairs(spark, os.path.join(root, _CONT_PAIRS))
-        .groupBy(F.col("a_id").alias("doc_id"))
-        .agg(F.min("b_id").alias("container"))
+        keepers.join(
+            F.broadcast(
+                containment_index.read_pairs(
+                    spark, os.path.join(root, _CONT_PAIRS)
+                ).select(
+                    F.col("a_id").alias("doc_id"),
+                    F.col("b_id").alias("container"),
+                )
+            ),
+            "container",
+        )
+        .groupBy("doc_id")
+        .agg(F.min("container").alias("container"))
     )
-    base = members.join(F.broadcast(surv), "component").join(
-        contained, "doc_id", "left"
-    )
-    reason = (
-        F.when(F.col("canonical_id") != F.col("doc_id"), "exact_dup")
-        .when(F.col("survivor") != F.col("doc_id"), "near_dup")
-        .when(F.col("container").isNotNull(), "contained")
-        .otherwise("kept")
-    )
-    kept_by = (
-        F.when(F.col("canonical_id") != F.col("doc_id"), F.col("canonical_id"))
-        .when(F.col("survivor") != F.col("doc_id"), F.col("survivor"))
-        .when(F.col("container").isNotNull(), F.col("container"))
-        .otherwise(F.col("doc_id"))
+    base = stage12.join(contained, "doc_id", "left")
+    reason, kept_by = drop_decision_exprs(
+        F.col("doc_id"),
+        F.col("canonical_id"),
+        F.col("survivor"),
+        F.col("container"),
     )
     return base.select(
         "doc_id",
@@ -171,14 +194,21 @@ def stream_drop_list(
 ):
     """Structured Streaming driver: document rows arriving in
     ``feed_dir`` maintain all three indexes per micro-batch; read the
-    current decisions any time via ``drop_list``."""
+    current decisions any time via ``drop_list``. The feed's n_chars
+    column (when present) rides along for the survivor tie-break."""
+    feed_schema = (
+        schema if schema is not None else spark.read.parquet(feed_dir).schema
+    )
+    cols = ["doc_id", "text"] + (
+        ["n_chars"] if "n_chars" in feed_schema.fieldNames() else []
+    )
     return state_table.stream_maintain_with(
         spark,
         feed_dir,
         root,
         checkpoint_dir,
         lambda batch_df, token: apply_batch(spark, batch_df, root, epoch_token=token),
-        schema=schema,
-        select_cols=["doc_id", "text"],
+        schema=feed_schema,
+        select_cols=cols,
         max_files_per_trigger=max_files_per_trigger,
     )

@@ -88,6 +88,43 @@ class TestIncrementalEqualsBatch:
             assert state_table.current_gen(os.path.join(index, s)) == gens[s]
 
 
+class TestLegacySchemaMigration:
+    def test_pre_roles_sets_state_migrates(self, spark, tmp_path):
+        """Generations written before the independent-roles schema
+        (sets without is_container, under the container == NOT probe
+        convention) must migrate on the next fold instead of crashing
+        read_state/merge_batch (code-review r10). Simulated by
+        rewriting the live generation without the column."""
+        from starknet_indexer_spark.streaming import state_table
+
+        docs = _docs(spark)
+        index = str(tmp_path / "idx")
+        pairs = str(tmp_path / "pairs")
+        ci.apply_batch(spark, docs.filter(F.col("doc_id") % 2 == 0), index, pairs)
+
+        sets_dir = os.path.join(index, "sets")
+        gen = state_table.current_gen_dir(sets_dir)
+        legacy = spark.read.parquet(gen).drop("is_container")
+        affected = [
+            r["bucket"] for r in legacy.select("bucket").distinct().collect()
+        ]
+        state_table.commit_generation(
+            sets_dir,
+            legacy,
+            affected=affected,
+            token=state_table.applied_token(sets_dir),
+        )
+        assert "is_container" not in spark.read.parquet(
+            state_table.current_gen_dir(sets_dir)
+        ).columns
+
+        ci.apply_batch(spark, docs.filter(F.col("doc_id") % 2 == 1), index, pairs)
+        assert _rows(ci.read_pairs(spark, pairs)) == _want(spark)
+        assert "is_container" in spark.read.parquet(
+            state_table.current_gen_dir(sets_dir)
+        ).columns
+
+
 class TestStreaming:
     def test_stream_equals_batch_and_replay_noop(self, spark, tmp_path):
         docs = _docs(spark)

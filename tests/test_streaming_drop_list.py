@@ -77,6 +77,69 @@ class TestDropListEqualsBatch:
         )
 
 
+class TestFixtureContract:
+    def test_n_chars_equals_text_length(self, spark):
+        """The stream's length(text) fallback for the survivor
+        tie-break is equivalent to the batch side's documents.n_chars
+        ONLY under this corpus contract — pin it so generator drift is
+        caught here rather than as a silent stream/batch divergence."""
+        bad = (
+            load(spark, SF, "documents")
+            .filter(F.col("n_chars") != F.length("text"))
+            .count()
+        )
+        assert bad == 0
+
+
+class TestAllFourReasons:
+    def _synth_corpus(self, spark, tmp_path) -> str:
+        """Temp corpus forcing every decision branch: doc 2 is an
+        exact copy of doc 1 (exact_dup -> kept_by 1); doc 3 a near-dup
+        of doc 1 (shorter, so doc 1 survives); doc 4's shingles are a
+        strict subset of doc 1's but far below the Jaccard threshold
+        (contained); doc 5 unrelated (kept)."""
+        base_words = [f"alpha{i} beta{i % 7}" for i in range(60)]
+        t1 = " ".join(w for pair in base_words for w in pair.split())
+        t3 = t1.rsplit(" ", 8)[0]  # drop the last 8 words: near-dup
+        t4 = " ".join(t1.split()[:12])  # strict prefix: contained
+        t5 = " ".join(f"zulu{i} omega{i * 3 % 11}" for i in range(50))
+        rows = [(1, t1), (2, t1), (3, t3), (4, t4), (5, t5)]
+        sf_dir = str(tmp_path / "synth_sf")
+        spark.createDataFrame(
+            [
+                (i, t, "en", "synth", len(t))
+                for i, t in rows
+            ],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+        return sf_dir
+
+    def test_batch_and_stream_cover_every_branch(self, spark, tmp_path):
+        sf_dir = self._synth_corpus(spark, tmp_path)
+        batch = {
+            r["doc_id"]: (r["reason"], r["kept_by"])
+            for r in dedup_drop_list(spark, sf_dir).collect()
+        }
+        assert batch[1] == ("kept", 1)
+        assert batch[2] == ("exact_dup", 1)
+        assert batch[3] == ("near_dup", 1)
+        assert batch[4] == ("contained", 1)
+        assert batch[5] == ("kept", 5)
+
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id", "text", "n_chars"
+        )
+        root = str(tmp_path / "root")
+        for i in range(2):
+            dl.apply_batch(spark, docs.filter(F.col("doc_id") % 2 == i), root)
+        stream = {
+            r["doc_id"]: (r["reason"], r["kept_by"])
+            for r in dl.drop_list(spark, root).collect()
+        }
+        assert stream == batch
+
+
 class TestStreaming:
     def test_stream_equals_batch_and_replay_noop(self, spark, tmp_path):
         docs = _docs(spark)
