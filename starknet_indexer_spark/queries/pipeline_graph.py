@@ -84,11 +84,15 @@ def _edges_sql() -> str:
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # node keys stay BIGINT through every edge-sized join/aggregate
+    # (customer 2k, supplier 2k+1) — the 1M+-row edge relation hashes
+    # integers, not strings; the reference 'c…'/'s…' labels are
+    # re-derived once on the final NODE-sized projection
     pairs = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("u"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("v"),
+            (F.col("o_custkey") * 2).cast("bigint").alias("u"),
+            (F.col("l_suppkey") * 2 + 1).cast("bigint").alias("v"),
         )
         .distinct()
     )
@@ -113,14 +117,21 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", "deg", F.col("b").alias("rank")
     )
     for _ in range(PR_ROUNDS):
+        # the rank relation is NODE-sized (orders of magnitude under
+        # the edge list) — broadcast it into the edge join so each
+        # round's only shuffle is the map-side-combined per-destination
+        # sum, and broadcast the (equally node-sized) contribution back
+        # into the rank rebuild. At web-graph scale where nodes outgrow
+        # broadcast, pre-bucket edges and ranks on the node key instead
+        # (module docstring) — the round structure is unchanged.
         contrib = (
-            ranks.join(edges, ranks.node == edges.u)
+            edges.join(F.broadcast(ranks), ranks.node == edges.u)
             .select(F.col("v").alias("node"), F.expr("rank div deg").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
         ranks = (
-            deg.join(contrib, "node")
+            deg.join(F.broadcast(contrib), "node")
             .crossJoin(F.broadcast(base))
             .select(
                 "node",
@@ -128,7 +139,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("CAST((15 * b + 85 * s) div 100 AS BIGINT)").alias("rank"),
             )
         )
-    return ranks.select("node", "rank")
+    label = F.when(
+        F.col("node") % 2 == 0, F.concat(F.lit("c"), F.expr("node div 2"))
+    ).otherwise(F.concat(F.lit("s"), F.expr("(node - 1) div 2")))
+    return ranks.select(label.alias("node"), "rank")
 
 
 #: kNN graph parameters: nodes are the first TRI_NODES vectors, each
@@ -149,14 +163,15 @@ def _knn_edges_sql() -> str:
       ),
       sims AS (
         SELECT a.vec_id AS src, b.vec_id AS dst,
-               ROUND(list_dot_product(a.ev, b.ev) / (a.en * b.en), 4) AS sim
+               CAST(FLOOR(list_dot_product(a.ev, b.ev) / (a.en * b.en)
+                          * 10000 + 0.5) AS BIGINT) AS sim_i4
         FROM v a, v b WHERE a.vec_id <> b.vec_id
       ),
       knn AS (
         SELECT src, dst FROM (
           SELECT src, dst,
                  ROW_NUMBER() OVER (PARTITION BY src
-                                    ORDER BY sim DESC, dst) AS rnk
+                                    ORDER BY sim_i4 DESC, dst) AS rnk
           FROM sims
         ) WHERE rnk <= {TRI_K}
       ),
@@ -206,27 +221,15 @@ def _knn_edges_sql() -> str:
     "candidate stages are the documented scale path.",
 )
 def knn_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .pipeline_similarity import _dot, _with_norm
+    from ..operators.similarity import gemm_topk_neighbors
 
+    # kNN derivation on the blocked-GEMM kernel (the same reroute as
+    # ann_topk_cosine — replaces a TRI_NODES^2 Catalyst dot-product
+    # fold with one numpy GEMM per tile); sims quantize to integer
+    # ten-thousandths before ranking on both engines
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < TRI_NODES)
-    a = _with_norm(emb, "src", "av", "an")
-    b = _with_norm(emb, "dst", "bv", "bn")
-    sims = (
-        a.crossJoin(b)
-        .filter(F.col("src") != F.col("dst"))
-        .select(
-            "src",
-            "dst",
-            F.round(
-                _dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 4
-            ).alias("sim"),
-        )
-    )
-    from pyspark.sql.window import Window as W
-
-    w = W.partitionBy("src").orderBy(F.col("sim").desc(), F.col("dst"))
-    knn = sims.withColumn("rnk", F.row_number().over(w)).filter(
-        F.col("rnk") <= TRI_K
+    knn = gemm_topk_neighbors(emb, emb, TRI_K).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
     edges = (
         knn.select(
