@@ -296,7 +296,10 @@ def dedup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     near = surv.join(F.broadcast(survivor_of), "component").select(
         "doc_id", "survivor"
     )
-    stage12 = exact.join(near, "doc_id")
+    # stage12 feeds TWO branches (the keeper filter and the final
+    # decision join) — one materialization, or the exact/near subtrees
+    # execute twice (code-review r10)
+    stage12 = exact.join(near, "doc_id").localCheckpoint(eager=False)
     # containers restricted to stage-1/2 survivors (see oracle note):
     # a doc contained only by its own exact copies / near-dup
     # casualties must not be dropped by them. The pair relation is the

@@ -168,29 +168,44 @@ def read_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:
     )
 
 
+#: state dirs already confirmed on the independent-roles schema — the
+#: migration probe (a parquet schema read of the live generation) runs
+#: once per state dir per process, not once per micro-batch
+_MIGRATION_CHECKED: set[str] = set()
+
+
 def _migrate_legacy_sets(spark: SparkSession, sets_dir: str) -> None:
     """One-shot legacy-state migration (code-review r10, the round-7
     OHLC precedent): ``sets`` generations written before the
     independent-roles schema carry only is_probe under the either/or
     convention — container == NOT probe. Commit a widened generation
     (same epoch token, so replay guards are unaffected) before any
-    read/merge touches the missing column."""
+    read/merge touches the missing column. Memoized per state dir:
+    schemas never revert, so one confirmation covers the process
+    lifetime."""
+    if sets_dir in _MIGRATION_CHECKED:
+        return
     gen_dir = state_table.current_gen_dir(sets_dir)
     if gen_dir is None:
+        return  # no state yet: first fold writes the new schema
+    if not any(e.startswith("bucket=") for e in os.listdir(gen_dir)):
+        # zero-bucket generation (every key dropped) — nothing to
+        # migrate, and spark.read.parquet would fail schema inference
+        _MIGRATION_CHECKED.add(sets_dir)
         return
     raw = spark.read.parquet(gen_dir)
-    if "is_container" in raw.columns:
-        return
-    migrated = raw.withColumn("is_container", ~F.col("is_probe"))
-    affected = [
-        r["bucket"] for r in migrated.select("bucket").distinct().collect()
-    ]
-    state_table.commit_generation(
-        sets_dir,
-        migrated,
-        affected=affected,
-        token=state_table.applied_token(sets_dir),
-    )
+    if "is_container" not in raw.columns:
+        migrated = raw.withColumn("is_container", ~F.col("is_probe"))
+        affected = [
+            r["bucket"] for r in migrated.select("bucket").distinct().collect()
+        ]
+        state_table.commit_generation(
+            sets_dir,
+            migrated,
+            affected=affected,
+            token=state_table.applied_token(sets_dir),
+        )
+    _MIGRATION_CHECKED.add(sets_dir)
 
 
 def apply_batch(

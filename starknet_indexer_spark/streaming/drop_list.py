@@ -22,10 +22,12 @@ exact canonical = min doc_id per hash group (one agg over doc_meta);
 near-dup components = min-label propagation over the PAIR-NODE
 relation only (operators/graph.connected_components — never the
 corpus), survivor = the longest member (n_chars, then min doc_id),
-the dedup_survivors fold; contained = min container per probe from
-the containment pairs. Duplicate pair rows from at-least-once
-redelivery are harmless by construction: components are invariant
-under duplicated edges, and MIN(container) is idempotent.
+the dedup_survivors fold; contained = min container per probe over
+the containment pairs whose container is ITSELF a stage-1/2 survivor
+(the batch rule: a doc contained only by its own exact copies or
+near-dup casualties is not dropped by them). Duplicate pair rows from
+at-least-once redelivery are harmless by construction: components are
+invariant under duplicated edges, and MIN(container) is idempotent.
 
 Equality contract (tests/test_streaming_drop_list.py): after any
 batch split of a corpus, ``drop_list`` == the batch
@@ -146,7 +148,11 @@ def drop_list(spark: SparkSession, root: str) -> DataFrame:
     fold = survivor_fold_expr(F.col("n_chars"), F.col("doc_id"))
     surv = members.groupBy("component").agg(F.max_by("doc_id", fold).alias("survivor"))
 
-    stage12 = members.join(F.broadcast(surv), "component")
+    # stage12 feeds TWO branches (keeper filter + decision join) — one
+    # materialization (code-review r10)
+    stage12 = members.join(F.broadcast(surv), "component").localCheckpoint(
+        eager=False
+    )
     # containers restricted to stage-1/2 survivors — identical rule to
     # the batch dedup_drop_list (a doc contained only by its own exact
     # copies / near-dup casualties must not be dropped by them)
