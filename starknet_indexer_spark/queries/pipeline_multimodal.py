@@ -570,6 +570,42 @@ def _cross_modal_oracle() -> str:
     """
 
 
+def cross_modal_classify(
+    text_pairs: DataFrame, media_pairs: DataFrame
+) -> DataFrame:
+    """The ONE cross-modal classification: full-outer pair-keyed join
+    of (a_id, b_id, jaccard) text pairs with (a_id, b_id, hamming)
+    media pairs, verdict in {agree_dup, text_only, media_only},
+    absent-side metrics pinned to -1. Shared by the batch query and
+    the streaming derive-on-read (streaming/media_index.py) — their
+    stream==batch equality contract is only as strong as this staying
+    one definition."""
+    t, m = text_pairs.alias("t"), media_pairs.alias("m")
+    return (
+        t.join(
+            m,
+            (F.col("t.a_id") == F.col("m.a_id"))
+            & (F.col("t.b_id") == F.col("m.b_id")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("t.a_id"), F.col("m.a_id")).alias("a_id"),
+            F.coalesce(F.col("t.b_id"), F.col("m.b_id")).alias("b_id"),
+            F.coalesce(F.col("t.jaccard"), F.lit(-1.0)).alias("jaccard"),
+            F.coalesce(F.col("m.hamming"), F.lit(-1))
+            .cast("bigint")
+            .alias("hamming"),
+            F.when(
+                F.col("t.a_id").isNotNull() & F.col("m.a_id").isNotNull(),
+                F.lit("agree_dup"),
+            )
+            .when(F.col("t.a_id").isNotNull(), F.lit("text_only"))
+            .otherwise(F.lit("media_only"))
+            .alias("verdict"),
+        )
+    )
+
+
 @register(
     "cross_modal_dedup_audit",
     oracle=_cross_modal_oracle(),
@@ -600,27 +636,4 @@ def cross_modal_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     media_pairs = multimodal_phash_near_dup(spark, sf_dir).select(
         "a_id", "b_id", F.col("hamming").cast("bigint").alias("hamming")
     )
-    t, m = text_pairs.alias("t"), media_pairs.alias("m")
-    return (
-        t.join(
-            m,
-            (F.col("t.a_id") == F.col("m.a_id"))
-            & (F.col("t.b_id") == F.col("m.b_id")),
-            "full_outer",
-        )
-        .select(
-            F.coalesce(F.col("t.a_id"), F.col("m.a_id")).alias("a_id"),
-            F.coalesce(F.col("t.b_id"), F.col("m.b_id")).alias("b_id"),
-            F.coalesce(F.col("t.jaccard"), F.lit(-1.0)).alias("jaccard"),
-            F.coalesce(F.col("m.hamming"), F.lit(-1))
-            .cast("bigint")
-            .alias("hamming"),
-            F.when(
-                F.col("t.a_id").isNotNull() & F.col("m.a_id").isNotNull(),
-                F.lit("agree_dup"),
-            )
-            .when(F.col("t.a_id").isNotNull(), F.lit("text_only"))
-            .otherwise(F.lit("media_only"))
-            .alias("verdict"),
-        )
-    )
+    return cross_modal_classify(text_pairs, media_pairs)
