@@ -12,16 +12,17 @@ dedup robust to the near-duplicate edits this corpus is full of.
 
 ``cdc_chunk_dedup`` runs the whole estimator: normalize text (the
 byte-stream stand-in, same normalization as the winnowing
-fingerprint), hash every char k-gram (the rolling window), cut after
-each gram whose 60-bit hash ≡ 0 mod CDC_MOD (expected chunk length ≈
-CDC_MOD chars), hash each chunk, and aggregate the corpus-wide
-storage ledger: total vs unique chunk bytes and the achievable
-dedup savings. Everything is exact integer arithmetic (byte counts,
-one ppm rounding at the end), so the DuckDB oracle value-hash-proves
-the chunker each run.
+fingerprint), roll a base-CDC_B polynomial hash over every char
+k-gram, cut after each gram whose hash (mod CDC_P) ≡ 0 mod CDC_MOD
+(expected chunk length ≈ CDC_MOD chars), md5 each chunk, and
+aggregate the corpus-wide storage ledger: total vs unique chunk bytes
+and the achievable dedup savings. Everything is exact integer
+arithmetic (byte counts, one ppm rounding at the end), so the DuckDB
+oracle value-hash-proves the chunker each run.
 
-Scale shape: chunking is MAP-ONLY nested array expressions per row
-(no shuffle until the chunk-hash aggregate); the single shuffle is a
+Scale shape: chunking is ONE Arrow-batched map-only mapInPandas pass
+(vectorized int64 convolution for boundaries — see _cdc_chunks; no
+shuffle until the chunk-hash aggregate); the single shuffle is a
 map-side-combined groupBy on chunk_hash whose cardinality is bounded
 by unique content, not corpus size; the final ledger is one tiny agg.
 At 100 TB this is exactly the dedup estimator a storage team runs
@@ -41,47 +42,68 @@ from .registry import register
 CDC_K = 8
 #: boundary when gram_hash % CDC_MOD == 0 -> expected chunk ~CDC_MOD chars
 CDC_MOD = 32
+#: polynomial rolling-hash parameters (the winnowing_fingerprint
+#: family): gram hash = fold of char codes, acc*B + c, taken mod P.
+#: B^(K-1)*max_code*K ~ 3.5e12 — exact in int64 BEFORE the mod, so the
+#: numpy convolution and DuckDB's HUGEINT list_reduce agree bit-for-bit
+CDC_B = 31
+CDC_P = 1_000_000_007
 
 
 def _cdc_chunks(docs: DataFrame) -> DataFrame:
     """(doc_id, chunk_hash, chunk_len) — one row per content-defined
     chunk. Docs whose normalized text is shorter than CDC_K carry no
     gram window and are excluded (the winnowing_fingerprint
-    convention; the oracle mirrors the filter)."""
+    convention; the oracle mirrors the filter).
+
+    The chunker is ONE Arrow-batched mapInPandas pass (map-only, fuses
+    with the scan): the boundary test is a vectorized integer
+    convolution (np.convolve of the char codes with the [B^(K-1)..B^0]
+    kernel — exact int64, see CDC_B), and chunk hashing is one
+    hashlib.md5 per CHUNK (~L/CDC_MOD per doc), not per gram. The
+    first per-gram version ran the boundary md5 inside a Catalyst HOF
+    lambda — interpreted per element, ~2x the wall of this kernel at
+    sf0.1 (3.5 -> 1.6-2.3 s steady) — the same adjudication as the pHash fingerprint
+    (pipeline_multimodal.phash_fingerprints). Normalization stays
+    JVM-side so both engines share one regexp semantics."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
     t = F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9]+", " "))
     base = docs.select("doc_id", t.alias("t")).filter(
         F.length("t") >= CDC_K
     )
-    # gram hashes: md5-based 60-bit (the repo's engine-portable hash),
-    # one per window position 1..L-K+1
-    bh = F.expr(
-        f"transform(sequence(1, length(t) - {CDC_K} + 1),"
-        f" i -> CAST(conv(substring(md5(substring(t, i, {CDC_K})), 1, 15),"
-        f" 16, 10) AS BIGINT))"
+    kernel = np.array(
+        [CDC_B ** (CDC_K - 1 - j) for j in range(CDC_K)], dtype=np.int64
     )
-    # cut positions: 0, after each boundary gram (char index i+K-1),
-    # and L — distinct-sorted so a boundary at the doc end collapses
-    cuts = F.expr(
-        f"array_sort(array_distinct(concat(array(0L),"
-        f" transform(filter(sequence(1, size(bh)),"
-        f" i -> element_at(bh, i) % {CDC_MOD} = 0),"
-        f" i -> CAST(i + {CDC_K} - 1 AS BIGINT)),"
-        f" array(CAST(length(t) AS BIGINT)))))"
-    )
-    chunks = F.expr(
-        "transform(sequence(1, size(cuts) - 1),"
-        " j -> substring(t, CAST(element_at(cuts, j) + 1 AS INT),"
-        " CAST(element_at(cuts, j + 1) - element_at(cuts, j) AS INT)))"
-    )
-    return (
-        base.withColumn("bh", bh)
-        .withColumn("cuts", cuts)
-        .select("doc_id", F.explode(chunks).alias("chunk"))
-        .select(
-            "doc_id",
-            F.md5("chunk").alias("chunk_hash"),
-            F.length("chunk").cast("bigint").alias("chunk_len"),
-        )
+
+    def batch_fn(batches):
+        for pdf in batches:
+            ids, hashes, lens = [], [], []
+            for doc_id, txt in zip(pdf["doc_id"], pdf["t"]):
+                c = np.frombuffer(txt.encode("ascii"), dtype=np.uint8).astype(
+                    np.int64
+                )
+                # h[i] = sum_j c[i+j] * B^(K-1-j), exact int64; 'valid'
+                # convolution needs the kernel reversed
+                h = np.convolve(c, kernel[::-1], mode="valid") % CDC_P
+                # cut after char index (i + K - 1) for boundary grams,
+                # 1-based gram index i -> 0-based char cut position
+                cuts = np.flatnonzero(h % CDC_MOD == 0) + CDC_K
+                cuts = np.unique(np.concatenate(([0], cuts, [len(c)])))
+                for a, b in zip(cuts[:-1], cuts[1:]):
+                    chunk = txt[a:b]
+                    ids.append(doc_id)
+                    hashes.append(hashlib.md5(chunk.encode("ascii")).hexdigest())
+                    lens.append(b - a)
+            yield pd.DataFrame(
+                {"doc_id": ids, "chunk_hash": hashes, "chunk_len": lens}
+            )
+
+    return base.mapInPandas(
+        batch_fn, "doc_id long, chunk_hash string, chunk_len long"
     )
 
 
@@ -93,15 +115,20 @@ def _cdc_chunks(docs: DataFrame) -> DataFrame:
              lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')) AS t
       FROM documents
     ),
-    base AS (SELECT doc_id, t, len(t) AS L FROM norm WHERE len(t) >= {CDC_K}),
+    base AS (
+      SELECT doc_id, t, len(t) AS L,
+             list_transform(string_split(t, ''), c -> ascii(c)::BIGINT) AS cs
+      FROM norm WHERE len(t) >= {CDC_K}
+    ),
     cutsrel AS (
       SELECT doc_id, t,
              list_sort(list_distinct(list_concat(list_concat(
                [CAST(0 AS BIGINT)],
                [CAST(i + {CDC_K} - 1 AS BIGINT)
                 FOR i IN range(1, L - {CDC_K} + 2)
-                IF ('0x' || substr(md5(t[i:i + {CDC_K} - 1]), 1, 15))::BIGINT
-                   % {CDC_MOD} = 0]),
+                IF (list_reduce(cs[i:i + {CDC_K} - 1],
+                                (acc, c) -> acc * {CDC_B} + c)
+                    % {CDC_P}) % {CDC_MOD} = 0]),
                [CAST(L AS BIGINT)]))) AS cuts
       FROM base
     ),
@@ -130,19 +157,22 @@ def _cdc_chunks(docs: DataFrame) -> DataFrame:
     FROM per_hash
     """,
     doc=f"Content-defined-chunking storage-dedup estimator "
-    f"(rsync/LBFS lineage): normalized text cut wherever the 60-bit "
-    f"hash of the trailing {CDC_K}-char window ≡ 0 mod {CDC_MOD} "
-    f"(expected chunk ~{CDC_MOD} chars), so boundaries follow content "
-    "and survive the insert/delete edits that shift every fixed-size "
-    "block — the property that lets near-duplicate documents share "
-    "most of their chunks. Output is the corpus storage ledger: chunk "
-    "counts, total vs duplicate bytes, and the achievable savings in "
-    "ppm (exact integer byte accounting, one final rounding). "
-    "Complements the document-level dedup family with the block-level "
-    "answer a data-lake storage team needs. Scale shape: chunking is "
-    "map-only nested array expressions fused with the scan; the only "
-    "shuffle is the map-side-combined chunk-hash aggregate (bounded "
-    "by unique content); the ledger is one tiny agg.",
+    f"(rsync/LBFS lineage): normalized text cut wherever the base-"
+    f"{CDC_B} polynomial hash (mod {CDC_P}) of the trailing "
+    f"{CDC_K}-char window ≡ 0 mod {CDC_MOD} (expected chunk "
+    f"~{CDC_MOD} chars), so boundaries follow content and survive the "
+    "insert/delete edits that shift every fixed-size block — the "
+    "property that lets near-duplicate documents share most of their "
+    "chunks. Output is the corpus storage ledger: chunk counts, total "
+    "vs duplicate bytes, and the achievable savings in ppm (exact "
+    "integer byte accounting, one final rounding). Complements the "
+    "document-level dedup family with the block-level answer a "
+    "data-lake storage team needs. Scale shape: chunking is one "
+    "Arrow-batched map-only mapInPandas pass (vectorized int64 "
+    "convolution for boundaries, one md5 per CHUNK — the DuckDB "
+    "oracle replays the identical fold in HUGEINT list_reduce); the "
+    "only shuffle is the map-side-combined chunk-hash aggregate "
+    "(bounded by unique content); the ledger is one tiny agg.",
 )
 def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = _cdc_chunks(load(spark, sf_dir, "documents"))
