@@ -83,9 +83,9 @@ def _cdc_chunks(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, hashes, lens = [], [], []
             for doc_id, txt in zip(pdf["doc_id"], pdf["t"]):
-                c = np.frombuffer(txt.encode("ascii"), dtype=np.uint8).astype(
-                    np.int64
-                )
+                raw = txt.encode("ascii")  # one encode per doc; chunks
+                # hash byte slices of it (identical digests)
+                c = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
                 # h[i] = sum_j c[i+j] * B^(K-1-j), exact int64; 'valid'
                 # convolution needs the kernel reversed
                 h = np.convolve(c, kernel[::-1], mode="valid") % CDC_P
@@ -94,9 +94,8 @@ def _cdc_chunks(docs: DataFrame) -> DataFrame:
                 cuts = np.flatnonzero(h % CDC_MOD == 0) + CDC_K
                 cuts = np.unique(np.concatenate(([0], cuts, [len(c)])))
                 for a, b in zip(cuts[:-1], cuts[1:]):
-                    chunk = txt[a:b]
                     ids.append(doc_id)
-                    hashes.append(hashlib.md5(chunk.encode("ascii")).hexdigest())
+                    hashes.append(hashlib.md5(raw[a:b]).hexdigest())
                     lens.append(b - a)
             yield pd.DataFrame(
                 {"doc_id": ids, "chunk_hash": hashes, "chunk_len": lens}

@@ -238,12 +238,13 @@ def apply_batch(
     )
     # novelty anti-join: a doc redelivered in a LATER epoch already
     # emitted its pairs and folded — absorb it here (sets rows are a
-    # pure function of the text)
+    # pure function of the text). cache + unpersist in finally (the
+    # dedup_index discipline — a long-running stream must not leak
+    # pinned blocks between context GCs).
     batch = (
         _batch_sets(docs, probe_pred, container_pred)
         .join(state_sets.select("doc_id"), "doc_id", "left_anti")
-        .localCheckpoint(eager=False)  # feeds df counts, prefixes,
-        # postings, verify, and four folds
+        .cache()  # feeds df counts, prefixes, postings, verify, 4 folds
     )
 
     # corpus-so-far df (state + batch contribution) orders NEW probes'
@@ -283,108 +284,108 @@ def apply_batch(
             F.explode(F.slice("ordered", 1, F.col("prefix_len"))).alias("p"),
         )
         .select("doc_id", F.col("p.token").alias("token"), "n")
-        .localCheckpoint(eager=False)  # feeds the probe join + its fold
+        .cache()  # feeds the probe join + its fold
     )
-    new_postings = batch.filter(F.col("is_container")).select(
-        "doc_id", F.explode("hset").alias("token"), "n"
-    )
-
-    state_prefix = state_table.read_state(
-        spark, paths[_PREFIX], _TOKREL_DDL
-    ).select("doc_id", "token", "n")
-    state_postings = state_table.read_state(
-        spark, paths[_POSTINGS], _TOKREL_DDL
-    ).select("doc_id", "token", "n")
-
-    def candidates(prefix: DataFrame, postings: DataFrame) -> DataFrame:
-        pa, fb = prefix.alias("pa"), postings.alias("fb")
-        return pa.join(
-            fb,
-            (F.col("pa.token") == F.col("fb.token"))
-            # self-pair guard: required when role predicates overlap
-            # (a doc probing AND indexing must not contain itself)
-            & (F.col("pa.doc_id") != F.col("fb.doc_id"))
-            & (F.col("fb.n") * F.lit(den) >= F.col("pa.n") * F.lit(num)),
-        ).select(
-            F.col("pa.doc_id").alias("a_id"), F.col("fb.doc_id").alias("b_id")
+    try:
+        new_postings = batch.filter(F.col("is_container")).select(
+            "doc_id", F.explode("hset").alias("token"), "n"
         )
 
-    # (1) new probes vs every container so far (replay overlap between
-    # state and batch postings collapses in the DISTINCT); (2) frozen
-    # corpus prefixes vs the batch's new containers. Exactly-once per
-    # pair: (a,b) is found at the batch where the LATER doc arrives —
-    # same-batch pairs only via (1) (the batch is not yet folded, so
-    # (2) cannot see it); an earlier probe meets a later container
-    # only via (2); an earlier container meets a later probe only via
-    # (1).
-    cand = (
-        candidates(
-            F.broadcast(new_prefix),
-            state_postings.unionByName(new_postings),
+        state_prefix = state_table.read_state(
+            spark, paths[_PREFIX], _TOKREL_DDL
+        ).select("doc_id", "token", "n")
+        state_postings = state_table.read_state(
+            spark, paths[_POSTINGS], _TOKREL_DDL
+        ).select("doc_id", "token", "n")
+
+        def candidates(prefix: DataFrame, postings: DataFrame) -> DataFrame:
+            pa, fb = prefix.alias("pa"), postings.alias("fb")
+            return pa.join(
+                fb,
+                (F.col("pa.token") == F.col("fb.token"))
+                # self-pair guard: required when role predicates overlap
+                # (a doc probing AND indexing must not contain itself)
+                & (F.col("pa.doc_id") != F.col("fb.doc_id"))
+                & (F.col("fb.n") * F.lit(den) >= F.col("pa.n") * F.lit(num)),
+            ).select(
+                F.col("pa.doc_id").alias("a_id"), F.col("fb.doc_id").alias("b_id")
+            )
+
+        # (1) new probes vs every container so far (replay overlap between
+        # state and batch postings collapses in the DISTINCT); (2) frozen
+        # corpus prefixes vs the batch's new containers. Exactly-once per
+        # pair: (a,b) is found at the batch where the LATER doc arrives —
+        # same-batch pairs only via (1) (the batch is not yet folded, so
+        # (2) cannot see it); an earlier probe meets a later container
+        # only via (2); an earlier container meets a later probe only via
+        # (1).
+        cand = (
+            candidates(
+                F.broadcast(new_prefix),
+                state_postings.unionByName(new_postings),
+            )
+            .unionByName(candidates(state_prefix, F.broadcast(new_postings)))
+            .distinct()
         )
-        .unionByName(candidates(state_prefix, F.broadcast(new_postings)))
-        .distinct()
-    )
-    all_sets = (
-        state_sets.unionByName(batch)
-        .select("doc_id", "hset", "n")
-        .dropDuplicates(["doc_id"])
-    )
-    out = _verified(cand, all_sets)
+        all_sets = (
+            state_sets.unionByName(batch)
+            .select("doc_id", "hset", "n")
+            .dropDuplicates(["doc_id"])
+        )
+        out = _verified(cand, all_sets)
 
-    if epoch_token is not None:
-        sub = epoch_token.replace(os.sep, "_").replace(":", "-")
-    else:
-        sub = f"adhoc-{os.urandom(8).hex()}"
-    out.write.mode("overwrite").parquet(os.path.join(pairs_dir, f"epoch={sub}"))
+        state_table.write_epoch_pairs(out, pairs_dir, epoch_token)
 
-    tok_bucket = F.pmod(F.xxhash64("token"), F.lit(N_BUCKETS)).cast("int")
-    state_table.merge_batch(
-        spark,
-        paths[_DFC],
-        batch_dfc,
-        lambda df: df.groupBy("token").agg(
-            F.sum("df").cast("bigint").alias("df")
-        ),
-        ["token"],
-        ["df"],
-        tok_bucket,
-        _DFC_DDL,
-        token=epoch_token,
-    )
-    state_table.merge_batch(
-        spark,
-        paths[_PREFIX],
-        new_prefix,
-        lambda df: df.dropDuplicates(["doc_id", "token"]),
-        ["doc_id", "token"],
-        ["n"],
-        tok_bucket,
-        _TOKREL_DDL,
-        token=epoch_token,
-    )
-    state_table.merge_batch(
-        spark,
-        paths[_POSTINGS],
-        new_postings,
-        lambda df: df.dropDuplicates(["doc_id", "token"]),
-        ["doc_id", "token"],
-        ["n"],
-        tok_bucket,
-        _TOKREL_DDL,
-        token=epoch_token,
-    )
-    state_table.merge_batch(
-        spark,
-        paths[_SETS],
-        batch,
-        lambda df: df.dropDuplicates(["doc_id"]),
-        ["doc_id"],
-        ["hset", "n", "is_probe", "is_container"],
-        F.pmod(F.xxhash64("doc_id"), F.lit(N_BUCKETS)).cast("int"),
-        _SETS_DDL,
-        token=epoch_token,
-    )
+        tok_bucket = F.pmod(F.xxhash64("token"), F.lit(N_BUCKETS)).cast("int")
+        state_table.merge_batch(
+            spark,
+            paths[_DFC],
+            batch_dfc,
+            lambda df: df.groupBy("token").agg(
+                F.sum("df").cast("bigint").alias("df")
+            ),
+            ["token"],
+            ["df"],
+            tok_bucket,
+            _DFC_DDL,
+            token=epoch_token,
+        )
+        state_table.merge_batch(
+            spark,
+            paths[_PREFIX],
+            new_prefix,
+            lambda df: df.dropDuplicates(["doc_id", "token"]),
+            ["doc_id", "token"],
+            ["n"],
+            tok_bucket,
+            _TOKREL_DDL,
+            token=epoch_token,
+        )
+        state_table.merge_batch(
+            spark,
+            paths[_POSTINGS],
+            new_postings,
+            lambda df: df.dropDuplicates(["doc_id", "token"]),
+            ["doc_id", "token"],
+            ["n"],
+            tok_bucket,
+            _TOKREL_DDL,
+            token=epoch_token,
+        )
+        state_table.merge_batch(
+            spark,
+            paths[_SETS],
+            batch,
+            lambda df: df.dropDuplicates(["doc_id"]),
+            ["doc_id"],
+            ["hset", "n", "is_probe", "is_container"],
+            F.pmod(F.xxhash64("doc_id"), F.lit(N_BUCKETS)).cast("int"),
+            _SETS_DDL,
+            token=epoch_token,
+        )
+    finally:
+        batch.unpersist()
+        new_prefix.unpersist()
 
 
 def stream_containment_index(

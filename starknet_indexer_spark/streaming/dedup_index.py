@@ -176,18 +176,9 @@ def apply_batch(
         # orientations partition the candidates, so union covers all
         out = out.unionByName(old_as_a.unionByName(old_as_b).distinct())
 
-        # epoch-keyed overwrite: a replayed epoch rewrites ITS OWN
-        # pairs subdir instead of appending duplicates. A token-less
-        # direct call gets a unique subdir (same at-least-once
-        # semantics the old append log had — without a token there is
-        # nothing to make a replay idempotent against).
-        if epoch_token is not None:
-            sub = epoch_token.replace(os.sep, "_").replace(":", "-")
-        else:
-            sub = f"adhoc-{os.urandom(8).hex()}"
-        out.write.mode("overwrite").parquet(
-            os.path.join(pairs_dir, f"epoch={sub}")
-        )
+        # epoch-keyed overwrite — shared protocol + sanitization in
+        # state_table.write_epoch_pairs
+        state_table.write_epoch_pairs(out, pairs_dir, epoch_token)
 
         # (3) fold the batch into the index — shingles BEFORE bands
         # (see module docstring: orphan shingles are conservative,

@@ -77,50 +77,57 @@ def apply_batch(
     cols = ["doc_id", "text"] + (
         ["n_chars"] if "n_chars" in docs.columns else []
     )
-    docs = docs.select(*cols).localCheckpoint(eager=False)
-    dedup_index.apply_batch(
-        spark,
-        docs,
-        os.path.join(root, _DEDUP_IDX),
-        os.path.join(root, _DEDUP_PAIRS),
-        epoch_token=epoch_token,
-    )
-    containment_index.apply_batch(
-        spark,
-        docs,
-        os.path.join(root, _CONT_IDX),
-        os.path.join(root, _CONT_PAIRS),
-        epoch_token=epoch_token,
-        # FULL containment join (the dedup_drop_list / setjoin_containment
-        # shape): every doc both probes and indexes
-        probe_pred=lambda d: F.lit(True),
-        container_pred=lambda d: F.lit(True),
-    )
-    # n_chars: prefer the corpus column when the feed carries it (the
-    # batch dedup_survivors tie-break reads documents.n_chars); fall
-    # back to length(text) otherwise. The fixture contract n_chars ==
-    # length(text) is pinned in tests/test_streaming_drop_list.py, so
-    # the fallback cannot silently diverge from batch on the corpora
-    # the equality tests run against (code-review r10).
-    n_chars = (
-        F.col("n_chars") if "n_chars" in docs.columns else F.length("text")
-    )
-    meta = docs.select(
-        "doc_id",
-        F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
-        n_chars.cast("bigint").alias("n_chars"),
-    )
-    state_table.merge_batch(
-        spark,
-        os.path.join(root, _META),
-        meta,
-        lambda df: df.dropDuplicates(["doc_id"]),
-        ["doc_id"],
-        ["h", "n_chars"],
-        F.pmod(F.xxhash64("doc_id"), F.lit(N_BUCKETS)).cast("int"),
-        _META_DDL,
-        token=epoch_token,
-    )
+    # cache + unpersist in finally (the dedup_index discipline): a
+    # long-running stream must not leak pinned blocks between GCs
+    docs = docs.select(*cols).cache()
+    try:
+        dedup_index.apply_batch(
+            spark,
+            docs,
+            os.path.join(root, _DEDUP_IDX),
+            os.path.join(root, _DEDUP_PAIRS),
+            epoch_token=epoch_token,
+        )
+        containment_index.apply_batch(
+            spark,
+            docs,
+            os.path.join(root, _CONT_IDX),
+            os.path.join(root, _CONT_PAIRS),
+            epoch_token=epoch_token,
+            # FULL containment join (the dedup_drop_list /
+            # setjoin_containment shape): every doc both probes and
+            # indexes
+            probe_pred=lambda d: F.lit(True),
+            container_pred=lambda d: F.lit(True),
+        )
+        # n_chars: prefer the corpus column when the feed carries it
+        # (the batch dedup_survivors tie-break reads documents.n_chars);
+        # fall back to length(text) otherwise. The fixture contract
+        # n_chars == length(text) is pinned in
+        # tests/test_streaming_drop_list.py, so the fallback cannot
+        # silently diverge from batch on the corpora the equality tests
+        # run against (code-review r10).
+        n_chars = (
+            F.col("n_chars") if "n_chars" in docs.columns else F.length("text")
+        )
+        meta = docs.select(
+            "doc_id",
+            F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
+            n_chars.cast("bigint").alias("n_chars"),
+        )
+        state_table.merge_batch(
+            spark,
+            os.path.join(root, _META),
+            meta,
+            lambda df: df.dropDuplicates(["doc_id"]),
+            ["doc_id"],
+            ["h", "n_chars"],
+            F.pmod(F.xxhash64("doc_id"), F.lit(N_BUCKETS)).cast("int"),
+            _META_DDL,
+            token=epoch_token,
+        )
+    finally:
+        docs.unpersist()
 
 
 def drop_list(spark: SparkSession, root: str) -> DataFrame:

@@ -119,68 +119,71 @@ def apply_batch(
         spark, paths[_BANDS], _BANDS_DDL
     ).select("doc_id", "band", "band_val")
 
-    # novelty anti-join (fingerprints are a pure function of the text)
-    fps = (
-        phash_fingerprints(docs.select("doc_id", "text"))
-        .join(state_fps.select("doc_id"), "doc_id", "left_anti")
-        .localCheckpoint(eager=False)  # feeds bands, two verifies, fold
-    )
-    bands = _bands_of(fps).localCheckpoint(eager=False)
-
-    # (1) within-batch pairs
-    ba = bands.select(F.col("doc_id").alias("a_id"), "band", "band_val")
-    bb = bands.select(F.col("doc_id").alias("b_id"), "band", "band_val")
-    within = (
-        ba.join(bb, ["band", "band_val"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
-    )
-    # (2) batch-vs-index pairs, (min, max)-normalized
-    probe = bands.select(F.col("doc_id").alias("new_id"), "band", "band_val")
-    cross = (
-        state_bands.select(F.col("doc_id").alias("old_id"), "band", "band_val")
-        .join(F.broadcast(probe), ["band", "band_val"])
-        .filter(F.col("old_id") != F.col("new_id"))
-        .select(
-            F.least("old_id", "new_id").alias("a_id"),
-            F.greatest("old_id", "new_id").alias("b_id"),
+    # novelty anti-join (fingerprints are a pure function of the text).
+    # cache + unpersist in finally (the dedup_index discipline): a
+    # long-running stream calls apply_batch forever, and leaked
+    # checkpoint/cache blocks would accumulate between context GCs.
+    fps = phash_fingerprints(docs.select("doc_id", "text")).join(
+        state_fps.select("doc_id"), "doc_id", "left_anti"
+    ).cache()  # feeds bands, two verifies, fold
+    bands = _bands_of(fps).cache()
+    try:
+        # (1) within-batch pairs; (2) batch-vs-index pairs,
+        # (min, max)-normalized. ONE distinct over the union — it
+        # subsumes per-branch dedup including replay overlap.
+        ba = bands.select(F.col("doc_id").alias("a_id"), "band", "band_val")
+        bb = bands.select(F.col("doc_id").alias("b_id"), "band", "band_val")
+        within = (
+            ba.join(bb, ["band", "band_val"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
         )
-        .distinct()
-    )
-    all_fps = state_fps.unionByName(fps).dropDuplicates(["doc_id"])
-    out = _verified(within.unionByName(cross).distinct(), all_fps, all_fps)
+        probe = bands.select(
+            F.col("doc_id").alias("new_id"), "band", "band_val"
+        )
+        cross = (
+            state_bands.select(
+                F.col("doc_id").alias("old_id"), "band", "band_val"
+            )
+            .join(F.broadcast(probe), ["band", "band_val"])
+            .filter(F.col("old_id") != F.col("new_id"))
+            .select(
+                F.least("old_id", "new_id").alias("a_id"),
+                F.greatest("old_id", "new_id").alias("b_id"),
+            )
+        )
+        all_fps = state_fps.unionByName(fps).dropDuplicates(["doc_id"])
+        out = _verified(within.unionByName(cross).distinct(), all_fps, all_fps)
 
-    if epoch_token is not None:
-        sub = epoch_token.replace(os.sep, "_").replace(":", "-")
-    else:
-        sub = f"adhoc-{os.urandom(8).hex()}"
-    out.write.mode("overwrite").parquet(os.path.join(pairs_dir, f"epoch={sub}"))
+        state_table.write_epoch_pairs(out, pairs_dir, epoch_token)
 
-    # fold: bands BEFORE fingerprints (fingerprints are the novelty
-    # commit point; orphan bands self-heal via the pair DISTINCT)
-    state_table.merge_batch(
-        spark,
-        paths[_BANDS],
-        bands,
-        lambda df: df.dropDuplicates(["doc_id", "band"]),
-        ["doc_id", "band"],
-        ["band_val"],
-        F.pmod(F.xxhash64("band_val"), F.lit(N_BUCKETS)).cast("int"),
-        _BANDS_DDL,
-        token=epoch_token,
-    )
-    state_table.merge_batch(
-        spark,
-        paths[_FPS],
-        fps,
-        lambda df: df.dropDuplicates(["doc_id"]),
-        ["doc_id"],
-        ["fingerprint"],
-        F.pmod(F.xxhash64("doc_id"), F.lit(N_BUCKETS)).cast("int"),
-        _FPS_DDL,
-        token=epoch_token,
-    )
+        # fold: bands BEFORE fingerprints (fingerprints are the novelty
+        # commit point; orphan bands self-heal via the pair DISTINCT)
+        state_table.merge_batch(
+            spark,
+            paths[_BANDS],
+            bands,
+            lambda df: df.dropDuplicates(["doc_id", "band"]),
+            ["doc_id", "band"],
+            ["band_val"],
+            F.pmod(F.xxhash64("band_val"), F.lit(N_BUCKETS)).cast("int"),
+            _BANDS_DDL,
+            token=epoch_token,
+        )
+        state_table.merge_batch(
+            spark,
+            paths[_FPS],
+            fps,
+            lambda df: df.dropDuplicates(["doc_id"]),
+            ["doc_id"],
+            ["fingerprint"],
+            F.pmod(F.xxhash64("doc_id"), F.lit(N_BUCKETS)).cast("int"),
+            _FPS_DDL,
+            token=epoch_token,
+        )
+    finally:
+        fps.unpersist()
+        bands.unpersist()
 
 
 def cross_modal_audit(

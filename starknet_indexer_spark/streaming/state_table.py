@@ -306,6 +306,25 @@ def merge_batch(
         partial.unpersist()
 
 
+def write_epoch_pairs(df: DataFrame, pairs_dir: str, epoch_token: str | None) -> None:
+    """Epoch-keyed overwrite for discovered-pair outputs (the
+    dedup/containment/media index protocol): a replayed epoch REWRITES
+    its own ``epoch=<token>`` subdir instead of appending duplicates.
+    ONE definition of the partition-key sanitization (code-review r10
+    — three copies had grown): os.sep and ':' cannot appear in a path
+    component, '=' would corrupt partition discovery. A token-less
+    direct call gets a unique subdir (plain at-least-once semantics —
+    without a token there is nothing to make a replay idempotent
+    against)."""
+    if epoch_token is not None:
+        sub = (
+            epoch_token.replace(os.sep, "_").replace(":", "-").replace("=", "-")
+        )
+    else:
+        sub = f"adhoc-{os.urandom(8).hex()}"
+    df.write.mode("overwrite").parquet(os.path.join(pairs_dir, f"epoch={sub}"))
+
+
 def stream_maintain_with(
     spark: SparkSession,
     feed_dir: str,

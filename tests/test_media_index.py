@@ -58,6 +58,76 @@ class TestIncrementalEqualsBatch:
         assert got == want
 
 
+class TestEpochReplay:
+    def test_same_token_replay_short_circuits(self, spark, tmp_path):
+        """A replay carrying the SAME epoch token after a full fold is
+        absorbed by the all-states token guard — pairs and generations
+        unchanged (the test_dedup_index crash-replay pattern)."""
+        from starknet_indexer_spark.streaming import state_table
+
+        docs = _docs(spark)
+        index = str(tmp_path / "idx")
+        pairs = str(tmp_path / "pairs")
+        mi.apply_batch(spark, docs, index, pairs, epoch_token="ns:0")
+        gens = {
+            s: state_table.current_gen(f"{index}/{s}")
+            for s in ("fingerprints", "bands")
+        }
+        before = _rows(mi.read_pairs(spark, pairs))
+        mi.apply_batch(spark, docs, index, pairs, epoch_token="ns:0")
+        assert _rows(mi.read_pairs(spark, pairs)) == before
+        for s in ("fingerprints", "bands"):
+            assert state_table.current_gen(f"{index}/{s}") == gens[s]
+
+    def test_partial_fold_crash_replay_heals(self, spark, tmp_path):
+        """Crash between the bands fold and the fingerprints fold (the
+        one window unique to this module's fold order): on replay the
+        batch is still novel (fingerprints key the anti-join), the
+        bands merge short-circuits on its token, and the final pair
+        set equals the batch recompute — the 'orphan bands self-heal'
+        claim, exercised."""
+        from starknet_indexer_spark.streaming import state_table
+
+        docs = _docs(spark)
+        index = str(tmp_path / "idx")
+        pairs = str(tmp_path / "pairs")
+        evens = docs.filter(F.col("doc_id") % 2 == 0)
+        mi.apply_batch(spark, evens, index, pairs, epoch_token="ns:0")
+
+        odds = docs.filter(F.col("doc_id") % 2 == 1)
+        # simulate the crash: run the fold but abort AFTER the bands
+        # merge by making the fingerprints merge raise once
+        real_merge = state_table.merge_batch
+        calls = {"n": 0}
+
+        def crashing_merge(spark_, state_dir, *a, **kw):
+            if state_dir.endswith("fingerprints") and calls["n"] == 0:
+                calls["n"] += 1
+                raise RuntimeError("injected crash before fps fold")
+            return real_merge(spark_, state_dir, *a, **kw)
+
+        import starknet_indexer_spark.streaming.media_index as mi_mod
+
+        orig = mi_mod.state_table.merge_batch
+        mi_mod.state_table.merge_batch = crashing_merge
+        try:
+            try:
+                mi.apply_batch(spark, odds, index, pairs, epoch_token="ns:1")
+                raise AssertionError("injected crash did not fire")
+            except RuntimeError:
+                pass
+        finally:
+            mi_mod.state_table.merge_batch = orig
+        # replay the epoch — must heal to the full-corpus pair set
+        mi.apply_batch(spark, odds, index, pairs, epoch_token="ns:1")
+        want = _rows(
+            multimodal_phash_near_dup(spark, SF).select(
+                "a_id", "b_id", "hamming"
+            )
+        )
+        assert _rows(mi.read_pairs(spark, pairs).distinct()) == want
+
+
 class TestOnlineCrossModalAudit:
     def test_audit_equals_batch_query(self, spark, tmp_path):
         """Both pair indexes maintained over the same two-batch split;
