@@ -39,9 +39,19 @@ WINDOW = 50
 #: so the existing evidence hash no longer reflects HEAD.  They jump the
 #: staleness queue (right behind never-verified queries) until a fresh
 #: row lands, at which point they should be removed from this set.
-#: (Empty since r9: ohlc_hourly got its fresh row under the r7 struct
-#: ordering key in CORRECTNESS_r08.)
-FORCE_FRONT: frozenset[str] = frozenset()
+#: Round 11 (VERDICT r10 mandate #1): the 8 queries whose physical plans
+#: changed in r10 (GEMM kernel reroutes, pair-artifact read, BIGINT graph
+#: keys) but whose latest driver evidence predates the change.
+FORCE_FRONT: frozenset[str] = frozenset({
+    "mmr_diverse_topk",
+    "ann_topk_cosine",
+    "hard_negative_mining",
+    "ann_recall_eval",
+    "ann_ndcg_eval",
+    "lsh_dedup_recall_eval",
+    "knn_graph_triangles",
+    "graph_pagerank",
+})
 
 
 def repo_root() -> str:
