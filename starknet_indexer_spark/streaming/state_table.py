@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -311,15 +312,17 @@ def write_epoch_pairs(df: DataFrame, pairs_dir: str, epoch_token: str | None) ->
     dedup/containment/media index protocol): a replayed epoch REWRITES
     its own ``epoch=<token>`` subdir instead of appending duplicates.
     ONE definition of the partition-key sanitization (code-review r10
-    — three copies had grown): os.sep and ':' cannot appear in a path
-    component, '=' would corrupt partition discovery. A token-less
-    direct call gets a unique subdir (plain at-least-once semantics —
-    without a token there is nothing to make a replay idempotent
-    against)."""
+    — three copies had grown), and it must be INJECTIVE (ADVICE r10):
+    a lossy map (':' and '=' both to '-') lets two distinct epoch
+    tokens collide onto one subdir, so the later epoch's overwrite
+    deletes the earlier epoch's pairs. Percent-encoding is collision-
+    free, path-safe (no os.sep/':'/'=' survive), and matches Spark's
+    own partition-value escaping, so a partition-discovery read
+    returns the raw token. A token-less direct call gets a unique
+    subdir (plain at-least-once semantics — without a token there is
+    nothing to make a replay idempotent against)."""
     if epoch_token is not None:
-        sub = (
-            epoch_token.replace(os.sep, "_").replace(":", "-").replace("=", "-")
-        )
+        sub = urllib.parse.quote(epoch_token, safe="")
     else:
         sub = f"adhoc-{os.urandom(8).hex()}"
     df.write.mode("overwrite").parquet(os.path.join(pairs_dir, f"epoch={sub}"))

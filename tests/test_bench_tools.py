@@ -1,5 +1,31 @@
 
 
+def test_headline_rotation_invariants():
+    """ADVICE r10: HEADLINE_ROTATED was policy documentation only —
+    enforce the mechanical invariants so future edits cannot silently
+    violate the budget policy: rotated queries are absent from
+    HEADLINE, every name (both lists) is registered, and neither list
+    holds duplicates. Rotated queries keep full correctness coverage
+    via the registry, so registration is the load-bearing check."""
+    from bench import HEADLINE, HEADLINE_ROTATED
+    from starknet_indexer_spark.queries import REGISTRY
+
+    assert len(HEADLINE) == len(set(HEADLINE))
+    assert len(HEADLINE_ROTATED) == len(set(HEADLINE_ROTATED))
+    assert not set(HEADLINE) & set(HEADLINE_ROTATED)
+    unregistered = [n for n in HEADLINE + HEADLINE_ROTATED if n not in REGISTRY]
+    assert not unregistered, unregistered
+    # rotated queries must still be plan-pinned: PLANS.md carries a
+    # fingerprint row for each (tests/test_plans.py pins the content;
+    # here we pin presence so a rotated query cannot drop out of the
+    # plan-hygiene surface entirely)
+    from bench import _plan_fps
+
+    fps = _plan_fps()
+    missing_fp = [n for n in HEADLINE_ROTATED if n not in fps]
+    assert not missing_fp, missing_fp
+
+
 def test_compact_stdout_line_fits_driver_tail_capture():
     """The driver parses the LAST line of a 2000-byte stdout tail; the
     compact line must fit the budget for any query count, keeping the

@@ -124,6 +124,49 @@ class TestLegacySchemaMigration:
             state_table.current_gen_dir(sets_dir)
         ).columns
 
+    def test_legacy_restore_at_checked_path_reprobes(self, spark, tmp_path):
+        """ADVICE r10: the migration memo must key on the live
+        GENERATION, not the bare path — a legacy-schema generation
+        restored at an already-confirmed state dir (backup restore, or
+        a temp path reused for a different state) must re-probe and
+        migrate instead of failing on the missing is_container
+        column."""
+        from starknet_indexer_spark.streaming import state_table
+
+        docs = _docs(spark)
+        index = str(tmp_path / "idx")
+        pairs = str(tmp_path / "pairs")
+        # two folds: the second one's migration probe confirms the
+        # (then-live) generation and memoizes the path
+        ci.apply_batch(spark, docs.filter(F.col("doc_id") % 2 == 0), index, pairs)
+        ci.apply_batch(spark, docs.filter(F.col("doc_id") % 2 == 1), index, pairs)
+        assert _rows(ci.read_pairs(spark, pairs)) == _want(spark)
+
+        # "restore" a legacy-schema generation at the SAME path
+        sets_dir = os.path.join(index, "sets")
+        gen = state_table.current_gen_dir(sets_dir)
+        legacy = spark.read.parquet(gen).drop("is_container")
+        affected = [
+            r["bucket"] for r in legacy.select("bucket").distinct().collect()
+        ]
+        state_table.commit_generation(
+            sets_dir,
+            legacy,
+            affected=affected,
+            token=state_table.applied_token(sets_dir),
+        )
+        assert "is_container" not in spark.read.parquet(
+            state_table.current_gen_dir(sets_dir)
+        ).columns
+
+        # the next fold must re-probe (new generation != memoized one)
+        # and widen the restored state instead of crashing read/merge
+        ci.apply_batch(spark, docs.limit(0), index, pairs)
+        assert "is_container" in spark.read.parquet(
+            state_table.current_gen_dir(sets_dir)
+        ).columns
+        assert _rows(ci.read_pairs(spark, pairs)) == _want(spark)
+
 
 class TestStreaming:
     def test_stream_equals_batch_and_replay_noop(self, spark, tmp_path):
