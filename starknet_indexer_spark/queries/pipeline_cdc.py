@@ -106,6 +106,32 @@ def _cdc_chunks(docs: DataFrame) -> DataFrame:
     )
 
 
+def storage_ledger(per_hash: DataFrame) -> DataFrame:
+    """Corpus storage ledger from a (chunk_hash, n_copies, chunk_len)
+    relation — ONE definition shared by the batch ``cdc_chunk_dedup``
+    query and the streaming chunk ledger (streaming/cdc_ledger.py), so
+    stream == batch holds by shared code. Exact integer byte
+    accounting; one ppm rounding at the end."""
+    return per_hash.agg(
+        F.sum("n_copies").cast("bigint").alias("n_chunks"),
+        F.count(F.lit(1)).cast("bigint").alias("n_unique_chunks"),
+        F.sum(F.col("n_copies") * F.col("chunk_len"))
+        .cast("bigint")
+        .alias("total_bytes"),
+        F.sum((F.col("n_copies") - 1) * F.col("chunk_len"))
+        .cast("bigint")
+        .alias("dup_bytes"),
+        F.floor(
+            F.lit(1000000.0)
+            * F.sum((F.col("n_copies") - 1) * F.col("chunk_len"))
+            / F.greatest(F.sum(F.col("n_copies") * F.col("chunk_len")), F.lit(1))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("savings_ppm"),
+    )
+
+
 @register(
     "cdc_chunk_dedup",
     oracle=f"""
@@ -179,21 +205,4 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_copies"),
         F.max("chunk_len").alias("chunk_len"),
     )
-    return per_hash.agg(
-        F.sum("n_copies").cast("bigint").alias("n_chunks"),
-        F.count(F.lit(1)).cast("bigint").alias("n_unique_chunks"),
-        F.sum(F.col("n_copies") * F.col("chunk_len"))
-        .cast("bigint")
-        .alias("total_bytes"),
-        F.sum((F.col("n_copies") - 1) * F.col("chunk_len"))
-        .cast("bigint")
-        .alias("dup_bytes"),
-        F.floor(
-            F.lit(1000000.0)
-            * F.sum((F.col("n_copies") - 1) * F.col("chunk_len"))
-            / F.greatest(F.sum(F.col("n_copies") * F.col("chunk_len")), F.lit(1))
-            + F.lit(0.5)
-        )
-        .cast("bigint")
-        .alias("savings_ppm"),
-    )
+    return storage_ledger(per_hash)
