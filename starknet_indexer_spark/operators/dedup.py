@@ -98,7 +98,15 @@ def word_shingles_expr(tokens: Column, n: int = 3) -> Column:
     return F.array_distinct(word_ngrams_expr(tokens, n))
 
 
-def shingle_relation(docs: DataFrame) -> DataFrame:
+def token_relation(docs: DataFrame) -> DataFrame:
+    """(doc_id, tokens array<string>) — the tokenization step alone,
+    exposed so a pipeline needing BOTH shingles and other token-level
+    derivations (span postings, quality flags) tokenizes once and
+    feeds every consumer."""
+    return docs.select("doc_id", tokens_expr(F.col("text")).alias("tokens"))
+
+
+def shingle_relation(docs: DataFrame, tokens: DataFrame | None = None) -> DataFrame:
     """THE shared shingle/fingerprint derivation (VERDICT r10 mandate
     #4): (doc_id, shingles array<string>, h array<bigint>) for a batch
     of (doc_id, text) rows. One tokenize -> shingle -> 60-bit-hash
@@ -107,8 +115,9 @@ def shingle_relation(docs: DataFrame) -> DataFrame:
     derives its sorted-distinct hash sets from ``h`` — so a pipeline
     folding a batch into several indexes computes the expensive text
     pass ONCE (cache this relation), and stream == batch holds by
-    shared code, not by parallel re-derivation."""
-    toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("tokens"))
+    shared code, not by parallel re-derivation. ``tokens`` — optional
+    pre-derived ``token_relation`` for the same batch."""
+    toks = tokens if tokens is not None else token_relation(docs)
     sh = toks.filter(F.size("tokens") >= 3).select(
         "doc_id", word_shingles_expr(F.col("tokens")).alias("shingles")
     )

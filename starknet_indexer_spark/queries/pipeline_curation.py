@@ -163,7 +163,10 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _drop_list_oracle() -> str:
+def _drop_list_ctes() -> str:
+    """The dedup_drop_list CTE chain ending in ``decisions`` (doc_id,
+    reason, keep, kept_by) — shared by the base oracle and the
+    span-composed oracle (dedup_drop_list_spans)."""
     from .pipeline_setjoin import (
         CONTAINMENT_MIN_SET,
         _CT_DEN,
@@ -171,8 +174,7 @@ def _drop_list_oracle() -> str:
         _SETJOIN_EX_SQL,
     )
 
-    return f"""
-    WITH RECURSIVE {_SETJOIN_EX_SQL},
+    return f"""{_SETJOIN_EX_SQL},
     sized AS (
       SELECT doc_id, token,
              COUNT(*) OVER (PARTITION BY doc_id) AS n
@@ -237,24 +239,90 @@ def _drop_list_oracle() -> str:
       JOIN near_rel cn ON cn.doc_id = c.container
                       AND cn.survivor = c.container
       GROUP BY c.doc_id
+    ),
+    decisions AS (
+      SELECT e.doc_id,
+             CASE WHEN e.canonical_id <> e.doc_id THEN 'exact_dup'
+                  WHEN n.survivor <> e.doc_id THEN 'near_dup'
+                  WHEN ct.container IS NOT NULL THEN 'contained'
+                  ELSE 'kept' END AS reason,
+             (CASE WHEN e.canonical_id <> e.doc_id THEN 'exact_dup'
+                   WHEN n.survivor <> e.doc_id THEN 'near_dup'
+                   WHEN ct.container IS NOT NULL THEN 'contained'
+                   ELSE 'kept' END) = 'kept' AS keep,
+             CAST(CASE WHEN e.canonical_id <> e.doc_id THEN e.canonical_id
+                       WHEN n.survivor <> e.doc_id THEN n.survivor
+                       WHEN ct.container IS NOT NULL THEN ct.container
+                       ELSE e.doc_id END AS BIGINT) AS kept_by
+      FROM exact_rel e
+      JOIN near_rel n USING (doc_id)
+      LEFT JOIN contained_kept ct USING (doc_id)
+    )""".format(minhash=_minhash_oracle())
+
+
+def _drop_list_oracle() -> str:
+    return (
+        f"WITH RECURSIVE {_drop_list_ctes()}"
+        " SELECT doc_id, reason, keep, kept_by FROM decisions"
     )
-    SELECT e.doc_id,
-           CASE WHEN e.canonical_id <> e.doc_id THEN 'exact_dup'
-                WHEN n.survivor <> e.doc_id THEN 'near_dup'
-                WHEN ct.container IS NOT NULL THEN 'contained'
-                ELSE 'kept' END AS reason,
-           (CASE WHEN e.canonical_id <> e.doc_id THEN 'exact_dup'
-                 WHEN n.survivor <> e.doc_id THEN 'near_dup'
-                 WHEN ct.container IS NOT NULL THEN 'contained'
-                 ELSE 'kept' END) = 'kept' AS keep,
-           CAST(CASE WHEN e.canonical_id <> e.doc_id THEN e.canonical_id
-                     WHEN n.survivor <> e.doc_id THEN n.survivor
-                     WHEN ct.container IS NOT NULL THEN ct.container
-                     ELSE e.doc_id END AS BIGINT) AS kept_by
-    FROM exact_rel e
-    JOIN near_rel n USING (doc_id)
-    LEFT JOIN contained_kept ct USING (doc_id)
-    """.format(minhash=_minhash_oracle())
+
+
+#: span-drop window (tokens) — narrower than the repeated_span_fraction
+#: metric's SPAN_N=8: the drop stage asks "is this KEPT doc mostly
+#: boilerplate shared with other kept docs", and at this corpus scale
+#: kept docs share 4-grams, not 8-grams (same calibration argument as
+#: SPAN_N itself vs Lee et al.'s ~50)
+SPAN_DROP_N = 4
+#: drop threshold: >= 20% of token positions covered by spans whose
+#: first kept occurrence lies in another kept document
+SPAN_DROP_PPM = 200_000
+
+
+def _span_drop_ctes() -> str:
+    """Keeper-restricted first-occurrence span evidence over the
+    ``decisions`` CTE (sp_-prefixed to avoid collisions with the
+    drop-list chain), ending in ``sp_drop`` (doc_id, ptr)."""
+    from .pipeline_dedup import _OCC_KEY_BASE, _TOKS_SQL
+
+    n = SPAN_DROP_N
+    return f"""sp_toks AS (
+      SELECT t.doc_id, t.tokens
+      FROM ({_TOKS_SQL}) t
+      JOIN decisions dk ON dk.doc_id = t.doc_id AND dk.reason = 'kept'
+      WHERE len(t.tokens) >= {n}
+    ),
+    sp_occ AS (
+      SELECT doc_id, t.i AS i,
+             ('0x' || substr(md5(array_to_string(tokens[t.i:t.i + {n - 1}],
+                                                 ' ')), 1, 15))::BIGINT AS gh
+      FROM sp_toks, UNNEST(range(1, len(tokens) - {n - 2})) AS t(i)
+    ),
+    sp_firsts AS (
+      SELECT gh, MIN(doc_id * {_OCC_KEY_BASE} + i) AS fk FROM sp_occ GROUP BY gh
+    ),
+    sp_ext AS (
+      SELECT o.doc_id, o.i, f.fk // {_OCC_KEY_BASE} AS first_doc
+      FROM sp_occ o JOIN sp_firsts f USING (gh)
+      WHERE f.fk // {_OCC_KEY_BASE} <> o.doc_id
+    ),
+    sp_cov AS (
+      SELECT DISTINCT e.doc_id, p.pos
+      FROM sp_ext e, UNNEST(range(e.i, e.i + {n})) AS p(pos)
+    ),
+    sp_stats AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+      FROM sp_cov GROUP BY doc_id
+    ),
+    sp_ptr AS (
+      SELECT doc_id, MIN(first_doc) AS ptr FROM sp_ext GROUP BY doc_id
+    ),
+    sp_drop AS (
+      SELECT t.doc_id, p.ptr
+      FROM sp_toks t
+      JOIN sp_stats s USING (doc_id)
+      JOIN sp_ptr p USING (doc_id)
+      WHERE s.n_dup * 1000000 // len(t.tokens) >= {SPAN_DROP_PPM}
+    )"""
 
 
 @register(
@@ -333,4 +401,149 @@ def dedup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         reason.alias("reason"),
         (reason == "kept").alias("keep"),
         kept_by.cast("bigint").alias("kept_by"),
+    )
+
+
+def span_drop_evidence(
+    decisions: DataFrame, occ: DataFrame, meta: DataFrame
+) -> DataFrame:
+    """(doc_id, ptr) — kept docs dropped by span evidence, from a
+    (doc_id, reason, ...) decision relation, a (doc_id, i, gh)
+    span-occurrence relation at the SPAN_DROP_N window, and a
+    (doc_id, n_tokens) denominator relation. ONE definition shared by
+    the batch composition below (occ/meta derived from raw text) and
+    the streaming drop list (occ/meta read from the maintained span
+    postings + meta states — streaming/span_index.py), so
+    stream == batch holds by shared code.
+
+    Semantics (the containment-stage precedent, applied to spans): a
+    span counts as duplicated for doc d only when its FIRST occurrence
+    — MIN over the (doc_id, i) fold, computed over KEPT docs only —
+    lies in ANOTHER kept document. The doc that introduced a span
+    never gets dropped by it (no casualty can drop its own survivor,
+    no mutual keeper wipe-out of the earliest copy), and
+    self-repetition is excluded (the repetition_score domain). A kept
+    doc whose coverage under such spans reaches SPAN_DROP_PPM drops
+    with reason span_dup; ptr = the earliest kept doc holding a first
+    occurrence of one of its duplicated spans (the auditable
+    kept_by)."""
+    from .pipeline_dedup import _OCC_KEY_BASE
+
+    keepers = decisions.filter(F.col("reason") == "kept").select("doc_id")
+    occ = occ.join(keepers, "doc_id")
+    okey = F.col("doc_id") * F.lit(_OCC_KEY_BASE) + F.col("i")
+    firsts = occ.groupBy("gh").agg(F.min(okey).alias("fk"))
+    first_doc = F.expr(f"fk DIV {_OCC_KEY_BASE}")
+    ext = (
+        occ.join(firsts, "gh")
+        .withColumn("first_doc", first_doc)
+        .filter(F.col("first_doc") != F.col("doc_id"))
+    )
+    # ext feeds TWO branches (coverage + pointer) — one materialization
+    ext = ext.select("doc_id", "i", "first_doc").localCheckpoint(eager=False)
+    covered = (
+        ext.select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(i, i + {SPAN_DROP_N - 1})")).alias(
+                "pos"
+            ),
+        )
+        .distinct()
+    )
+    stats = covered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup")
+    )
+    ptr = ext.groupBy("doc_id").agg(F.min("first_doc").alias("ptr"))
+    return (
+        meta.select("doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"))
+        .join(stats, "doc_id")
+        .join(ptr, "doc_id")
+        .filter(
+            F.expr(f"n_dup * 1000000 DIV n_tokens >= {SPAN_DROP_PPM}")
+        )
+        .select("doc_id", "ptr")
+    )
+
+
+@register(
+    "dedup_drop_list_spans",
+    oracle=f"""
+    WITH RECURSIVE {{ctes}},
+    {{span_ctes}}
+    SELECT d.doc_id,
+           CASE WHEN d.reason <> 'kept' THEN d.reason
+                WHEN sd.doc_id IS NOT NULL THEN 'span_dup'
+                ELSE 'kept' END AS reason,
+           (CASE WHEN d.reason <> 'kept' THEN d.reason
+                 WHEN sd.doc_id IS NOT NULL THEN 'span_dup'
+                 ELSE 'kept' END) = 'kept' AS keep,
+           CAST(CASE WHEN d.reason <> 'kept' THEN d.kept_by
+                     WHEN sd.doc_id IS NOT NULL THEN sd.ptr
+                     ELSE d.doc_id END AS BIGINT) AS kept_by
+    FROM decisions d LEFT JOIN sp_drop sd USING (doc_id)
+    """.format(ctes=_drop_list_ctes(), span_ctes=_span_drop_ctes()),
+    doc="The dedup drop list composed with the FOURTH dedup evidence "
+    "source — substring-span duplication (Lee et al. 2022), the "
+    "fraction substring-level dedup cuts on. Priority: exact_dup > "
+    "near_dup > contained > span_dup > kept. The span stage drops a "
+    f"kept doc when >= {SPAN_DROP_PPM} ppm of its token positions are "
+    f"covered by {SPAN_DROP_N}-token spans whose FIRST occurrence "
+    "(min (doc_id, position) fold, computed over KEPT docs only — the "
+    "containment stage's keeper-restriction precedent) lies in "
+    "another kept document: the doc that introduced a span is never "
+    "dropped by it, self-repetition is excluded, and near-dup "
+    "casualties cannot drop their own survivor. kept_by = the "
+    "earliest kept doc holding a first occurrence of one of the "
+    "dropped doc's duplicated spans. Scale shape: the three base "
+    "evidence relations keep their verified plans; the span stage "
+    "adds one map-side span projection over keepers, a span-keyed "
+    "first-occurrence agg, and a bounded x-window coverage explode — "
+    "the repeated_span_fraction shape, keeper-filtered.",
+)
+def dedup_drop_list_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import token_relation
+    from .pipeline_dedup import span_occurrences
+
+    # decisions feeds TWO branches (keeper filter inside the span
+    # stage + the final decision join) — one materialization
+    decisions = dedup_drop_list(spark, sf_dir).localCheckpoint(eager=False)
+    toks = token_relation(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    ).filter(F.size("tokens") >= SPAN_DROP_N)
+    occ = span_occurrences(toks, SPAN_DROP_N)
+    meta = toks.select(
+        "doc_id", F.size("tokens").cast("bigint").alias("n_tokens")
+    )
+    dropped = span_drop_evidence(decisions, occ, meta)
+    return compose_span_decisions(decisions, dropped)
+
+
+def compose_span_decisions(decisions: DataFrame, dropped: DataFrame) -> DataFrame:
+    """Apply (doc_id, ptr) span drops to a decision relation at the
+    lowest priority — shared by the batch query above and the
+    streaming drop list."""
+    return (
+        decisions.join(
+            F.broadcast(dropped.withColumnRenamed("doc_id", "sd_id")),
+            decisions["doc_id"] == F.col("sd_id"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("reason") != "kept", F.col("reason"))
+            .when(F.col("sd_id").isNotNull(), F.lit("span_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("reason2"),
+            F.when(F.col("reason") != "kept", F.col("kept_by"))
+            .when(F.col("sd_id").isNotNull(), F.col("ptr"))
+            .otherwise(F.col("doc_id"))
+            .cast("bigint")
+            .alias("kept_by"),
+        )
+        .select(
+            "doc_id",
+            F.col("reason2").alias("reason"),
+            (F.col("reason2") == "kept").alias("keep"),
+            "kept_by",
+        )
     )

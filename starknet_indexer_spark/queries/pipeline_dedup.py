@@ -706,6 +706,30 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_N = 8
 
 
+def span_occurrences(toks: DataFrame, span_n: int = SPAN_N) -> DataFrame:
+    """(doc_id, i, gh) — one row per ``span_n``-token window position,
+    gh = the 60-bit hash of the window text. ONE definition shared by
+    the two batch span queries and the maintained span index
+    (streaming/span_index.py), so stream == batch holds by shared
+    code. Precondition: ``toks`` is (doc_id, tokens) already filtered
+    to size(tokens) >= span_n (kept outside so each caller's plan is
+    unchanged)."""
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(tokens) - {span_n - 1}), i ->"
+                f" struct(i AS i, array_join(slice(tokens, i, {span_n}), ' ')"
+                " AS gram))"
+            )
+        ).alias("o"),
+    ).select(
+        "doc_id",
+        F.col("o.i").alias("i"),
+        md5_hash60_expr(F.col("o.gram")).alias("gh"),
+    )
+
+
 @register(
     "repeated_span_fraction",
     oracle=f"""
@@ -754,20 +778,7 @@ def repeated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", tokens_expr(F.col("text")).alias("tokens")
     ).filter(F.size("tokens") >= SPAN_N)
-    occ = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(tokens) - {SPAN_N - 1}), i ->"
-                f" struct(i AS i, array_join(slice(tokens, i, {SPAN_N}), ' ')"
-                " AS gram))"
-            )
-        ).alias("o"),
-    ).select(
-        "doc_id",
-        F.col("o.i").alias("i"),
-        md5_hash60_expr(F.col("o.gram")).alias("gh"),
-    )
+    occ = span_occurrences(toks)
     dup = (
         occ.groupBy("gh")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -881,20 +892,7 @@ def substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("tokens"))
     spannable = toks.filter(F.size("tokens") >= SPAN_N)
-    occ = spannable.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(tokens) - {SPAN_N - 1}), i ->"
-                f" struct(i AS i, array_join(slice(tokens, i, {SPAN_N}), ' ')"
-                " AS gram))"
-            )
-        ).alias("o"),
-    ).select(
-        "doc_id",
-        F.col("o.i").alias("i"),
-        md5_hash60_expr(F.col("o.gram")).alias("gh"),
-    )
+    occ = span_occurrences(spannable)
     okey = F.col("doc_id") * F.lit(_OCC_KEY_BASE) + F.col("i")
     firsts = occ.groupBy("gh").agg(F.min(okey).alias("fk"))
     dupocc = occ.join(firsts, "gh").filter(okey != F.col("fk"))

@@ -55,9 +55,11 @@ from ..operators.dedup import (
     drop_decision_exprs,
     shingle_relation,
     survivor_fold_expr,
+    token_relation,
 )
 from ..operators.graph import connected_components
-from . import containment_index, dedup_index, state_table
+from ..queries.pipeline_curation import SPAN_DROP_N
+from . import containment_index, dedup_index, span_index, state_table
 
 _LOG = logging.getLogger(__name__)
 
@@ -69,6 +71,7 @@ _DEDUP_IDX = "dedup_index"
 _DEDUP_PAIRS = "dedup_pairs"
 _CONT_IDX = "containment_index"
 _CONT_PAIRS = "containment_pairs"
+_SPAN_IDX = "span_index"
 
 
 def apply_batch(
@@ -76,6 +79,7 @@ def apply_batch(
     docs: DataFrame,
     root: str,
     epoch_token: str | None = None,
+    with_spans: bool = False,
 ) -> None:
     """Fold one (doc_id, text) micro-batch into all three indexes.
 
@@ -87,14 +91,21 @@ def apply_batch(
     (VERDICT r10 mandate #4): the MinHash fold reads (shingles, h),
     the containment fold reads h, so the deployment-shape cost per
     batch is the containment fold plus band/meta bookkeeping, not
-    three independent text derivations."""
+    three independent text derivations.
+
+    ``with_spans=True`` additionally folds the substring-span postings
+    (streaming/span_index.py at the SPAN_DROP_N drop window, VERDICT
+    r10 mandate #6) off the same shared tokenization, enabling the
+    fourth evidence source in ``drop_list(with_spans=True)``. The flag
+    must be STABLE across batches for a given state dir."""
     cols = ["doc_id", "text"] + (
         ["n_chars"] if "n_chars" in docs.columns else []
     )
     # cache + unpersist in finally (the dedup_index discipline): a
     # long-running stream must not leak pinned blocks between GCs
     docs = docs.select(*cols).cache()
-    prepared = shingle_relation(docs).cache()
+    toks = token_relation(docs).cache() if with_spans else None
+    prepared = shingle_relation(docs, tokens=toks).cache()
     try:
         dedup_index.apply_batch(
             spark,
@@ -117,6 +128,15 @@ def apply_batch(
             container_pred=lambda d: F.lit(True),
             prepared=prepared,
         )
+        if with_spans:
+            span_index.apply_batch(
+                spark,
+                docs,
+                os.path.join(root, _SPAN_IDX),
+                epoch_token=epoch_token,
+                span_n=SPAN_DROP_N,
+                tokens=toks,
+            )
         # n_chars: prefer the corpus column when the feed carries it
         # (the batch dedup_survivors tie-break reads documents.n_chars);
         # fall back to length(text) otherwise. The fallback is only
@@ -156,12 +176,20 @@ def apply_batch(
         )
     finally:
         prepared.unpersist()
+        if toks is not None:
+            toks.unpersist()
         docs.unpersist()
 
 
-def drop_list(spark: SparkSession, root: str) -> DataFrame:
+def drop_list(
+    spark: SparkSession, root: str, with_spans: bool = False
+) -> DataFrame:
     """Current (doc_id, reason, keep, kept_by) decision relation —
-    the batch dedup_drop_list semantics derived from maintained state."""
+    the batch dedup_drop_list semantics derived from maintained state.
+    ``with_spans=True`` composes the fourth evidence source (the batch
+    dedup_drop_list_spans semantics) from the maintained span postings
+    — requires the state to have been folded with
+    ``apply_batch(..., with_spans=True)``."""
     meta = state_table.read_state(spark, os.path.join(root, _META), _META_DDL).select(
         "doc_id", "h", "n_chars"
     )
@@ -218,12 +246,29 @@ def drop_list(spark: SparkSession, root: str) -> DataFrame:
         F.col("survivor"),
         F.col("container"),
     )
-    return base.select(
+    decisions = base.select(
         "doc_id",
         reason.alias("reason"),
         (reason == "kept").alias("keep"),
         kept_by.cast("bigint").alias("kept_by"),
     )
+    if not with_spans:
+        return decisions
+    from ..queries.pipeline_curation import (
+        compose_span_decisions,
+        span_drop_evidence,
+    )
+
+    # decisions feeds TWO branches (the keeper filter inside the span
+    # stage + the final composition join) — one materialization
+    decisions = decisions.localCheckpoint(eager=False)
+    span_root = os.path.join(root, _SPAN_IDX)
+    dropped = span_drop_evidence(
+        decisions,
+        span_index.read_postings(spark, span_root).select("doc_id", "i", "gh"),
+        span_index.read_meta(spark, span_root),
+    )
+    return compose_span_decisions(decisions, dropped)
 
 
 def stream_drop_list(
@@ -233,6 +278,7 @@ def stream_drop_list(
     checkpoint_dir: str,
     schema=None,
     max_files_per_trigger: int = 1,
+    with_spans: bool = False,
 ):
     """Structured Streaming driver: document rows arriving in
     ``feed_dir`` maintain all three indexes per micro-batch; read the
@@ -265,7 +311,9 @@ def stream_drop_list(
         feed_dir,
         root,
         checkpoint_dir,
-        lambda batch_df, token: apply_batch(spark, batch_df, root, epoch_token=token),
+        lambda batch_df, token: apply_batch(
+            spark, batch_df, root, epoch_token=token, with_spans=with_spans
+        ),
         schema=feed_schema,
         select_cols=cols,
         max_files_per_trigger=max_files_per_trigger,

@@ -1,0 +1,196 @@
+"""Continuously-maintained substring-span postings (VERDICT r10 #6).
+
+The fourth dedup evidence source — substring-level duplication
+(queries/pipeline_dedup.repeated_span_fraction and the Lee et al. 2022
+rewrite) — had no maintained-state counterpart: the streaming drop
+list composed only exact/near/containment evidence. This module folds
+the SPAN-HASH POSTINGS per micro-batch so every substring-level
+derivation is readable at any moment without re-tokenizing the corpus:
+
+- ``root/postings``: (gh, doc_id, i) — one row per span-window
+  occurrence, keyed by the full triple (occurrences are a pure
+  function of the text, so redelivery merges to the identical rows —
+  no novelty guard needed), bucketed on xxhash64(gh) so gh-keyed
+  derivations prune buckets;
+- ``root/meta``: (doc_id, n_tokens) — the per-doc denominator.
+
+Fold order: postings BEFORE meta. Both merges are idempotent
+(dedup-by-key), so a crash between them replays safely in either
+order; postings-first keeps the invariant that any doc visible in
+``meta`` has its postings committed (a read never sees a denominator
+without its numerator evidence).
+
+``span_fraction`` derives the registered ``repeated_span_fraction``
+relation from state (same shared ``span_occurrences`` expression at
+fold time, same dup/coverage algebra at read time) — the stream==batch
+contract pinned in tests/test_span_index.py. The drop-list composition
+(keeper-restricted first-occurrence evidence) reads ``read_postings``
+/ ``read_meta`` directly — see streaming/drop_list.py.
+
+The window width ``span_n`` parameterizes the index and is baked into
+the folded postings — it must be STABLE across batches for a given
+state dir (the role-predicate convention of containment_index).
+
+Scale shape: the postings state is O(total tokens) rows of three
+integers — the documented price of substring-level dedup (the
+suffix-array equivalent for a fixed window); at 100 TB the fold's only
+shuffle is the bucket merge (batch-sized), and read-time derivations
+shuffle the postings relation (ids and hashes, never text), with the
+gh-keyed aggregates pruned by the band buckets.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import token_relation
+from ..queries.pipeline_dedup import SPAN_N, span_occurrences
+from . import state_table
+
+N_BUCKETS = 8
+
+_POSTINGS = "postings"
+_META = "span_meta"
+_POSTINGS_DDL = "gh bigint, doc_id bigint, i int"
+_META_DDL = "doc_id bigint, n_tokens bigint"
+
+
+def apply_batch(
+    spark: SparkSession,
+    docs: DataFrame,
+    root: str,
+    epoch_token: str | None = None,
+    span_n: int = SPAN_N,
+    tokens: DataFrame | None = None,
+) -> None:
+    """Fold one (doc_id, text) micro-batch into the span postings.
+
+    ``tokens`` — optional pre-derived ``token_relation`` for the same
+    batch (the shared-derivation protocol of drop_list.apply_batch)."""
+    postings_state = os.path.join(root, _POSTINGS)
+    meta_state = os.path.join(root, _META)
+    if epoch_token is not None and (
+        state_table.applied_token(postings_state) == epoch_token
+        and state_table.applied_token(meta_state) == epoch_token
+    ):
+        return
+
+    toks = (
+        (tokens if tokens is not None else token_relation(docs))
+        .filter(F.size("tokens") >= span_n)
+        .cache()
+    )
+    try:
+        occ = span_occurrences(toks, span_n).select(
+            "gh", "doc_id", F.col("i").cast("int").alias("i")
+        )
+        state_table.merge_batch(
+            spark,
+            postings_state,
+            occ.dropDuplicates(["gh", "doc_id", "i"]),
+            lambda df: df.dropDuplicates(["gh", "doc_id", "i"]),
+            ["gh", "doc_id", "i"],
+            [],
+            F.pmod(F.xxhash64("gh"), F.lit(N_BUCKETS)).cast("int"),
+            _POSTINGS_DDL,
+            token=epoch_token,
+        )
+        meta = toks.select(
+            "doc_id", F.size("tokens").cast("bigint").alias("n_tokens")
+        )
+        state_table.merge_batch(
+            spark,
+            meta_state,
+            meta.dropDuplicates(["doc_id"]),
+            lambda df: df.dropDuplicates(["doc_id"]),
+            ["doc_id"],
+            ["n_tokens"],
+            F.pmod(F.xxhash64("doc_id"), F.lit(N_BUCKETS)).cast("int"),
+            _META_DDL,
+            token=epoch_token,
+        )
+    finally:
+        toks.unpersist()
+
+
+def read_postings(spark: SparkSession, root: str) -> DataFrame:
+    """Current (gh, doc_id, i) occurrence relation."""
+    return state_table.read_state(
+        spark, os.path.join(root, _POSTINGS), _POSTINGS_DDL
+    ).select("gh", "doc_id", "i")
+
+
+def read_meta(spark: SparkSession, root: str) -> DataFrame:
+    """Current (doc_id, n_tokens) relation (docs >= span_n tokens)."""
+    return state_table.read_state(
+        spark, os.path.join(root, _META), _META_DDL
+    ).select("doc_id", "n_tokens")
+
+
+def span_fraction(spark: SparkSession, root: str, span_n: int = SPAN_N) -> DataFrame:
+    """Current (doc_id, n_tokens, n_dup_tokens, dup_ppm) relation —
+    the registered ``repeated_span_fraction`` semantics derived from
+    maintained state: a span is duplicated when it occurs in >= 2
+    distinct documents; coverage is the distinct token positions under
+    duplicated spans."""
+    occ = read_postings(spark, root)
+    dup = (
+        occ.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    covered = (
+        occ.join(dup, "gh")
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(i, i + {span_n - 1})")).alias("pos"),
+        )
+        .distinct()
+    )
+    perdoc = covered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_tokens")
+    )
+    return (
+        read_meta(spark, root)
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_dup_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_tokens"),
+            F.expr(
+                "CAST(COALESCE(n_dup_tokens, 0) * 1000000"
+                " DIV n_tokens AS BIGINT)"
+            ).alias("dup_ppm"),
+        )
+    )
+
+
+def stream_span_index(
+    spark: SparkSession,
+    feed_dir: str,
+    root: str,
+    checkpoint_dir: str,
+    schema=None,
+    span_n: int = SPAN_N,
+    max_files_per_trigger: int = 1,
+):
+    """Structured Streaming driver: document rows arriving in
+    ``feed_dir`` maintain the span postings per micro-batch."""
+    return state_table.stream_maintain_with(
+        spark,
+        feed_dir,
+        root,
+        checkpoint_dir,
+        lambda batch_df, token: apply_batch(
+            spark, batch_df, root, epoch_token=token, span_n=span_n
+        ),
+        schema=schema,
+        select_cols=["doc_id", "text"],
+        max_files_per_trigger=max_files_per_trigger,
+    )
