@@ -400,6 +400,10 @@ def _train_ivfpq(
     from ..operators.clustering import kmeans_assign, kmeans_centroids
 
     emb = load(spark, sf_dir, "embeddings")
+    # NOT silver.spread here: training is a chain of many small
+    # shuffling jobs (centroid rounds, assign, residuals), so a
+    # rebalance ahead of them measured as a net cold LOSS (r11 probe:
+    # +0.4-0.8 s) — unlike the map-heavy silver build it helps
     vecs = emb.select("vec_id", quantize_expr(F.col("embedding")).alias("qv"))
     init = vecs.filter(F.col("vec_id") < IVF_CELLS).select(
         F.col("vec_id").alias("cluster_id"), F.col("qv").alias("cv")

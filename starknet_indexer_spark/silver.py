@@ -60,6 +60,24 @@ def clear_cache() -> None:
     shutil.rmtree(SILVER_CACHE_ROOT, ignore_errors=True)
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism.
+
+    The offline builders (silver, pair artifact, k-means/PQ training)
+    run expensive map-side derivations straight off a table scan. The
+    test corpora are SINGLE parquet files with one row group, so that
+    scan stage is one task — the whole tokenize/shingle/quantize pass
+    on one of 32 cores. A ~600 KB shuffle buys full parallelism for
+    the build. Every build output is a set-semantics relation with
+    integer-exact arithmetic, so results are partitioning-invariant
+    (pinned by the cached-vs-retrained equality tests). At deployment
+    the input is already thousands of files and this repartition is a
+    cheap no-op-sized rebalance. Registered QUERY plans never call
+    this — their fingerprints measure the declared plan, not build
+    plumbing."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def build_decontam_grams(docs: DataFrame) -> DataFrame:
     """(doc_id, source, gh): each document's DISTINCT hashed
     {DECONTAM_N}-word n-grams — the relation decontamination probes
@@ -114,7 +132,10 @@ def materialize_silver(
     if incremental and os.path.isdir(sh_path):
         existing = spark.read.parquet(sh_path).select("doc_id")
         docs = docs.join(existing, "doc_id", "left_anti")
-    docs = docs.localCheckpoint(eager=False)  # feeds two derivations
+    # spread() BEFORE the checkpoint: the corpus arrives as one scan
+    # task (single-file test corpus) and the shingle/gram derivations
+    # are the expensive pass — materialize them across all cores
+    docs = spread(docs).localCheckpoint(eager=False)  # feeds two derivations
     # sh is already lazily checkpointed inside build_silver_relations,
     # so the count, the write, and the band derivation all read one
     # materialization

@@ -79,6 +79,11 @@ def apply_batch(
     # row is a document version, not an occurrence), and docs already
     # folded in an earlier epoch are excluded — chunk counts are
     # additive, so this is what makes redelivery safe across epochs
+    # partitioning note: the feed batch arrives as one file -> one scan
+    # task, but dropDuplicates shuffles to the session's shuffle
+    # partitions, so the chunker downstream already runs wide — no
+    # extra rebalance needed (contrast silver.spread in the map-only
+    # index folds)
     novel = (
         docs.select("doc_id", "text")
         .dropDuplicates(["doc_id"])

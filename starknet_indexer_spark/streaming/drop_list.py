@@ -102,7 +102,11 @@ def apply_batch(
         ["n_chars"] if "n_chars" in docs.columns else []
     )
     # cache + unpersist in finally (the dedup_index discipline): a
-    # long-running stream must not leak pinned blocks between GCs
+    # long-running stream must not leak pinned blocks between GCs.
+    # NOT silver.spread here: at micro-batch size the fold is many
+    # small jobs, and a rebalance ahead of them measured ~1.3x SLOWER
+    # (r11 probe — task overhead dominates 1,000-doc batches); a
+    # deployment with big batches would rebalance in the feed reader
     docs = docs.select(*cols).cache()
     toks = token_relation(docs).cache() if with_spans else None
     prepared = shingle_relation(docs, tokens=toks).cache()
