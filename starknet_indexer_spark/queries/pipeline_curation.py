@@ -505,12 +505,16 @@ def dedup_drop_list_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline_dedup import span_occurrences
 
     # decisions feeds TWO branches (keeper filter inside the span
-    # stage + the final decision join) — one materialization
+    # stage + the final decision join); toks feeds occ AND meta; occ
+    # feeds firsts AND the ext join — one materialization each, or the
+    # corpus tokenize/span-explode pass executes ~3x (code-review r11)
     decisions = dedup_drop_list(spark, sf_dir).localCheckpoint(eager=False)
-    toks = token_relation(
-        load(spark, sf_dir, "documents").select("doc_id", "text")
-    ).filter(F.size("tokens") >= SPAN_DROP_N)
-    occ = span_occurrences(toks, SPAN_DROP_N)
+    toks = (
+        token_relation(load(spark, sf_dir, "documents").select("doc_id", "text"))
+        .filter(F.size("tokens") >= SPAN_DROP_N)
+        .localCheckpoint(eager=False)
+    )
+    occ = span_occurrences(toks, SPAN_DROP_N).localCheckpoint(eager=False)
     meta = toks.select(
         "doc_id", F.size("tokens").cast("bigint").alias("n_tokens")
     )
@@ -521,10 +525,13 @@ def dedup_drop_list_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def compose_span_decisions(decisions: DataFrame, dropped: DataFrame) -> DataFrame:
     """Apply (doc_id, ptr) span drops to a decision relation at the
     lowest priority — shared by the batch query above and the
-    streaming drop list."""
+    streaming drop list. No broadcast hint on the dropped side: its
+    size is corpus-dependent (any fraction of kept docs can cross the
+    coverage threshold), so the join strategy is left to AQE instead
+    of forcing an unbounded collect (code-review r11)."""
     return (
         decisions.join(
-            F.broadcast(dropped.withColumnRenamed("doc_id", "sd_id")),
+            dropped.withColumnRenamed("doc_id", "sd_id"),
             decisions["doc_id"] == F.col("sd_id"),
             "left",
         )

@@ -61,21 +61,27 @@ def clear_cache() -> None:
 
 
 def spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to the session's default parallelism.
+    """Rebalance a NARROW scan to the session's default parallelism
+    before one wide map pass — a no-op when the input is already at
+    least that parallel.
 
-    The offline builders (silver, pair artifact, k-means/PQ training)
-    run expensive map-side derivations straight off a table scan. The
-    test corpora are SINGLE parquet files with one row group, so that
-    scan stage is one task — the whole tokenize/shingle/quantize pass
-    on one of 32 cores. A ~600 KB shuffle buys full parallelism for
-    the build. Every build output is a set-semantics relation with
-    integer-exact arithmetic, so results are partitioning-invariant
-    (pinned by the cached-vs-retrained equality tests). At deployment
-    the input is already thousands of files and this repartition is a
-    cheap no-op-sized rebalance. Registered QUERY plans never call
-    this — their fingerprints measure the declared plan, not build
-    plumbing."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    The bulk silver build runs its expensive tokenize/shingle pass
+    straight off a table scan, and the test corpora are SINGLE
+    parquet files with one row group — one task, one of 32 cores. A
+    corpus-sized shuffle ahead of ONE wide map pass is a measured win
+    there (~20% off the warm build). It is NOT free: skip it when the
+    scan is already parallel (many-file deployment inputs), and never
+    use it ahead of a chain of small shuffling jobs (k-means/PQ
+    training) or inside micro-batch folds — both measured as net
+    losses (SCALE.md 6t). Build outputs are set-semantics relations
+    with integer-exact arithmetic, so results are partitioning-
+    invariant (pinned by the cached-vs-retrained equality tests).
+    Registered QUERY plans never call this — their fingerprints
+    measure the declared plan, not build plumbing."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= want:
+        return df
+    return df.repartition(want)
 
 
 def build_decontam_grams(docs: DataFrame) -> DataFrame:
@@ -119,13 +125,17 @@ def materialize_silver(
     docs: DataFrame,
     silver_dir: str,
     incremental: bool = True,
+    rebalance: bool = True,
 ) -> dict[str, int]:
     """Write (or incrementally extend) the silver relations.
 
     ``incremental=True`` is the ingest-time maintenance mode: documents
     whose doc_id is already present in ``doc_shingles`` are skipped, so
     appending a feed batch costs one anti-join plus the derivation of
-    only the NOVEL documents. Returns rows written per table."""
+    only the NOVEL documents. Returns rows written per table.
+    ``rebalance=False`` skips the bulk-build spread() — the right mode
+    for micro-batch folds, where a per-batch shuffle measured as a net
+    loss (SCALE.md 6t; stream_materialize passes it)."""
     sh_path = os.path.join(silver_dir, "doc_shingles")
     bands_path = os.path.join(silver_dir, "minhash_bands")
     grams_path = os.path.join(silver_dir, "decontam_grams")
@@ -135,7 +145,9 @@ def materialize_silver(
     # spread() BEFORE the checkpoint: the corpus arrives as one scan
     # task (single-file test corpus) and the shingle/gram derivations
     # are the expensive pass — materialize them across all cores
-    docs = spread(docs).localCheckpoint(eager=False)  # feeds two derivations
+    if rebalance:
+        docs = spread(docs)
+    docs = docs.localCheckpoint(eager=False)  # feeds two derivations
     # sh is already lazily checkpointed inside build_silver_relations,
     # so the count, the write, and the band derivation all read one
     # materialization
@@ -288,7 +300,7 @@ def stream_materialize(
         silver_dir,
         checkpoint_dir,
         lambda batch_df, _token: materialize_silver(
-            spark, batch_df, silver_dir, incremental=True
+            spark, batch_df, silver_dir, incremental=True, rebalance=False
         ),
         schema=schema,
         select_cols=["doc_id", "source", "text"],

@@ -267,6 +267,17 @@ def drop_list(
     # stage + the final composition join) — one materialization
     decisions = decisions.localCheckpoint(eager=False)
     span_root = os.path.join(root, _SPAN_IDX)
+    # the documented contract, enforced loudly (code-review r11): a
+    # state never folded with with_spans=True would silently read
+    # typed-empty postings and return the base three-source decisions
+    if state_table.current_gen_dir(
+        os.path.join(span_root, span_index._POSTINGS)
+    ) is None:
+        raise RuntimeError(
+            f"drop_list(with_spans=True): no span postings state under "
+            f"{span_root!r} — fold batches with "
+            f"apply_batch(..., with_spans=True) first."
+        )
     dropped = span_drop_evidence(
         decisions,
         span_index.read_postings(spark, span_root).select("doc_id", "i", "gh"),

@@ -10,9 +10,23 @@ derivation is readable at any moment without re-tokenizing the corpus:
 - ``root/postings``: (gh, doc_id, i) — one row per span-window
   occurrence, keyed by the full triple (occurrences are a pure
   function of the text, so redelivery merges to the identical rows —
-  no novelty guard needed), bucketed on xxhash64(gh) so gh-keyed
-  derivations prune buckets;
-- ``root/meta``: (doc_id, n_tokens) — the per-doc denominator.
+  no novelty guard needed), bucketed by doc_id RANGE;
+- ``root/meta``: (doc_id, n_tokens) — the per-doc denominator, same
+  bucketing.
+
+Bucketing rationale (code-review r11): the postings state is
+O(total corpus tokens) — far larger than the per-doc states — and the
+generation merge unions + rewrites every AFFECTED bucket. A hash
+bucket key (gh or doc_id hash) makes any batch affect ALL buckets, so
+every fold would rewrite the whole postings relation. doc_id-range
+buckets align with how corpora actually arrive (crawl feeds assign
+mostly increasing ids), so a micro-batch touches the one or two
+ranges its ids fall in and the fold cost tracks the affected ranges,
+not corpus history; untouched ranges carry forward as hardlinks. An
+adversarially id-scattered batch degrades to the hash behavior —
+documented, not hidden. Read-time derivations scan all postings
+either way (the dup aggregate groups by gh), so nothing is lost on
+the read side.
 
 Fold order: postings BEFORE meta. Both merges are idempotent
 (dedup-by-key), so a crash between them replays safely in either
@@ -33,10 +47,10 @@ state dir (the role-predicate convention of containment_index).
 
 Scale shape: the postings state is O(total tokens) rows of three
 integers — the documented price of substring-level dedup (the
-suffix-array equivalent for a fixed window); at 100 TB the fold's only
-shuffle is the bucket merge (batch-sized), and read-time derivations
-shuffle the postings relation (ids and hashes, never text), with the
-gh-keyed aggregates pruned by the band buckets.
+suffix-array equivalent for a fixed window). The fold shuffles the
+batch once for the merge and rewrites only the doc_id ranges the
+batch lands in (see bucketing rationale above); read-time derivations
+shuffle the postings relation (ids and hashes, never text).
 """
 
 from __future__ import annotations
@@ -50,12 +64,20 @@ from ..operators.dedup import token_relation
 from ..queries.pipeline_dedup import SPAN_N, span_occurrences
 from . import state_table
 
-N_BUCKETS = 8
+#: doc_ids per state bucket (non-negative ids assumed, the corpus
+#: convention) — a crawl batch of sequential ids touches
+#: ceil(batch/RANGE)+1 buckets; the fixture corpora (5e2-5e3 docs)
+#: span a handful, exercising multi-bucket merges under test
+BUCKET_RANGE = 2048
 
 _POSTINGS = "postings"
 _META = "span_meta"
 _POSTINGS_DDL = "gh bigint, doc_id bigint, i int"
 _META_DDL = "doc_id bigint, n_tokens bigint"
+
+#: doc_id-range bucket expression (see module docstring)
+def _bucket():
+    return F.expr(f"CAST(doc_id DIV {BUCKET_RANGE} AS INT)")
 
 
 def apply_batch(
@@ -94,7 +116,7 @@ def apply_batch(
             lambda df: df.dropDuplicates(["gh", "doc_id", "i"]),
             ["gh", "doc_id", "i"],
             [],
-            F.pmod(F.xxhash64("gh"), F.lit(N_BUCKETS)).cast("int"),
+            _bucket(),
             _POSTINGS_DDL,
             token=epoch_token,
         )
@@ -108,7 +130,7 @@ def apply_batch(
             lambda df: df.dropDuplicates(["doc_id"]),
             ["doc_id"],
             ["n_tokens"],
-            F.pmod(F.xxhash64("doc_id"), F.lit(N_BUCKETS)).cast("int"),
+            _bucket(),
             _META_DDL,
             token=epoch_token,
         )

@@ -323,6 +323,17 @@ def write_epoch_pairs(df: DataFrame, pairs_dir: str, epoch_token: str | None) ->
     nothing to make a replay idempotent against)."""
     if epoch_token is not None:
         sub = urllib.parse.quote(epoch_token, safe="")
+        # encoding migration (code-review r11): a replay of an epoch
+        # whose pairs were written under the PRE-percent-encoding
+        # sanitization must supersede that dir, not duplicate it —
+        # remove the legacy-named dir when it differs
+        legacy = (
+            epoch_token.replace(os.sep, "_").replace(":", "-").replace("=", "-")
+        )
+        if legacy != sub:
+            shutil.rmtree(
+                os.path.join(pairs_dir, f"epoch={legacy}"), ignore_errors=True
+            )
     else:
         sub = f"adhoc-{os.urandom(8).hex()}"
     df.write.mode("overwrite").parquet(os.path.join(pairs_dir, f"epoch={sub}"))
@@ -349,10 +360,22 @@ def stream_maintain_with(
     from ..ingest import checkpoint_marker_ns
     from .epochs import epoch_idempotent
 
+    if schema is None:
+        # a file-source stream needs a schema up front; inferring it
+        # from an empty/missing feed dir must fail as a clear contract
+        # error in the SHARED driver, not per caller (code-review r11
+        # generalizing the r10 ADVICE fix)
+        try:
+            schema = spark.read.parquet(feed_dir).schema
+        except Exception as exc:
+            raise RuntimeError(
+                f"stream_maintain_with: cannot infer the feed schema "
+                f"from {feed_dir!r} (empty or missing at stream start). "
+                f"Pass schema= explicitly to start before the first "
+                f"feed file lands."
+            ) from exc
     reader = spark.readStream
-    reader = reader.schema(
-        schema if schema is not None else spark.read.parquet(feed_dir).schema
-    )
+    reader = reader.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.parquet(feed_dir)

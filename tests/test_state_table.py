@@ -135,6 +135,44 @@ class TestCrashPoints:
         assert _rows(ohlc.read_state(spark, state)) == before
 
 
+def test_epoch_pairs_encoding_is_injective_and_migrates_legacy(spark, tmp_path):
+    """ADVICE r10 + code-review r11: distinct epoch tokens must land in
+    distinct subdirs (the old ':'/'=' -> '-' map collided them), and a
+    replay of an epoch whose pairs were written under the PRE-percent-
+    encoding scheme must supersede the legacy dir, not duplicate it."""
+    pairs = str(tmp_path / "pairs")
+    one = spark.createDataFrame([(1, 2)], "a_id long, b_id long")
+    two = spark.createDataFrame([(3, 4)], "a_id long, b_id long")
+    # collision-prone pair of tokens under the old scheme
+    state_table.write_epoch_pairs(one, pairs, "ns:0")
+    state_table.write_epoch_pairs(two, pairs, "ns=0")
+    got = sorted(map(str, spark.read.parquet(pairs).select("a_id", "b_id").collect()))
+    assert len(got) == 2  # both epochs' pairs visible, no overwrite
+    # legacy-dir migration: simulate a pre-upgrade write of epoch ns:7
+    legacy_dir = os.path.join(pairs, "epoch=ns-7")
+    one.write.mode("overwrite").parquet(legacy_dir)
+    state_table.write_epoch_pairs(two, pairs, "ns:7")  # the upgrade replay
+    assert not os.path.isdir(legacy_dir)
+    ep7 = spark.read.parquet(pairs).where("a_id = 3").count()
+    assert ep7 == 2  # ns=0 and ns:7 rows; the legacy ns:7 copy is gone
+
+
+def test_stream_maintain_with_empty_feed_raises_contract_error(spark, tmp_path):
+    """Code-review r11 (generalizing ADVICE r10): schema inference from
+    an empty feed dir must fail as a clear contract error in the SHARED
+    stream driver, not an opaque AnalysisException per caller."""
+    import pytest
+
+    with pytest.raises(RuntimeError, match="cannot infer the feed schema"):
+        state_table.stream_maintain_with(
+            spark,
+            str(tmp_path / "missing_feed"),
+            str(tmp_path / "state"),
+            str(tmp_path / "ck"),
+            lambda df, tok: None,
+        )
+
+
 def test_retention_widens_the_gc_grace_window(spark, tmp_path):
     """retention=N keeps the N most recently superseded generations on
     disk across commits (lazy readers up to N flips behind stay safe),
