@@ -116,26 +116,18 @@ _BM25_CTES = f"""
     )"""
 
 
-def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(query_id, doc_id, n_terms_matched, score_micro, rank) —
-    Spark twin of the ``bm25_ranked`` oracle CTE."""
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", tokens_expr(F.col("text")).alias("t")
-    )
-    dl = docs.select("doc_id", F.size("t").cast("long").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").cast("long").alias("total_dl")
-    )
-    tok = docs.select(
-        "doc_id", F.size("t").cast("long").alias("dl"), F.explode("t").alias("term")
-    ).filter(F.col("term").isin(_TERM_SET))
-    tf = tok.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
-    )
-    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    qt = spark.createDataFrame(_QUERY_TERMS, "query_id bigint, term string")
-    # Expression structure mirrors the oracle token-for-token so both
-    # engines evaluate the same IEEE double sequence before rounding.
+def bm25_rank_postings(
+    tf: DataFrame, dfq: DataFrame, qt: DataFrame, stats: DataFrame
+) -> DataFrame:
+    """(query_id, doc_id, n_terms_matched, score_micro, rank) from a
+    (doc_id, term, tf, dl) posting relation, a (term, df) document-
+    frequency relation, a (query_id, term) query map, and a one-row
+    (n_docs, total_dl) stats relation. ONE definition of the Okapi
+    scoring/ranking algebra — shared by the registered batch query and
+    the maintained segment-log index (streaming/retrieval_index.py),
+    so stream == batch holds by shared code. Expression structure
+    mirrors the oracle token-for-token so both engines evaluate the
+    same IEEE double sequence before the micro-unit rounding."""
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
     norm = (F.col("tf") * 2.2) / (
         F.col("tf")
@@ -157,6 +149,27 @@ def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("query_id").orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
     return agg.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, n_terms_matched, score_micro, rank) —
+    Spark twin of the ``bm25_ranked`` oracle CTE."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", tokens_expr(F.col("text")).alias("t")
+    )
+    dl = docs.select("doc_id", F.size("t").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").cast("long").alias("total_dl")
+    )
+    tok = docs.select(
+        "doc_id", F.size("t").cast("long").alias("dl"), F.explode("t").alias("term")
+    ).filter(F.col("term").isin(_TERM_SET))
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qt = spark.createDataFrame(_QUERY_TERMS, "query_id bigint, term string")
+    return bm25_rank_postings(tf, dfq, qt, stats)
 
 
 @register(

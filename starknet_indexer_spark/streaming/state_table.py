@@ -307,7 +307,12 @@ def merge_batch(
         partial.unpersist()
 
 
-def write_epoch_pairs(df: DataFrame, pairs_dir: str, epoch_token: str | None) -> None:
+def write_epoch_pairs(
+    df: DataFrame,
+    pairs_dir: str,
+    epoch_token: str | None,
+    partition_by: list[str] | None = None,
+) -> None:
     """Epoch-keyed overwrite for discovered-pair outputs (the
     dedup/containment/media index protocol): a replayed epoch REWRITES
     its own ``epoch=<token>`` subdir instead of appending duplicates.
@@ -336,7 +341,13 @@ def write_epoch_pairs(df: DataFrame, pairs_dir: str, epoch_token: str | None) ->
             )
     else:
         sub = f"adhoc-{os.urandom(8).hex()}"
-    df.write.mode("overwrite").parquet(os.path.join(pairs_dir, f"epoch={sub}"))
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        # segment-internal layout (e.g. the retrieval index's
+        # term_bucket): probes prune sub-partitions of every epoch
+        # segment; the epoch dir itself stays the overwrite unit
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(os.path.join(pairs_dir, f"epoch={sub}"))
 
 
 def stream_maintain_with(

@@ -1,0 +1,130 @@
+"""Maintained segment-log BM25 index: ranking derived from the index
+== the registered bm25_topk batch query under any batch split;
+redelivery (same-epoch replay, cross-epoch resend, crash between the
+segment write and the doc_len fold) never double-counts; stream
+restart is a no-op; term_bucket pruning reaches the scan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from starknet_indexer_spark.catalog import load
+from starknet_indexer_spark.queries.retrieval import _QUERY_TERMS, bm25_topk
+from starknet_indexer_spark.streaming import retrieval_index as ri
+from starknet_indexer_spark.streaming import state_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(map(str, df.collect()))
+
+
+def _docs(spark):
+    return load(spark, SF, "documents").select("doc_id", "text")
+
+
+def _want(spark):
+    return _rows(bm25_topk(spark, SF))
+
+
+def _got(spark, root):
+    return _rows(ri.bm25_topk_from_index(spark, root, _QUERY_TERMS))
+
+
+class TestIndexEqualsBatch:
+    def test_sequential_batches_equal_batch_query(self, spark, tmp_path):
+        docs = _docs(spark)
+        root = str(tmp_path / "root")
+        for i in range(3):
+            ri.apply_batch(spark, docs.filter(F.col("doc_id") % 3 == i), root)
+        got = _got(spark, root)
+        want = _want(spark)
+        assert got == want
+        assert want  # fixture queries actually match documents
+
+    def test_cross_epoch_redelivery_absorbed(self, spark, tmp_path):
+        """tf/df are additive — the doc_len novelty guard must absorb
+        documents redelivered in a LATER epoch."""
+        docs = _docs(spark)
+        root = str(tmp_path / "root")
+        ri.apply_batch(spark, docs.filter(F.col("doc_id") % 2 == 0), root)
+        ri.apply_batch(spark, docs, root)  # evens redelivered
+        assert _got(spark, root) == _want(spark)
+
+    def test_same_epoch_replay_short_circuits(self, spark, tmp_path):
+        docs = _docs(spark)
+        root = str(tmp_path / "root")
+        ri.apply_batch(spark, docs, root, epoch_token="ns:0")
+        gen = state_table.current_gen(f"{root}/{ri._DOC_LEN}")
+        ri.apply_batch(spark, docs, root, epoch_token="ns:0")
+        assert state_table.current_gen(f"{root}/{ri._DOC_LEN}") == gen
+        assert _got(spark, root) == _want(spark)
+
+    def test_crash_between_segment_and_fold_replay_is_exact(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Crash AFTER the segment write, BEFORE the doc_len fold: the
+        replayed epoch must REWRITE its own segment (idempotent) and
+        complete the fold — no duplicate postings, no lost segment."""
+        docs = _docs(spark)
+        root = str(tmp_path / "root")
+        ri.apply_batch(spark, docs.filter(F.col("doc_id") % 2 == 0), root,
+                       epoch_token="ns:0")
+
+        real = state_table.merge_batch
+
+        def crashing(*a, **kw):
+            raise RuntimeError("injected crash before doc_len fold")
+
+        monkeypatch.setattr(state_table, "merge_batch", crashing)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            ri.apply_batch(spark, docs, root, epoch_token="ns:1")
+        monkeypatch.setattr(state_table, "merge_batch", real)
+
+        ri.apply_batch(spark, docs, root, epoch_token="ns:1")  # replay
+        assert _got(spark, root) == _want(spark)
+        # a later full resend is absorbed by the now-complete guard
+        ri.apply_batch(spark, docs, root, epoch_token="ns:2")
+        assert _got(spark, root) == _want(spark)
+
+    def test_term_bucket_pruning_reaches_scan(self, spark, tmp_path):
+        """The probe's term_bucket filter must prune segment
+        sub-partitions — PartitionFilters in the scan node."""
+        docs = _docs(spark)
+        root = str(tmp_path / "root")
+        ri.apply_batch(spark, docs, root)
+        plan = ri.bm25_topk_from_index(
+            spark, root, _QUERY_TERMS
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "term_bucket" in plan
+
+
+class TestStreaming:
+    def test_stream_equals_batch_and_replay_noop(self, spark, tmp_path):
+        docs = _docs(spark)
+        feed = str(tmp_path / "feed")
+        root = str(tmp_path / "root")
+        ck = str(tmp_path / "ck")
+        for i in range(2):
+            docs.filter(F.col("doc_id") % 2 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(feed)
+        q = ri.stream_retrieval_index(
+            spark, feed, root, ck, max_files_per_trigger=1
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        want = _want(spark)
+        assert _got(spark, root) == want
+        q2 = ri.stream_retrieval_index(
+            spark, feed, root, ck, max_files_per_trigger=1
+        )
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        assert _got(spark, root) == want
