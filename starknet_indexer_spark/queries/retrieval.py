@@ -151,6 +151,25 @@ def bm25_rank_postings(
     return agg.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
+def bm25_topk_projection(ranked: DataFrame, top_k: int = TOP_K) -> DataFrame:
+    """Final top-k filter + micro-unit -> score projection over a
+    ``bm25_rank_postings`` result — ONE definition shared by the batch
+    query and the maintained index probe, so the output shape (and any
+    future precision change) cannot diverge between them."""
+    return (
+        ranked.filter(F.col("rank") <= top_k)
+        .select(
+            "query_id",
+            "doc_id",
+            "rank",
+            "n_terms_matched",
+            F.round(F.col("score_micro").cast("double") / 1000000, 6).alias(
+                "score"
+            ),
+        )
+    )
+
+
 def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, doc_id, n_terms_matched, score_micro, rank) —
     Spark twin of the ``bm25_ranked`` oracle CTE."""
@@ -194,17 +213,7 @@ def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sized join.",
 )
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _bm25_ranked(spark, sf_dir)
-        .filter(F.col("rank") <= TOP_K)
-        .select(
-            "query_id",
-            "doc_id",
-            "rank",
-            "n_terms_matched",
-            F.round(F.col("score_micro").cast("double") / 1000000, 6).alias("score"),
-        )
-    )
+    return bm25_topk_projection(_bm25_ranked(spark, sf_dir), TOP_K)
 
 
 @register(

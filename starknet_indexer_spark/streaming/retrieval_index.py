@@ -31,6 +31,15 @@ order would lose the segment with no self-heal (docs marked seen whose
 postings never landed). Same-epoch full replays short-circuit on the
 doc_len token.
 
+Read consistency (code-review r11): the segment log and the doc_len
+generation are TWO stores with no cross-store commit point, so a probe
+racing a fold can score an epoch's new postings against stats that
+still exclude those docs. Probes are snapshot-consistent BETWEEN
+folds — the single-writer + between-commits-reader contract every
+maintained state here documents; a deployment needing mid-fold probes
+adds a Lucene-style commit-point file naming the visible (segments,
+doc_len generation) pair.
+
 Equality contract (tests/test_retrieval_index.py): after any batch
 split of the corpus, ``bm25_topk_from_index`` == the registered batch
 ``bm25_topk`` on the same corpus — the scoring/ranking algebra is
@@ -38,11 +47,13 @@ literally the same function (queries.retrieval.bm25_rank_postings).
 
 Scale shape: the fold tokenizes only the batch (one map pass + one
 posting aggregate); segments accumulate like any log-structured index
-and compact under the existing maintenance story
-(maintenance.compact_table over segment dirs). A probe reads only the
-queried term buckets of each segment (partition pruning on
-term_bucket + min/max on term), the df/stats sides are tiny
-broadcasts, and ranking shuffles posting-list-sized relations only.
+and compact via ``compact_segments`` — a manifest-guarded rewrite of
+all epochs into one segment (the bucket-swap recovery pattern of
+maintenance.py, applied to the segment log; small-file growth is
+bounded by the compaction cadence). A probe reads only the queried
+term buckets of each segment (partition pruning on term_bucket), the
+df/stats sides are tiny broadcasts, and ranking shuffles posting-
+list-sized relations only.
 """
 
 from __future__ import annotations
@@ -53,7 +64,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import tokens_expr
-from ..queries.retrieval import TOP_K, bm25_rank_postings
+from ..queries.retrieval import TOP_K, bm25_rank_postings, bm25_topk_projection
 from . import state_table
 
 #: term-hash sub-partitions per segment (probe pruning unit)
@@ -77,6 +88,7 @@ def apply_batch(
     epoch_token: str | None = None,
 ) -> None:
     """Fold one (doc_id, text) micro-batch into the index."""
+    recover_compaction(root)  # writer-entry resume of a crashed compaction
     seg_dir = os.path.join(root, _SEGMENTS)
     dl_state = os.path.join(root, _DOC_LEN)
     if epoch_token is not None and state_table.applied_token(dl_state) == epoch_token:
@@ -118,18 +130,33 @@ def apply_batch(
         novel.unpersist()
 
 
-def read_postings(spark: SparkSession, root: str) -> DataFrame:
-    """(doc_id, term, tf, dl) — every segment's postings."""
+def read_postings(
+    spark: SparkSession, root: str, terms: list[str] | None = None
+) -> DataFrame:
+    """(doc_id, term, tf, dl) postings; typed-empty when no segment
+    has landed yet. ``terms`` prunes the read to those terms'
+    term_bucket sub-partitions (partition pruning before any data is
+    read) — the bucket ids come from one control-plane evaluation of
+    the SAME Spark-side hash the fold used (len(terms) rows; xxhash64
+    has no driver-side twin here)."""
     seg_dir = os.path.join(root, _SEGMENTS)
     if not os.path.isdir(seg_dir):
         return spark.createDataFrame(
             [], "doc_id bigint, term string, tf bigint, dl bigint"
         )
-    return (
-        spark.read.option("basePath", seg_dir)
-        .parquet(seg_dir)
-        .select("doc_id", "term", "tf", "dl")
-    )
+    base = spark.read.option("basePath", seg_dir).parquet(seg_dir)
+    if terms is not None:
+        buckets = [
+            r["b"]
+            for r in spark.createDataFrame([(t,) for t in terms], "term string")
+            .select(_term_bucket().alias("b"))
+            .distinct()
+            .collect()
+        ]
+        base = base.filter(F.col("term_bucket").isin(buckets)).filter(
+            F.col("term").isin(terms)
+        )
+    return base.select("doc_id", "term", "tf", "dl")
 
 
 def bm25_topk_from_index(
@@ -141,24 +168,7 @@ def bm25_topk_from_index(
     """BM25 top-k per query from the maintained index — the registered
     ``bm25_topk`` output shape, any term set."""
     terms = sorted({t for _, t in query_terms})
-    seg_dir = os.path.join(root, _SEGMENTS)
-    base = spark.read.option("basePath", seg_dir).parquet(seg_dir)
-    # term_bucket is a partition column: the isin filter prunes segment
-    # sub-dirs before any data is read. The bucket ids come from one
-    # control-plane evaluation of the SAME Spark-side hash the fold
-    # used (len(terms) rows — xxhash64 has no driver-side twin here)
-    buckets = [
-        r["b"]
-        for r in spark.createDataFrame([(t,) for t in terms], "term string")
-        .select(_term_bucket().alias("b"))
-        .distinct()
-        .collect()
-    ]
-    tf = (
-        base.filter(F.col("term_bucket").isin(buckets))
-        .filter(F.col("term").isin(terms))
-        .select("doc_id", "term", "tf", "dl")
-    )
+    tf = read_postings(spark, root, terms=terms)
     dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     dl = state_table.read_state(
         spark, os.path.join(root, _DOC_LEN), _DOC_LEN_DDL
@@ -168,19 +178,92 @@ def bm25_topk_from_index(
         F.sum("dl").cast("long").alias("total_dl"),
     )
     qt = spark.createDataFrame(list(query_terms), "query_id bigint, term string")
-    ranked = bm25_rank_postings(tf, dfq, qt, stats)
-    return (
-        ranked.filter(F.col("rank") <= top_k)
-        .select(
-            "query_id",
-            "doc_id",
-            "rank",
-            "n_terms_matched",
-            F.round(F.col("score_micro").cast("double") / 1000000, 6).alias(
-                "score"
-            ),
-        )
+    return bm25_topk_projection(bm25_rank_postings(tf, dfq, qt, stats), top_k)
+
+
+_COMPACT_MANIFEST = "_compact_manifest.json"
+
+
+def recover_compaction(root: str) -> None:
+    """Resume a crashed ``compact_segments`` — idempotent, cheap when
+    there is nothing to do. Every crash point leaves either the old
+    epochs or the compacted segment (or, transiently, both) readable;
+    this replays the remaining steps in order."""
+    import json
+    import shutil
+
+    seg_dir = os.path.join(root, _SEGMENTS)
+    mpath = os.path.join(seg_dir, _COMPACT_MANIFEST)
+    if not os.path.exists(mpath):
+        # orphan tmp dirs from a crash BEFORE the manifest landed are
+        # invisible to readers (dot-prefixed) — sweep them
+        if os.path.isdir(seg_dir):
+            for e in os.listdir(seg_dir):
+                if e.startswith(".compact-"):
+                    shutil.rmtree(os.path.join(seg_dir, e), ignore_errors=True)
+        return
+    with open(mpath) as f:
+        m = json.load(f)
+    tmp = os.path.join(seg_dir, m["tmp"])
+    final = os.path.join(seg_dir, m["final"])
+    if not os.path.isdir(final):
+        if os.path.isdir(tmp):
+            os.replace(tmp, final)
+        else:  # manifest from a cycle whose data never landed — abort it
+            os.remove(mpath)
+            return
+    for old in m["old"]:
+        shutil.rmtree(os.path.join(seg_dir, old), ignore_errors=True)
+    os.remove(mpath)
+
+
+def compact_segments(spark: SparkSession, root: str) -> int:
+    """Rewrite every epoch segment into ONE compacted segment (same
+    term_bucket layout) — the log-structured index's small-file
+    remedy. Returns the number of epoch dirs compacted away.
+
+    SINGLE-WRITER, BETWEEN FOLDS: call from the fold owner (e.g. a
+    maintenance tick), never while an epoch is mid-fold — at that
+    point the last epoch's doc_len token is committed, so a replay of
+    it short-circuits instead of re-writing a segment the compaction
+    already absorbed. Crash protocol (the manifest pattern): 1. write
+    the merged postings to an invisible ``.compact-<id>`` dir; 2.
+    fsync a manifest naming (tmp, final, old dirs); 3. rename tmp ->
+    ``epoch=compacted-<id>``; 4. delete the old epoch dirs; 5. delete
+    the manifest. ``recover_compaction`` resumes from any crash point;
+    readers between steps 3 and 4 transiently see duplicates — the
+    same between-commits reader contract as the fold itself."""
+    import json
+
+    recover_compaction(root)
+    seg_dir = os.path.join(root, _SEGMENTS)
+    if not os.path.isdir(seg_dir):
+        return 0
+    old = sorted(
+        e for e in os.listdir(seg_dir)
+        if e.startswith("epoch=") and os.path.isdir(os.path.join(seg_dir, e))
     )
+    if len(old) <= 1:
+        return 0
+    cid = os.urandom(8).hex()
+    tmp_name, final_name = f".compact-{cid}", f"epoch=compacted-{cid}"
+    merged = (
+        spark.read.option("basePath", seg_dir)
+        .parquet(seg_dir)
+        .select("doc_id", "term", "tf", "dl", "term_bucket")
+    )
+    merged.write.mode("overwrite").partitionBy("term_bucket").parquet(
+        os.path.join(seg_dir, tmp_name)
+    )
+    mpath = os.path.join(seg_dir, _COMPACT_MANIFEST)
+    tmp_m = mpath + ".tmp"
+    with open(tmp_m, "w") as f:
+        json.dump({"tmp": tmp_name, "final": final_name, "old": old}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp_m, mpath)
+    recover_compaction(root)  # steps 3-5 shared with crash recovery
+    return len(old)
 
 
 def stream_retrieval_index(

@@ -98,7 +98,96 @@ class TestIndexEqualsBatch:
         plan = ri.bm25_topk_from_index(
             spark, root, _QUERY_TERMS
         )._jdf.queryExecution().executedPlan().toString()
-        assert "term_bucket" in plan
+        # the filter must reach the scan as a PARTITION filter (directory
+        # pruning), not a post-scan data filter that merely mentions the
+        # column (code-review r11)
+        import re
+
+        m = re.search(r"PartitionFilters: \[[^\]]*term_bucket", plan)
+        assert m, plan[:2000]
+
+    def test_probe_on_empty_index_returns_typed_empty(self, spark, tmp_path):
+        """A probe before the first fold must degrade to an empty
+        top-k, not raise PATH_NOT_FOUND (code-review r11)."""
+        out = ri.bm25_topk_from_index(
+            spark, str(tmp_path / "nothing"), _QUERY_TERMS
+        )
+        assert out.count() == 0
+        assert set(out.columns) == {
+            "query_id", "doc_id", "rank", "n_terms_matched", "score"
+        }
+
+
+class TestCompaction:
+    def test_compaction_preserves_ranking_and_bounds_segments(
+        self, spark, tmp_path
+    ):
+        import os
+
+        docs = _docs(spark)
+        root = str(tmp_path / "root")
+        for i in range(3):
+            ri.apply_batch(spark, docs.filter(F.col("doc_id") % 3 == i), root)
+        want = _want(spark)
+        assert _got(spark, root) == want
+        n = ri.compact_segments(spark, root)
+        assert n == 3
+        seg_dir = os.path.join(root, ri._SEGMENTS)
+        epochs = [e for e in os.listdir(seg_dir) if e.startswith("epoch=")]
+        assert len(epochs) == 1 and epochs[0].startswith("epoch=compacted-")
+        assert _got(spark, root) == want
+        # compacting a compacted index is a no-op
+        assert ri.compact_segments(spark, root) == 0
+        # ... and later folds append fresh segments next to it: a
+        # post-compaction epoch must not double-count on replay
+        ri.apply_batch(spark, docs, root, epoch_token="ns:9")
+        ri.apply_batch(spark, docs, root, epoch_token="ns:9")
+        assert _got(spark, root) == want
+
+    def test_crashed_compaction_recovers_at_writer_entry(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Crash after the manifest lands but before the rename/deletes:
+        the next writer entry (a fold) must resume the compaction —
+        rename the tmp segment, drop the old epochs, remove the
+        manifest — with ranking unchanged."""
+        import json
+        import os
+
+        docs = _docs(spark)
+        root = str(tmp_path / "root")
+        for i in range(2):
+            ri.apply_batch(spark, docs.filter(F.col("doc_id") % 2 == i), root)
+        want = _want(spark)
+        seg_dir = os.path.join(root, ri._SEGMENTS)
+        originals = {
+            e for e in os.listdir(seg_dir) if e.startswith("epoch=")
+        }
+
+        # run compaction steps 1-2 only (crash before rename)
+        real = ri.recover_compaction
+        calls = {"n": 0}
+
+        def crash_after_manifest(r):
+            calls["n"] += 1
+            if calls["n"] == 2:  # the post-manifest resume inside compact
+                raise RuntimeError("injected crash before rename")
+            return real(r)
+
+        monkeypatch.setattr(ri, "recover_compaction", crash_after_manifest)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            ri.compact_segments(spark, root)
+        monkeypatch.setattr(ri, "recover_compaction", real)
+
+        assert os.path.exists(os.path.join(seg_dir, ri._COMPACT_MANIFEST))
+        # next fold resumes the compaction at entry (the fold itself
+        # appends its own — here empty — epoch segment afterwards)
+        ri.apply_batch(spark, docs.limit(0), root)
+        assert not os.path.exists(os.path.join(seg_dir, ri._COMPACT_MANIFEST))
+        epochs = {e for e in os.listdir(seg_dir) if e.startswith("epoch=")}
+        assert not (epochs & originals)  # pre-compaction segments gone
+        assert any(e.startswith("epoch=compacted-") for e in epochs)
+        assert _got(spark, root) == want
 
 
 class TestStreaming:
