@@ -251,6 +251,10 @@ def compact_segments(spark: SparkSession, root: str) -> int:
         spark.read.option("basePath", seg_dir)
         .parquet(seg_dir)
         .select("doc_id", "term", "tf", "dl", "term_bucket")
+        # cluster on the partition key so the compacted segment holds
+        # ~one file per term bucket (the silver repartition("gh")
+        # convention) instead of shuffle-partitions x buckets shards
+        .repartition("term_bucket")
     )
     merged.write.mode("overwrite").partitionBy("term_bucket").parquet(
         os.path.join(seg_dir, tmp_name)
