@@ -39,19 +39,11 @@ WINDOW = 50
 #: so the existing evidence hash no longer reflects HEAD.  They jump the
 #: staleness queue (right behind never-verified queries) until a fresh
 #: row lands, at which point they should be removed from this set.
-#: Round 11 (VERDICT r10 mandate #1): the 8 queries whose physical plans
-#: changed in r10 (GEMM kernel reroutes, pair-artifact read, BIGINT graph
-#: keys) but whose latest driver evidence predates the change.
-FORCE_FRONT: frozenset[str] = frozenset({
-    "mmr_diverse_topk",
-    "ann_topk_cosine",
-    "hard_negative_mining",
-    "ann_recall_eval",
-    "ann_ndcg_eval",
-    "lsh_dedup_recall_eval",
-    "knn_graph_triangles",
-    "graph_pagerank",
-})
+#: Round 12: empty — the 8 r10 plan-churned queries all landed fresh
+#: passing rows in CORRECTNESS_r11, so the staleness queue alone drives
+#: the window (VERDICT r11 mandate #1: front v17_staker_rewards + the
+#: r8 band).
+FORCE_FRONT: frozenset[str] = frozenset()
 
 
 def repo_root() -> str:
