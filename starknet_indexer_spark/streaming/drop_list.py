@@ -278,6 +278,11 @@ def drop_list(
             f"{span_root!r} — fold batches with "
             f"apply_batch(..., with_spans=True) first."
         )
+    # ... and the state must have been folded at THIS width (ADVICE
+    # r11): a state maintained by stream_span_index at another span_n
+    # would pass the existence check and silently expand coverage with
+    # the wrong window in span_drop_evidence's sequence()
+    span_index.check_span_n(span_root, SPAN_DROP_N)
     dropped = span_drop_evidence(
         decisions,
         span_index.read_postings(spark, span_root).select("doc_id", "i", "gh"),

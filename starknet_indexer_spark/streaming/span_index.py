@@ -44,6 +44,13 @@ contract pinned in tests/test_span_index.py. The drop-list composition
 The window width ``span_n`` parameterizes the index and is baked into
 the folded postings — it must be STABLE across batches for a given
 state dir (the role-predicate convention of containment_index).
+ADVICE r11: that contract is now ENFORCED, not just documented — the
+first fold persists ``span_n`` in a ``_span_n`` config file at the
+state root, and every later fold or width-dependent read asserts it
+matches (``check_span_n``); a mismatch (e.g. a drop-list composition
+at SPAN_DROP_N reading a state folded at the default SPAN_N) raises
+the same loud contract error as missing state instead of silently
+expanding coverage with the wrong window.
 
 Scale shape: the postings state is O(total tokens) rows of three
 integers — the documented price of substring-level dedup (the
@@ -74,6 +81,45 @@ _POSTINGS = "postings"
 _META = "span_meta"
 _POSTINGS_DDL = "gh bigint, doc_id bigint, i int"
 _META_DDL = "doc_id bigint, n_tokens bigint"
+_SPAN_N_FILE = "_span_n"
+
+
+def stored_span_n(root: str) -> int | None:
+    """Window width the state at ``root`` was folded with; None when
+    the state has never recorded one (no fold yet, or a pre-r12
+    state — tolerated on read, stamped by the next fold)."""
+    try:
+        with open(os.path.join(root, _SPAN_N_FILE)) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return None
+    except ValueError:
+        raise RuntimeError(
+            f"corrupt span-index width file {root}/{_SPAN_N_FILE}"
+        ) from None
+
+
+def check_span_n(root: str, span_n: int, stamp: bool = False) -> None:
+    """Assert ``span_n`` matches the width baked into the state at
+    ``root`` (ADVICE r11). ``stamp=True`` (fold path) records the
+    width on first use — write-then-rename so a crash cannot leave a
+    half-written file."""
+    stored = stored_span_n(root)
+    if stored is not None:
+        if stored != span_n:
+            raise RuntimeError(
+                f"span index at {root!r} was folded with span_n={stored}"
+                f" but span_n={span_n} was requested — the window width"
+                " is baked into the postings; use a separate state dir"
+                " per width."
+            )
+        return
+    if stamp:
+        os.makedirs(root, exist_ok=True)
+        tmp = os.path.join(root, _SPAN_N_FILE + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(str(span_n))
+        os.replace(tmp, os.path.join(root, _SPAN_N_FILE))
 
 #: doc_id-range bucket expression (see module docstring)
 def _bucket():
@@ -92,6 +138,7 @@ def apply_batch(
 
     ``tokens`` — optional pre-derived ``token_relation`` for the same
     batch (the shared-derivation protocol of drop_list.apply_batch)."""
+    check_span_n(root, span_n, stamp=True)
     postings_state = os.path.join(root, _POSTINGS)
     meta_state = os.path.join(root, _META)
     if epoch_token is not None and (
@@ -158,6 +205,7 @@ def span_fraction(spark: SparkSession, root: str, span_n: int = SPAN_N) -> DataF
     maintained state: a span is duplicated when it occurs in >= 2
     distinct documents; coverage is the distinct token positions under
     duplicated spans."""
+    check_span_n(root, span_n)
     occ = read_postings(spark, root)
     dup = (
         occ.groupBy("gh")

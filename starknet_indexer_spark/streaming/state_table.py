@@ -312,7 +312,7 @@ def write_epoch_pairs(
     pairs_dir: str,
     epoch_token: str | None,
     partition_by: list[str] | None = None,
-) -> None:
+) -> str:
     """Epoch-keyed overwrite for discovered-pair outputs (the
     dedup/containment/media index protocol): a replayed epoch REWRITES
     its own ``epoch=<token>`` subdir instead of appending duplicates.
@@ -325,7 +325,9 @@ def write_epoch_pairs(
     own partition-value escaping, so a partition-discovery read
     returns the raw token. A token-less direct call gets a unique
     subdir (plain at-least-once semantics — without a token there is
-    nothing to make a replay idempotent against)."""
+    nothing to make a replay idempotent against). Returns the epoch
+    dir path written, so callers that commit per-segment metadata
+    (retrieval_index's _committed marker) know the adhoc name too."""
     if epoch_token is not None:
         sub = urllib.parse.quote(epoch_token, safe="")
         # encoding migration (code-review r11): a replay of an epoch
@@ -335,10 +337,14 @@ def write_epoch_pairs(
         legacy = (
             epoch_token.replace(os.sep, "_").replace(":", "-").replace("=", "-")
         )
+        # gated on existence (ADVICE r11): legacy != sub for every real
+        # token, so an unconditional rmtree would issue a pointless
+        # filesystem delete per fold forever; the isdir check makes the
+        # one-time migration free once no pre-encoding dirs remain
         if legacy != sub:
-            shutil.rmtree(
-                os.path.join(pairs_dir, f"epoch={legacy}"), ignore_errors=True
-            )
+            legacy_dir = os.path.join(pairs_dir, f"epoch={legacy}")
+            if os.path.isdir(legacy_dir):
+                shutil.rmtree(legacy_dir, ignore_errors=True)
     else:
         sub = f"adhoc-{os.urandom(8).hex()}"
     writer = df.write.mode("overwrite")
@@ -347,7 +353,9 @@ def write_epoch_pairs(
         # term_bucket): probes prune sub-partitions of every epoch
         # segment; the epoch dir itself stays the overwrite unit
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(os.path.join(pairs_dir, f"epoch={sub}"))
+    epoch_dir = os.path.join(pairs_dir, f"epoch={sub}")
+    writer.parquet(epoch_dir)
+    return epoch_dir
 
 
 def stream_maintain_with(

@@ -106,3 +106,63 @@ class TestDropListWithSpans:
         assert _rows(dl.drop_list(spark, root)) == _rows(
             dedup_drop_list(spark, SF)
         )
+
+
+class TestSpanWidthContract:
+    """ADVICE r11: span_n is persisted at first fold and asserted at
+    fold and width-dependent read time."""
+
+    def test_fold_width_mismatch_raises(self, spark, tmp_path):
+        docs = _docs(spark)
+        root = str(tmp_path / "root")
+        si.apply_batch(spark, docs, root, span_n=8)
+        assert si.stored_span_n(root) == 8
+        import pytest
+
+        with pytest.raises(RuntimeError, match="span_n=8"):
+            si.apply_batch(spark, docs, root, span_n=4)
+
+    def test_read_width_mismatch_raises(self, spark, tmp_path):
+        docs = _docs(spark)
+        root = str(tmp_path / "root")
+        si.apply_batch(spark, docs, root, span_n=8)
+        import pytest
+
+        with pytest.raises(RuntimeError, match="span_n=8"):
+            si.span_fraction(spark, root, span_n=4)
+
+    def test_drop_list_rejects_foreign_width_state(self, spark, tmp_path):
+        """The exact ADVICE scenario: a span state maintained at the
+        default SPAN_N=8 passes the existence check, but the drop-list
+        composition (SPAN_DROP_N=4) must refuse it loudly instead of
+        expanding coverage with the wrong window."""
+        import os
+
+        import pytest
+
+        from starknet_indexer_spark.queries.pipeline_curation import SPAN_DROP_N
+
+        assert SPAN_DROP_N != 8  # the scenario requires distinct widths
+        docs = _docs(spark)
+        root = str(tmp_path / "root")
+        # base three-source state via the drop-list fold (no spans) ...
+        dl.apply_batch(spark, docs, root, with_spans=False)
+        # ... plus a span state folded at the WRONG width under the
+        # drop list's own span subdir
+        si.apply_batch(spark, docs, os.path.join(root, dl._SPAN_IDX), span_n=8)
+        with pytest.raises(RuntimeError, match="span_n=8"):
+            dl.drop_list(spark, root, with_spans=True)
+
+    def test_legacy_state_without_width_file_is_stamped(self, spark, tmp_path):
+        """A pre-r12 state (postings but no _span_n file) is tolerated
+        on read and stamped by the next fold."""
+        import os
+
+        docs = _docs(spark)
+        root = str(tmp_path / "root")
+        si.apply_batch(spark, docs.filter(F.col("doc_id") % 2 == 0), root, span_n=4)
+        os.remove(os.path.join(root, si._SPAN_N_FILE))
+        assert si.stored_span_n(root) is None
+        si.span_fraction(spark, root, span_n=4)  # read tolerated
+        si.apply_batch(spark, docs, root, span_n=4)  # fold stamps
+        assert si.stored_span_n(root) == 4
