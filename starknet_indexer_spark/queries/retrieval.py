@@ -412,6 +412,18 @@ def phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("term").isin(_PHRASE_TERMS)
     )
     ph = spark.createDataFrame(_PHRASES, "phrase_id long, t1 string, t2 string")
+    return phrase_match_from_positions(px, ph)
+
+
+def phrase_match_from_positions(px: DataFrame, ph: DataFrame) -> DataFrame:
+    """The positional-join phrase evaluation over any (doc_id, pos,
+    term) relation and a (phrase_id, t1, t2) phrase table — ONE
+    definition shared by the registered batch query above and the
+    maintained segment-log index probe (streaming/retrieval_index.
+    phrase_match_from_index), so stream == batch holds by shared
+    code. ``px`` should already be pruned to the phrases' vocabulary
+    (the caller owns where that filter lands — scan stage for the
+    batch query, term_bucket partition pruning for the index)."""
     a = px.select("doc_id", F.col("pos").alias("pos_a"), F.col("term").alias("t1"))
     b = px.select(
         "doc_id", F.col("pos").alias("pos_b"), F.col("term").alias("t2")

@@ -180,8 +180,8 @@ class TestCompaction:
         monkeypatch.setattr(ri, "recover_compaction", real)
 
         assert os.path.exists(os.path.join(seg_dir, ri._COMPACT_MANIFEST))
-        # next fold resumes the compaction at entry (the fold itself
-        # appends its own — here empty — epoch segment afterwards)
+        # next fold resumes the compaction at entry (an all-seen/empty
+        # batch writes NO segment of its own — ADVICE r11)
         ri.apply_batch(spark, docs.limit(0), root)
         assert not os.path.exists(os.path.join(seg_dir, ri._COMPACT_MANIFEST))
         epochs = {e for e in os.listdir(seg_dir) if e.startswith("epoch=")}
@@ -217,3 +217,236 @@ class TestStreaming:
         finally:
             q2.stop()
         assert _got(spark, root) == want
+
+
+class TestPositionalIndex:
+    """VERDICT r11 mandate #3: the segment log carries positional
+    postings, so phrase queries run off the maintained index — pinned
+    equal to the registered batch phrase_match, compaction preserving
+    positional ranking."""
+
+    def _phrase_want(self, spark):
+        from starknet_indexer_spark.queries.retrieval import phrase_match
+
+        return _rows(phrase_match(spark, SF))
+
+    def _phrase_got(self, spark, root):
+        from starknet_indexer_spark.queries.retrieval import _PHRASES
+
+        return _rows(ri.phrase_match_from_index(spark, root, _PHRASES))
+
+    def test_phrase_from_index_equals_batch(self, spark, tmp_path):
+        docs = _docs(spark)
+        root = str(tmp_path / "root")
+        for i in range(3):
+            ri.apply_batch(spark, docs.filter(F.col("doc_id") % 3 == i), root)
+        want = self._phrase_want(spark)
+        assert self._phrase_got(spark, root) == want
+        assert want  # fixture phrases actually match documents
+
+    def test_compaction_preserves_positional_ranking(self, spark, tmp_path):
+        docs = _docs(spark)
+        root = str(tmp_path / "root")
+        for i in range(3):
+            ri.apply_batch(spark, docs.filter(F.col("doc_id") % 3 == i), root)
+        want = self._phrase_want(spark)
+        assert ri.compact_segments(spark, root) == 3
+        assert self._phrase_got(spark, root) == want
+        # BM25 equality holds over the same compacted positional schema
+        assert _got(spark, root) == _want(spark)
+
+
+class TestCommitGatedCompaction:
+    """ADVICE r11 (medium): compaction must not absorb the segment of
+    a fold that crashed before its doc_len commit — the replay would
+    re-write the same postings next to the compacted copy and
+    permanently inflate tf/df."""
+
+    def test_crashed_fold_segment_not_absorbed(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import os
+
+        docs = _docs(spark)
+        root = str(tmp_path / "root")
+        ri.apply_batch(spark, docs.filter(F.col("doc_id") % 2 == 0), root,
+                       epoch_token="ns:0")
+
+        real = state_table.merge_batch
+
+        def crashing(*a, **kw):
+            raise RuntimeError("injected crash before doc_len fold")
+
+        monkeypatch.setattr(state_table, "merge_batch", crashing)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            ri.apply_batch(spark, docs, root, epoch_token="ns:1")
+        monkeypatch.setattr(state_table, "merge_batch", real)
+
+        seg_dir = os.path.join(root, ri._SEGMENTS)
+        # the crashed epoch's segment exists but is NOT committed
+        assert os.path.isdir(os.path.join(seg_dir, "epoch=ns%3A1"))
+        assert not os.path.exists(
+            os.path.join(seg_dir, "epoch=ns%3A1", ri._COMMITTED)
+        )
+        # a maintenance tick between the crash and the replay: only
+        # the committed epoch is eligible — nothing to merge
+        assert ri.compact_segments(spark, root) == 0
+        assert os.path.isdir(os.path.join(seg_dir, "epoch=ns%3A1"))
+
+        # the replay completes the fold; ranking is exact (no double
+        # count), and compaction may now absorb both epochs
+        ri.apply_batch(spark, docs, root, epoch_token="ns:1")
+        assert _got(spark, root) == _want(spark)
+        assert ri.compact_segments(spark, root) == 2
+        assert _got(spark, root) == _want(spark)
+
+    def test_token_rule_heals_lost_marker(self, spark, tmp_path):
+        """A marker lost to power loss AFTER the fold committed: the
+        epoch token at-or-below the doc_len applied token (same
+        namespace) proves the commit, so compaction still absorbs."""
+        import os
+
+        docs = _docs(spark)
+        root = str(tmp_path / "root")
+        ri.apply_batch(spark, docs.filter(F.col("doc_id") % 2 == 0), root,
+                       epoch_token="ns:0")
+        ri.apply_batch(spark, docs, root, epoch_token="ns:1")
+        seg_dir = os.path.join(root, ri._SEGMENTS)
+        os.remove(os.path.join(seg_dir, "epoch=ns%3A0", ri._COMMITTED))
+        os.remove(os.path.join(seg_dir, "epoch=ns%3A1", ri._COMMITTED))
+        want = _want(spark)
+        assert ri.compact_segments(spark, root) == 2
+        assert _got(spark, root) == want
+
+    def test_short_circuit_replay_heals_lost_marker(self, spark, tmp_path):
+        import os
+
+        docs = _docs(spark)
+        root = str(tmp_path / "root")
+        ri.apply_batch(spark, docs, root, epoch_token="ns:0")
+        seg_dir = os.path.join(root, ri._SEGMENTS)
+        marker = os.path.join(seg_dir, "epoch=ns%3A0", ri._COMMITTED)
+        os.remove(marker)
+        ri.apply_batch(spark, docs, root, epoch_token="ns:0")  # replay
+        assert os.path.exists(marker)
+
+
+class TestTieredCompaction:
+    """VERDICT r11 mandate #4: with a tier threshold, only small
+    segments merge into the next tier — the big compacted segment is
+    untouched, bounding steady-state compaction work by new-data
+    volume, not corpus size."""
+
+    def test_tier_leaves_big_segment_untouched(self, spark, tmp_path):
+        import os
+
+        docs = _docs(spark)
+        root = str(tmp_path / "root")
+        # a "big" tier: most of the corpus, major-compacted once
+        ri.apply_batch(spark, docs.filter(F.col("doc_id") % 4 != 0), root,
+                       epoch_token="ns:0")
+        ri.apply_batch(spark, docs.filter(F.col("doc_id") % 8 == 0), root,
+                       epoch_token="ns:1")
+        assert ri.compact_segments(spark, root) == 2
+        seg_dir = os.path.join(root, ri._SEGMENTS)
+        big = [e for e in os.listdir(seg_dir) if e.startswith("epoch=")]
+        assert len(big) == 1
+        big_bytes = ri._dir_bytes(os.path.join(seg_dir, big[0]))
+
+        # two small fresh epochs land next to it (disjoint from the
+        # big tier AND each other — %16 splits of the %8==4 residue)
+        ri.apply_batch(spark, docs.filter(F.col("doc_id") % 16 == 4), root,
+                       epoch_token="ns:2")
+        ri.apply_batch(spark, docs.filter(F.col("doc_id") % 16 == 12), root,
+                       epoch_token="ns:3")
+        # the tiered pass absorbs ONLY the two small epochs
+        n = ri.compact_segments(spark, root, tier_max_bytes=big_bytes - 1)
+        assert n == 2
+        after = {e for e in os.listdir(seg_dir) if e.startswith("epoch=")}
+        assert big[0] in after and len(after) == 2
+        # a full resend is entirely absorbed (corpus now complete);
+        # ranking over (big tier + new tier) is exact
+        ri.apply_batch(spark, docs, root, epoch_token="ns:4")
+        assert _got(spark, root) == _want(spark)
+
+    def test_compaction_id_is_deterministic(self, spark, tmp_path):
+        import hashlib
+        import os
+
+        docs = _docs(spark)
+        root = str(tmp_path / "root")
+        ri.apply_batch(spark, docs.filter(F.col("doc_id") % 2 == 0), root,
+                       epoch_token="ns:0")
+        ri.apply_batch(spark, docs, root, epoch_token="ns:1")
+        seg_dir = os.path.join(root, ri._SEGMENTS)
+        absorb = sorted(
+            e for e in os.listdir(seg_dir) if e.startswith("epoch=")
+        )
+        expect = hashlib.sha256("\n".join(absorb).encode()).hexdigest()[:16]
+        assert ri.compact_segments(spark, root) == 2
+        names = [e for e in os.listdir(seg_dir) if e.startswith("epoch=")]
+        assert names == [f"epoch=compacted-{expect}"]
+
+
+class TestEmptyBatches:
+    def test_all_seen_batch_writes_no_segment(self, spark, tmp_path):
+        """ADVICE r11: an entirely already-seen batch must not leave an
+        empty epoch dir (it broke schema inference); the epoch token
+        still commits so the replay short-circuits."""
+        import os
+
+        docs = _docs(spark)
+        root = str(tmp_path / "root")
+        ri.apply_batch(spark, docs, root, epoch_token="ns:0")
+        ri.apply_batch(spark, docs, root, epoch_token="ns:1")  # all seen
+        seg_dir = os.path.join(root, ri._SEGMENTS)
+        assert not os.path.isdir(os.path.join(seg_dir, "epoch=ns%3A1"))
+        assert state_table.applied_token(
+            os.path.join(root, ri._DOC_LEN)
+        ) == "ns:1"
+        assert _got(spark, root) == _want(spark)
+
+    def test_probe_over_doc_len_only_state_is_typed_empty(
+        self, spark, tmp_path
+    ):
+        """segments/ without any epoch dir (possible transiently on a
+        fresh root) degrades to typed-empty, not AnalysisException."""
+        import os
+
+        root = str(tmp_path / "root")
+        os.makedirs(os.path.join(root, ri._SEGMENTS))
+        out = ri.bm25_topk_from_index(spark, root, _QUERY_TERMS)
+        assert out.count() == 0
+
+
+class TestStreamingCompactionCadence:
+    def test_tiered_compaction_rides_the_fold_cadence(self, spark, tmp_path):
+        """VERDICT r11 mandate #4: compaction is wired to the stream's
+        own cadence (single-writer safe — inside the fold callback),
+        not a manual call: 5 micro-batches at compact_every_batches=2
+        leave fewer segment dirs than epochs, with ranking exact."""
+        import os
+
+        docs = _docs(spark)
+        feed = str(tmp_path / "feed")
+        root = str(tmp_path / "root")
+        ck = str(tmp_path / "ck")
+        for i in range(5):
+            docs.filter(F.col("doc_id") % 5 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(feed)
+        q = ri.stream_retrieval_index(
+            spark, feed, root, ck,
+            max_files_per_trigger=1,
+            compact_every_batches=2,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        seg_dir = os.path.join(root, ri._SEGMENTS)
+        epochs = [e for e in os.listdir(seg_dir) if e.startswith("epoch=")]
+        # epochs 2 and 4 each ran a tiered pass: {0,1,2}->c1, {c1,3,4}->c2
+        assert len(epochs) < 5
+        assert any(e.startswith("epoch=compacted-") for e in epochs)
+        assert _got(spark, root) == _want(spark)
