@@ -50,6 +50,15 @@ from starknet_indexer_spark.session import get_spark
 # 2-3 must re-establish). Evictions are recorded here with the round
 # that applied them, newest first.
 HEADLINE_ROTATED: list[str] = [
+    # r12: funds the two maintained-index probes entering HEADLINE
+    # (bm25_topk_maintained, phrase_match_maintained — cold includes
+    # one artifact fold+compaction, ~8-10 s projected). All three hold
+    # every condition: eligible class (acceptance evals), omitted-
+    # fastest (steady < ~0.8 s) in BOTH official BENCH_r10 and
+    # BENCH_r11, plan_fp unchanged between those rounds.
+    "lsh_dedup_recall_eval",       # r12; recall eval — 0.58 s steady, 5.1 s cold (pair-artifact build)
+    "langid_cohens_kappa",         # r12; agreement eval — 0.64 s steady
+    "langid_class_f1",             # r12; per-class eval — 0.58 s steady
     # r10: the 148-query set measured 202.0 s cold (exploratory
     # ordinal-1 run, machine idle), over the 200 s line — first
     # application of the rule. All seven hold every condition:
@@ -151,6 +160,8 @@ HEADLINE = [
     "chunk_overlap",
     "tfidf_top_terms",
     "bm25_topk",
+    "bm25_topk_maintained",
+    "phrase_match_maintained",
     "hybrid_rrf_retrieval",
     "price_quantity_regression",
     "editdist_near_pairs",
@@ -201,7 +212,6 @@ HEADLINE = [
     "ccnet_perplexity_buckets",
     "multimodal_phash_near_dup",
     "psi_drift_by_source",
-    "lsh_dedup_recall_eval",
     "bucketed_sequence_packing",
     "containment_incremental",
     "multimodal_resize",
@@ -209,8 +219,6 @@ HEADLINE = [
     # estimator, classifier-agreement audits
     "cross_modal_dedup_audit",
     "cdc_chunk_dedup",
-    "langid_cohens_kappa",
-    "langid_class_f1",
     # reference view library (Ekubo-shaped derivation + real view plan)
     "v01_pool_states",
     "v07_last_24h_pool_stats",

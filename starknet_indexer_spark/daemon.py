@@ -114,6 +114,15 @@ def run_indexer(
     # (if given) fires once, just before the stop.
     no_progress_timeout_s: float | None = None,
     on_stall=None,
+    # extra maintenance callbacks riding the same cadence tick, AFTER
+    # the built-in compaction/z-order pass: fn(spark) for each entry.
+    # This is the seam auxiliary maintained state owned by THIS daemon
+    # (e.g. a retrieval-index segment log it also folds) uses to ride
+    # the loop — the single-writer contract is the caller's to uphold:
+    # hand the daemon only state it is the sole writer of. A stream
+    # with its own fold driver should use that driver's cadence
+    # (stream_retrieval_index compact_every_batches) instead.
+    extra_maintenance: list | None = None,
 ):
     """Start the full pipeline; returns the StreamingQuery. Callers
     stop it (tests drive it with processAllAvailable). A
@@ -238,6 +247,8 @@ def run_indexer(
                             dims,
                             max_bucket=head - 1,
                         )
+                for fn in extra_maintenance or ():
+                    fn(spark)
                 state["last_maintenance"] = now
 
     writer = (

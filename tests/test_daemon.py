@@ -143,12 +143,17 @@ def test_daemon_maintenance_compacts_and_zorders_cold_buckets(spark, tmp_path):
     # restart the daemon with maintenance on; a head append in bucket 2
     # makes bucket 0 cold and triggers the pass
     make_raw(spark, [2500]).coalesce(1).write.mode("append").parquet(feed)
+    extra_calls = []
     q = run_indexer(
         spark, feed, tdir, vdir, ckpt,
         analytical_every_s=0,
         maintenance_every_s=0,
         zorder_dims={"swaps": [("block_number", "int"), ("pool_key_hash", "hex")]},
         max_files_per_trigger=1,
+        # auxiliary maintained-state hook (VERDICT r11 mandate #4): the
+        # seam a daemon-owned retrieval-index segment log would use to
+        # ride the same tick as compact_all/zorder_table
+        extra_maintenance=[lambda s: extra_calls.append(s is spark)],
     )
     try:
         q.processAllAvailable()
@@ -156,6 +161,7 @@ def test_daemon_maintenance_compacts_and_zorders_cold_buckets(spark, tmp_path):
         q.stop()
 
     assert read_cursor(tdir) == 2500
+    assert extra_calls and all(extra_calls)  # hook rode the tick
     files_after = len([f for f in os.listdir(swaps_b0) if f.endswith(".parquet")])
     assert files_after < files_before
     rows_after = sorted(map(str, spark.read.parquet(os.path.join(tdir, "swaps")).collect()))
