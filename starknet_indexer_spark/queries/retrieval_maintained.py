@@ -49,8 +49,9 @@ MAINT_TOP_K = 15
 #: corpus split width for the artifact build (3 epochs + a compaction
 #: after the second — compacted tier + fresh segment, the steady state)
 _INDEX_EPOCHS = 3
-#: bump when the fold/segment layout changes (cache invalidation)
-_INDEX_VERSION = "v1"
+#: bump when the fold/segment layout changes (cache invalidation);
+#: v2 = the _layout-stamped log (code-review r12)
+_INDEX_VERSION = "v2"
 
 
 def ensure_index_root(spark: SparkSession, sf_dir: str) -> str:
@@ -74,10 +75,14 @@ def ensure_index_root(spark: SparkSession, sf_dir: str) -> str:
                 # compacted tier plus the last epoch's fresh segment
                 ri.compact_segments(spark, root)
 
+    # the key interpolates the live fan-out constant (code-review r12:
+    # a hardcoded "buckets=16" would keep serving a stale layout after
+    # an N_TERM_BUCKETS change, and the probe's partition pruning would
+    # silently miss postings stored under the old bucket map)
     art = ensure_artifact(
         os.path.join(sf_dir, "documents.parquet"),
         "bm25_segments",
-        f"{_INDEX_VERSION}:buckets=16:epochs={_INDEX_EPOCHS}",
+        f"{_INDEX_VERSION}:buckets={ri.N_TERM_BUCKETS}:epochs={_INDEX_EPOCHS}",
         writer,
     )
     return os.path.join(art, "index")

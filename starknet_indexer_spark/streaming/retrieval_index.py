@@ -41,26 +41,45 @@ docs commits the epoch token WITHOUT writing a segment (ADVICE r11:
 an empty epoch dir — _SUCCESS, no parquet parts — broke schema
 inference on the next read).
 
-The marker gates COMPACTION, not reads (ADVICE r11, medium): a fold
-that crashed after its segment write but before its doc_len commit
-leaves a segment whose docs the novelty guard does not yet know.
-``compact_segments`` used to absorb it — the replay then re-derived
-the same novel docs and wrote the epoch segment AGAIN next to the
-compacted one, permanently double-counting tf/df. Compaction now
-absorbs only segments proven committed: marker present, compacted-*
-(built only from committed segments), or epoch token at-or-below the
-doc_len state's applied token in the same checkpoint namespace (the
-single-writer stream ordering — this last rule also heals a marker
-lost to power loss after the fold committed).
+The marker gates COMPACTION and READS (ADVICE r11, medium; extended
+to probes by the r12 review): a fold that crashed after its segment
+write but before its doc_len commit leaves a segment whose docs the
+novelty guard does not yet know. ``compact_segments`` used to absorb
+it — the replay then re-derived the same novel docs and wrote the
+epoch segment AGAIN next to the compacted one, permanently
+double-counting tf/df — and ``read_postings`` used to scan it, so a
+probe while the stream was down scored orphan postings against stats
+that excluded those docs. Both now consume only segments proven
+committed: marker present, compacted-* (built only from committed
+segments), or epoch token at-or-below the doc_len state's applied
+token in the same checkpoint namespace (the single-writer stream
+ordering — this last rule also heals a marker lost to power loss
+after the fold committed). An uncommitted segment is thus invisible
+everywhere until its epoch replays — the index state is exactly "the
+fold never happened", which is what the replay then repairs.
+
+Layout contract: the segment schema (positions column), the
+term_bucket fan-out, and the doc_len bucket range are baked into the
+persisted state, so the first fold stamps ``_layout`` at the root and
+every fold/read/compaction asserts it matches (``check_layout`` — the
+span_index ``_span_n`` convention). A root with segments but no stamp
+(a log written by a pre-positional build) or a mismatched stamp
+raises the same loud contract error as the span index rather than
+crash-looping in the stream or silently null-filling positions.
 
 Read consistency: the segment log and the doc_len generation are TWO
-stores with no cross-store commit point, so a probe racing a fold can
-score an epoch's new postings against stats that still exclude those
-docs. Probes are snapshot-consistent BETWEEN folds — the single-writer
-+ between-commits-reader contract every maintained state here
-documents; a deployment needing mid-fold probes adds a Lucene-style
-commit-point file naming the visible (segments, doc_len generation)
-pair.
+stores with no cross-store commit point. Committed-only reads close
+most of the gap: a fold's segment stays invisible to probes until its
+doc_len commit (the applied token IS the visibility switch), so a
+probe can never score postings whose docs the stats exclude. The
+residual race is the opposite, single-probe-width window — a fold
+committing between the probe's segment listing and its doc_len read
+yields stats that include docs whose postings were listed a moment
+earlier; probes are exactly consistent BETWEEN folds (the
+single-writer + between-commits-reader contract every maintained
+state here documents). A deployment needing exactly-consistent
+mid-fold probes adds a Lucene-style commit-point file naming the
+visible (segments, doc_len generation) pair.
 
 Equality contracts (tests/test_retrieval_index.py): after any batch
 split of the corpus, ``bm25_topk_from_index`` == the registered batch
@@ -118,8 +137,54 @@ _POSTINGS_DDL = (
     "doc_id bigint, term string, tf bigint, dl bigint, positions array<int>"
 )
 #: per-segment fold-committed marker (underscore: invisible to parquet
-#: readers); gates compaction — see module docstring
+#: readers); gates compaction AND reads — see module docstring
 _COMMITTED = "_committed"
+#: layout stamp file at the index root (the span_index _span_n
+#: convention): segment schema version + the two fan-out constants
+#: baked into the persisted state
+_LAYOUT_FILE = "_layout"
+
+
+def _layout_id() -> str:
+    return f"positional-v2:tb={N_TERM_BUCKETS}:dr={BUCKET_RANGE}"
+
+
+def check_layout(root: str, stamp: bool = False) -> None:
+    """Assert the persisted index layout matches this build (segment
+    schema + term_bucket/doc-range fan-out). First fold stamps it;
+    a root holding segments WITHOUT a stamp is a pre-stamp (possibly
+    pre-positional) log and is refused loudly — the alternatives are
+    an AnalysisException crash-loop inside the stream's compaction
+    cadence or silently null positions baked into a compacted segment
+    (code-review r12)."""
+    path = os.path.join(root, _LAYOUT_FILE)
+    expected = _layout_id()
+    if os.path.exists(path):
+        with open(path) as f:
+            stored = f.read().strip()
+        if stored != expected:
+            raise RuntimeError(
+                f"retrieval index at {root!r} was folded with layout"
+                f" {stored!r} but this build expects {expected!r} — the"
+                " segment schema and fan-out are baked into the state;"
+                " rebuild the index (or run the matching build) instead"
+                " of mixing layouts"
+            )
+        return
+    seg_dir = os.path.join(root, _SEGMENTS)
+    if os.path.isdir(seg_dir) and any(
+        e.startswith("epoch=") for e in os.listdir(seg_dir)
+    ):
+        raise RuntimeError(
+            f"retrieval index at {root!r} holds segments but no"
+            f" {_LAYOUT_FILE} stamp — it predates the layout contract"
+            " (pre-positional schema cannot be proven compatible);"
+            " rebuild the index from the corpus"
+        )
+    if stamp:
+        os.makedirs(root, exist_ok=True)
+        with open(path, "w") as f:
+            f.write(expected)
 
 
 def _term_bucket():
@@ -166,6 +231,7 @@ def apply_batch(
     epoch_token: str | None = None,
 ) -> None:
     """Fold one (doc_id, text) micro-batch into the index."""
+    check_layout(root, stamp=True)
     recover_compaction(root)  # writer-entry resume of a crashed compaction
     seg_dir = os.path.join(root, _SEGMENTS)
     dl_state = os.path.join(root, _DOC_LEN)
@@ -250,16 +316,32 @@ def read_postings(
     cols = ["doc_id", "term", "tf", "dl"] + (
         ["positions"] if with_positions else []
     )
+    check_layout(root)
     seg_dir = os.path.join(root, _SEGMENTS)
-    # empty-guard on epoch dirs, not just the parent (ADVICE r11): a
-    # segments/ holding no epoch dir at all must degrade to typed-empty
-    # rather than a schema-inference AnalysisException
-    if not os.path.isdir(seg_dir) or not any(
-        e.startswith("epoch=") for e in os.listdir(seg_dir)
-    ):
+    # committed segments only (code-review r12): a fold that crashed
+    # between its segment write and its doc_len commit must be
+    # invisible to probes — its docs are absent from the corpus stats,
+    # so scoring its postings would rank orphans against stats that
+    # exclude them (indefinitely, if the stream stays down). The
+    # listing also degrades to typed-empty when segments/ holds no
+    # (committed) epoch dir at all (ADVICE r11) rather than raising a
+    # schema-inference AnalysisException.
+    committed: list[str] = []
+    if os.path.isdir(seg_dir):
+        applied = state_table.applied_token(os.path.join(root, _DOC_LEN))
+        committed = sorted(
+            e
+            for e in os.listdir(seg_dir)
+            if e.startswith("epoch=")
+            and os.path.isdir(os.path.join(seg_dir, e))
+            and _is_committed(seg_dir, e, applied)
+        )
+    if not committed:
         empty = spark.createDataFrame([], _POSTINGS_DDL)
         return empty.select(*cols)
-    base = spark.read.option("basePath", seg_dir).parquet(seg_dir)
+    base = spark.read.option("basePath", seg_dir).parquet(
+        *[os.path.join(seg_dir, e) for e in committed]
+    )
     if terms is not None:
         buckets = [
             r["b"]
@@ -398,6 +480,7 @@ def compact_segments(
     contract as the fold itself."""
     import json
 
+    check_layout(root)
     recover_compaction(root)
     seg_dir = os.path.join(root, _SEGMENTS)
     if not os.path.isdir(seg_dir):

@@ -300,6 +300,36 @@ class TestCommitGatedCompaction:
         assert ri.compact_segments(spark, root) == 2
         assert _got(spark, root) == _want(spark)
 
+    def test_crashed_fold_segment_invisible_to_probes(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """code-review r12: a probe between the crash and the replay
+        must see the index exactly as if the crashed fold never
+        happened — its docs are absent from the corpus stats, so
+        scoring the orphan postings would rank them against stats that
+        exclude them (indefinitely, while the stream stays down)."""
+        docs = _docs(spark)
+        root = str(tmp_path / "root")
+        ri.apply_batch(spark, docs.filter(F.col("doc_id") % 2 == 0), root,
+                       epoch_token="ns:0")
+        before = _got(spark, root)
+
+        real = state_table.merge_batch
+
+        def crashing(*a, **kw):
+            raise RuntimeError("injected crash before doc_len fold")
+
+        monkeypatch.setattr(state_table, "merge_batch", crashing)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            ri.apply_batch(spark, docs, root, epoch_token="ns:1")
+        monkeypatch.setattr(state_table, "merge_batch", real)
+
+        # the uncommitted segment is on disk but the probe's snapshot
+        # is identical to the pre-crash index
+        assert _got(spark, root) == before
+        ri.apply_batch(spark, docs, root, epoch_token="ns:1")  # replay
+        assert _got(spark, root) == _want(spark)
+
     def test_token_rule_heals_lost_marker(self, spark, tmp_path):
         """A marker lost to power loss AFTER the fold committed: the
         epoch token at-or-below the doc_len applied token (same
@@ -329,6 +359,44 @@ class TestCommitGatedCompaction:
         os.remove(marker)
         ri.apply_batch(spark, docs, root, epoch_token="ns:0")  # replay
         assert os.path.exists(marker)
+
+
+class TestLayoutContract:
+    """code-review r12: the segment schema (positions column) and the
+    fan-out constants are baked into the persisted log, so a foreign
+    or pre-stamp layout must be refused loudly — the alternatives are
+    an AnalysisException crash-loop inside the stream's compaction
+    cadence, or old docs' positions silently nulled (and then baked
+    into a compacted segment) under mixed-schema footer picks."""
+
+    def test_mismatched_stamp_refused_everywhere(self, spark, tmp_path):
+        import os
+
+        docs = _docs(spark)
+        root = str(tmp_path / "root")
+        ri.apply_batch(spark, docs, root)
+        with open(os.path.join(root, ri._LAYOUT_FILE), "w") as f:
+            f.write("positional-v1:tb=8:dr=2048")
+        with pytest.raises(RuntimeError, match="layout"):
+            ri.bm25_topk_from_index(spark, root, _QUERY_TERMS)
+        with pytest.raises(RuntimeError, match="layout"):
+            ri.apply_batch(spark, docs, root)
+        with pytest.raises(RuntimeError, match="layout"):
+            ri.compact_segments(spark, root)
+
+    def test_pre_stamp_log_refused(self, spark, tmp_path):
+        """A root holding segments but no stamp is a pre-contract
+        (possibly pre-positional) log — refuse, don't guess."""
+        import os
+
+        docs = _docs(spark)
+        root = str(tmp_path / "root")
+        ri.apply_batch(spark, docs, root)
+        os.remove(os.path.join(root, ri._LAYOUT_FILE))
+        with pytest.raises(RuntimeError, match="predates the layout"):
+            ri.bm25_topk_from_index(spark, root, _QUERY_TERMS)
+        with pytest.raises(RuntimeError, match="predates the layout"):
+            ri.apply_batch(spark, docs, root)
 
 
 class TestTieredCompaction:
