@@ -175,6 +175,14 @@ HEADLINE = [
     "scd2_user_state",
     "postings_index",
     "phrase_match",
+    # r12: windowed co-occurrence over the positional index (same plan
+    # family as phrase_match). The maintained twin
+    # (proximity_match_maintained) stays out of HEADLINE this round —
+    # it shares the probe path bm25_topk_maintained /
+    # phrase_match_maintained already measure, and the cold budget
+    # margin is thin; full correctness coverage rides the driver
+    # window + registry.
+    "proximity_match",
     "skipgram_pairs",
     "weighted_sample_per_source",
     "approx_percentile_pinned",

@@ -415,6 +415,86 @@ def phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_match_from_positions(px, ph)
 
 
+# Fixed benchmark proximity pairs (pair_id, t1, t2, window) over the
+# corpus template vocabulary; windows vary so the theta bound is
+# actually exercised, and the last pair is rare (sparse-match path).
+_PROX_PAIRS: list[tuple[int, str, str, int]] = [
+    (1, "order", "fast", 3),
+    (2, "window", "join", 5),
+    (3, "stream", "column", 4),
+    (4, "customer", "hash", 6),
+    (5, "data", "slow", 2),
+]
+_PROX_VALUES = ", ".join(f"({i}, '{a}', '{b}', {w})" for i, a, b, w in _PROX_PAIRS)
+_PROX_TERMS = sorted({t for _, a, b, _w in _PROX_PAIRS for t in (a, b)})
+_PROX_IN = ", ".join(f"'{t}'" for t in _PROX_TERMS)
+
+# ONE oracle definition for the proximity evaluation — shared verbatim
+# by the batch query and the maintained-index probe (the phrase_match
+# convention), so the driver hash on the maintained variant IS the
+# index==batch equality contract.
+_PROX_ORACLE = f"""
+    {_px_ctes(f"WHERE tokens[t.i] IN ({_PROX_IN})")},
+    pq(pair_id, t1, t2, w) AS (VALUES {_PROX_VALUES})
+    SELECT pq.pair_id, a.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(ABS(b.pos - a.pos)) AS BIGINT) AS min_dist
+    FROM pq
+    JOIN px a ON a.term = pq.t1
+    JOIN px b ON b.doc_id = a.doc_id AND b.term = pq.t2
+             AND ABS(b.pos - a.pos) <= pq.w
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "proximity_match",
+    oracle=_PROX_ORACLE,
+    doc="Unordered proximity search over the positional index: a pair "
+    '(t1, t2, w) matches where an occurrence of t1 and an occurrence '
+    "of t2 sit within w tokens of each other — the windowed "
+    "co-occurrence evaluation behind proximity ranking and NEAR/w "
+    "query operators, emitting the pair count and the closest "
+    "distance per document. Same plan discipline as phrase_match: "
+    "the pairs' vocabulary filter is pushed into the scan, the pair "
+    "table is a broadcast VALUES relation, the positional self-join "
+    "is an equi-join on (doc_id, term) with the window bound as a "
+    "post-join theta filter — shuffles are bounded by the filtered "
+    "postings, not the corpus.",
+)
+def proximity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    px = _positions(load(spark, sf_dir, "documents")).filter(
+        F.col("term").isin(_PROX_TERMS)
+    )
+    pq = spark.createDataFrame(
+        _PROX_PAIRS, "pair_id long, t1 string, t2 string, w int"
+    )
+    return proximity_match_from_positions(px, pq)
+
+
+def proximity_match_from_positions(px: DataFrame, pq: DataFrame) -> DataFrame:
+    """Windowed co-occurrence evaluation over any (doc_id, pos, term)
+    relation and a (pair_id, t1, t2, w) pair table — ONE definition
+    shared by the registered batch query above and the maintained
+    segment-log index probe (streaming/retrieval_index.
+    proximity_match_from_index). ``px`` should already be pruned to
+    the pairs' vocabulary (scan-stage filter for the batch query,
+    term_bucket partition pruning for the index)."""
+    dist = F.abs(F.col("pos_b") - F.col("pos_a"))
+    a = px.select("doc_id", F.col("pos").alias("pos_a"), F.col("term").alias("t1"))
+    b = px.select("doc_id", F.col("pos").alias("pos_b"), F.col("term").alias("t2"))
+    return (
+        a.join(F.broadcast(pq), "t1")
+        .join(b, ["doc_id", "t2"])
+        .filter(dist <= F.col("w"))
+        .groupBy("pair_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.min(dist).cast("bigint").alias("min_dist"),
+        )
+    )
+
+
 def phrase_match_from_positions(px: DataFrame, ph: DataFrame) -> DataFrame:
     """The positional-join phrase evaluation over any (doc_id, pos,
     term) relation and a (phrase_id, t1, t2) phrase table — ONE

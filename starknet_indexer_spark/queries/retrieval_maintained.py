@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from .registry import register
-from .retrieval import _BM25_CTES, _PHRASES, _QUERY_TERMS
+from .retrieval import _BM25_CTES, _PHRASES, _PROX_ORACLE, _PROX_PAIRS, _QUERY_TERMS
 
 #: top-k for the maintained BM25 probe — deliberately deeper than the
 #: batch query's TOP_K so the two registered results differ (a probe
@@ -139,3 +139,24 @@ def phrase_match_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = ensure_index_root(spark, sf_dir)
     return ri.phrase_match_from_index(spark, root, _PHRASES)
+
+
+@register(
+    "proximity_match_maintained",
+    oracle=_PROX_ORACLE,
+    doc="Windowed co-occurrence (NEAR/w) search FROM THE MAINTAINED "
+    "INDEX's positional postings: the stored sorted position arrays "
+    "are exploded back to (doc_id, pos, term) for the pairs' "
+    "vocabulary only — term_bucket partition pruning reaches the "
+    "segment scan before any data is read — and evaluated with the "
+    "SAME windowed-join algebra as the registered batch "
+    "proximity_match (shared proximity_match_from_positions). The "
+    "oracle is the batch proximity derivation verbatim, so the "
+    "driver hash pins that a proximity query off the maintained "
+    "index equals one off the corpus.",
+)
+def proximity_match_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import retrieval_index as ri
+
+    root = ensure_index_root(spark, sf_dir)
+    return ri.proximity_match_from_index(spark, root, _PROX_PAIRS)

@@ -122,6 +122,7 @@ from ..queries.retrieval import (
     bm25_rank_postings,
     bm25_topk_projection,
     phrase_match_from_positions,
+    proximity_match_from_positions,
 )
 from . import state_table
 
@@ -390,15 +391,44 @@ def phrase_match_from_index(
     lists back into the (doc_id, pos, term) relation, and run the
     SAME positional-join algebra as the batch query."""
     terms = sorted({t for _, a, b in phrases for t in (a, b)})
-    px = (
+    ph = spark.createDataFrame(
+        list(phrases), "phrase_id long, t1 string, t2 string"
+    )
+    return phrase_match_from_positions(
+        _positions_from_index(spark, root, terms), ph
+    )
+
+
+def _positions_from_index(
+    spark: SparkSession, root: str, terms: list[str]
+) -> DataFrame:
+    """(doc_id, pos, term) for ``terms`` from the stored positional
+    postings — the shared explode every positional probe starts from
+    (term_bucket partition pruning reaches the scan before any data
+    is read)."""
+    return (
         read_postings(spark, root, terms=terms, with_positions=True)
         .select("doc_id", "term", F.explode("positions").alias("pos"))
         .select("doc_id", "pos", "term")
     )
-    ph = spark.createDataFrame(
-        list(phrases), "phrase_id long, t1 string, t2 string"
+
+
+def proximity_match_from_index(
+    spark: SparkSession,
+    root: str,
+    pairs: list[tuple[int, str, str, int]],
+) -> DataFrame:
+    """Windowed co-occurrence search from the maintained index — the
+    registered ``proximity_match`` output shape, any (t1, t2, w) pair
+    set, evaluated with the SAME windowed-join algebra as the batch
+    query (shared proximity_match_from_positions)."""
+    terms = sorted({t for _, a, b, _w in pairs for t in (a, b)})
+    pq = spark.createDataFrame(
+        list(pairs), "pair_id long, t1 string, t2 string, w int"
     )
-    return phrase_match_from_positions(px, ph)
+    return proximity_match_from_positions(
+        _positions_from_index(spark, root, terms), pq
+    )
 
 
 _COMPACT_MANIFEST = "_compact_manifest.json"

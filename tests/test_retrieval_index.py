@@ -255,6 +255,26 @@ class TestPositionalIndex:
         # BM25 equality holds over the same compacted positional schema
         assert _got(spark, root) == _want(spark)
 
+    def test_proximity_from_index_equals_batch(self, spark, tmp_path):
+        """Windowed co-occurrence off the maintained positional
+        postings == the batch proximity_match, across a batch split
+        AND a compaction (shared proximity_match_from_positions)."""
+        from starknet_indexer_spark.queries.retrieval import (
+            _PROX_PAIRS,
+            proximity_match,
+        )
+
+        docs = _docs(spark)
+        root = str(tmp_path / "root")
+        for i in range(3):
+            ri.apply_batch(spark, docs.filter(F.col("doc_id") % 3 == i), root)
+        want = _rows(proximity_match(spark, SF))
+        assert want  # fixture pairs actually match documents
+        got = _rows(ri.proximity_match_from_index(spark, root, _PROX_PAIRS))
+        assert got == want
+        assert ri.compact_segments(spark, root) == 3
+        assert _rows(ri.proximity_match_from_index(spark, root, _PROX_PAIRS)) == want
+
 
 class TestCommitGatedCompaction:
     """ADVICE r11 (medium): compaction must not absorb the segment of
