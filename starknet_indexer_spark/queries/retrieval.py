@@ -442,6 +442,7 @@ _PROX_ORACLE = f"""
     FROM pq
     JOIN px a ON a.term = pq.t1
     JOIN px b ON b.doc_id = a.doc_id AND b.term = pq.t2
+             AND b.pos <> a.pos
              AND ABS(b.pos - a.pos) <= pq.w
     GROUP BY 1, 2
     """
@@ -479,14 +480,22 @@ def proximity_match_from_positions(px: DataFrame, pq: DataFrame) -> DataFrame:
     segment-log index probe (streaming/retrieval_index.
     proximity_match_from_index). ``px`` should already be pruned to
     the pairs' vocabulary (scan-stage filter for the batch query,
-    term_bucket partition pruning for the index)."""
+    term_bucket partition pruning for the index).
+
+    A t1 == t2 pair (repeated-term proximity) is well-defined: the
+    pos_a != pos_b guard keeps an occurrence from pairing with itself
+    (code-review r12: without it every single-occurrence doc matched
+    with min_dist 0). The guard is vacuous for t1 != t2 — one
+    (doc_id, pos) holds exactly one term — so it costs nothing on the
+    common path; same-term occurrence pairs count once per ORDERED
+    (a, b) role assignment, mirroring the two-role join shape."""
     dist = F.abs(F.col("pos_b") - F.col("pos_a"))
     a = px.select("doc_id", F.col("pos").alias("pos_a"), F.col("term").alias("t1"))
     b = px.select("doc_id", F.col("pos").alias("pos_b"), F.col("term").alias("t2"))
     return (
         a.join(F.broadcast(pq), "t1")
         .join(b, ["doc_id", "t2"])
-        .filter(dist <= F.col("w"))
+        .filter((F.col("pos_b") != F.col("pos_a")) & (dist <= F.col("w")))
         .groupBy("pair_id", "doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_pairs"),

@@ -255,6 +255,31 @@ class TestPositionalIndex:
         # BM25 equality holds over the same compacted positional schema
         assert _got(spark, root) == _want(spark)
 
+    def test_proximity_same_term_pair_excludes_self_pairs(self, spark):
+        """code-review r12: a t1 == t2 pair (repeated-term proximity)
+        must not pair an occurrence with itself — a doc with ONE
+        occurrence has no pair at all, and min_dist is the real gap,
+        never 0."""
+        from starknet_indexer_spark.queries.retrieval import (
+            proximity_match_from_positions,
+        )
+
+        px = spark.createDataFrame(
+            # doc 1: 'x' once; doc 2: 'x' at 1 and 4 (gap 3)
+            [(1, 1, "x"), (2, 1, "x"), (2, 4, "x")],
+            "doc_id bigint, pos int, term string",
+        )
+        pq = spark.createDataFrame(
+            [(1, "x", "x", 5)], "pair_id long, t1 string, t2 string, w int"
+        )
+        rows = {
+            (r["doc_id"], r["n_pairs"], r["min_dist"])
+            for r in proximity_match_from_positions(px, pq).collect()
+        }
+        # doc 1 absent; doc 2's two occurrences pair in both ordered
+        # role assignments with min_dist 3
+        assert rows == {(2, 2, 3)}
+
     def test_proximity_from_index_equals_batch(self, spark, tmp_path):
         """Windowed co-occurrence off the maintained positional
         postings == the batch proximity_match, across a batch split
