@@ -775,10 +775,16 @@ def span_occurrences(toks: DataFrame, span_n: int = SPAN_N) -> DataFrame:
 )
 def repeated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
+    # toks feeds occ + the final join, occ feeds the dup agg + the
+    # coverage join — and `dup` is broadcast, so no exchange reuse can
+    # kick in: without materialization the tokenize pass runs 3x and
+    # the span-hash (md5-per-window) pass 2x (r12 plan audit: 3 scans,
+    # 2 Generate+md5 subtrees). One lazy localCheckpoint each = one
+    # materialization, the `ranked` pattern from the setjoin family.
     toks = docs.select(
         "doc_id", tokens_expr(F.col("text")).alias("tokens")
-    ).filter(F.size("tokens") >= SPAN_N)
-    occ = span_occurrences(toks)
+    ).filter(F.size("tokens") >= SPAN_N).localCheckpoint(eager=False)
+    occ = span_occurrences(toks).localCheckpoint(eager=False)
     dup = (
         occ.groupBy("gh")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -890,9 +896,13 @@ _OCC_KEY_BASE = 1_000_000_000
 )
 def substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("tokens"))
+    # same one-materialization treatment as repeated_span_fraction:
+    # toks feeds occ + the rewrite join, occ feeds firsts + dupocc
+    toks = docs.select(
+        "doc_id", tokens_expr(F.col("text")).alias("tokens")
+    ).localCheckpoint(eager=False)
     spannable = toks.filter(F.size("tokens") >= SPAN_N)
-    occ = span_occurrences(spannable)
+    occ = span_occurrences(spannable).localCheckpoint(eager=False)
     okey = F.col("doc_id") * F.lit(_OCC_KEY_BASE) + F.col("i")
     firsts = occ.groupBy("gh").agg(F.min(okey).alias("fk"))
     dupocc = occ.join(firsts, "gh").filter(okey != F.col("fk"))

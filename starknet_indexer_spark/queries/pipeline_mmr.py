@@ -29,11 +29,8 @@ no corpus data at all.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window as W
 
 from ..catalog import load
 from .registry import register
@@ -137,15 +134,6 @@ def _oracle() -> str:
     """
 
 
-def _argmax(df: DataFrame, order_col: str) -> DataFrame:
-    w = W.partitionBy("query_id").orderBy(
-        F.col(order_col).desc(), F.col("neighbor_id")
-    )
-    return df.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") == 1
-    ).drop("rn")
-
-
 @register(
     "mmr_diverse_topk",
     oracle=_oracle(),
@@ -189,14 +177,23 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("cn"),
             "rel4",
         )
-        .localCheckpoint(eager=False)  # feeds ps + every greedy round
+        .localCheckpoint(eager=False)  # feeds ps + the greedy cogroup
     )
-    pa = short.select("query_id", F.col("neighbor_id").alias("a_id"), "cv", "cn")
-    pb = short.select(
-        "query_id",
-        F.col("neighbor_id").alias("b_id"),
-        F.col("cv").alias("bv"),
-        F.col("cn").alias("bn"),
+    # distinct aliases per consumer: slim and ps share short's lineage
+    # and cogrouping un-aliased copies trips the ambiguous-self-join
+    # analyzer check (same pattern as blocked_cosine_pairs)
+    sa, sb, sc = short.alias("mmr_a"), short.alias("mmr_b"), short.alias("mmr_s")
+    pa = sa.select(
+        F.col("mmr_a.query_id").alias("query_id"),
+        F.col("mmr_a.neighbor_id").alias("a_id"),
+        F.col("mmr_a.cv").alias("cv"),
+        F.col("mmr_a.cn").alias("cn"),
+    )
+    pb = sb.select(
+        F.col("mmr_b.query_id").alias("query_id"),
+        F.col("mmr_b.neighbor_id").alias("b_id"),
+        F.col("mmr_b.cv").alias("bv"),
+        F.col("mmr_b.cn").alias("bn"),
     )
     ps = (
         pa.join(pb, "query_id")
@@ -212,37 +209,70 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("sim4"),
         )
-        .localCheckpoint(eager=False)  # consumed by every greedy round
     )
-    slim = short.select("query_id", "neighbor_id", "rel4")
-    pick = _argmax(slim, "rel4").select(
-        "query_id", "neighbor_id", "rel4", (F.lit(lam) * F.col("rel4")).alias("score")
+    slim = sc.select(
+        F.col("mmr_s.query_id").alias("query_id"),
+        F.col("mmr_s.neighbor_id").alias("neighbor_id"),
+        F.col("mmr_s.rel4").alias("rel4"),
     )
-    outs = [pick.withColumn("mmr_rank", F.lit(1))]
-    sel = pick.select("query_id", "neighbor_id")
-    for r in range(2, MMR_K + 1):
-        ms = (
-            slim.join(sel, ["query_id", "neighbor_id"], "left_anti")
-            .join(
-                ps.join(
-                    sel.withColumnRenamed("neighbor_id", "b_id"),
-                    ["query_id", "b_id"],
-                ).select("query_id", F.col("a_id").alias("neighbor_id"), "sim4"),
-                ["query_id", "neighbor_id"],
-            )
-            .groupBy("query_id", "neighbor_id", "rel4")
-            .agg(F.max("sim4").alias("ms"))
-            .withColumn("score", F.lit(lam) * F.col("rel4") - F.lit(com) * F.col("ms"))
+
+    # Greedy selection (optimization r12): the former per-round plan —
+    # MMR_K-1 rounds of anti-join + join + groupBy + argmax window,
+    # each a localCheckpoint barrier, ~20 tiny stages — is replaced by
+    # ONE cogroup over (shortlist, pairwise-sim) per query. Every
+    # input the greedy touches (rel4, sim4) is already an integer
+    # quantized by the SAME Spark expressions as before, so the kernel
+    # is pure int64 arithmetic with the same (score DESC, neighbor_id
+    # ASC) tie-break — the trajectory is identical by construction,
+    # and no float crosses the Python boundary. Group sizes are
+    # queries x MMR_SHORT_N (and its square for sims) — probe-batch-
+    # bounded, never corpus-sized (guide §2.4/§4.2).
+    def greedy(l: "pd.DataFrame", r: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        cols = ["query_id", "neighbor_id", "mmr_rank", "rel4", "score"]
+        if l.empty:
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+        qid = int(l["query_id"].iat[0])
+        cand = {
+            int(n): int(v) for n, v in zip(l["neighbor_id"], l["rel4"])
+        }
+        sim = {
+            (int(a), int(b)): int(s)
+            for a, b, s in zip(r["a_id"], r["b_id"], r["sim4"])
+        }
+        # round 1: pure relevance, ties on neighbor_id
+        first = min(cand, key=lambda n: (-cand[n], n))
+        out = [(qid, first, 1, cand[first], lam * cand[first])]
+        sel = [first]
+        for rank in range(2, MMR_K + 1):
+            best = None
+            for n, rel in cand.items():
+                if n in sel:
+                    continue
+                pairs = [sim[(n, s)] for s in sel if (n, s) in sim]
+                if not pairs:  # no sim edge (degenerate tiny shortlist)
+                    continue
+                score = lam * rel - com * max(pairs)
+                key = (-score, n)
+                if best is None or key < best[0]:
+                    best = (key, n, rel, score)
+            if best is None:
+                break
+            _, n, rel, score = best
+            out.append((qid, n, rank, rel, score))
+            sel.append(n)
+        return pd.DataFrame(out, columns=cols)
+
+    picked = (
+        slim.groupBy("query_id")
+        .cogroup(ps.groupBy("query_id"))
+        .applyInPandas(
+            greedy,
+            schema="query_id BIGINT, neighbor_id BIGINT, mmr_rank BIGINT, "
+            "rel4 BIGINT, score BIGINT",
         )
-        pick = _argmax(ms, "score").select("query_id", "neighbor_id", "rel4", "score")
-        outs.append(pick.withColumn("mmr_rank", F.lit(r)))
-        sel = sel.unionByName(
-            pick.select("query_id", "neighbor_id")
-        ).localCheckpoint(eager=False)
-    return reduce(DataFrame.unionByName, outs).select(
-        "query_id",
-        "neighbor_id",
-        F.col("mmr_rank").cast("bigint").alias("mmr_rank"),
-        "rel4",
-        F.col("score").cast("bigint").alias("score"),
+    )
+    return picked.select(
+        "query_id", "neighbor_id", "mmr_rank", "rel4", "score"
     )

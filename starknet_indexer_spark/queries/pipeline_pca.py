@@ -123,20 +123,36 @@ def _oracle() -> str:
     """
 
 
-def _renorm(df: DataFrame, col: str) -> DataFrame:
-    """|entry| -> <= PCA_NORM by truncating division with the relation's
-    max absolute value (both engines truncate toward zero)."""
-    mx = df.agg(F.max(F.abs(F.col(col))).alias("mx"))
-    keep = [c for c in df.columns if c != col]
-    return (
-        df.crossJoin(F.broadcast(mx))
-        .select(
-            *keep,
-            F.expr(
-                f"({col} * {PCA_NORM}) div greatest(mx, CAST(1 AS {D38}))"
-            ).cast(D38).alias(col),
-        )
-    )
+# -- single-batch matrix kernel (optimization round 12) --------------
+#
+# The relation this query iterates on is d x d = 4096 entries
+# REGARDLESS of corpus size (every magnitude renormalizes to <= 1e6 —
+# see module docstring), so after the one corpus-sized aggregation the
+# entire chain (per-class renorm -> outer product -> 6 squarings ->
+# row sums) runs in ONE Arrow batch on one executor task (guide §2.4:
+# remove shuffles outright — the former plan paid ~20 tiny stages, 6 x
+# (self-join + groupBy + renorm agg + crossJoin broadcast), all fixed
+# scheduling overhead at any data size; guide §4.2: hand the whole
+# bounded batch to vectorized native code). Arithmetic is IDENTICAL
+# and exact:
+#
+# - the unbounded-magnitude values (u components ~ N^2 * 1e4 * d, and
+#   every renorm dividend x * 1e6) use arbitrary-precision Python
+#   ints — same integers the decimal(38,0) path produced;
+# - `div`'s truncation-toward-zero is _tdiv below (Python // floors,
+#   so negative dividends are sign-split);
+# - the renorm-bounded stages (squarings: |entry| <= 1e6, accumulator
+#   <= d * 1e12 = 6.4e13) run as numpy int64 matmuls — exact, bound
+#   corpus-size-independent;
+# - the outer-product accumulator is bounded by n_classes * 1e12; the
+#   kernel asserts n_classes < 9e6 loudly (the label vocabulary is a
+#   class enum, orders of magnitude below that at any corpus size).
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating (toward-zero) integer division — Spark decimal `div`
+    / DuckDB `//` semantics; Python's // floors, hence the sign split."""
+    return -((-a) // b) if a < 0 else a // b
 
 
 @register(
@@ -186,37 +202,57 @@ def between_class_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("nc").cast(D38) * F.col("gsum").cast(D38)
         ).alias("u"),
     )
-    umx = u.groupBy("label").agg(F.max(F.abs(F.col("u"))).alias("mx"))
-    un = (
-        u.join(umx, "label")
-        .select(
-            "label",
-            "i",
-            F.expr(f"(u * {PCA_NORM}) div greatest(mx, CAST(1 AS {D38}))")
-            .cast(D38)
-            .alias("u"),
+    # One Arrow batch holds the full (label, i, u) relation — class
+    # count x d rows, corpus-size-independent — and the kernel runs
+    # the entire renorm/outer-product/squaring chain in native code
+    # (see kernel note above). coalesce(1): the relation must arrive
+    # as one group; it is bounded, this is not a corpus coalesce.
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        parts = [b for b in batches]
+        pdf = (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame(columns=["label", "i", "u"])
         )
-        .localCheckpoint(eager=False)  # self-joined for the outer product
-    )
-    ua = un.select("label", F.col("i").alias("i"), F.col("u").alias("ul"))
-    ub = un.select("label", F.col("i").alias("j"), F.col("u").alias("ur"))
-    a = _renorm(
-        ua.join(ub, "label")
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("ul") * F.col("ur")).cast(D38).alias("a")),
-        "a",
-    ).localCheckpoint(eager=False)
-    for _ in range(PCA_SQUARINGS):
-        left = a.select(F.col("i"), F.col("j").alias("k"), F.col("a").alias("al"))
-        right = a.select(F.col("i").alias("k"), F.col("j"), F.col("a").alias("ar"))
-        a = _renorm(
-            left.join(right, "k")
-            .groupBy("i", "j")
-            .agg(F.sum(F.col("al") * F.col("ar")).cast(D38).alias("a")),
-            "a",
-        ).localCheckpoint(eager=False)  # self-joined next round
-    v = a.groupBy("i").agg(F.sum("a").cast(D38).alias("v"))
-    return _renorm(v, "v").select(
-        F.col("i").cast("bigint").alias("dim"),
-        F.col("v").cast("bigint").alias("loading"),
+        if pdf.empty:
+            return  # empty corpus: 0 rows, as before
+        # per-class renorm in arbitrary-precision ints (u and the
+        # renorm dividend are the unbounded-magnitude values)
+        by_label: dict = {}
+        for lbl, i, uu in zip(pdf["label"], pdf["i"], pdf["u"]):
+            by_label.setdefault(lbl, {})[int(i)] = int(uu)
+        dims = sorted(next(iter(by_label.values())))
+        d = len(dims)
+        if len(by_label) >= 9_000_000:
+            raise ValueError(
+                "between_class_pca kernel: class count "
+                f"{len(by_label)} exceeds the int64 outer-product bound"
+            )
+        rows = []
+        for lbl in by_label:
+            vec = [by_label[lbl][i] for i in dims]
+            mx = max(max(abs(x) for x in vec), 1)
+            rows.append([_tdiv(x * PCA_NORM, mx) for x in vec])
+        U = np.array(rows, dtype=np.int64)  # |entry| <= 1e6
+        B = U.T @ U  # <= n_classes * 1e12 (guarded above)
+
+        def renorm(M: np.ndarray) -> np.ndarray:
+            mx = max(int(np.abs(M).max()), 1)
+            flat = [_tdiv(int(x) * PCA_NORM, mx) for x in M.ravel()]
+            return np.array(flat, dtype=np.int64).reshape(M.shape)
+
+        M = renorm(B)
+        for _ in range(PCA_SQUARINGS):
+            # |entry| <= 1e6 -> accumulator <= d * 1e12 = 6.4e13
+            M = renorm(M @ M)
+        v = renorm(M.sum(axis=1).reshape(1, -1)).ravel()
+        yield pd.DataFrame(
+            {"dim": np.array(dims, dtype=np.int64), "loading": v}
+        )
+
+    return u.select("label", "i", "u").coalesce(1).mapInPandas(
+        kernel, "dim bigint, loading bigint"
     )
