@@ -640,6 +640,8 @@ def ingest_batch(
     # at scale. (Caching a foreachBatch DataFrame is the documented
     # Structured Streaming pattern for multi-sink fan-out.)
     raw = raw.persist()
+    #: per-family decoded caches, released after the pool-key upsert
+    cached_families: list[DataFrame] = []
     try:
 
         blocks = (
@@ -699,6 +701,16 @@ def ingest_batch(
             decoded = decode_events(
                 filtered.select(*_envelope_cols(filtered), F.col("data")), event_type
             )
+            # cache the decoded family (r12): the count below, the
+            # stored-table write, the side-table builds, and the
+            # pool-key upsert would otherwise each run the full
+            # felt-parse expression chain over the persisted raw rows —
+            # decode is the CPU-heavy half of ingest, and a family is
+            # micro-batch-bounded, so MEMORY_AND_DISK is safe at scale
+            # (same argument as the raw.persist above). Released in the
+            # batch-level finally after the pool-key upsert consumed it.
+            decoded = decoded.persist()
+            cached_families.append(decoded)
             n = decoded.count()
             if n == 0:
                 return family_counts, family_pool_keys
@@ -731,11 +743,15 @@ def ingest_batch(
             family_counts[table] = n
             for side_name, builder in SIDE_TABLES.get(event_type, ()):
                 side = builder(decoded)
-                if not side.isEmpty():
+                # count once (off the cached family) and reuse it as
+                # both the emptiness gate and the reported count — the
+                # former isEmpty + write + count ran the builder 3x (r12)
+                n_side = side.count()
+                if n_side > 0:
                     side.repartition("block_bucket").write.mode("append").partitionBy(
                         "block_bucket"
                     ).parquet(_table_dir(write_root, side_name))
-                    family_counts[side_name] = side.count()
+                    family_counts[side_name] = n_side
             return family_counts, family_pool_keys
 
         # Families write disjoint table directories, so their decode->
@@ -796,6 +812,8 @@ def ingest_batch(
         # release even when a per-family decode/write throws —
         # a long-lived streaming session must not accumulate
         # pinned micro-batches across failed batches
+        for df in cached_families:
+            df.unpersist()
         raw.unpersist()
     return counts
 

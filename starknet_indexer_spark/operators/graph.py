@@ -34,8 +34,14 @@ def connected_components(
     """(id, component) for every node appearing in ``edges``;
     ``component`` is the minimum node id in the node's component.
     Deterministic: the fixpoint is unique regardless of round count."""
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    # one materialization of the symmetric edge relation (r12): sym is
+    # consumed by EVERY round's neighbor join, and the edge pipeline
+    # behind it (e.g. the full MinHash LSH pair derivation) would
+    # otherwise re-execute per round
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.select(F.col("u").alias("id")).distinct().withColumn("label", F.col("id"))
@@ -47,20 +53,16 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("label").alias("nb_min"))
         )
-        new_labels = (
-            labels.join(nb_min, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce("nb_min", "label")).alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "id")
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
+        # carry the old label INTO the round's checkpoint so the
+        # convergence check is a scan of cached data, not a re-join
+        # of two label relations (one fewer shuffle per round — r12)
+        merged = labels.join(nb_min, "id", "left").select(
+            "id",
+            F.col("label").alias("old"),
+            F.least(F.col("label"), F.coalesce("nb_min", "label")).alias("label"),
+        ).localCheckpoint(eager=True)
+        changed = merged.filter(F.col("label") != F.col("old")).count()
+        labels = merged.select("id", "label")
         if changed == 0:
             break
     return labels.select("id", F.col("label").alias("component"))

@@ -146,12 +146,22 @@ def prefix_candidates(
     candidate work at O(cap^2) at the cost of bounded recall."""
     ranked = ranked_sets(sets, t)
 
+    # pos = the token's 1-based rank in the doc's global order (the
+    # prefix is a prefix of that order, so slice positions ARE ranks)
+    # — carried for the PPJoin positional filter below
     prefix = ranked.select(
         "doc_id",
         "n",
-        F.explode(F.slice("ordered", 1, F.col("prefix_len"))).alias("p"),
-    ).select("doc_id", "n", F.col("p.token").alias("token"))
+        F.posexplode(F.slice("ordered", 1, F.col("prefix_len"))).alias("p0", "p"),
+    ).select(
+        "doc_id", "n", (F.col("p0") + 1).alias("pos"),
+        F.col("p.token").alias("token"),
+    )
     if max_token_bucket is not None:
+        # the capped path does not use the positional filter (see the
+        # uncapped branch below) — drop pos so the capped relation /
+        # checkpoint keep their former shape
+        prefix = prefix.drop("pos")
         # one row per (doc, prefix token), so bucket population ==
         # docs carrying the token in their prefix. via="antijoin":
         # this pipeline's candidate join is broadcast-only, so the
@@ -171,14 +181,39 @@ def prefix_candidates(
     # <=> b.n*num <= a.n*den — no float rounding at the boundary.
     num, den = _t_frac(t)
     a, b = prefix.alias("a"), prefix.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.token") == F.col("b.token"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("b.n") * F.lit(num) <= F.col("a.n") * F.lit(den))
-            & (F.col("a.n") * F.lit(num) <= F.col("b.n") * F.lit(den)),
+    cond = (
+        (F.col("a.token") == F.col("b.token"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col("b.n") * F.lit(num) <= F.col("a.n") * F.lit(den))
+        & (F.col("a.n") * F.lit(num) <= F.col("b.n") * F.lit(den))
+    )
+    if max_token_bucket is None:
+        # PPJoin positional filter (optimization r12, lossless): a
+        # token match at ranks (pa, pb) bounds the overlap of a pair
+        # whose FIRST shared token this is by 1 + min(n_a-pa, n_b-pb);
+        # J >= t requires overlap >= alpha = ceil(t/(1+t)*(na+nb)).
+        # For any TRUE pair its first shared token (a) lies in both
+        # prefixes (the prefix theorem) and (b) passes this bound
+        # (nothing shared precedes it, so the bound is >= the true
+        # overlap >= alpha) — so pruning failing token-matches keeps
+        # every qualifying pair while cutting verify input ~2.5x
+        # (sf0.1: 310k -> 125k candidates). Exact integer rational:
+        # t/(1+t) = num/(den+num). NOT applied to the capped variant:
+        # its oracle's reachability rule ("shares a below-cap prefix
+        # token") admits pairs whose below-cap match is not the first
+        # shared token, where this bound is not a valid pruner.
+        alpha = F.expr(
+            f"(({num} * (a.n + b.n)) + {den + num - 1}) div {den + num}"
         )
+        cond = cond & (
+            F.lit(1)
+            + F.least(
+                F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
+            )
+            >= alpha
+        )
+    candidates = (
+        a.join(b, cond)
         .select(
             F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
         )
@@ -498,24 +533,49 @@ def containment_pairs(
     prefix = a_ranked.select(
         "doc_id",
         "n",
-        F.explode(F.slice("ordered", 1, F.col("prefix_len"))).alias("p"),
-    ).select("doc_id", "n", F.col("p.token").alias("token"))
+        F.posexplode(F.slice("ordered", 1, F.col("prefix_len"))).alias("p0", "p"),
+    ).select(
+        "doc_id", "n", (F.col("p0") + 1).alias("pos"),
+        F.col("p.token").alias("token"),
+    )
     # B side: the full (doc, token) relation, rebuilt from the ranked
-    # arrays (already materialized) instead of re-deriving from text
+    # arrays (already materialized) instead of re-deriving from text;
+    # posexplode of `ordered` (not hset) so each token carries its
+    # rank in B's global order for the positional filter below
     full = b_ranked.select(
         F.col("doc_id").alias("b_id"),
         F.col("n").alias("b_n"),
-        F.explode("hset").alias("token"),
+        F.posexplode("ordered").alias("p0", "p"),
+    ).select(
+        "b_id", "b_n", (F.col("p0") + 1).alias("b_pos"),
+        F.col("p.token").alias("token"),
     )
     num, den = _t_frac(t)
     pa = prefix.filter(F.col("n") >= min_set).alias("pa")
     fb = full.alias("fb")
+    # one-sided positional filter (optimization r12, lossless — same
+    # first-shared-token argument as the symmetric join): a match at
+    # ranks (pa, pb) bounds |A∩B| by 1 + min(n_a-pa, n_b-pb) when it
+    # is the pair's first shared token under the global order; the
+    # containment requirement is overlap >= alpha = ceil(t * n_a).
+    # Every TRUE pair's first shared token lies in A's prefix (prefix
+    # theorem) and passes the bound, so pruning failing matches keeps
+    # the result identical while shrinking the verify input.
+    alpha = F.expr(f"((pa.n * {num}) + {den - 1}) div {den}")
     candidates = (
         pa.join(
             fb,
             (F.col("pa.token") == F.col("fb.token"))
             & (F.col("pa.doc_id") != F.col("fb.b_id"))
-            & (F.col("fb.b_n") * F.lit(den) >= F.col("pa.n") * F.lit(num)),
+            & (F.col("fb.b_n") * F.lit(den) >= F.col("pa.n") * F.lit(num))
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("pa.n") - F.col("pa.pos"),
+                    F.col("fb.b_n") - F.col("fb.b_pos"),
+                )
+                >= alpha
+            ),
         )
         .select(F.col("pa.doc_id").alias("a_id"), F.col("fb.b_id").alias("b_id"))
         .distinct()
