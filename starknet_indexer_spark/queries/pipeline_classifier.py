@@ -115,8 +115,13 @@ _NB_TOKS_SQL = r"""
 )
 def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    feat = nb_features(docs)
-    counts = nb_count_partials(feat)
+    # one materialization each (r12): feat (tokenize+hash per token)
+    # feeds the two count aggregates AND the scoring docf — 3 full
+    # re-derivations without the checkpoint; counts (vocab-sized)
+    # feeds classes + the weight grid. The streaming maintainer path
+    # (stream-held counts) is untouched.
+    feat = nb_features(docs).localCheckpoint(eager=False)
+    counts = nb_count_partials(feat).localCheckpoint(eager=False)
     return nb_confusion_from_counts(counts, feat)
 
 

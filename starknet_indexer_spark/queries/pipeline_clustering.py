@@ -214,10 +214,16 @@ def semdedup_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", quantize_expr(F.col("embedding")).alias("qv"))
     assigned = kmeans_assign(vecs, load_kmeans_centroids(spark, sf_dir))
-    return semdedup_from_assigned(assigned)
+    # materialize=True (r12): the ranked window feeds reps + scored;
+    # without it the corpus-sized assignment fold runs twice. The
+    # streaming keep-list path keeps the default (micro-batches are
+    # small; a per-batch checkpoint would be pure overhead there).
+    return semdedup_from_assigned(assigned, materialize=True)
 
 
-def semdedup_from_assigned(assigned: DataFrame) -> DataFrame:
+def semdedup_from_assigned(
+    assigned: DataFrame, materialize: bool = False
+) -> DataFrame:
     """The SemDeDup selection tail over an assignment relation
     (vec_id, qv, cluster, d2): centroid-nearest member becomes the
     cluster representative, members within the epsilon keep-radius of
@@ -231,6 +237,8 @@ def semdedup_from_assigned(assigned: DataFrame) -> DataFrame:
     ranked = assigned.withColumn(
         "rn", F.row_number().over(W.partitionBy("cluster").orderBy("d2", "vec_id"))
     )
+    if materialize:
+        ranked = ranked.localCheckpoint(eager=False)
     reps = ranked.filter(F.col("rn") == 1).select(
         "cluster", F.col("vec_id").alias("rep_id"), F.col("qv").alias("rep_qv")
     )

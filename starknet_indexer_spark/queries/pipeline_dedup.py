@@ -454,7 +454,9 @@ def decontamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..silver import build_decontam_grams
 
     docs = load(spark, sf_dir, "documents")
-    grams = build_decontam_grams(docs)
+    # one materialization (r12): grams feeds the train and eval sides,
+    # re-running the tokenize->5-gram->hash derivation twice without it
+    grams = build_decontam_grams(docs).localCheckpoint(eager=False)
     train = grams.filter(F.col("source") != EVAL_SOURCE).select("gh").distinct()
     ev = grams.filter(F.col("source") == EVAL_SOURCE).select("doc_id", "gh")
     hit = F.sum(F.when(F.col("t_gh").isNotNull(), 1).otherwise(0)).cast("bigint")

@@ -510,6 +510,10 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p"),
         )
         .select("doc_id", "lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        # feeds the lm2 count AND the per-doc scoring join; lm2 comes
+        # back as a broadcast, so no exchange reuse — without this the
+        # bigram explode runs twice (r12)
+        .localCheckpoint(eager=False)
     )
     lm2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("tf2"))
     lm1 = lm2.groupBy("w1").agg(F.sum("tf2").cast("long").alias("tf1"))

@@ -118,7 +118,8 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         (md5_hash60_expr(F.col("token")) % F.lit(N_FEATURES)).alias("f"),
-    )
+    ).localCheckpoint(eager=False)  # feeds tgt/rawc/tots/vocab/scoring:
+    # one tokenize+hash pass instead of one per consumer (r12)
     is_tgt = F.col("source") == TARGET_SOURCE
     tgt = feat.filter(is_tgt).groupBy("f").agg(F.count(F.lit(1)).alias("tc"))
     rawc = feat.filter(~is_tgt).groupBy("f").agg(F.count(F.lit(1)).alias("rc"))

@@ -798,7 +798,8 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("query_id") == F.col("s_qid"))
         & (F.col("neighbor_id") == F.col("s_nid")),
         "left",
-    )
+    ).localCheckpoint(eager=False)  # feeds hits + rr: one execution of
+    # BOTH ANN pipelines (gold exact-GEMM scan + IVF) instead of two (r12)
     hits = matched.groupBy("query_id").agg(
         F.count("s_nid").cast("bigint").alias("n_hit")
     )
@@ -897,6 +898,10 @@ def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pow(F.lit(2.0), F.lit(TOP_K) - F.col("rank")).cast("bigint").alias("gain"),
         F.col("rank").alias("g_rank"),
     )
+    # NOTE (r12): a localCheckpoint here was tried and REVERTED — the
+    # dcg and ideal subtrees share the GEMM cogroup exchange, which
+    # Spark already reuses; the checkpoint only added materialization
+    # cost (interleaved A/B: 2.37s with vs 2.06s without).
     sys_ = ann_topk_ivf(spark, sf_dir).select("query_id", "neighbor_id", "rank")
     contrib = F.floor(
         F.lit(1000000.0)

@@ -1,0 +1,108 @@
+"""Focused pins for the round-12 optimization changes to operator
+internals: the PPJoin positional filter's losslessness, the PCA
+kernel's truncating division, and the connected-components round
+restructure. The DuckDB oracle sweep already proves end-to-end
+equality; these pin the specific internal claims so a future edit
+that breaks one fails HERE, with a named reason."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from starknet_indexer_spark.queries.pipeline_pca import _tdiv
+from starknet_indexer_spark.queries.pipeline_setjoin import (
+    SETJOIN_THRESHOLD,
+    _silver_shingle_sets,
+    _t_frac,
+    prefix_candidates,
+    prefix_jaccard_pairs,
+    ranked_sets,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestTruncatingDivision:
+    def test_tdiv_matches_spark_decimal_div_semantics(self):
+        # Spark decimal `div` truncates toward zero; Python // floors.
+        # The kernel's correctness rests on _tdiv being the former.
+        cases = [(7, 2), (-7, 2), (1, 3), (-1, 3), (0, 5), (10**20, 7),
+                 (-(10**20), 7), (999_999, 1_000_000), (-999_999, 1_000_000)]
+        for a, b in cases:
+            want = int(Decimal(a) / Decimal(b)).__int__()  # trunc toward 0
+            assert _tdiv(a, b) == want, (a, b)
+
+    def test_tdiv_arbitrary_precision(self):
+        # the renorm dividend x * 1e6 exceeds int64 — _tdiv must be
+        # exact far beyond 64 bits
+        a, b = 64 * 10**19 + 123456789, 987654321
+        assert _tdiv(a, b) == a // b
+        assert _tdiv(-a, b) == -(a // b)
+
+
+class TestPositionalFilterLossless:
+    def test_filtered_candidates_subset_and_lossless(self, spark):
+        """The r12 positional filter may only REMOVE candidate pairs,
+        and every pair of the exact verified result must still be
+        generated — the first-shared-token argument, checked on real
+        corpus data by rebuilding the unfiltered candidate set."""
+        sets = _silver_shingle_sets(spark, SF_DIR)
+        t = SETJOIN_THRESHOLD
+        _, cand = prefix_candidates(sets, t)
+        filtered = {(r.a_id, r.b_id) for r in cand.collect()}
+
+        # unfiltered candidates: the pre-r12 rule (no positional bound)
+        num, den = _t_frac(t)
+        ranked = ranked_sets(sets, t)
+        prefix = ranked.select(
+            "doc_id",
+            "n",
+            F.explode(F.slice("ordered", 1, F.col("prefix_len"))).alias("p"),
+        ).select("doc_id", "n", F.col("p.token").alias("token"))
+        a, b = prefix.alias("a"), prefix.alias("b")
+        unfiltered_df = (
+            a.join(
+                b,
+                (F.col("a.token") == F.col("b.token"))
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+                & (F.col("b.n") * F.lit(num) <= F.col("a.n") * F.lit(den))
+                & (F.col("a.n") * F.lit(num) <= F.col("b.n") * F.lit(den)),
+            )
+            .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+            .distinct()
+        )
+        unfiltered = {(r.a_id, r.b_id) for r in unfiltered_df.collect()}
+        assert filtered <= unfiltered
+        assert len(filtered) < len(unfiltered)  # it actually prunes
+
+        truth = {
+            (r.a_id, r.b_id)
+            for r in prefix_jaccard_pairs(sets, t).select("a_id", "b_id").collect()
+        }
+        # losslessness: every true pair survives the positional filter
+        assert truth <= filtered
+
+
+class TestConnectedComponentsRestructure:
+    def test_min_label_fixpoint_unchanged(self, spark):
+        """The r12 restructure (checkpointed sym, old-label-in-round
+        convergence scan) must not change the fixpoint: two chained
+        paths + an isolated edge, labels = component minimum."""
+        from starknet_indexer_spark.operators.graph import connected_components
+
+        edges = spark.createDataFrame(
+            [(2, 1), (3, 2), (4, 3), (10, 11), (20, 21), (21, 22)],
+            "u BIGINT, v BIGINT",
+        )
+        got = {
+            (r.id, r.component)
+            for r in connected_components(edges).collect()
+        }
+        want = {
+            (1, 1), (2, 1), (3, 1), (4, 1),
+            (10, 10), (11, 10),
+            (20, 20), (21, 20), (22, 20),
+        }
+        assert got == want
