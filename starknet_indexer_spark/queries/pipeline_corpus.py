@@ -308,20 +308,26 @@ def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = toks.filter(F.size("tokens") >= 2).select(
         "doc_id", word_ngrams_expr(F.col("tokens"), 2).alias("bigrams")
     )
-    stats = bg.select(
-        "doc_id",
-        F.size("bigrams").alias("n_bigrams"),
-        F.size(F.array_distinct("bigrams")).alias("n_distinct"),
-    )
-    maxes = (
+    # single-pass rewrite (r12): every output derives from the
+    # (doc_id, bigram) count relation — n_bigrams = SUM(cnt),
+    # n_distinct = COUNT(*), top_cnt = MAX(cnt) — so one explode +
+    # two aggregations replace the former two-branch plan (map-side
+    # stats + exploded maxes) whose join re-ran the tokenize->bigram
+    # chain twice. Domain unchanged: >= 2 tokens implies >= 1 bigram,
+    # so the explode never drops a document the stats branch kept.
+    per_doc = (
         bg.select("doc_id", F.explode("bigrams").alias("bigram"))
         .groupBy("doc_id", "bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .groupBy("doc_id")
-        .agg(F.max("cnt").alias("top_cnt"))
+        .agg(
+            F.sum("cnt").cast("int").alias("n_bigrams"),
+            F.count(F.lit(1)).cast("int").alias("n_distinct"),
+            F.max("cnt").alias("top_cnt"),
+        )
     )
     dup_frac = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_bigrams")
-    return stats.join(maxes, "doc_id").select(
+    return per_doc.select(
         "doc_id",
         "n_bigrams",
         F.round(dup_frac, 6).alias("dup_bigram_frac"),

@@ -169,7 +169,11 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # regex chain per consumer measured ~20% of steady wall at sf0.1.)
     from ..silver import build_silver_relations
 
-    sh, bands = build_silver_relations(load(spark, sf_dir, "documents"))
+    # materialize_bands=True (r12): the band relation feeds both
+    # candidate-join sides — one signature evaluation instead of two
+    sh, bands = build_silver_relations(
+        load(spark, sf_dir, "documents"), materialize_bands=True
+    )
     # Verify stage joins the shingle relation twice. The pair join
     # itself is the pruner: only rows matching a candidate id are kept,
     # and AQE broadcasts the (tiny) candidate side, so no shuffle of
@@ -227,7 +231,12 @@ BAND_CAP = 3
 def minhash_lsh_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..silver import build_silver_relations
 
-    sh, bands = build_silver_relations(load(spark, sf_dir, "documents"))
+    # materialize_bands=True (r12): the capped band relation feeds both
+    # candidate-join sides (through the cap window) — one signature
+    # evaluation instead of two
+    sh, bands = build_silver_relations(
+        load(spark, sf_dir, "documents"), materialize_bands=True
+    )
     return _verify_candidates(
         lsh_candidate_pairs(cap_hot_bands(bands, BAND_CAP)), sh
     )
@@ -286,7 +295,9 @@ def _simhash_oracle() -> str:
 def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     fps = simhash_fingerprint(docs)
-    return simhash_near_pairs(fps, MAX_HAMMING)
+    # materialize=True (r12): the word-token fingerprint pass feeds
+    # both band-join sides — one evaluation instead of two
+    return simhash_near_pairs(fps, MAX_HAMMING, materialize=True)
 
 
 def _incremental_oracle() -> str:

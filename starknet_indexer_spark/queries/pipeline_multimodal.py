@@ -253,7 +253,9 @@ def multimodal_binary_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = simhash_fingerprint_tokens(
         docs.filter(F.length(hx) >= _BIN_GRAM), grams
     )
-    return simhash_near_pairs(fps, MAX_HAMMING)
+    # materialize=True (r12): the hex-4-gram fingerprint pass (the
+    # dominant cost) feeds both band-join sides — one evaluation
+    return simhash_near_pairs(fps, MAX_HAMMING, materialize=True)
 
 
 # ---------------------------------------------------------------------------

@@ -106,18 +106,33 @@ def build_decontam_grams(docs: DataFrame) -> DataFrame:
     )
 
 
-def build_silver_relations(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+def build_silver_relations(
+    docs: DataFrame, materialize_bands: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """(doc_shingles, minhash_bands) for a batch of raw documents.
 
     doc_shingles: (doc_id, shingles array<string>) — verify-join side.
     minhash_bands: (doc_id, band, band_key) — LSH bucketing relation.
     The shared ``shingle_relation`` feeds both outputs (one tokenize ->
     shingle -> hash chain repo-wide); the lazy localCheckpoint pins it
-    to one evaluation."""
+    to one evaluation.
+
+    ``materialize_bands=True`` (r12): the band relation feeds BOTH
+    sides of the LSH candidate self-join, and one side comes back as a
+    broadcast — no exchange reuse fires, so the 16-permutation
+    signature projection (array_min over a transform per permutation,
+    the heavy interpreted pass) executes twice. One lazy
+    localCheckpoint pins it to one evaluation. The re-deriving batch
+    dedup queries opt in; the silver materializer keeps the default
+    (its single consumer is the write — a checkpoint would be pure
+    overhead)."""
     rel = shingle_relation(docs).localCheckpoint(eager=False)
     sh = rel.select("doc_id", "shingles")
     sigs = rel.select("doc_id", *minhash_signature_exprs(F.col("h")))
-    return sh, minhash_bands(sigs)
+    bands = minhash_bands(sigs)
+    if materialize_bands:
+        bands = bands.localCheckpoint(eager=False)
+    return sh, bands
 
 
 def materialize_silver(
