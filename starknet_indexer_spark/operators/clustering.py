@@ -175,7 +175,12 @@ def attach_codebook_broadcasts(
     return out
 
 
-def pq_encode(vecs: DataFrame, books: list[DataFrame], dim: int) -> DataFrame:
+def pq_encode(
+    vecs: DataFrame,
+    books: list[DataFrame],
+    dim: int,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """Encode each vector as M codebook indices (the PQ compressed
     form: dim floats -> M small ints, e.g. 64x4B -> 4x1B) plus the
     exact total quantization error.
@@ -184,7 +189,13 @@ def pq_encode(vecs: DataFrame, books: list[DataFrame], dim: int) -> DataFrame:
     each code is an argmin fold over the vector's slice inside the
     scan — the corpus is never shuffled to encode it, the same shape
     as ``kmeans_assign``. Ties break to the smaller code id, totally
-    ordering the output (hash-checkable)."""
+    ordering the output (hash-checkable).
+
+    ``passthrough`` (r12): extra ``vecs`` columns carried through to
+    the output unchanged. The IVF-PQ search pipeline needs each code
+    row's coarse ``cluster``; re-attaching it afterwards was a
+    corpus x corpus sort-merge join on vec_id — carrying it through
+    the map-only encode removes that shuffle outright (guide §2.4)."""
     m_subspaces = len(books)
     sub_len = dim // m_subspaces
     out = attach_codebook_broadcasts(vecs, books)
@@ -203,7 +214,7 @@ def pq_encode(vecs: DataFrame, books: list[DataFrame], dim: int) -> DataFrame:
         best = F.array_max(F.transform(F.col(f"__cs_{m}"), _scorer(sub)))
         out = out.withColumn(f"__best_{m}", best)
     err = None
-    cols = [F.col("vec_id")]
+    cols = [F.col("vec_id"), *[F.col(c) for c in passthrough]]
     for m in range(m_subspaces):
         cols.append(
             (-F.col(f"__best_{m}.neg_id")).cast("int").alias(f"code_{m}")

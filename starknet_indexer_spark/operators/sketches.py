@@ -192,6 +192,7 @@ def bloom_probe_hits(
     k: int,
     m_bits: int,
     out_col: str = "bloom_hit",
+    assume_distinct_probes: bool = False,
 ) -> DataFrame:
     """Append ``out_col`` (boolean: all k bit positions of ``item``
     are set) to ``probes``. No false negatives — a member's bits were
@@ -207,8 +208,40 @@ def bloom_probe_hits(
     test counts distinct MATCHED SALTS, so duplicates can never
     manufacture a false negative (a count-of-matches test would see 2k
     matches != k for a duplicated member row). Callers needing
-    multiplicity should carry a unique row id in ``probes``."""
+    multiplicity should carry a unique row id in ``probes``.
+
+    ``assume_distinct_probes=True`` (r12): the caller guarantees
+    ``probes`` has no duplicate rows (both in-repo callers DISTINCT
+    their probe side), which licenses a MAP-ONLY probe: the k bucket
+    positions become k columns, each LEFT broadcast-joined against the
+    (lazily materialized) set-bit relation, and the hit test is a
+    row-local all-present conjunction — no explode (k x rows), no
+    re-collapse aggregation, no shuffle. Output rows/values are
+    identical to the default path on distinct input by construction:
+    position i matches iff its bit is set, under either formulation."""
     cols = probes.columns
+    if assume_distinct_probes:
+        # one materialization of the set-bit relation: the k broadcast
+        # builds would otherwise each re-run the build-side explode +
+        # distinct (broadcast exchanges are reused only when plan
+        # canonicalization happens to align — not contracted)
+        bits = bits.localCheckpoint(eager=False)
+        out = probes
+        for i in range(k):
+            bcol, scol = f"__bit_{i}", f"__set_{i}"
+            out = out.withColumn(bcol, cm_bucket_expr(item, i, m_bits)).join(
+                F.broadcast(
+                    bits.select(
+                        F.col("bit").alias(bcol), F.lit(1).alias(scol)
+                    )
+                ),
+                bcol,
+                "left",
+            )
+        hit = F.lit(True)
+        for i in range(k):
+            hit = hit & F.col(f"__set_{i}").isNotNull()
+        return out.select(*cols, hit.alias(out_col))
     salted = F.explode(
         F.array(
             *[

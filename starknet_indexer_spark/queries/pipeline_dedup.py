@@ -581,8 +581,16 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = grams.filter(F.col("source") != EVAL_SOURCE).select("gh").distinct()
     bits = bloom_build(train, F.col("gh").cast("string"), BLOOM_K, BLOOM_M_BITS)
     ev = grams.filter(F.col("source") == EVAL_SOURCE).select("doc_id", "gh").distinct()
+    # assume_distinct_probes: ev is DISTINCT'd above, so the probe
+    # runs map-only (k bucket columns + k broadcast joins) instead of
+    # explode -> join -> re-collapse aggregation (r12)
     hits = bloom_probe_hits(
-        ev, F.col("gh").cast("string"), bits, BLOOM_K, BLOOM_M_BITS
+        ev,
+        F.col("gh").cast("string"),
+        bits,
+        BLOOM_K,
+        BLOOM_M_BITS,
+        assume_distinct_probes=True,
     )
     return hits.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_ngrams"),

@@ -537,12 +537,18 @@ def _ivfpq_adc_dists(
             F.zip_with("qv", "cv", lambda x, y: x - y).alias("qv"),
         )
     )
-    codes = pq_encode(resid.select("vec_id", "qv"), books, PQ_DIM)
+    # cluster rides the map-only encode (pq_encode passthrough, r12):
+    # re-attaching it afterwards was a corpus x corpus sort-merge join
+    # on vec_id — the one all-rows shuffle in this pipeline
+    codes = pq_encode(
+        resid.select("vec_id", "cluster", "qv"),
+        books,
+        PQ_DIM,
+        passthrough=("cluster",),
+    )
 
     # reconstruct: cell centroid + decoded residual
-    enc = attach_codebook_broadcasts(
-        codes.join(resid.select("vec_id", "cluster"), "vec_id"), books
-    )
+    enc = attach_codebook_broadcasts(codes, books)
     enc = enc.join(
         F.broadcast(cells.select(F.col("cluster_id").alias("cluster"),
                                  F.col("cv").alias("cell_cv"))),

@@ -99,10 +99,18 @@ def ranked_sets(sets: DataFrame, t: float) -> DataFrame:
     multiplicity."""
     num, den = _t_frac(t)
     toks = sets.select("doc_id", "toks").filter(F.size("toks") > 0)
-    ex = (
-        toks.select("doc_id", F.explode("toks").alias("tok"))
-        .select("doc_id", md5_hash60_expr(F.col("tok")).alias("token"))
-        .distinct()
+    # per-doc hash-set dedup happens MAP-SIDE inside the array
+    # (array_distinct over the hashed elements) instead of the former
+    # explode -> .distinct() — same set (duplicate toks AND same-doc
+    # hash collisions collapse identically), one less full shuffle of
+    # the exploded corpus-token relation (r12, guide §2.4). The
+    # remaining exchanges are the vocabulary count (map-side combined,
+    # token-sized) and the per-doc collect.
+    ex = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.transform("toks", md5_hash60_expr))
+        ).alias("token"),
     )
     vocab = ex.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
 

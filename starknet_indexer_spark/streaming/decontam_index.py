@@ -139,8 +139,15 @@ def bloom_screen(
         .select("doc_id", "gh")
         .distinct()
     )
+    # assume_distinct_probes: ev is DISTINCT'd above — same map-only
+    # probe as the registered batch query (shared-code equality, r12)
     hits = bloom_probe_hits(
-        ev, F.col("gh").cast("string"), bits, BLOOM_K, BLOOM_M_BITS
+        ev,
+        F.col("gh").cast("string"),
+        bits,
+        BLOOM_K,
+        BLOOM_M_BITS,
+        assume_distinct_probes=True,
     )
     return hits.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_ngrams"),
