@@ -1198,6 +1198,13 @@ def margin_neighbor_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sim_i4",
         )
 
+    # NOTE (r12): a localCheckpoint on each side was tried and
+    # REVERTED — the plan shows 8 FlatMapCoGroupsInPandas nodes (each
+    # side's GEMM subtree printed under both its consumers), but at
+    # runtime the consumers share the cogroup exchange, so nothing
+    # re-executes and the checkpoint only added materialization cost
+    # (interleaved A/B: 2.55/3.05 with vs 2.64 without — the
+    # ann_ndcg_eval case again).
     topk_f = topk_side(sa, sb, "a_id", "b_id")
     topk_r = topk_side(sb, sa, "b_id", "a_id")
     sum_f = topk_f.groupBy("a_id").agg(F.sum("sim_i4").alias("s_f"))
