@@ -309,6 +309,44 @@ def _run_ordinal() -> int:
     return state["count"]
 
 
+def _cpu_times() -> list[int] | None:
+    """Aggregate cpu jiffies from /proc/stat (user, nice, system, idle,
+    iowait, irq, softirq, steal, ...), or None off-Linux."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        if parts and parts[0] == "cpu":
+            return [int(x) for x in parts[1:]]
+    except (OSError, ValueError):
+        pass
+    return None
+
+
+def _steal_covariate(t0: list[int] | None, t1: list[int] | None) -> dict | None:
+    """CPU-steal over the run, normalized by BUSY (demanded) time.
+
+    This VM's host has a bursty neighbor; steal as a share of *total*
+    CPU understates the damage badly when the bench is in single-task
+    stages (1 of 32 vCPUs demanded), so the adjudication-relevant
+    number is steal / (non-idle + steal): the fraction of CPU the run
+    asked for and did not get. Measured contamination events: a run
+    with ~40-50% of demanded CPU stolen inflated untouched trivial
+    queries 2-5x (r12 session log)."""
+    if not t0 or not t1 or len(t0) < 8 or len(t1) < 8:
+        return None
+    d = [b - a for a, b in zip(t0, t1)]
+    steal = d[7]
+    busy = sum(d) - d[3] - d[4]  # minus idle, iowait; includes steal
+    if busy <= 0:
+        return None
+    hz = 100.0  # USER_HZ; fixed at 100 on linux-x86
+    return {
+        "steal_sec": round(steal / hz, 1),
+        "busy_sec": round(busy / hz, 1),
+        "steal_pct_of_busy": round(100.0 * steal / busy, 1),
+    }
+
+
 def main(diff_against: str | None = None) -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # capture BEFORE spark spins up: load reflects what else the
@@ -317,6 +355,7 @@ def main(diff_against: str | None = None) -> int:
         load1, load5, load15 = os.getloadavg()
     except OSError:
         load1 = load5 = load15 = -1.0
+    cpu_t0 = _cpu_times()
     n_cpu = os.cpu_count() or 1
     run_ordinal = _run_ordinal()
     spark = get_spark("bench")
@@ -460,6 +499,12 @@ def main(diff_against: str | None = None) -> int:
     if errors:
         out["errors"] = errors
 
+    # host-contention covariate (r12): steal measured over the whole
+    # run window, demand-normalized — see _steal_covariate
+    steal_cov = _steal_covariate(cpu_t0, _cpu_times())
+    if steal_cov is not None:
+        out["cpu_steal"] = steal_cov
+
     # Full detail (cold per-query map, ingest breakdown, error strings)
     # goes to BENCH_DETAIL.json next to this script; stdout carries ONE
     # compact JSON line so the driver's tail capture can always parse
@@ -483,6 +528,8 @@ def main(diff_against: str | None = None) -> int:
     }
     if "ingest" in out:
         compact["ingest_rows_per_sec"] = out["ingest"]["rows_per_sec"]
+    if steal_cov is not None:
+        compact["cpu_steal_pct_of_busy"] = steal_cov["steal_pct_of_busy"]
     if errors:
         compact["error_count"] = len(errors)
 
@@ -603,7 +650,8 @@ def compare(baseline_path: str, current_path: str | None = None,
             doc = doc["parsed"]
         meta = {
             k: doc.get(k)
-            for k in ("plan_fp", "run_ordinal", "machine_idle", "loadavg_start")
+            for k in ("plan_fp", "run_ordinal", "machine_idle",
+                      "loadavg_start", "cpu_steal")
             if k in doc
         }
         steady = doc.get("queries")
@@ -697,9 +745,14 @@ def compare(baseline_path: str, current_path: str | None = None,
           f"{os.path.basename(baseline_path)} ({mode} timings)")
     ords = (base_meta.get("run_ordinal"), cur_meta.get("run_ordinal"))
     idles = (base_meta.get("machine_idle"), cur_meta.get("machine_idle"))
+    steals = tuple(
+        (m.get("cpu_steal") or {}).get("steal_pct_of_busy")
+        for m in (base_meta, cur_meta)
+    )
     print(f"session-drift factor (median ratio over {len(ratios)} shared): "
           f"{drift:.3f}; run ordinals {ords[0]}->{ords[1]}; "
-          f"machine_idle {idles[0]}->{idles[1]}; plan fingerprints "
+          f"machine_idle {idles[0]}->{idles[1]}; "
+          f"cpu steal %of-busy {steals[0]}->{steals[1]}; plan fingerprints "
           f"{'compared' if have_fps else 'unavailable (older baseline)'}")
     print(f"shared queries: {len(shared)}; surviving regressions: "
           f"{len(regressions)}; drift/plan-suppressed: {len(suppressed)}; "

@@ -189,3 +189,29 @@ def test_compare_same_plan_regression_flags_in_clean_session(tmp_path):
     buf2 = io.StringIO()
     assert compare(str(bp), str(cp2), out=buf2) == 0
     assert "drifting session" in buf2.getvalue()
+
+
+def test_steal_covariate_demand_normalized():
+    """r12: the host-contention covariate normalizes steal by BUSY
+    (demanded) CPU, not total — single-task stages demand 1 of 32
+    vCPUs, so total-normalized steal understates contamination ~32x.
+    Also: robust to missing/short samples (non-Linux, truncated stat)."""
+    from bench import _cpu_times, _steal_covariate
+
+    # jiffy fields: user nice system idle iowait irq softirq steal
+    t0 = [1000, 0, 500, 100000, 50, 0, 10, 200]
+    t1 = [1600, 0, 700, 160000, 70, 0, 10, 600]
+    cov = _steal_covariate(t0, t1)
+    # deltas: busy = 600+200+400 (incl. steal) = 1200, steal = 400
+    assert cov == {
+        "steal_sec": 4.0,
+        "busy_sec": 12.0,
+        "steal_pct_of_busy": 33.3,
+    }
+    assert _steal_covariate(None, t1) is None
+    assert _steal_covariate(t0[:4], t1[:4]) is None
+    assert _steal_covariate(t0, t0) is None  # zero busy delta
+    # live sampler: on this (Linux) machine it must parse
+    live = _cpu_times()
+    assert live is not None and len(live) >= 8
+    assert all(isinstance(v, int) and v >= 0 for v in live)
