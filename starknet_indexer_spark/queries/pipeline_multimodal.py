@@ -241,15 +241,14 @@ def multimodal_binary_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     hx = F.hex(media_expr(F.col("text")))
-    grams = F.when(
-        F.length(hx) >= _BIN_GRAM,
-        F.transform(
-            F.sequence(
-                F.lit(1), F.length(hx) - F.lit(_BIN_GRAM - 1), F.lit(_BIN_GRAM)
-            ),
-            lambda i: hx.substr(i, F.lit(_BIN_GRAM)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # non-overlapping full _BIN_GRAM-char blocks of the hex string.
+    # regexp_extract_all, NOT transform(sequence(...), i -> substr(...)):
+    # the higher-order lambda is interpreted per element and measured 7x
+    # slower on the exploded corpus (r12; the word_ngrams_expr trap).
+    # Value-equal by construction — consecutive (.{8}) matches are
+    # exactly the step-8 substrings, and a trailing partial block is
+    # dropped by both formulations (verified 0 diffs over the corpus).
+    grams = F.regexp_extract_all(hx, F.lit(f"(.{{{_BIN_GRAM}}})"), 1)
     fps = simhash_fingerprint_tokens(
         docs.filter(F.length(hx) >= _BIN_GRAM), grams
     )
