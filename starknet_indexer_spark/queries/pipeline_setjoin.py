@@ -98,7 +98,6 @@ def ranked_sets(sets: DataFrame, t: float) -> DataFrame:
     hashes), instead of Spark deduping while the oracle counts
     multiplicity."""
     num, den = _t_frac(t)
-    toks = sets.select("doc_id", "toks").filter(F.size("toks") > 0)
     # per-doc hash-set dedup happens MAP-SIDE inside the array
     # (array_distinct over the hashed elements) instead of the former
     # explode -> .distinct() — same set (duplicate toks AND same-doc
@@ -106,11 +105,21 @@ def ranked_sets(sets: DataFrame, t: float) -> DataFrame:
     # the exploded corpus-token relation (r12, guide §2.4). The
     # remaining exchanges are the vocabulary count (map-side combined,
     # token-sized) and the per-doc collect.
-    ex = toks.select(
+    # A pre-hashed ``h`` column (silver doc_shingles stores the
+    # md5_hash60 array the ingest build already computes, positionally
+    # aligned with the shingle strings) skips the per-query md5 pass:
+    # array_distinct(h) == array_distinct(transform(toks, md5_hash60))
+    # elementwise, because h IS that transform evaluated at ingest
+    # (r12, guide §2.4).
+    if "h" in sets.columns:
+        hs = sets.select("doc_id", F.col("h").alias("hs"))
+    else:
+        hs = sets.select(
+            "doc_id", F.transform("toks", md5_hash60_expr).alias("hs")
+        )
+    ex = hs.filter(F.size("hs") > 0).select(
         "doc_id",
-        F.explode(
-            F.array_distinct(F.transform("toks", md5_hash60_expr))
-        ).alias("token"),
+        F.explode(F.array_distinct("hs")).alias("token"),
     )
     vocab = ex.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
 
@@ -328,8 +337,12 @@ def _silver_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..silver import ensure_silver
 
     root = ensure_silver(spark, sf_dir)
+    # select h (the ingest-computed 60-bit hash array) alongside the
+    # shingle strings: ranked_sets consumes h directly and never
+    # re-runs the md5 pass; Catalyst prunes the unused string column
+    # from the scan
     return spark.read.parquet(os.path.join(root, "doc_shingles")).select(
-        "doc_id", F.col("shingles").alias("toks")
+        "doc_id", F.col("shingles").alias("toks"), "h"
     )
 
 

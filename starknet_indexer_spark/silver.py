@@ -45,7 +45,7 @@ from .operators.dedup import (
     word_ngrams_expr,
 )
 
-SILVER_VERSION = "v2"  # bump when any silver derivation changes
+SILVER_VERSION = "v3"  # bump when any silver derivation changes
 #: n-gram width of the decontamination relation — the single
 #: definition (queries.pipeline_dedup imports it)
 DECONTAM_N = 5
@@ -111,7 +111,13 @@ def build_silver_relations(
 ) -> tuple[DataFrame, DataFrame]:
     """(doc_shingles, minhash_bands) for a batch of raw documents.
 
-    doc_shingles: (doc_id, shingles array<string>) — verify-join side.
+    doc_shingles: (doc_id, shingles array<string>, h array<bigint>) —
+    verify-join side; ``h`` is the 60-bit hash array the signature
+    derivation already computes (md5_hash60 per shingle, positionally
+    aligned with ``shingles``), stored so hash-set consumers (the
+    setjoin ranked build) never re-run the md5 pass at query time
+    (r12, guide §2.4 — don't recompute at query time what ingest
+    already computed).
     minhash_bands: (doc_id, band, band_key) — LSH bucketing relation.
     The shared ``shingle_relation`` feeds both outputs (one tokenize ->
     shingle -> hash chain repo-wide); the lazy localCheckpoint pins it
@@ -127,7 +133,7 @@ def build_silver_relations(
     (its single consumer is the write — a checkpoint would be pure
     overhead)."""
     rel = shingle_relation(docs).localCheckpoint(eager=False)
-    sh = rel.select("doc_id", "shingles")
+    sh = rel.select("doc_id", "shingles", "h")
     sigs = rel.select("doc_id", *minhash_signature_exprs(F.col("h")))
     bands = minhash_bands(sigs)
     if materialize_bands:
