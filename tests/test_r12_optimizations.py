@@ -85,6 +85,54 @@ class TestPositionalFilterLossless:
         assert truth <= filtered
 
 
+class TestMediaGramFormulation:
+    def test_regexp_blocks_equal_stepped_substrings(self, spark):
+        """The r12 rewrite derives the media hex 4-byte-block grams
+        with regexp_extract_all('(.{8})') instead of the interpreted
+        transform(sequence(...), i -> substr(...)) lambda. Pin the
+        value equality on adversarial lengths: empty, shorter than a
+        block, exact multiples, and trailing partial blocks (both
+        formulations must DROP the partial tail)."""
+        G = 8
+        rows = [
+            (i, "0123456789ABCDEF" * 5 + "ABCDEF"[: i % 7])
+            for i in range(1, 8)
+        ] + [(8, ""), (9, "AB"), (10, "0123456789ABCDEF")]
+        df = spark.createDataFrame(rows, "doc_id long, hx string")
+        old = F.when(
+            F.length("hx") >= G,
+            F.transform(
+                F.sequence(F.lit(1), F.length("hx") - F.lit(G - 1), F.lit(G)),
+                lambda i: F.col("hx").substr(i, F.lit(G)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        new = F.regexp_extract_all("hx", F.lit(f"(.{{{G}}})"), 1)
+        bad = df.select(old.alias("a"), new.alias("b")).filter(
+            ~F.col("a").eqNullSafe(F.col("b"))
+        ).count()
+        assert bad == 0
+
+
+class TestSilverStoredHashes:
+    def test_doc_shingles_h_equals_recompute(self, spark):
+        """Silver doc_shingles stores h (the ingest-computed 60-bit
+        hash array). ranked_sets consumes it instead of re-hashing, so
+        the stored array must equal transform(shingles, md5_hash60)
+        positionally — the exact expression the build evaluates."""
+        import os
+
+        from starknet_indexer_spark.operators.dedup import md5_hash60_expr
+        from starknet_indexer_spark.silver import ensure_silver
+
+        root = ensure_silver(spark, SF_DIR)
+        sh = spark.read.parquet(os.path.join(root, "doc_shingles"))
+        assert "h" in sh.columns
+        bad = sh.filter(
+            ~F.col("h").eqNullSafe(F.transform("shingles", md5_hash60_expr))
+        ).count()
+        assert bad == 0
+
+
 class TestConnectedComponentsRestructure:
     def test_min_label_fixpoint_unchanged(self, spark):
         """The r12 restructure (checkpointed sym, old-label-in-round
