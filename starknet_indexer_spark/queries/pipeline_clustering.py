@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..operators.clustering import QUANT_SCALE, kmeans_assign, quantize_expr
+from ..operators.clustering import QUANT_SCALE, quantize_expr
 from .registry import register
 
 KMEANS_K = 16
@@ -152,10 +152,17 @@ def _kmeans_oracle() -> str:
     "assignment pass over the corpus — both passes are this operator.",
 )
 def kmeans_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.annkernels import kmeans_assign_kernel
+
     emb = load(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", quantize_expr(F.col("embedding")).alias("qv"))
-    out = kmeans_assign(vecs, load_kmeans_centroids(spark, sf_dir))
-    return out.select("vec_id", "cluster", "d2")
+    # numpy GEMM kernel (optimization r12, guide §4.2) — bit-identical
+    # to kmeans_assign's interpreted array folds (annkernels docstring;
+    # equality pinned in tests/test_r12_optimizations.py). include_qv
+    # =False: this query never reads the vector back.
+    return kmeans_assign_kernel(
+        vecs, load_kmeans_centroids(spark, sf_dir), include_qv=False
+    )
 
 
 # SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
@@ -211,9 +218,15 @@ def _semdedup_oracle() -> str:
     "selector carries a full value-hash oracle.",
 )
 def semdedup_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.annkernels import kmeans_assign_kernel
+
     emb = load(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", quantize_expr(F.col("embedding")).alias("qv"))
-    assigned = kmeans_assign(vecs, load_kmeans_centroids(spark, sf_dir))
+    # kernel assignment (r12, guide §4.2): bit-identical relation, so
+    # the shared semdedup_from_assigned tail — and the stream==batch
+    # keep-list contract, whose streaming side keeps the expression
+    # path — is untouched
+    assigned = kmeans_assign_kernel(vecs, load_kmeans_centroids(spark, sf_dir))
     # materialize=True (r12): the ranked window feeds reps + scored;
     # without it the corpus-sized assignment fold runs twice. The
     # streaming keep-list path keeps the default (micro-batches are
@@ -302,43 +315,18 @@ def semdedup_from_assigned(
     "final 16-row mean).",
 )
 def cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.clustering import dist2_expr
+    from ..operators.annkernels import silhouette_kernel
 
     emb = load(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", quantize_expr(F.col("embedding")).alias("qv"))
     cents = load_kmeans_centroids(spark, sf_dir)
-    cent_arr = cents.agg(
-        F.collect_list(F.struct("cluster_id", "cv")).alias("cents")
-    )
-    # (d2, cid) structs: array_min's lexicographic struct order IS the
-    # (d2 asc, cluster asc) tie-break of the assignment oracle
-    dists = F.transform(
-        "cents",
-        lambda c: F.struct(
-            dist2_expr(F.col("qv"), c["cv"]).alias("d2"),
-            c["cluster_id"].alias("cid"),
-        ),
-    )
-    best = F.array_min(F.col("dists"))
-    scored = (
-        vecs.crossJoin(F.broadcast(cent_arr))
-        .withColumn("dists", dists)
-        .withColumn("best", best)
-        .withColumn(
-            "b2",
-            F.array_min(
-                F.filter(
-                    F.col("dists"),
-                    lambda x: x["cid"] != F.col("best")["cid"],
-                )
-            )["d2"],
-        )
-        .select(
-            F.col("best")["cid"].alias("cluster"),
-            F.col("best")["d2"].alias("a2"),
-            "b2",
-        )
-    )
+    # numpy GEMM kernel (optimization r12, guide §4.2) for the
+    # (cluster, a2, b2) scan pass — bit-identical to the former
+    # broadcast-centroid-array formulation's interpreted (d2, cid)
+    # struct folds: argmin over id-sorted rows IS array_min's
+    # (d2 asc, cluster asc) struct tie-break (annkernels docstring;
+    # equality pinned in tests/test_r12_optimizations.py)
+    scored = silhouette_kernel(vecs, cents)
     s_ppm = F.when(F.greatest("a2", "b2") == 0, F.lit(0)).otherwise(
         F.floor(
             F.lit(1000000)
@@ -429,13 +417,18 @@ def _ari_oracle() -> str:
     "the corpus shuffles once.",
 )
 def clustering_agreement_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.annkernels import kmeans_assign_kernel
     from ..operators.similarity import N_CENTROIDS, ivf_assign
 
     emb = load(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", quantize_expr(F.col("embedding")).alias("qv"))
-    km = kmeans_assign(vecs, load_kmeans_centroids(spark, sf_dir)).select(
-        "vec_id", F.col("cluster").alias("a")
-    )
+    # k-means side via the numpy kernel (r12, guide §4.2 — bit-exact);
+    # the IVF side below stays expression-based: its cosine similarity
+    # is DOUBLE arithmetic, where a GEMM's different accumulation
+    # order could flip a last-ulp rounding (annkernels docstring)
+    km = kmeans_assign_kernel(
+        vecs, load_kmeans_centroids(spark, sf_dir), include_qv=False
+    ).select("vec_id", F.col("cluster").alias("a"))
 
     v = emb.select(
         "vec_id",

@@ -35,8 +35,6 @@ from ..operators.clustering import (
     attach_codebook_broadcasts,
     dist2_expr,
     pq_codebooks,
-    pq_encode,
-    pq_reconstruct_expr,
     quantize_expr,
 )
 from .registry import register
@@ -143,12 +141,58 @@ _F_JOINS = "f0" + "".join(
     "value-hash-checked against a DuckDB CTE-chain mirror.",
 )
 def pq_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.annkernels import pq_kernel
+
     emb = load(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", quantize_expr(F.col("embedding")).alias("qv"))
     # codebooks from the persisted training artifact (offline at
-    # deployment) — the encode pass itself stays map-only
+    # deployment); the encode pass is the numpy argmin-GEMM kernel
+    # (optimization r12, guide §4.2) — still map-only, bit-identical
+    # to pq_encode's interpreted folds (pinned in
+    # tests/test_r12_optimizations.py)
     books = _load_pq_codebooks(spark, sf_dir)
-    return pq_encode(vecs, books, PQ_DIM)
+    return pq_kernel(vecs, books, PQ_DIM, emit_codes=True, emit_err=True)
+
+
+def _adc_lut_cols(qv_col, books: list[DataFrame], df: DataFrame) -> DataFrame:
+    """Attach per-row ADC lookup-table map columns ``__lut_m``:
+    code_id -> exact d2 between ``qv_col``'s m-th subspace slice and
+    that code's codebook entry. The classic ADC table (optimization
+    r12): squared L2 over concatenated disjoint subspaces decomposes
+    EXACTLY into the per-subspace sums, so
+    ``d2(q, decode(codes)) == SUM_m lut_m[code_m]`` in integer
+    arithmetic — reconstruction and the 64-dim per-candidate fold
+    are replaced by M compiled map lookups. The interpreted dist2
+    folds now run only inside the LUT build: |queries| x K x M tiny
+    rows instead of per candidate. Maps (not position-indexed
+    arrays) because k-means codebooks can drop empty clusters —
+    code ids need not be contiguous."""
+    out = attach_codebook_broadcasts(df, books)
+    sub_len = PQ_DIM // len(books)
+
+    def entry(sub):
+        # closure factory: the transform lambda must be SINGLE-arg —
+        # a 2-arg lambda (even via a default) is PySpark's
+        # (element, index) form and would bind the index instead
+        # (the operators.clustering._scorer trap)
+        return lambda c: F.struct(c["cluster_id"], dist2_expr(sub, c["cv"]))
+
+    for m in range(len(books)):
+        sub = F.slice(qv_col, m * sub_len + 1, sub_len)
+        out = out.withColumn(
+            f"__lut_{m}",
+            F.map_from_entries(F.transform(F.col(f"__cs_{m}"), entry(sub))),
+        ).drop(f"__cs_{m}")
+    return out
+
+
+def _adc_d2_expr(m_subspaces: int):
+    d2 = None
+    for m in range(m_subspaces):
+        e = F.element_at(F.col(f"__lut_{m}"), F.col(f"code_{m}").cast("long"))
+        d2 = e if d2 is None else d2 + e
+    return d2
+
 
 
 @register(
@@ -199,31 +243,26 @@ def pq_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tests/test_operators.py::TestProductQuantization.",
 )
 def pq_ann_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.annkernels import pq_kernel
+
     emb = load(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", quantize_expr(F.col("embedding")).alias("qv"))
     books = _load_pq_codebooks(spark, sf_dir)
-    codes = pq_encode(vecs, books, PQ_DIM)
-
-    enc = attach_codebook_broadcasts(codes, books)
-    recon = enc.select(
-        F.col("vec_id").alias("neighbor_id"),
-        pq_reconstruct_expr(
-            [f"__cs_{m}" for m in range(PQ_M)],
-            [f"code_{m}" for m in range(PQ_M)],
-        ).alias("rv"),
+    # encode: numpy argmin-GEMM kernel (r12, guide §4.2 — bit-equal to
+    # pq_encode); search: the per-query ADC lookup table the docstring
+    # has always described as the deployment shape (_adc_lut_cols) —
+    # same integers, value-hash-verified against the unchanged oracle
+    codes = pq_kernel(vecs, books, PQ_DIM, emit_codes=True).withColumnRenamed(
+        "vec_id", "neighbor_id"
     )
-
     q = vecs.filter(F.col("vec_id") < PQ_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("qv")
     )
+    q_lut = _adc_lut_cols(F.col("qv"), books, q).drop("qv")
     dists = (
-        recon.crossJoin(F.broadcast(q))
+        codes.crossJoin(F.broadcast(q_lut))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            dist2_expr(F.col("qv"), F.col("rv")).alias("d2"),
-        )
+        .select("query_id", "neighbor_id", _adc_d2_expr(PQ_M).alias("d2"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("d2"), F.col("neighbor_id"))
     return (
@@ -517,55 +556,20 @@ def _ivfpq_adc_dists(
     quantized corpus (vec_id, qv). Cells + codebooks come from the
     persisted training artifact (ensure_ivfpq_codebooks) — the search
     plan is assignment + encode + probe + ADC only."""
-    from ..operators.clustering import kmeans_assign
+    from ..operators.annkernels import pq_kernel
 
     emb = load(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", quantize_expr(F.col("embedding")).alias("qv"))
 
     cells, books = _load_ivfpq_codebooks(spark, sf_dir)
-    assigned = kmeans_assign(vecs, cells).select("vec_id", "qv", "cluster")
-
-    # residual encode (map-only: broadcast cell centroids)
-    resid = (
-        assigned.join(
-            F.broadcast(cells.select(F.col("cluster_id").alias("cluster"), "cv")),
-            "cluster",
-        )
-        .select(
-            "vec_id",
-            "cluster",
-            F.zip_with("qv", "cv", lambda x, y: x - y).alias("qv"),
-        )
-    )
-    # cluster rides the map-only encode (pq_encode passthrough, r12):
-    # re-attaching it afterwards was a corpus x corpus sort-merge join
-    # on vec_id — the one all-rows shuffle in this pipeline
-    codes = pq_encode(
-        resid.select("vec_id", "cluster", "qv"),
-        books,
-        PQ_DIM,
-        passthrough=("cluster",),
-    )
-
-    # reconstruct: cell centroid + decoded residual
-    enc = attach_codebook_broadcasts(codes, books)
-    enc = enc.join(
-        F.broadcast(cells.select(F.col("cluster_id").alias("cluster"),
-                                 F.col("cv").alias("cell_cv"))),
-        "cluster",
-    )
-    recon = enc.select(
-        F.col("vec_id").alias("neighbor_id"),
-        "cluster",
-        F.zip_with(
-            "cell_cv",
-            pq_reconstruct_expr(
-                [f"__cs_{m}" for m in range(PQ_M)],
-                [f"code_{m}" for m in range(PQ_M)],
-            ),
-            lambda x, y: x + y,
-        ).alias("rv"),
-    )
+    # ONE fused map pass (optimization r12, guide §2.4/§4.2): coarse
+    # assignment, residual, and per-subspace encode run as a single
+    # numpy kernel — bit-identical to the former kmeans_assign +
+    # broadcast-residual + pq_encode expression chain (pinned in
+    # tests/test_r12_optimizations.py)
+    codes = pq_kernel(
+        vecs, books, PQ_DIM, cells=cells, emit_cluster=True, emit_codes=True
+    ).withColumnRenamed("vec_id", "neighbor_id")
 
     # probe: nprobe nearest cells per query
     q = vecs.filter(F.col("vec_id") < PQ_N_QUERIES).select(
@@ -586,14 +590,28 @@ def _ivfpq_adc_dists(
         .select("query_id", "qv", F.col("cluster_id").alias("cluster"))
     )
 
+    # ADC via the per-(query, cluster) residual lookup table: with
+    # qr = q - cell_cv, d2(q, cell_cv + decode(codes)) ==
+    # SUM_m lut_m[code_m] over lut built from qr — the exact integer
+    # decomposition _adc_lut_cols documents. Candidates pay M compiled
+    # map lookups instead of reconstruction + a 64-dim interpreted
+    # fold; the LUT relation is |queries| x nprobe rows.
+    probe_r = probe.join(
+        F.broadcast(
+            cells.select(F.col("cluster_id").alias("cluster"),
+                         F.col("cv").alias("cell_cv"))
+        ),
+        "cluster",
+    ).select(
+        "query_id",
+        "cluster",
+        F.zip_with("qv", "cell_cv", lambda x, y: x - y).alias("qr"),
+    )
+    probe_lut = _adc_lut_cols(F.col("qr"), books, probe_r).drop("qr")
     dists = (
-        recon.join(F.broadcast(probe), "cluster")
+        codes.join(F.broadcast(probe_lut), "cluster")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            dist2_expr(F.col("qv"), F.col("rv")).alias("d2"),
-        )
+        .select("query_id", "neighbor_id", _adc_d2_expr(PQ_M).alias("d2"))
     )
     return dists, q, vecs
 

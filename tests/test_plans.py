@@ -298,15 +298,20 @@ class TestIncrementalDedupPlan:
 
 
 class TestKMeansPlan:
-    def test_assignment_broadcast_and_bounded_shuffles(self, spark):
-        # Every exchange in the k-means plan carries a centroid-sized
-        # relation (K*dim partial sums or the collected centroid
-        # array), never the corpus: 2 per update round + 1 per
-        # centroid collect. Corpus assignment itself is map-only via
-        # the broadcast centroid array.
+    def test_assignment_map_only(self, spark):
+        # Corpus assignment is MAP-ONLY: since the r12 kernel swap the
+        # trained-centroid relation is collected once (K rows, an
+        # artifact read) and the argmin runs as one numpy GEMM per
+        # Arrow batch (MapInPandas) — the corpus is never shuffled,
+        # and there is no broadcast-join stage left at all. (The
+        # expression formulation with the broadcast centroid array
+        # remains in operators/clustering.py for the trainer and the
+        # streaming twin; kernel == expression is pinned in
+        # tests/test_r12_optimizations.py.)
         df = q(spark, "kmeans_cluster_assign")
-        assert has_broadcast_join(df)
-        assert shuffle_count(df) <= 7
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan
+        assert shuffle_count(df) == 0
 
 
 class TestRound2Plans:

@@ -154,3 +154,154 @@ class TestConnectedComponentsRestructure:
             (20, 20), (21, 20), (22, 20),
         }
         assert got == want
+
+
+class TestAnnKernelEquality:
+    """The numpy GEMM kernels (operators/annkernels.py) must be
+    bit-identical to the interpreted expression formulations they
+    replaced in the query layer — integer arithmetic end to end, so
+    any divergence is a real defect, not float noise. The expression
+    operators stay the reference definition (and the streaming /
+    trainer paths still run them)."""
+
+    def test_kmeans_assign_kernel_equals_expression(self, spark):
+        from starknet_indexer_spark.operators.annkernels import (
+            kmeans_assign_kernel,
+        )
+        from starknet_indexer_spark.operators.clustering import (
+            kmeans_assign,
+            quantize_expr,
+        )
+        from starknet_indexer_spark.catalog import load
+        from starknet_indexer_spark.queries.pipeline_clustering import (
+            load_kmeans_centroids,
+        )
+
+        vecs = load(spark, SF_DIR, "embeddings").select(
+            "vec_id", quantize_expr(F.col("embedding")).alias("qv")
+        )
+        cents = load_kmeans_centroids(spark, SF_DIR)
+        old = {
+            (r.vec_id, tuple(r.qv), r.cluster, r.d2)
+            for r in kmeans_assign(vecs, cents).collect()
+        }
+        new = {
+            (r.vec_id, tuple(r.qv), r.cluster, r.d2)
+            for r in kmeans_assign_kernel(vecs, cents).collect()
+        }
+        assert old == new and len(old) > 0
+
+    def test_pq_kernel_equals_expression_chain(self, spark):
+        from starknet_indexer_spark.operators.annkernels import pq_kernel
+        from starknet_indexer_spark.operators.clustering import (
+            kmeans_assign,
+            pq_encode,
+            quantize_expr,
+        )
+        from starknet_indexer_spark.catalog import load
+        from starknet_indexer_spark.queries.pipeline_pq import (
+            PQ_DIM,
+            _load_ivfpq_codebooks,
+            _load_pq_codebooks,
+        )
+
+        vecs = load(spark, SF_DIR, "embeddings").select(
+            "vec_id", quantize_expr(F.col("embedding")).alias("qv")
+        )
+        books = _load_pq_codebooks(spark, SF_DIR)
+        old = {tuple(r) for r in pq_encode(vecs, books, PQ_DIM).collect()}
+        new = {
+            tuple(r)
+            for r in pq_kernel(
+                vecs, books, PQ_DIM, emit_codes=True, emit_err=True
+            ).collect()
+        }
+        assert old == new and len(old) > 0
+
+        # fused coarse-assign + residual-encode (the IVF-PQ corpus pass)
+        cells, rbooks = _load_ivfpq_codebooks(spark, SF_DIR)
+        assigned = kmeans_assign(vecs, cells).select("vec_id", "qv", "cluster")
+        resid = assigned.join(
+            F.broadcast(
+                cells.select(F.col("cluster_id").alias("cluster"), "cv")
+            ),
+            "cluster",
+        ).select(
+            "vec_id",
+            "cluster",
+            F.zip_with("qv", "cv", lambda x, y: x - y).alias("qv"),
+        )
+        old_codes = {
+            tuple(r)
+            for r in pq_encode(
+                resid, rbooks, PQ_DIM, passthrough=("cluster",)
+            )
+            .select("vec_id", "cluster", "code_0", "code_1", "code_2", "code_3")
+            .collect()
+        }
+        new_codes = {
+            tuple(r)
+            for r in pq_kernel(
+                vecs, rbooks, PQ_DIM, cells=cells,
+                emit_cluster=True, emit_codes=True,
+            ).collect()
+        }
+        assert old_codes == new_codes and len(old_codes) > 0
+
+    def test_adc_lut_decomposition_exact(self, spark):
+        """d2(q, decode(codes)) == SUM_m lut_m[code_m]: the ADC
+        lookup-table decomposition the search queries now rely on,
+        checked against explicit reconstruction + full-dim dist2."""
+        from starknet_indexer_spark.operators.annkernels import pq_kernel
+        from starknet_indexer_spark.operators.clustering import (
+            attach_codebook_broadcasts,
+            dist2_expr,
+            pq_reconstruct_expr,
+            quantize_expr,
+        )
+        from starknet_indexer_spark.catalog import load
+        from starknet_indexer_spark.queries.pipeline_pq import (
+            PQ_DIM,
+            PQ_M,
+            PQ_N_QUERIES,
+            _adc_d2_expr,
+            _adc_lut_cols,
+            _load_pq_codebooks,
+        )
+
+        vecs = load(spark, SF_DIR, "embeddings").select(
+            "vec_id", quantize_expr(F.col("embedding")).alias("qv")
+        )
+        books = _load_pq_codebooks(spark, SF_DIR)
+        codes = pq_kernel(vecs, books, PQ_DIM, emit_codes=True)
+        q = vecs.filter(F.col("vec_id") < PQ_N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), "qv"
+        )
+        lut = _adc_lut_cols(F.col("qv"), books, q).drop("qv")
+        new = {
+            (r.query_id, r.vec_id, r.d2)
+            for r in codes.crossJoin(F.broadcast(lut))
+            .select("query_id", "vec_id", _adc_d2_expr(PQ_M).alias("d2"))
+            .collect()
+        }
+        enc = attach_codebook_broadcasts(codes, books)
+        recon = enc.select(
+            "vec_id",
+            pq_reconstruct_expr(
+                [f"__cs_{m}" for m in range(PQ_M)],
+                [f"code_{m}" for m in range(PQ_M)],
+            ).alias("rv"),
+        )
+        old = {
+            (r.query_id, r.vec_id, r.d2)
+            for r in recon.crossJoin(
+                F.broadcast(q.select("query_id", F.col("qv").alias("qqv")))
+            )
+            .select(
+                "query_id",
+                "vec_id",
+                dist2_expr(F.col("qqv"), F.col("rv")).alias("d2"),
+            )
+            .collect()
+        }
+        assert old == new and len(old) > 0
