@@ -875,6 +875,21 @@ LEFT JOIN tvl_24h d ON d.key_hash = pk.key_hash
 )
 def v07_last_24h_pool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = ekubo_tables(spark, sf_dir)
+    # v07 composes BOTH hourly rollups, so the shared event-derived
+    # inputs are consumed far more often than in the standalone view
+    # queries: blocks ~7x (six _with_hour joins + the as_of anchor),
+    # fees_accumulated 3x, swaps 2x — and several consumers return as
+    # broadcasts, defeating exchange reuse (the r12 materialization
+    # sweep mechanism). Lazily checkpoint those three HERE, in the
+    # composing query only; the view functions and the standalone
+    # v13/v16 queries are untouched (copy — ekubo_tables' dict is a
+    # shared cache).
+    t = {
+        **t,
+        "blocks": t["blocks"].localCheckpoint(eager=False),
+        "swaps": t["swaps"].localCheckpoint(eager=False),
+        "fees_accumulated": t["fees_accumulated"].localCheckpoint(eager=False),
+    }
     # as_of=None: the view derives the NOW() anchor set-based
     # (broadcast max(blocks.time) crossJoin), keeping the whole query
     # one lazy plan with no driver-side collect
