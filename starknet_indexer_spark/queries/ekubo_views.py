@@ -1090,7 +1090,9 @@ FROM integral i JOIN pt ON i.proposal_id = pt.proposal_id
 )
 def v12_voting_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = ekubo_tables(spark, sf_dir)
-    df = VIEWS["proposal_delegate_voting_weights"](t)
+    # materialize=True (r12): the sentinel leg re-derives the stake
+    # deltas + both window splits; see the view docstring
+    df = VIEWS["proposal_delegate_voting_weights"](t, materialize=True)
     return df.select(
         F.col("proposal_id").cast("bigint").alias("proposal_id"),
         F.col("delegate").cast("bigint").alias("delegate"),

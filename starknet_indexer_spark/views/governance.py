@@ -31,7 +31,18 @@ DEC = "decimal(38,0)"
 from ._shared import with_block_time as _with_time  # noqa: E402
 
 
-def proposal_delegate_voting_weights(tables: dict[str, DataFrame]) -> DataFrame:
+def proposal_delegate_voting_weights(
+    tables: dict[str, DataFrame], materialize: bool = False
+) -> DataFrame:
+    """``materialize=True`` (optimization r12, the
+    semdedup_from_assigned pattern): lazily checkpoint the stake-delta
+    relation and the two window splits — ``sentinel`` re-derives
+    in_window + bootstrap (and through them the event-decode chain and
+    the broadcast proposal_times build) a second time, because
+    broadcast-returned consumers defeat exchange reuse. The registered
+    v12 query opts in; the runtime refresh and SQL-interface
+    registrations keep the default (single-consumer writes — a
+    checkpoint there is pure overhead)."""
     blocks = tables["blocks"]
     gp = _with_time(tables["governor_proposed"], blocks).select(
         F.col("id").alias("proposal_id"),
@@ -59,6 +70,8 @@ def proposal_delegate_voting_weights(tables: dict[str, DataFrame]) -> DataFrame:
         "delegate", "time", (-F.col("amount").cast(DEC)).alias("delta")
     )
     deltas = staked.unionByName(withdrawn)
+    if materialize:
+        deltas = deltas.localCheckpoint(eager=False)
 
     pt = F.broadcast(proposal_times)
 
@@ -72,6 +85,10 @@ def proposal_delegate_voting_weights(tables: dict[str, DataFrame]) -> DataFrame:
         .agg(F.sum("delta").alias("delta"))
         .select("proposal_id", "delegate", F.col("proposal_time").alias("time"), "delta")
     )
+    if materialize:
+        # both feed the events union AND the sentinel's delegate set
+        in_window = in_window.localCheckpoint(eager=False)
+        bootstrap = bootstrap.localCheckpoint(eager=False)
 
     # Window-end sentinel per (proposal, delegate). The reference cross
     # joins ALL delegates against ALL proposals (src/dao.ts:1296-1299),
