@@ -143,8 +143,9 @@ def _kmeans_oracle() -> str:
     doc=f"K-means (K={KMEANS_K}, {KMEANS_UPDATES} Lloyd updates + final "
     "assignment) over integer-quantized embeddings; init = the first K "
     "vectors (deterministic). Every assignment pass is MAP-ONLY (one "
-    "broadcast centroid-array row, argmin as an array fold inside the "
-    "scan — the corpus is never shuffled to assign it); each update "
+    "numpy argmin-GEMM per Arrow batch under the collected K-row "
+    "centroid relation — the corpus is never shuffled to assign it); "
+    "each update "
     "shuffles only (cluster, component) partial sums with map-side "
     "combine. All distances are exact BIGINT sums — an iterative "
     "algorithm with a full value-hash oracle, not a rows-only check. "
@@ -309,10 +310,9 @@ def semdedup_from_assigned(
     "trusting its clusters. Integer-exact: quantized vectors make "
     "every d2 a BIGINT; per-doc s is ppm-rounded (FLOOR(x+0.5)) before "
     "the per-cluster mean so the aggregate is order-invariant. Scale "
-    "shape: the trained centroid set collapses to ONE broadcast array "
-    "row and both a2/b2 are array-fold minima INSIDE the scan "
-    "(map-only — the corpus is shuffled once, by cluster id, for the "
-    "final 16-row mean).",
+    "shape: a2/b2 come from one numpy GEMM per Arrow batch against "
+    "the collected K-row centroid relation (map-only — the corpus is "
+    "shuffled once, by cluster id, for the final 16-row mean).",
 )
 def cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.annkernels import silhouette_kernel

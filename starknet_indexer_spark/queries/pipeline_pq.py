@@ -15,12 +15,13 @@ value-hash DuckDB oracles despite PQ being an approximation of the
 underlying geometry (the *approximation itself* is deterministic).
 
 Scale shape: codebook training is the k-means trainer (sample-sized at
-deployment); ENCODING IS MAP-ONLY (M broadcast codebooks, argmin folds
-inside the scan — the corpus is never shuffled to encode it); ADC
-search broadcasts the query batch and reconstructs candidates on the
-fly (at deployment the per-query K x M distance table replaces
-reconstruction — same arithmetic, O(M) per candidate instead of
-O(dim); the plan shape is identical).
+deployment); ENCODING IS MAP-ONLY — since optimization r12 a numpy
+argmin-GEMM kernel (operators/annkernels.py, bit-identical to the
+expression folds) rather than interpreted array folds; the corpus is
+never shuffled to encode it. ADC search uses the per-query K x M
+distance lookup table (the deployment form): candidates pay M compiled
+map lookups instead of reconstruction + an O(dim) fold, exact by the
+integer subspace decomposition (_adc_lut_cols).
 """
 
 from __future__ import annotations
@@ -135,10 +136,11 @@ _F_JOINS = "f0" + "".join(
     f"codes, {PQ_UPDATES} Lloyd round per codebook): each 64-dim "
     "embedding compresses to 4 code indices + the exact total "
     "quantization error. Codebook training reuses the integer-exact "
-    "k-means trainer per slice; the encoding pass is MAP-ONLY (M "
-    "broadcast codebooks, argmin folds inside the scan — the corpus "
-    "is never shuffled to encode it). The full iterative pipeline is "
-    "value-hash-checked against a DuckDB CTE-chain mirror.",
+    "k-means trainer per slice; the encoding pass is MAP-ONLY (one "
+    "numpy argmin-GEMM per Arrow batch under collected K-row "
+    "codebooks — the corpus is never shuffled to encode it). The full "
+    "iterative pipeline is value-hash-checked against a DuckDB "
+    "CTE-chain mirror.",
 )
 def pq_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.annkernels import pq_kernel
@@ -231,12 +233,13 @@ def _adc_d2_expr(m_subspaces: int):
     doc=f"Asymmetric-distance (ADC) top-{PQ_TOP_K} search over "
     "PQ-encoded vectors: the exact query vector scores against each "
     "candidate's reconstructed (decoded) vector — the search half of "
-    "the IVF-PQ design. The query batch is broadcast, candidates "
-    "reconstruct map-side from the same broadcast codebooks, and the "
-    "only shuffle is the per-query top-k window. Integer-exact end "
-    "to end, so the approximate search is itself hash-verified. At "
-    "deployment the per-query K x M lookup table replaces "
-    "reconstruction (same arithmetic, O(M) per candidate). Measured "
+    "the IVF-PQ design, computed through the per-query K x M distance "
+    "lookup table (exact integer subspace decomposition, so the "
+    "result equals explicit reconstruction bit-for-bit). The LUT "
+    "batch is broadcast, candidates pay M compiled map lookups, and "
+    "the only shuffle is the per-query top-k window. Integer-exact "
+    "end to end, so the approximate search is itself hash-verified. "
+    "Measured "
     "on the near-random synthetic embeddings (PQ's hardest regime): "
     "ADC@5 recall ~0.26 alone, >= 0.9 composed with an exact re-rank "
     "of the ADC top-100 shortlist — the deployment shape, pinned in "
