@@ -41,6 +41,7 @@ KMV would hold k values per group in executor memory; this holds none).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -210,38 +211,61 @@ def bloom_probe_hits(
     matches != k for a duplicated member row). Callers needing
     multiplicity should carry a unique row id in ``probes``.
 
-    ``assume_distinct_probes=True`` (r12): the caller guarantees
-    ``probes`` has no duplicate rows (both in-repo callers DISTINCT
-    their probe side), which licenses a MAP-ONLY probe: the k bucket
-    positions become k columns, each LEFT broadcast-joined against the
-    (lazily materialized) set-bit relation, and the hit test is a
-    row-local all-present conjunction — no explode (k x rows), no
-    re-collapse aggregation, no shuffle. Output rows/values are
-    identical to the default path on distinct input by construction:
-    position i matches iff its bit is set, under either formulation."""
+    ``assume_distinct_probes=True`` (r12, reshaped r13): the caller
+    guarantees ``probes`` has no duplicate rows (both in-repo callers
+    DISTINCT their probe side), which licenses a MAP-ONLY probe
+    against a DENSE BITSET: the set-bit relation — at most ``m_bits``
+    rows by construction, a size fixed by the filter parameters and
+    independent of corpus scale — is collected ONCE into an in-memory
+    boolean array (the "dense bitset re-encoding" bloom_build's
+    docstring names as the production form), and each probe row tests
+    its k bucket positions in one vectorized Arrow UDF. No joins, no
+    broadcast-relation builds (the r12 k-join formulation built k
+    separate broadcast hash relations of the bits — the
+    driver-measured regression VERDICT r12 item #1 flagged), no
+    shuffle. Output rows/values are identical to the default path on
+    distinct input by construction: position i matches iff its bit is
+    set, under either formulation; a NULL item hashes to NULL buckets,
+    which the old path's left joins never matched — replicated here by
+    coalescing NULL buckets onto a sentinel position that is never
+    set."""
     cols = probes.columns
     if assume_distinct_probes:
-        # one materialization of the set-bit relation: the k broadcast
-        # builds would otherwise each re-run the build-side explode +
-        # distinct (broadcast exchanges are reused only when plan
-        # canonicalization happens to align — not contracted)
-        bits = bits.localCheckpoint(eager=False)
-        out = probes
-        for i in range(k):
-            bcol, scol = f"__bit_{i}", f"__set_{i}"
-            out = out.withColumn(bcol, cm_bucket_expr(item, i, m_bits)).join(
-                F.broadcast(
-                    bits.select(
-                        F.col("bit").alias(bcol), F.lit(1).alias(scol)
-                    )
-                ),
-                bcol,
-                "left",
-            )
-        hit = F.lit(True)
-        for i in range(k):
-            hit = hit & F.col(f"__set_{i}").isNotNull()
-        return out.select(*cols, hit.alias(out_col))
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
+
+        # control-plane collect, bounded by the filter parameter (the
+        # relation is DISTINCT bit positions < m_bits — e.g. 2^20 rows
+        # / 1 MiB max for the decontamination filter) — NOT by corpus
+        # size; the same boundedness argument as the k-means centroid
+        # collects (annkernels._collect_matrix)
+        bit_rows = bits.toPandas()["bit"].to_numpy(dtype=np.int64)
+        assert len(bit_rows) <= m_bits, (
+            f"bloom bits relation has {len(bit_rows)} rows > m_bits="
+            f"{m_bits}: not a valid set-bit relation"
+        )
+        # index m_bits is the never-set sentinel for NULL buckets
+        bitset = np.zeros(m_bits + 1, dtype=bool)
+        if len(bit_rows):
+            bitset[bit_rows] = True
+
+        @pandas_udf("boolean")
+        def _all_set(buckets: pd.DataFrame) -> pd.Series:
+            hit = None
+            for c in buckets.columns:
+                h = bitset[buckets[c].to_numpy(dtype=np.int64)]
+                hit = h if hit is None else (hit & h)
+            return pd.Series(hit)
+
+        probe_struct = F.struct(
+            *[
+                F.coalesce(cm_bucket_expr(item, i, m_bits), F.lit(m_bits)).alias(
+                    f"b{i}"
+                )
+                for i in range(k)
+            ]
+        )
+        return probes.select(*cols, _all_set(probe_struct).alias(out_col))
     salted = F.explode(
         F.array(
             *[

@@ -578,12 +578,16 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the duplicate rows a crashed incremental silver append can leave.
     root = ensure_silver(spark, sf_dir)
     grams = spark.read.parquet(os.path.join(root, "decontam_grams"))
-    train = grams.filter(F.col("source") != EVAL_SOURCE).select("gh").distinct()
+    # no .distinct() on the train side (r13): bloom_build's own set-bit
+    # distinct already dedups — the same filter bits come out whether
+    # gh rows repeat or not, so the pre-distinct was a pure extra
+    # shuffle of the train gram relation
+    train = grams.filter(F.col("source") != EVAL_SOURCE).select("gh")
     bits = bloom_build(train, F.col("gh").cast("string"), BLOOM_K, BLOOM_M_BITS)
     ev = grams.filter(F.col("source") == EVAL_SOURCE).select("doc_id", "gh").distinct()
     # assume_distinct_probes: ev is DISTINCT'd above, so the probe
-    # runs map-only (k bucket columns + k broadcast joins) instead of
-    # explode -> join -> re-collapse aggregation (r12)
+    # runs map-only against the dense bitset (one vectorized Arrow
+    # membership test per row — r13; no joins, no broadcast builds)
     hits = bloom_probe_hits(
         ev,
         F.col("gh").cast("string"),
