@@ -512,6 +512,24 @@ def main(diff_against: str | None = None) -> int:
     # BENCH_r02.json recorded "parsed": null).
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
+    # print-cutoff censoring fix (r13, VERDICT r12 item #8,
+    # additions-only): queries whose steady moved >25% vs the PREVIOUS
+    # committed official record must survive the fastest-first
+    # omission below — improvements past the cutoff were vanishing
+    # from the printed map, censoring the driver's round-over-round
+    # geomean in the improving direction. Read the prior record before
+    # this run overwrites it; best-effort (a missing/corrupt file just
+    # protects nothing).
+    protected: set = set()
+    try:
+        with open(detail_path) as fh:
+            prev_q = json.load(fh).get("queries", {})
+        for name, now_s in timings.items():
+            prev_s = prev_q.get(name)
+            if prev_s and abs(now_s / prev_s - 1.0) > 0.25:
+                protected.add(name)
+    except (OSError, ValueError, ZeroDivisionError):
+        pass
     try:
         with open(detail_path, "w") as fh:
             json.dump(out, fh, indent=1, sort_keys=True)
@@ -556,12 +574,13 @@ def main(diff_against: str | None = None) -> int:
     # Budget the line: keep the SLOWEST queries (the informative
     # ones), drop the fastest until it fits, and say how many were
     # omitted — the full map is always in BENCH_DETAIL.json.
-    print(compact_stdout_line(compact, timings))
+    print(compact_stdout_line(compact, timings, protected=protected))
     # propagate the regression gate (same contract as --compare)
     return diff_rc
 
 
-def compact_stdout_line(compact: dict, timings: dict, budget: int = 1800) -> str:
+def compact_stdout_line(compact: dict, timings: dict, budget: int = 1800,
+                        protected: set | None = None) -> str:
     """Render the one-line stdout JSON within ``budget`` bytes.
 
     The driver records only the last ~2000 bytes of stdout and
@@ -570,11 +589,22 @@ def compact_stdout_line(compact: dict, timings: dict, budget: int = 1800) -> str
     (truncated at the FRONT, so the line never parses). Keep the
     SLOWEST queries (the informative ones), drop the fastest until the
     line fits, and record how many were omitted — the full map is
-    always in BENCH_DETAIL.json."""
+    always in BENCH_DETAIL.json.
+
+    ``protected`` (r13): names whose steady moved >25% vs the previous
+    committed record — they stay in the printed map even if below the
+    fastest-cutoff (the PERF comparison was losing the round's biggest
+    wins when they improved past it), unless the budget cannot fit the
+    fixed fields plus them at all (parseability still wins)."""
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) <= budget:
         return line
+    protected = protected or set()
     ranked = sorted(timings, key=timings.get)  # fastest first
+    # unprotected drop first; protected only if the budget forces it
+    ranked = [n for n in ranked if n not in protected] + [
+        n for n in ranked if n in protected
+    ]
     q = dict(timings)
     compact = dict(compact)
     compact["detail"] = "BENCH_DETAIL.json"

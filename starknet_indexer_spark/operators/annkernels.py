@@ -139,6 +139,12 @@ def silhouette_kernel(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     import pandas as pd
 
     ids, C = _collect_matrix(cents, "cluster_id", "cv")
+    if len(ids) < 2:
+        # ADVICE r12: with one centroid the expression path's b2 is
+        # NULL (array_min of an empty filtered array), which the
+        # int64-max sentinel below would silently misreport — refuse
+        # loudly instead (every in-repo caller trains K=16)
+        raise ValueError("silhouette_kernel requires >= 2 centroids")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -227,6 +233,16 @@ def pq_kernel(
                 if emit_cluster:
                     out["cluster"] = cids[jc]
                 x = v - CC[jc]
+                # residual headroom (ADVICE r12): inputs are < 2^27
+                # but the difference can reach ~2^28, outside the
+                # input guard — re-assert here so the documented
+                # every-GEMM-term-fits-int64 invariant holds for the
+                # residual GEMMs too: sub_len * (2*2^28)^2 = 2^62
+                # < 2^63 at the max sub_len=16 this operator admits
+                if x.size and abs(x).max() >= (1 << 28):
+                    raise ValueError(
+                        "residual component exceeds int64 GEMM headroom"
+                    )
                 recon = CC[jc].copy() if emit_recon else None
             else:
                 recon = np.zeros_like(v) if emit_recon else None

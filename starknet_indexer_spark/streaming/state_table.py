@@ -250,6 +250,7 @@ def merge_batch(
     empty_ddl: str,
     token: str | None = None,
     retention: int = 1,
+    affected: list | None = None,
 ) -> None:
     """The shared maintained-state fold: short-circuit replayed epochs,
     merge the batch's partials with the affected buckets of the live
@@ -257,7 +258,15 @@ def merge_batch(
 
     ``batch_partials`` must already be aggregated per key (one row per
     key) and is evaluated twice (affected-bucket collect + merge) — the
-    caller is responsible for it being cheap or pinned."""
+    caller is responsible for it being cheap or pinned.
+
+    ``affected`` (r13): the caller may pass the distinct bucket list
+    when it already computed it (retrieval_index folds it into the
+    novelty check — one job instead of two per epoch); it MUST equal
+    what ``bucket_expr`` over the CAST partials would produce (same
+    values, same physical type — the type-stable-bucketing warning
+    below applies to the caller's computation too). The partial is
+    then evaluated once (the merge), so the pin-cache is skipped."""
     if token is not None and applied_token(state_dir) == token:
         return  # crash landed after the flip but before the epoch marker
     # TYPE-STABLE BUCKETING: xxhash64 hashes the physical type, not the
@@ -271,11 +280,15 @@ def merge_batch(
     partial = batch_partials.select(
         *[F.col(f.name).cast(f.dataType) for f in target]
     ).withColumn("bucket", bucket_expr)
-    partial = partial.cache()
+    caller_affected = affected is not None
+    if not caller_affected:
+        partial = partial.cache()
     try:
-        affected = [
-            r["bucket"] for r in partial.select("bucket").distinct().collect()
-        ]
+        if not caller_affected:
+            affected = [
+                r["bucket"]
+                for r in partial.select("bucket").distinct().collect()
+            ]
         if not affected:
             # nothing to fold, but the token must still commit or the
             # NEXT batch would misread a replay of this one as new
@@ -304,7 +317,8 @@ def merge_batch(
             state_dir, merged, affected=affected, token=token, retention=retention
         )
     finally:
-        partial.unpersist()
+        if not caller_affected:
+            partial.unpersist()
 
 
 def write_epoch_pairs(

@@ -60,6 +60,36 @@ def test_compact_stdout_line_fits_driver_tail_capture():
     assert json.loads(compact_stdout_line(c2, small, budget=1800))["queries"] == small
 
 
+def test_compact_line_protects_changed_queries():
+    """r13 (VERDICT r12 item #8): a FAST query whose steady moved >25%
+    vs the previous record must survive the fastest-first omission —
+    improvements past the cutoff were vanishing from the printed map,
+    censoring the round-over-round comparison."""
+    import json
+
+    from bench import compact_stdout_line
+
+    timings = {f"q{i:03d}": round(0.1 + i * 0.01, 3) for i in range(200)}
+    compact = {
+        "metric": "headline_steady_total_s",
+        "value": 123.4,
+        "unit": "sec",
+        "queries": timings,
+        "sf": 0.1,
+        "cold_total": 150.0,
+    }
+    # q000 is the FASTEST (first to be dropped without protection)
+    line = compact_stdout_line(
+        compact, timings, budget=1800, protected={"q000"}
+    )
+    doc = json.loads(line)
+    assert len(line) <= 1800
+    assert "q000" in doc["queries"]
+    assert doc["queries_omitted_fastest"] > 0
+    # unprotected fastest still dropped first
+    assert "q001" not in doc["queries"]
+
+
 def test_compact_line_sheds_fixed_fields_when_oversized():
     """ADVICE r7: fixed fields alone exceeding the budget must not fall
     through with an unparseable oversized line — optional fields shed

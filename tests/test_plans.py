@@ -210,11 +210,15 @@ class TestExecutionShape:
             # (band, band_key) key the candidate join uses (one
             # exchange per join side under AQE) + the pair distinct
             ("minhash_lsh_dedup_capped", 3),
-            # fully fused audit: ONE scan per table chains the FK
-            # lookups then a single PK groupBy yields every check
-            # (10 scans serve 27 checks): 10 PK-group exchanges + 10
-            # tiny 1-row agg exchanges + 7 parent-key dedups
-            ("constraint_violations", 27),
+            # split per-check audit (r13, measured 1.85 vs 2.94 s for
+            # the fused audit_table form): the corpus-sized exchanges
+            # are the same 10 PK-key groupBys either way; the extra
+            # ones are 1-row count aggregations (bytes ~ 0) + 7
+            # parent-key dedups + the lineitem->orders anti-join no
+            # longer sharing the PK groupBy's exchange (one extra
+            # single-int-column shuffle at scale — the measured trade
+            # the query docstring documents)
+            ("constraint_violations", 44),
             # round-4 additions
             # per-partition MG summaries are map-only; exchanges are
             # the candidate distinct, the recount agg, and the 1-row

@@ -248,6 +248,57 @@ class TestAnnKernelEquality:
         }
         assert old_codes == new_codes and len(old_codes) > 0
 
+    def test_silhouette_kernel_equals_expression(self, spark):
+        """(cluster, a2, b2) from silhouette_kernel must equal the
+        (d2 asc, cluster_id asc) struct-ranked expression formulation
+        as a multiset (ADVICE r12: this was the only kernel without a
+        direct equality pin). Also pin the K==1 guard."""
+        import pytest
+
+        from starknet_indexer_spark.catalog import load
+        from starknet_indexer_spark.operators.annkernels import (
+            silhouette_kernel,
+        )
+        from starknet_indexer_spark.operators.clustering import (
+            dist2_expr,
+            quantize_expr,
+        )
+        from starknet_indexer_spark.queries.pipeline_clustering import (
+            load_kmeans_centroids,
+        )
+        from pyspark.sql.window import Window as W
+
+        vecs = load(spark, SF_DIR, "embeddings").select(
+            "vec_id", quantize_expr(F.col("embedding")).alias("qv")
+        )
+        cents = load_kmeans_centroids(spark, SF_DIR)
+        new = sorted(
+            (r.cluster, r.a2, r.b2)
+            for r in silhouette_kernel(vecs, cents).collect()
+        )
+        d = vecs.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "cluster_id",
+            dist2_expr(F.col("qv"), F.col("cv")).alias("d2"),
+        )
+        w = W.partitionBy("vec_id").orderBy("d2", "cluster_id")
+        ranked = d.withColumn("rn", F.row_number().over(w))
+        a = ranked.filter(F.col("rn") == 1).select(
+            "vec_id", F.col("cluster_id").alias("cluster"),
+            F.col("d2").alias("a2"),
+        )
+        b = ranked.filter(F.col("rn") == 2).select(
+            "vec_id", F.col("d2").alias("b2")
+        )
+        old = sorted(
+            (r.cluster, r.a2, r.b2) for r in a.join(b, "vec_id").collect()
+        )
+        assert new == old and len(new) > 0
+
+        one = cents.limit(1)
+        with pytest.raises(ValueError, match=">= 2 centroids"):
+            silhouette_kernel(vecs, one)
+
     def test_adc_lut_decomposition_exact(self, spark):
         """d2(q, decode(codes)) == SUM_m lut_m[code_m]: the ADC
         lookup-table decomposition the search queries now rely on,
